@@ -1,0 +1,159 @@
+"""Deterministic minimal PDF 1.4 writer.
+
+Produces real PDF files: xref table, catalog/pages tree, per-page
+content streams (text shown with BT/Tf/Td/Tj/ET, images placed with
+cm + Do), grayscale image XObjects (FlateDecode), /Rotate page keys.
+No timestamps, no random IDs — byte-identical output for identical
+input, which makes media_refs and resume tests reproducible.
+
+Coordinates: callers use raster pixel coords (row 0 = top). The writer
+converts to PDF user space (y-up) with 1 unit = 1 pixel and MediaBox =
+raster dims.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+from typing import Union
+
+import numpy as np
+
+#: Ordered page content item: ("text", str, row, col) or
+#: ("image", np.ndarray gray, row, col). Stream order = span order.
+TextItem = tuple[str, str, int, int]
+ImageItem = tuple[str, np.ndarray, int, int]
+Item = Union[TextItem, ImageItem]
+
+
+@dataclass
+class PageSpec:
+    """One page to write: a full-page scan raster plus ordered items."""
+
+    raster: np.ndarray                    # (h, w) uint8, stored orientation
+    rotate: int = 0                       # /Rotate: 0|90|180|270
+    items: list[Item] = field(default_factory=list)
+
+
+def _escape_pdf_string(text: str) -> bytes:
+    out = []
+    for ch in text.encode("latin-1", errors="replace"):
+        if ch in (0x5C, 0x28, 0x29):  # backslash, ( , )
+            out.append(0x5C)
+        out.append(ch)
+    return bytes(out)
+
+
+class _Builder:
+    """Accumulates numbered objects and emits the xref + trailer."""
+
+    def __init__(self) -> None:
+        self._objects: list[bytes | None] = [None]  # 1-based
+
+    def reserve(self) -> int:
+        self._objects.append(None)
+        return len(self._objects) - 1
+
+    def set(self, num: int, body: bytes) -> None:
+        self._objects[num] = body
+
+    def add(self, body: bytes) -> int:
+        num = self.reserve()
+        self.set(num, body)
+        return num
+
+    def render(self, root_num: int) -> bytes:
+        header = b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n"
+        out = bytearray(header)
+        offsets = [0]
+        for num, body in enumerate(self._objects):
+            if num == 0:
+                continue
+            offsets.append(len(out))
+            out += f"{num} 0 obj\n".encode() + (body or b"null") + b"\nendobj\n"
+        xref_at = len(out)
+        n = len(self._objects)
+        out += f"xref\n0 {n}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += f"{off:010d} 00000 n \n".encode()
+        out += (
+            f"trailer\n<< /Size {n} /Root {root_num} 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n"
+        ).encode()
+        return bytes(out)
+
+
+def _image_xobject(arr: np.ndarray) -> bytes:
+    h, w = arr.shape
+    data = zlib.compress(np.ascontiguousarray(arr, dtype=np.uint8).tobytes(), level=6)
+    head = (
+        f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+        f"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+        f"/Length {len(data)} >>\nstream\n"
+    ).encode()
+    return head + data + b"\nendstream"
+
+
+def write_pdf(pages: list[PageSpec]) -> bytes:
+    """Serialize pages into a complete PDF byte stream."""
+
+    b = _Builder()
+    catalog_num = b.reserve()
+    pages_num = b.reserve()
+    font_num = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    kid_nums: list[int] = []
+    for page in pages:
+        h, w = page.raster.shape
+        xobjects: dict[str, int] = {"Im0": b.add(_image_xobject(page.raster))}
+
+        ops = [b"q", f"{w} 0 0 {h} 0 0 cm".encode(), b"/Im0 Do", b"Q"]
+        img_idx = 1
+        for item in page.items:
+            kind = item[0]
+            if kind == "text":
+                _, text, row, col = item
+                x, y = col, h - row  # PDF y-up
+                ops += [
+                    b"BT",
+                    b"/F1 12 Tf",
+                    f"{x} {y} Td".encode(),
+                    b"(" + _escape_pdf_string(text) + b") Tj",
+                    b"ET",
+                ]
+            elif kind == "image":
+                _, arr, row, col = item
+                name = f"Im{img_idx}"
+                img_idx += 1
+                xobjects[name] = b.add(_image_xobject(arr))
+                ih, iw = arr.shape
+                y_bottom = h - (row + ih)
+                ops += [
+                    b"q",
+                    f"{iw} 0 0 {ih} {col} {y_bottom} cm".encode(),
+                    f"/{name} Do".encode(),
+                    b"Q",
+                ]
+            else:
+                raise ValueError(f"Unknown page item kind: {kind!r}")
+
+        content = zlib.compress(b"\n".join(ops), level=6)
+        content_num = b.add(
+            f"<< /Length {len(content)} /Filter /FlateDecode >>\nstream\n".encode()
+            + content
+            + b"\nendstream"
+        )
+
+        xo = " ".join(f"/{name} {num} 0 R" for name, num in xobjects.items())
+        page_dict = (
+            f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 {w} {h}] "
+            f"/Rotate {page.rotate % 360} /Contents {content_num} 0 R "
+            f"/Resources << /XObject << {xo} >> /Font << /F1 {font_num} 0 R >> >> >>"
+        )
+        kid_nums.append(b.add(page_dict.encode()))
+
+    kids = " ".join(f"{n} 0 R" for n in kid_nums)
+    b.set(pages_num, f"<< /Type /Pages /Kids [{kids}] /Count {len(kid_nums)} >>".encode())
+    b.set(catalog_num, f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode())
+    return b.render(catalog_num)
