@@ -1,0 +1,50 @@
+"""Input-side helpers: distributed corpus materialization and readers.
+
+The fixture corpus is generated ON the executors (spark.range ->
+mapInPandas over doc ids) — the generator is a pure function of
+(seed, doc_id), so generation parallelizes like any other stage and the
+driver never holds PDF bytes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .schema import DOCUMENTS_RAW_SCHEMA
+
+
+def corpus_dataframe(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    mega_every: int = 50,
+    partitions: int | None = None,
+) -> DataFrame:
+    """documents_raw (doc_id, pdf_bytes, n_pages) built distributed."""
+
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..corpus import make_document
+
+        for batch in batches:
+            docs = [make_document(int(i), seed=seed, mega_every=mega_every) for i in batch["id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": [d["doc_id"] for d in docs],
+                    "pdf_bytes": [d["pdf_bytes"] for d in docs],
+                    "n_pages": [d["n_pages"] for d in docs],
+                }
+            )
+
+    return (
+        spark.range(0, n_docs, numPartitions=partitions)
+        .mapInPandas(gen, schema=DOCUMENTS_RAW_SCHEMA)
+    )
+
+
+def read_documents_raw(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(DOCUMENTS_RAW_SCHEMA).parquet(path)

@@ -1,0 +1,313 @@
+"""The distributed extraction job.
+
+Topology (SURVEY.md §3.4) — one Python boundary, everything else JVM:
+
+    read (doc_id, pdf_bytes, n_pages)
+      -> anti-join committed doc_ids            [checkpoint resume, P4]
+      -> explode page-range chunks              [mega-PDF skew salt, C2]
+      -> repartition(doc_id, chunk_start)       [spread chunks across executors]
+      -> mapInPandas(extract_batch)             [Arrow-batched kernel pipeline]
+      -> window count over (doc_id, norm_text, y_band)
+         + filter                               [boilerplate strip, relational]
+      -> groupBy(doc_id).collect_list + array_sort + transform
+                                                [ordered spans, offset assign]
+      -> parquet append partitioned by bucket(doc_id) + lineage + metrics
+
+Zero per-row Python UDFs; the strip and the final ordering are Catalyst
+aggregates/windows so they scale with the shuffle, not with Python.
+At 100 TB the parquet sink becomes an Iceberg table partitioned by
+``bucket(N, doc_id)`` with snapshot commits; the resume anti-join and
+bucket layout are identical.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULTS, validate_config
+from .schema import RECORDS_SCHEMA, SPANS_SCHEMA
+
+
+def make_extract_batch(cfg: dict[str, Any]):
+    """Build the Arrow-batched extraction function for mapInPandas.
+
+    Input rows: (doc_id, pdf_bytes, n_pages, chunk_start, chunk_end).
+    Output rows: RECORDS_SCHEMA — one row per span candidate; the first
+    row of each page carries lineage + counter increments.
+    """
+
+    cols = [f.name for f in RECORDS_SCHEMA.fields]
+
+    def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Imports inside the UDF body: executors pay them lazily
+        # (X8 in SURVEY.md §4).
+        from ..extract import extract_page
+        from ..pdfio.parser import PdfDocument
+
+        import json as _json
+
+        for batch in batches:
+            rows: list[tuple] = []
+            for doc_id, pdf_bytes, n_pages, lo, hi in zip(
+                batch["doc_id"], batch["pdf_bytes"], batch["n_pages"],
+                batch["chunk_start"], batch["chunk_end"],
+            ):
+                # Per-document error isolation: at 10^12-doc scale one
+                # malformed PDF must become an 'error' lineage row, not a
+                # stage failure. Failed docs emit no spans, stay
+                # uncommitted, and are retried by the next resume run.
+                doc_rows: list[tuple] = []
+                try:
+                    doc = PdfDocument(bytes(pdf_bytes))
+                    for page_no in range(int(lo), int(hi) + 1):
+                        result = extract_page(doc.load_page(page_no), page_no, cfg)
+                        c = result.counters
+                        lineage_payload = (
+                            result.lineage.get("detail_json"),
+                            result.lineage.get("status", "ok"),
+                            c.get("pages_parsed", 1),
+                            c.get("rotations_fixed", 0),
+                            c.get("spreads_split", 0),
+                            c.get("crop_only", 0),
+                        )
+                        if not result.candidates:
+                            doc_rows.append((doc_id, int(n_pages), page_no, 0, 0, "none",
+                                             None, None, None, None, None, *lineage_payload))
+                            continue
+                        for i, cand in enumerate(result.candidates):
+                            payload = lineage_payload if i == 0 else (None,) * 6
+                            doc_rows.append((
+                                doc_id, int(n_pages), cand.page_no, cand.region_idx,
+                                cand.item_idx, cand.kind, cand.text, cand.norm_text,
+                                cand.y_band, cand.is_page_number, cand.media_ref,
+                                *payload,
+                            ))
+                except Exception as exc:  # parse/codec errors
+                    detail = _json.dumps(
+                        {"error": f"{type(exc).__name__}: {exc}"}, sort_keys=True
+                    )
+                    doc_rows = [(doc_id, int(n_pages), int(lo), 0, 0, "none",
+                                 None, None, None, None, None,
+                                 detail, "error", 0, 0, 0, 0)]
+                rows.extend(doc_rows)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return extract_batch
+
+
+def salt_into_chunks(df: DataFrame, pages_per_chunk: int) -> DataFrame:
+    """Explode each doc into page-range chunk rows (zero-based inclusive
+    bounds) — pure Catalyst (sequence/transform/explode), the
+    `_chunk_ranges` analog (reference split.py:28-42)."""
+
+    ppc = int(pages_per_chunk)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.col("n_pages") - 1, F.lit(ppc)),
+        lambda s: F.struct(
+            s.alias("chunk_start"),
+            F.least(s + ppc - 1, F.col("n_pages") - 1).alias("chunk_end"),
+        ),
+    )
+    return (
+        df.withColumn("chunk", F.explode(chunks))
+        .select("doc_id", "pdf_bytes", "n_pages", "chunk.chunk_start", "chunk.chunk_end")
+    )
+
+
+def strip_boilerplate(records: DataFrame, cfg: dict[str, Any]) -> DataFrame:
+    """Relational boilerplate strip.
+
+    A text span is boilerplate when its (norm_text, y_band) appears on
+    >= max(min_pages, ceil(frac * n_pages)) distinct pages of the doc,
+    or (optionally) when it is a digit-only span in the top/bottom
+    band. The repeat count is a window aggregate over text rows only —
+    image/none rows skip the shuffle entirely.
+    """
+
+    w = Window.partitionBy("doc_id", "norm_text", "y_band")
+    threshold = F.greatest(
+        F.lit(int(cfg["boilerplate_min_pages"])),
+        F.ceil(F.lit(float(cfg["boilerplate_page_frac"])) * F.col("n_pages")),
+    )
+    is_text = F.col("kind") == "text"
+    # collect_set skips nulls, so non-text rows contribute nothing to
+    # their group's page count; a single window pass keeps the plan to
+    # ONE extraction stage (a filter+union here would duplicate the
+    # whole mapInPandas subtree in the physical plan).
+    pages_with_key = F.size(
+        F.collect_set(F.when(is_text, F.col("page_no"))).over(w)
+    )
+    with_count = records.withColumn("_pages_with_key", pages_with_key)
+    keep = ~is_text | (F.col("_pages_with_key") < threshold)
+    if cfg["strip_page_numbers"]:
+        keep = keep & (~is_text | ~F.coalesce(F.col("is_page_number"), F.lit(False)))
+    return with_count.filter(keep).drop("_pages_with_key")
+
+
+def assemble_spans(kept: DataFrame) -> DataFrame:
+    """Per-doc ordered span arrays with dense offsets — one hash
+    aggregate; ordering via array_sort on the (page_no, region_idx,
+    item_idx) prefix (unique per doc), offsets via transform index."""
+
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct("page_no", "region_idx", "item_idx", "kind", "text", "media_ref")
+        )
+    )
+    spans = F.transform(
+        ordered,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    # A doc with ANY failed chunk must not be committed with partial
+    # spans: window-max the error flag per doc. Partitioning by doc_id
+    # here is reused by the groupBy below (no extra exchange).
+    w = Window.partitionBy("doc_id")
+    doc_failed = F.max(
+        F.when(F.col("status") == "error", F.lit(1)).otherwise(F.lit(0))
+    ).over(w)
+    return (
+        kept.withColumn("_doc_failed", doc_failed)
+        .filter((F.col("_doc_failed") == 0) & (F.col("kind") != "none"))
+        .groupBy("doc_id")
+        .agg(spans.alias("spans"))
+    )
+
+
+def build_pipeline(
+    spark: SparkSession, input_df: DataFrame, cfg: Optional[dict[str, Any]] = None
+) -> tuple[DataFrame, DataFrame]:
+    """Wire input -> (spans_df, records_df) without executing anything."""
+
+    cfg = validate_config(dict(DEFAULTS, **(cfg or {})))
+    salted = salt_into_chunks(input_df, cfg["pages_per_chunk"])
+    # Spread chunks of the same fat doc across the cluster; partition
+    # count follows spark.sql.shuffle.partitions.
+    salted = salted.repartition(F.col("doc_id"), F.col("chunk_start"))
+    records = salted.mapInPandas(make_extract_batch(cfg), schema=RECORDS_SCHEMA)
+    spans = assemble_spans(strip_boilerplate(records, cfg))
+    return spans, records
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    metrics: dict[str, Any]
+    spans_path: Optional[str]
+
+
+def run_extraction(
+    spark: SparkSession,
+    input_df: DataFrame,
+    cfg: Optional[dict[str, Any]] = None,
+    out_dir: Optional[str] = None,
+    run_id: str = "run0",
+    resume: bool = True,
+) -> RunResult:
+    """Execute the job; optionally checkpoint-resumable against out_dir.
+
+    Resume is the reference's skip-if-exists predicate
+    (page_images.py:740-752) as a left-anti join: docs whose spans are
+    already committed are never re-parsed. Docs are written atomically
+    per aggregation, so the committed set is always consistent.
+    """
+
+    cfg = validate_config(dict(DEFAULTS, **(cfg or {})))
+    started = time.monotonic()
+
+    todo = input_df
+    spans_path = f"{out_dir}/spans" if out_dir else None
+    if resume and spans_path:
+        try:
+            committed = spark.read.parquet(spans_path).select("doc_id").distinct()
+            todo = input_df.join(F.broadcast(committed), "doc_id", "left_anti")
+        except Exception:
+            pass  # no committed output yet
+
+    spans, records = build_pipeline(spark, todo, cfg)
+
+    if cfg["dry_run"]:
+        # Plan-only mode (reference dry-run, utils.py:39-49): build and
+        # report the plan, write nothing.
+        from .session import explain_str
+
+        plan = explain_str(spans)
+        return RunResult(run_id, {"dry_run": True, "plan": plan}, spans_path)
+
+    records = records.persist()
+    try:
+        lineage_rows = records.filter(F.col("lineage_json").isNotNull())
+        agg = lineage_rows.agg(
+            F.sum("pages_parsed").alias("pages_parsed"),
+            F.sum("rotations_fixed").alias("rotations_fixed"),
+            F.sum("spreads_split").alias("spreads_split"),
+            F.sum("crop_only").alias("crop_only"),
+            F.count_distinct(
+                F.when(F.col("status") != "error", F.col("doc_id"))
+            ).alias("docs_processed"),
+            F.count_distinct(
+                F.when(F.col("status") == "error", F.col("doc_id"))
+            ).alias("docs_failed"),
+        ).collect()[0]
+
+        n_buckets = int(cfg["output_buckets"])
+        if spans_path:
+            out_spans = spans.withColumn(
+                "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+            )
+            # Iceberg analog: partitionedBy(bucket(N, doc_id)) + snapshot
+            # commit; parquet append keeps the same layout locally.
+            out_spans.write.mode("append").partitionBy("bucket").parquet(spans_path)
+
+            lineage_out = lineage_rows.select(
+                F.lit(run_id).alias("run_id"),
+                "doc_id",
+                "page_no",
+                F.col("status"),
+                F.col("lineage_json").alias("detail_json"),
+            )
+            lineage_out.write.mode("append").parquet(f"{out_dir}/lineage")
+
+        metrics = {
+            "run_id": run_id,
+            "docs_failed": int(agg["docs_failed"] or 0),
+            "docs_processed": int(agg["docs_processed"] or 0),
+            "pages_parsed": int(agg["pages_parsed"] or 0),
+            "spreads_split": int(agg["spreads_split"] or 0),
+            "rotations_fixed": int(agg["rotations_fixed"] or 0),
+            "crop_only": int(agg["crop_only"] or 0),
+            "elapsed_sec": time.monotonic() - started,
+            "parallelism": spark.sparkContext.master,
+        }
+        if spans_path:
+            metrics_df = spark.createDataFrame(
+                [tuple(metrics[f] for f in (
+                    "run_id", "docs_processed", "pages_parsed", "spreads_split",
+                    "rotations_fixed", "crop_only", "elapsed_sec", "parallelism",
+                ))],
+                schema="run_id string, docs_processed long, pages_parsed long, "
+                       "spreads_split long, rotations_fixed long, crop_only long, "
+                       "elapsed_sec double, parallelism string",
+            )
+            metrics_df.write.mode("append").parquet(f"{out_dir}/metrics")
+        return RunResult(run_id, metrics, spans_path)
+    finally:
+        records.unpersist()
+
+
+def spans_dataframe(spark: SparkSession, input_df: DataFrame, cfg: Optional[dict] = None) -> DataFrame:
+    """Convenience: the spans DataFrame with schema SPANS_SCHEMA."""
+
+    spans, _ = build_pipeline(spark, input_df, cfg)
+    assert [f.name for f in spans.schema.fields] == [f.name for f in SPANS_SCHEMA.fields]
+    return spans

@@ -1,0 +1,77 @@
+"""Explicit StructType schemas for every UDF and table boundary.
+
+The reference validates a closed config schema up front
+(config.py:100-111); this engine declares closed StructTypes on every
+boundary — no inference anywhere (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+#: Input table (FIXTURES.md §1): raw interleaved text+media documents.
+DOCUMENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("pdf_bytes", T.BinaryType(), False),
+    T.StructField("n_pages", T.IntegerType(), False),
+])
+
+#: One span: the north rule's (kind, text, media_ref, order) tuple.
+SPAN_STRUCT = T.StructType([
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("media_ref", T.StringType(), True),
+    T.StructField("offset", T.IntegerType(), False),
+])
+
+#: Output table: per-document ordered span arrays.
+SPANS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("spans", T.ArrayType(SPAN_STRUCT, False), False),
+])
+
+#: Stage-1 (mapInPandas) output: one row per span candidate; the first
+#: candidate row of each page additionally carries the page's lineage
+#: and counter increments (null elsewhere). kind='none' rows exist only
+#: to carry lineage for pages that produced no candidates.
+RECORDS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("n_pages", T.IntegerType(), False),
+    T.StructField("page_no", T.IntegerType(), False),
+    T.StructField("region_idx", T.IntegerType(), False),
+    T.StructField("item_idx", T.IntegerType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("norm_text", T.StringType(), True),
+    T.StructField("y_band", T.IntegerType(), True),
+    T.StructField("is_page_number", T.BooleanType(), True),
+    T.StructField("media_ref", T.StringType(), True),
+    # lineage payload (first row of each page only)
+    T.StructField("lineage_json", T.StringType(), True),
+    T.StructField("status", T.StringType(), True),
+    T.StructField("pages_parsed", T.IntegerType(), True),
+    T.StructField("rotations_fixed", T.IntegerType(), True),
+    T.StructField("spreads_split", T.IntegerType(), True),
+    T.StructField("crop_only", T.IntegerType(), True),
+])
+
+#: Lineage table (FIXTURES.md §4): per-page action records.
+LINEAGE_SCHEMA = T.StructType([
+    T.StructField("run_id", T.StringType(), False),
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("page_no", T.IntegerType(), False),
+    T.StructField("status", T.StringType(), True),
+    T.StructField("detail_json", T.StringType(), True),
+])
+
+#: Metrics table (FIXTURES.md §4): one row per run.
+METRICS_SCHEMA = T.StructType([
+    T.StructField("run_id", T.StringType(), False),
+    T.StructField("docs_processed", T.LongType(), True),
+    T.StructField("pages_parsed", T.LongType(), True),
+    T.StructField("spreads_split", T.LongType(), True),
+    T.StructField("rotations_fixed", T.LongType(), True),
+    T.StructField("crop_only", T.LongType(), True),
+    T.StructField("elapsed_sec", T.DoubleType(), True),
+    T.StructField("parallelism", T.StringType(), True),
+])

@@ -1,0 +1,58 @@
+"""SparkSession factory with the engine's default tuning.
+
+Local mode stands in for a multi-executor cluster (the sandbox has no
+real one); the knobs below are the ones that matter at fleet scale:
+AQE (runtime re-planning + skew-join handling), Arrow batching for the
+pandas UDF boundary, and shuffle partitioning sized to the parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pdf-toolkit-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession on local[cores].
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all cores. On a real
+    cluster, drop the ``master`` call and submit with
+    ``spark-submit --py-files pdf_toolkit_spark.zip``.
+    """
+
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    shuffle_partitions = shuffle_partitions or max(32, cores)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PDF payloads are MBs: keep Arrow batches small so executor
+        # Python workers never hold many documents at once.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    """The physical plan as a string (what DataFrame.explain prints)."""
+
+    jvm = df.sparkSession._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )

@@ -1,0 +1,137 @@
+"""Distributed-job correctness: span-sequence equality vs the serial
+oracle (incl. chunked mega-PDFs), checkpoint resume idempotence,
+lineage/metrics counters, and plan hygiene."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_toolkit_spark.corpus import corpus_config, make_document
+from pdf_toolkit_spark.extract import extract_document
+from pdf_toolkit_spark.spark.input import corpus_dataframe
+from pdf_toolkit_spark.spark.job import build_pipeline, run_extraction
+
+CFG = dict(corpus_config(), pages_per_chunk=32)  # force chunking on megas
+N_DOCS = 24
+MEGA_EVERY = 12  # docs 11 and 23 are mega (well above pages_per_chunk)
+
+
+@pytest.fixture(scope="module")
+def spans_by_doc(spark):
+    input_df = corpus_dataframe(spark, N_DOCS, seed=42, mega_every=MEGA_EVERY)
+    spans_df, _ = build_pipeline(spark, input_df, CFG)
+    rows = spans_df.collect()
+    return {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in rows}
+
+
+def test_span_sequence_equality_vs_serial_oracle(spans_by_doc):
+    """The gate: distributed output == serial extractor, per doc,
+    element-wise on (kind, text, media_ref, offset)."""
+
+    assert len(spans_by_doc) == N_DOCS
+    for doc_id in range(N_DOCS):
+        doc = make_document(doc_id, seed=42, mega_every=MEGA_EVERY)
+        expected = extract_document(doc["pdf_bytes"], CFG)["spans"]
+        got = spans_by_doc[doc["doc_id"]]
+        assert got == expected, (
+            f"span mismatch for {doc['doc_id']} ({doc['doc_class']}): "
+            f"{got[:3]} vs {expected[:3]}"
+        )
+
+
+def test_mega_pdf_went_through_chunked_path(spans_by_doc):
+    doc = make_document(MEGA_EVERY - 1, seed=42, mega_every=MEGA_EVERY)
+    assert doc["doc_class"] == "mega_pdf"
+    assert doc["n_pages"] > CFG["pages_per_chunk"]  # really was salted
+    spans = spans_by_doc[doc["doc_id"]]
+    offsets = [s["offset"] for s in spans]
+    assert offsets == list(range(len(offsets)))  # dense global order
+
+
+def test_resume_skips_committed_docs(spark, tmp_path):
+    out = str(tmp_path / "out")
+    first = corpus_dataframe(spark, 6, seed=42, mega_every=0)
+    r1 = run_extraction(spark, first, CFG, out_dir=out, run_id="r1")
+    assert r1.metrics["docs_processed"] == 6
+
+    # Second run over a superset: only the 4 new docs are processed.
+    superset = corpus_dataframe(spark, 10, seed=42, mega_every=0)
+    r2 = run_extraction(spark, superset, CFG, out_dir=out, run_id="r2")
+    assert r2.metrics["docs_processed"] == 4
+
+    # Third run: nothing left to do.
+    r3 = run_extraction(spark, superset, CFG, out_dir=out, run_id="r3")
+    assert r3.metrics["docs_processed"] == 0
+
+    # Committed output covers all 10 docs exactly once, matching serial.
+    final = spark.read.parquet(f"{out}/spans")
+    assert final.count() == 10
+    rows = {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in final.collect()}
+    for doc_id in range(10):
+        doc = make_document(doc_id, seed=42, mega_every=0)
+        assert rows[doc["doc_id"]] == extract_document(doc["pdf_bytes"], CFG)["spans"]
+
+
+def test_metrics_counters_match_serial(spark):
+    input_df = corpus_dataframe(spark, 12, seed=42, mega_every=0)
+    result = run_extraction(spark, input_df, CFG, out_dir=None, run_id="m1")
+    expected = {"pages_parsed": 0, "spreads_split": 0, "rotations_fixed": 0, "crop_only": 0}
+    for doc_id in range(12):
+        doc = make_document(doc_id, seed=42, mega_every=0)
+        c = extract_document(doc["pdf_bytes"], CFG)["counters"]
+        for k in expected:
+            expected[k] += c[k]
+    assert result.metrics["docs_processed"] == 12
+    for k, v in expected.items():
+        assert result.metrics[k] == v, k
+
+
+def test_dry_run_writes_nothing_and_reports_plan(spark, tmp_path):
+    out = str(tmp_path / "dry")
+    input_df = corpus_dataframe(spark, 3, seed=42, mega_every=0)
+    result = run_extraction(spark, input_df, dict(CFG, dry_run=True), out_dir=out)
+    assert result.metrics["dry_run"] is True
+    assert "plan" in result.metrics
+    import os
+    assert not os.path.exists(f"{out}/spans")
+
+
+def test_corrupt_documents_are_isolated_not_fatal(spark):
+    """One malformed PDF must not kill the stage: it becomes an error
+    lineage row, emits no spans, and healthy docs still extract."""
+
+    from pdf_toolkit_spark.spark.schema import DOCUMENTS_RAW_SCHEMA
+
+    good = make_document(0, seed=42, mega_every=0)
+    rows = [
+        ("ok", bytearray(good["pdf_bytes"]), good["n_pages"]),
+        ("corrupt", bytearray(b"GIF89a not a pdf"), 1),
+        ("truncated", bytearray(good["pdf_bytes"][:200]), good["n_pages"]),
+    ]
+    df = spark.createDataFrame(rows, schema=DOCUMENTS_RAW_SCHEMA)
+    spans_df, records_df = build_pipeline(spark, df, CFG)
+    spans = {r["doc_id"]: r["spans"] for r in spans_df.collect()}
+    assert set(spans) == {"ok"}  # failed docs emit no (partial) spans
+    errors = records_df.filter("status = 'error'").select("doc_id").distinct().collect()
+    assert {r["doc_id"] for r in errors} == {"corrupt", "truncated"}
+
+    result = run_extraction(spark, df, CFG)
+    assert result.metrics["docs_processed"] == 1
+    assert result.metrics["docs_failed"] == 2
+
+
+def test_plan_has_single_python_stage(spark):
+    """Plan hygiene: exactly one Python boundary (mapInPandas for the
+    corpus gen is input-side; extraction adds one more), no per-row
+    PythonUDF nodes."""
+
+    from pdf_toolkit_spark.spark.session import explain_str
+
+    input_df = corpus_dataframe(spark, 4, seed=42, mega_every=0)
+    spans_df, _ = build_pipeline(spark, input_df, CFG)
+    plan = explain_str(spans_df, "simple")
+    assert "BatchEvalPython" not in plan        # no row-at-a-time Python
+    # exactly two Python stages: corpus generation (input-side) and the
+    # extraction UDF — crucially NOT duplicated by the strip stage
+    assert plan.count("MapInPandas") == 2
+    assert "Aggregate" in plan
