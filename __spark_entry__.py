@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``     — flagship: wrap sf0.001 documents into
+  deterministic fixture PDFs on the executors and run the full
+  distributed extraction pipeline (parse -> rotate -> spread split ->
+  crop -> boilerplate strip -> ordered spans).
+- ``queries()``        — every implemented operator (SURVEY.md §2 +
+  training-data ops), (spark, sf_dir) -> DataFrame.
+- ``oracle_sql()``     — exact DuckDB twins for the SQL-expressible
+  ones (19 of 22); extraction/multimodal are rows-only by nature.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship extraction on /root/testdata/sf0.001 (rows > 0, stable
+    SPANS_SCHEMA: doc_id string, spans array<struct<kind,text,media_ref,offset>>)."""
+
+    from pdf_toolkit_spark.ops.extraction_queries import extract_full_spans
+
+    return extract_full_spans(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pdf_toolkit_spark.ops import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf_toolkit_spark.ops import all_oracles
+
+    return all_oracles()

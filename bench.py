@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "extraction": {docs, pages, docs_per_sec, pages_per_sec}}
+
+The extraction headline is end-to-end: synthesized PDF corpus (cached,
+generation timed separately as corpus_gen) -> full distributed pipeline
+-> span-count materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from pyspark.sql import functions as F
+
+    from pdf_toolkit_spark.corpus import corpus_config
+    from pdf_toolkit_spark.ops import all_queries
+    from pdf_toolkit_spark.ops.extraction_queries import documents_as_pdfs
+    from pdf_toolkit_spark.spark.job import build_pipeline
+    from pdf_toolkit_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="pdf-toolkit-spark-bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    timings: dict[str, float] = {}
+
+    # --- extraction headline ---
+    t0 = time.monotonic()
+    raw = documents_as_pdfs(spark, sf_dir).persist()
+    stats = raw.agg(
+        F.count("*").alias("docs"), F.sum("n_pages").alias("pages")
+    ).collect()[0]
+    timings["corpus_gen"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    spans, _ = build_pipeline(spark, raw, corpus_config())
+    n_out = spans.count()
+    extract_sec = time.monotonic() - t0
+    timings["extraction"] = extract_sec
+    raw.unpersist()
+    assert n_out == stats["docs"], f"extraction lost docs: {n_out} != {stats['docs']}"
+
+    # --- analytic headliners (full materialization via count) ---
+    headliners = [
+        "rel_pricing_summary",
+        "rel_broadcast_join_agg",
+        "rel_positional_enum",
+        "text_quality_score",
+        "text_fingerprint",
+        "dedup_exact",
+        "dedup_minhash_lsh_pairs",
+        "dedup_simhash_bits",
+        "dedup_ngram_jaccard_pairs",
+        "dedup_embedding_neardup",
+        "sim_knn_brute_force",
+        "sim_ann_lsh_topk",
+        "mm_media_format_histogram",
+    ]
+    for name in headliners:
+        t0 = time.monotonic()
+        queries[name](spark, sf_dir).count()
+        timings[name] = time.monotonic() - t0
+
+    total = sum(timings.values())
+    out = {
+        "metric": "headline_suite_sec (extraction + analytics)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "parallelism": f"local[{cores}]",
+        "extraction": {
+            "docs": int(stats["docs"]),
+            "pages": int(stats["pages"]),
+            "docs_per_sec": round(stats["docs"] / extract_sec, 2),
+            "pages_per_sec": round(stats["pages"] / extract_sec, 2),
+        },
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -183,3 +183,42 @@ def make_document(doc_id: int, seed: int = 42, mega_every: int = 50) -> dict[str
 def iter_corpus(n_docs: int, seed: int = 42, mega_every: int = 50) -> Iterator[dict[str, Any]]:
     for doc_id in range(n_docs):
         yield make_document(doc_id, seed=seed, mega_every=mega_every)
+
+
+def document_from_text(doc_id: int, text: str) -> dict[str, Any]:
+    """Deterministically wrap arbitrary text into a fixture PDF (used by
+    the driver-contract flagship: testdata documents -> PDFs -> spans).
+
+    Layout varies by doc_id so the whole kernel surface is exercised:
+    every 5th doc is a spread page, every 7th is stored rotated.
+    """
+
+    words = text.split()
+    per_page = 40
+    pages: list[PageSpec] = []
+    page_no = 0
+    for start in range(0, max(len(words), 1), per_page):
+        chunk_words = words[start : start + per_page]
+        lines = [" ".join(chunk_words[i : i + 8]) for i in range(0, len(chunk_words), 8)]
+        if (doc_id + page_no) % 5 == 0:
+            raster = _spread_raster()
+            items = [
+                ("text", line, 30 + 20 * i, 30 if i % 2 == 0 else 240)
+                for i, line in enumerate(lines[:7])
+            ]
+            pages.append(PageSpec(raster=raster, items=items))
+        else:
+            raster = _portrait_raster()
+            items = [("text", line, 20 + 22 * i, 10) for i, line in enumerate(lines[:8])]
+            upright = PageSpec(raster=raster, items=items)
+            if (doc_id + page_no) % 7 == 0:
+                rotate = (90, 180, 270)[(doc_id + page_no) % 3]
+                pages.append(_inverse_rotate_page(upright, rotate))
+            else:
+                pages.append(upright)
+        page_no += 1
+    return {
+        "doc_id": f"doc{doc_id:06d}",
+        "pdf_bytes": write_pdf(pages),
+        "n_pages": len(pages),
+    }

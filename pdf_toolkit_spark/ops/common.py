@@ -1,0 +1,43 @@
+"""Shared helpers for the ops layer.
+
+The cross-engine hash primitive: hash32(s) = first 8 hex chars of
+md5(s) as an unsigned 32-bit integer. md5 is identical everywhere, so
+Spark, DuckDB, and Python all derive the same integers — which is what
+makes MinHash/SimHash/LSH oracle-checkable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def hash32(col: Column) -> Column:
+    """First 32 bits of md5 as bigint (same as DuckDB
+    ``('0x' || substr(md5(x),1,8))::BIGINT``)."""
+
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def hash60(col: Column) -> Column:
+    """First 60 bits of md5 as bigint (15 hex chars; stays in int64)."""
+
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def norm_text(col: Column) -> Column:
+    """Canonical text normalization shared by all text ops:
+    lowercase, non-alphanumerics collapsed to single spaces, trimmed."""
+
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+#: DuckDB spellings of the same primitives (kept adjacent so the pair
+#: stays in lockstep when either changes).
+SQL_HASH32 = "(('0x' || substr(md5({e}),1,8))::BIGINT)"
+SQL_HASH60 = "(('0x' || substr(md5({e}),1,15))::BIGINT)"
+SQL_NORM = "trim(regexp_replace(lower({e}), '[^a-z0-9]+', ' ', 'g'))"

@@ -1,0 +1,194 @@
+"""Relational operators from SURVEY.md §2 expressed over the driver's
+TPC-H-ish tables — the engine's aggregate/join/window/explode surface,
+each with an exact DuckDB oracle.
+
+Mapping to the reference:
+- rel_pricing_summary      A1-style multi-aggregate hash agg (headline)
+- rel_status_histogram     A2 action-status histogram (manifest.py:81-88)
+- rel_resume_anti_join     P4 skip-if-exists as left-anti join
+                           (page_images.py:740-752)
+- rel_positional_enum      W1 enumerate() as row_number window
+                           (page_images.py:709)
+- rel_chunk_explode        C2/_chunk_ranges salting as sequence+explode
+                           (split.py:28-42)
+- rel_zero_padded_names    O2 deterministic sortable naming
+                           (render.py:27-37)
+- rel_ratio_filter_agg     F1 aspect-ratio predicate + aggregation
+                           (page_images.py:118-123)
+- rel_broadcast_join_agg   dimension join (broadcast at scale) + agg
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import table
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem (map-side partial
+    aggregation + one shuffle on the tiny group key)."""
+
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def status_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+def resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpoint-resume primitive: docs minus a committed set
+    (deterministic stand-in: doc_id % 10 < 3 is 'already done')."""
+
+    docs = table(spark, sf_dir, "documents")
+    committed = docs.filter(F.col("doc_id") % 10 < 3).select("doc_id")
+    return (
+        docs.join(F.broadcast(committed), "doc_id", "left_anti")
+        .select("doc_id", "n_chars")
+    )
+
+
+def positional_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """enumerate(files) analog: position of each event within its user's
+    timeline (row_number window), plus zero-padded name (O2)."""
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = F.row_number().over(w)
+    return ev.select(
+        "event_id", "user_id",
+        pos.alias("position"),
+        F.format_string("p%04d", pos).alias("padded_name"),
+    )
+
+
+def chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_chunk_ranges as a relational op: split each doc's n_chars into
+    [start, end] chunks of 1000 (zero-based inclusive)."""
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.col("n_chars") - 1, F.lit(1000)),
+        lambda s: F.struct(
+            s.alias("chunk_start"),
+            F.least(s + 999, F.col("n_chars") - 1).alias("chunk_end"),
+        ),
+    )
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_start", "c.chunk_end")
+    )
+
+
+def zero_padded_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.format_string("doc_p%06d", F.col("doc_id")).alias("name")
+    )
+
+
+def ratio_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio predicate + aggregate (detect_spread analog,
+    page_images.py:118-123): line items whose unit price ratio clears a
+    threshold, counted per return flag."""
+
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_extendedprice") / F.greatest(F.col("l_quantity"), F.lit(1.0)) >= 100.0)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_items"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+    )
+
+
+def broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-fact join: revenue by region (nation/region broadcast —
+    exactly the join shape AQE turns into a broadcast at scale)."""
+
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+QUERIES = {
+    "rel_pricing_summary": pricing_summary,
+    "rel_status_histogram": status_histogram,
+    "rel_resume_anti_join": resume_anti_join,
+    "rel_positional_enum": positional_enum,
+    "rel_chunk_explode": chunk_explode,
+    "rel_zero_padded_names": zero_padded_names,
+    "rel_ratio_filter_agg": ratio_filter_agg,
+    "rel_broadcast_join_agg": broadcast_join_agg,
+}
+
+ORACLES = {
+    "rel_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "rel_status_histogram": "SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type",
+    "rel_resume_anti_join": """
+        SELECT doc_id, n_chars FROM documents d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM documents c WHERE c.doc_id % 10 < 3 AND c.doc_id = d.doc_id
+        )
+    """,
+    "rel_positional_enum": """
+        SELECT event_id, user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS position,
+               printf('p%04d', row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   AS padded_name
+        FROM events
+    """,
+    "rel_chunk_explode": """
+        SELECT doc_id, s AS chunk_start, least(s + 999, n_chars - 1) AS chunk_end
+        FROM (SELECT doc_id, n_chars, unnest(generate_series(0, n_chars - 1, 1000)) AS s
+              FROM documents WHERE n_chars > 0)
+    """,
+    "rel_zero_padded_names": "SELECT doc_id, printf('doc_p%06d', doc_id) AS name FROM documents",
+    "rel_ratio_filter_agg": """
+        SELECT l_returnflag, count(*) AS n_items, round(sum(l_extendedprice), 2) AS total
+        FROM lineitem
+        WHERE l_extendedprice / greatest(l_quantity, 1.0) >= 100.0
+        GROUP BY l_returnflag
+    """,
+    "rel_broadcast_join_agg": """
+        SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+}

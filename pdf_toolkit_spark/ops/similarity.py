@@ -1,0 +1,162 @@
+"""Similarity search over the ``embeddings`` table.
+
+- knn_brute_force: exact cosine top-k for a query vector (the baseline;
+  one scan + one narrow sort, fully JVM-side).
+- ann_lsh_buckets / ann_lsh_topk: random-hyperplane LSH. Hyperplane
+  component w(p, i) derives from md5 (engine-portable), so bucket
+  assignment is reproducible in the DuckDB oracle. At scale the bucket
+  column becomes the shuffle/partition key: candidate generation is an
+  equi-join on bucket instead of a quadratic cross join, and the exact
+  rerank touches only the query's bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import SQL_HASH32, hash32, table
+
+TOP_K = 10
+N_PLANES = 8
+QUERY_VEC_ID = 0
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+
+def _cosine(va, vb):
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    na = F.sqrt(F.aggregate(F.transform(va, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    nb = F.sqrt(F.aggregate(F.transform(vb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return dot / (na * nb)
+
+
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k neighbors of QUERY_VEC_ID by cosine (query vector
+    itself excluded). Deterministic order: cos desc, vec_id asc."""
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket): sign pattern of N_PLANES md5-derived random
+    hyperplanes, packed into an int."""
+
+    e = _emb(spark, sf_dir)
+    long = e.select(
+        "vec_id",
+        F.posexplode("v").alias("i", "x"),
+    ).select(
+        "vec_id", "i", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("p"),
+    )
+    w = (
+        hash32(F.concat_ws(":", F.col("p").cast("string"), F.col("i").cast("string")))
+        / F.lit(2147483648.0)
+        - F.lit(1.0)
+    )
+    return (
+        long.select("vec_id", "p", (F.col("x") * w).alias("contrib"))
+        .groupBy("vec_id", "p")
+        .agg(F.sum("contrib").alias("dot"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(F.col("dot") >= 0, F.expr("shiftleft(1, CAST(p AS INT))")).otherwise(0)
+            ).cast("int").alias("bucket")
+        )
+    )
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket histogram: (bucket, n_vecs) — shows the pruning factor."""
+
+    return _buckets(spark, sf_dir).groupBy("bucket").agg(F.count("*").alias("n_vecs"))
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: exact cosine rerank restricted to the query
+    vector's LSH bucket."""
+
+    b = _buckets(spark, sf_dir)
+    e = _emb(spark, sf_dir).join(b, "vec_id")
+    qb = b.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("bucket").alias("qbucket"))
+    q = _emb(spark, sf_dir).filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    return (
+        e.crossJoin(F.broadcast(qb))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+QUERIES = {
+    "sim_knn_brute_force": knn_brute_force,
+    "sim_ann_lsh_buckets": ann_lsh_buckets,
+    "sim_ann_lsh_topk": ann_lsh_topk,
+}
+
+_W = SQL_HASH32.format(e="p::VARCHAR || ':' || i::VARCHAR") + " / 2147483648.0 - 1.0"
+
+_SQL_BUCKETS = f"""
+    long AS (
+        SELECT vec_id, i - 1 AS i, x, p
+        FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings),
+             (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p)
+    ),
+    dots AS (
+        SELECT vec_id, p, sum(x * ({_W})) AS dot
+        FROM long GROUP BY vec_id, p
+    ),
+    buckets AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+        FROM dots GROUP BY vec_id
+    )
+"""
+
+ORACLES = {
+    "sim_knn_brute_force": f"""
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)
+                   AS cos_sim
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+        WHERE e.vec_id != {QUERY_VEC_ID}
+        ORDER BY cos_sim DESC, e.vec_id ASC
+        LIMIT {TOP_K}
+    """,
+    "sim_ann_lsh_buckets": f"""
+        WITH {_SQL_BUCKETS}
+        SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY bucket
+    """,
+    "sim_ann_lsh_topk": f"""
+        WITH {_SQL_BUCKETS}
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)
+                   AS cos_sim
+        FROM embeddings e
+        JOIN buckets be ON be.vec_id = e.vec_id
+        JOIN buckets bq ON bq.vec_id = {QUERY_VEC_ID} AND be.bucket = bq.bucket
+        JOIN (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q ON true
+        WHERE e.vec_id != {QUERY_VEC_ID}
+        ORDER BY cos_sim DESC, e.vec_id ASC
+        LIMIT {TOP_K}
+    """,
+}

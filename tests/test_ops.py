@@ -1,0 +1,99 @@
+"""Ops-layer parity: every queries() entry vs its DuckDB oracle_sql()
+twin, compared the way the driver does (column names sorted, row
+multiset, exact values). Plus rows-only checks for non-SQL ops."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from pdf_toolkit_spark.ops import all_oracles, all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con.execute(sql).fetchdf()
+
+
+def _canon(df):
+    """Canonical form: columns sorted by name, rows sorted, plain python
+    values with floats rounded to 9 dp (queries already round their own
+    outputs; this only absorbs representation noise)."""
+
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False):
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("nan")
+                else:
+                    vals.append(round(v, 9))
+            elif hasattr(v, "item"):  # numpy scalar
+                item = v.item()
+                vals.append(round(item, 9) if isinstance(item, float) else item)
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return cols, out
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark):
+    spark_df = QUERIES[name](spark, SF_DIR).toPandas()
+    duck_df = _duck(ORACLES[name])
+    s_cols, s_rows = _canon(spark_df)
+    d_cols, d_rows = _canon(duck_df)
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), f"{name}: {len(s_rows)} vs {len(d_rows)} rows"
+    mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_non_sql_queries_run_and_return_rows(name, spark):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() > 0
+
+
+def test_multimodal_metadata_matches_local_stub(spark):
+    """Exactness for the stub decoder: Spark output == local
+    re-computation over the same payload bytes."""
+
+    import pandas as pd
+
+    from pdf_toolkit_spark.ops.multimodal import fake_decode_header
+
+    got = (
+        QUERIES["mm_media_metadata"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet").sort_values("doc_id")
+    for _, row in got.head(50).iterrows():
+        text = docs.loc[docs["doc_id"] == row["doc_id"], "text"].iloc[0]
+        meta = fake_decode_header(text.encode("utf-8"))
+        assert row["n_bytes"] == len(text.encode("utf-8"))
+        for k in ("format", "width", "height", "thumb_ref"):
+            assert row[k] == meta[k], (row["doc_id"], k)
+
+
+def test_every_query_has_unique_aliased_columns(spark):
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_DIR)
+        cols = df.columns
+        assert len(cols) == len(set(cols)), f"{name}: duplicate columns {cols}"
+        assert all("(" not in c for c in cols), f"{name}: unaliased column in {cols}"
