@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling benchmark (north rule: throughput scaling
+efficiency >= 0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox; cluster sizes are proxied by
+the same job on the same input at N and 4N local cores (driver
+instruction). Two corpus profiles are measured:
+
+- "textual" (primary criterion evidence): CPU-dominated extraction —
+  parse/tokenize/kernels dominate over byte traffic. This is the
+  regime where a local[N] proxy actually models executor scaling.
+- "scan" (realism datapoint): full-size noise rasters, ~350 KB/page.
+  This regime is memory-bandwidth-bound ON THIS HOST: a control
+  experiment (see BENCH/BASELINE.md) shows the sandbox's aggregate
+  memcpy bandwidth peaks at ~6.6 GB/s with 8 processes and COLLAPSES
+  to ~2.3 GB/s at 32 — no engine can show 4x there. On a real
+  cluster each executor owns its memory bus, so node-count scaling
+  does not hit this shared-bus wall.
+
+Methodology: corpus generated once to parquet (both measurements read
+byte-identical input); each measurement is a fresh subprocess; Python
+workers warmed before timing (executor warm-up is not a scaling
+property); timed section = scan -> salt -> repartition -> mapInPandas
+-> strip -> assemble -> count.
+
+Usage:
+  python bench_scaling.py                         # full summary JSON
+  python bench_scaling.py --measure 8 <dir>       # internal
+  python bench_scaling.py --generate <profile> <dir> <n_docs>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+PROFILES = {
+    "textual": int(os.environ.get("SPARK_GRAFT_SCALE_DOCS_TEXTUAL", "48000")),
+    "scan": int(os.environ.get("SPARK_GRAFT_SCALE_DOCS_SCAN", "8000")),
+}
+MEGA_EVERY = 400
+PAIR = (int(os.environ.get("SPARK_GRAFT_SCALE_N", "2")),
+        int(os.environ.get("SPARK_GRAFT_SCALE_4N", "8")))
+BASE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/dev/shm/scaling")
+
+
+def generate(profile: str, corpus_dir: str, n_docs: int) -> None:
+    from pdf_toolkit_spark.spark.input import corpus_dataframe
+    from pdf_toolkit_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="scaling-gen", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = corpus_dataframe(spark, n_docs, seed=42, mega_every=MEGA_EVERY,
+                          partitions=128, profile=profile)
+    df.write.mode("overwrite").parquet(corpus_dir)
+    spark.stop()
+
+
+def measure(cores: int, corpus_dir: str) -> dict:
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pdf_toolkit_spark.corpus import corpus_config
+    from pdf_toolkit_spark.spark.job import build_pipeline
+    from pdf_toolkit_spark.spark.session import get_spark
+
+    spark = get_spark(app_name=f"scaling-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def _warm(it):
+        from pdf_toolkit_spark import extract  # noqa: F401
+        for b in it:
+            yield pd.DataFrame({"id": b["id"]})
+
+    spark.range(0, cores * 8, numPartitions=cores * 4).mapInPandas(_warm, "id long").count()
+
+    raw = spark.read.parquet(corpus_dir)
+    stats = raw.agg(F.count("*").alias("docs"), F.sum("n_pages").alias("pages")).collect()[0]
+
+    t0 = time.monotonic()
+    spans, _ = build_pipeline(spark, raw, corpus_config())
+    n_out = spans.count()
+    elapsed = time.monotonic() - t0
+    spark.stop()
+    assert n_out == stats["docs"]
+    return {
+        "cores": cores,
+        "docs": int(stats["docs"]),
+        "pages": int(stats["pages"]),
+        "sec": round(elapsed, 3),
+        "docs_per_sec": round(stats["docs"] / elapsed, 2),
+        "pages_per_sec": round(stats["pages"] / elapsed, 2),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--measure":
+        print("MEASURE_JSON " + json.dumps(measure(int(sys.argv[2]), sys.argv[3])))
+        return
+    if len(sys.argv) >= 4 and sys.argv[1] == "--generate":
+        generate(sys.argv[2], sys.argv[3], int(sys.argv[4]))
+        return
+
+    n, n4 = PAIR
+    out: dict = {"pair": f"local[{n}] -> local[{n4}]", "profiles": {}}
+    for profile, n_docs in PROFILES.items():
+        corpus_dir = f"{BASE_DIR}_{profile}"
+        fresh = not os.path.isdir(corpus_dir)
+        if fresh:
+            subprocess.run(
+                [sys.executable, __file__, "--generate", profile, corpus_dir, str(n_docs)],
+                check=True, capture_output=True, timeout=1800)
+        results = {}
+        for cores in (n, n4):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--measure", str(cores), corpus_dir],
+                capture_output=True, text=True, timeout=1800)
+            line = [l for l in proc.stdout.splitlines() if l.startswith("MEASURE_JSON ")]
+            if not line:
+                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+                raise SystemExit(f"measurement {profile}@{cores} failed")
+            results[cores] = json.loads(line[-1].removeprefix("MEASURE_JSON "))
+        speedup = results[n4]["docs_per_sec"] / results[n]["docs_per_sec"]
+        out["profiles"][profile] = {
+            "n_docs": n_docs,
+            f"local{n}": results[n],
+            f"local{n4}": results[n4],
+            "speedup": round(speedup, 3),
+            "scaling_efficiency": round(speedup / (n4 / n), 3),
+        }
+        if fresh and os.environ.get("SPARK_GRAFT_KEEP_CORPUS") != "1":
+            shutil.rmtree(corpus_dir, ignore_errors=True)
+    out["criterion"] = "efficiency >= 0.8 from N to 4N parallelism (sandbox proxy for executors)"
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,21 +49,51 @@ def _sentence(rng: np.random.Generator, n_words: int) -> str:
     return " ".join(WORDS[i] for i in rng.integers(0, len(WORDS), size=n_words))
 
 
-def _portrait_raster(fill: int = 245, h: int = 200, w: int = 140) -> np.ndarray:
-    return np.full((h, w), fill, dtype=np.uint8)
+#: Corpus profiles. "scan": large noise rasters — realistic byte volume
+#: and FlateDecode cost (io-heavy). "textual": quarter-size tiled
+#: rasters — per-doc cost dominated by parse/tokenize/kernel CPU rather
+#: than byte traffic (used to measure engine scaling on hosts whose
+#: shared memory bus saturates before the CPUs do).
+_PROFILE = {
+    "scan": dict(portrait=(800, 560), spread=(800, 1600), mega=(400, 280), tiled=False),
+    "textual": dict(portrait=(200, 140), spread=(200, 400), mega=(100, 70), tiled=True),
+}
 
 
-def _spread_raster(bar_px: int = 0) -> np.ndarray:
-    """Reference spread geometry scaled: dark bg, two bright pages, dark
-    center gutter; optional dark outer bars on both edges."""
+def _textured(rng: np.random.Generator, h: int, w: int, base: int, amp: int,
+              tiled: bool = False) -> np.ndarray:
+    """Scan-like texture within base±amp (threshold semantics stable).
+    Noise mode mirrors real scan entropy (~1.7x deflate); tiled mode is
+    cheap/compressible for CPU-bound benchmarking."""
 
-    img = np.full((200, 400), 20, dtype=np.uint8)
-    img[15:186, 20:176] = 245
-    img[15:186, 225:381] = 245
-    img[0:200, 195:206] = 5
+    if tiled:
+        tile = rng.integers(base - amp, base + amp + 1, size=(16, 16))
+        return np.tile(tile, (h // 16 + 1, w // 16 + 1))[:h, :w].astype(np.uint8)
+    return rng.integers(base - amp, base + amp + 1, size=(h, w)).astype(np.uint8)
+
+
+def _portrait_raster(rng: np.random.Generator, h: int, w: int, tiled: bool) -> np.ndarray:
+    return _textured(rng, h, w, base=245, amp=8, tiled=tiled)
+
+
+def _spread_raster(rng: np.random.Generator, dims: tuple[int, int], tiled: bool,
+                   bar_px: int = 0) -> np.ndarray:
+    """Reference spread geometry rescaled: dark textured bg, two bright
+    textured pages, dark center gutter; optional dark outer bars."""
+
+    h, w = dims
+    img = _textured(rng, h, w, base=20, amp=5, tiled=tiled)
+    # page boxes and gutter at the reference's proportions (x:0.05-0.44,
+    # 0.56-0.95; y:0.075-0.925; gutter band centered, ~2.5% wide)
+    y0, y1 = int(0.075 * h), int(0.925 * h)
+    img[y0:y1, int(0.05 * w) : int(0.44 * w)] = _textured(
+        rng, y1 - y0, int(0.44 * w) - int(0.05 * w), base=245, amp=8, tiled=tiled)
+    img[y0:y1, int(0.5625 * w) : int(0.95 * w)] = _textured(
+        rng, y1 - y0, int(0.95 * w) - int(0.5625 * w), base=245, amp=8, tiled=tiled)
+    img[:, int(0.4875 * w) : int(0.5125 * w) + 1] = 5
     if bar_px > 0:
         img[:, :bar_px] = 5
-        img[:, 400 - bar_px :] = 5
+        img[:, w - bar_px :] = 5
     return img
 
 
@@ -104,8 +134,16 @@ def _inverse_rotate_page(upright: PageSpec, rotate: int) -> PageSpec:
     return PageSpec(raster=stored_raster, rotate=rotate, items=stored_items)
 
 
-def make_document(doc_id: int, seed: int = 42, mega_every: int = 50) -> dict[str, Any]:
+def make_document(
+    doc_id: int, seed: int = 42, mega_every: int = 50, profile: str = "scan"
+) -> dict[str, Any]:
     """Build one document; returns {doc_id, pdf_bytes, n_pages, doc_class}."""
+
+    prof = _PROFILE[profile]
+    tiled = prof["tiled"]
+    H, W = prof["portrait"]
+    SH, SW = prof["spread"]
+    MH, MW = prof["mega"]
 
     rng = np.random.default_rng([seed, doc_id])
     if mega_every and doc_id % mega_every == mega_every - 1:
@@ -117,56 +155,61 @@ def make_document(doc_id: int, seed: int = 42, mega_every: int = 50) -> dict[str
     if doc_class == "plain_text":
         n_pages = int(rng.integers(1, 7))
         for p in range(n_pages):
-            raster = _portrait_raster()
-            items = _text_items_for_page(rng, 200, 140, int(rng.integers(2, 5)), 10, 120)
+            raster = _portrait_raster(rng, H, W, tiled)
+            items = _text_items_for_page(
+                rng, H, W, int(rng.integers(16, 25)), int(0.07 * W), int(0.85 * W))
             if n_pages >= 4:
-                items = _with_header_footer(items, p, 200, 140)
+                items = _with_header_footer(items, p, H, W)
             pages.append(PageSpec(raster=raster, items=items))
     elif doc_class == "rotated_scan":
         n_pages = int(rng.integers(1, 5))
         for p in range(n_pages):
-            raster = _portrait_raster()
-            items = _text_items_for_page(rng, 200, 140, int(rng.integers(1, 4)), 10, 120)
+            raster = _portrait_raster(rng, H, W, tiled)
+            items = _text_items_for_page(
+                rng, H, W, int(rng.integers(12, 20)), int(0.07 * W), int(0.85 * W))
             upright = PageSpec(raster=raster, items=items)
             rotate = int(rng.choice([90, 180, 270]))
             pages.append(_inverse_rotate_page(upright, rotate))
     elif doc_class == "spread_book":
         n_pages = int(rng.integers(1, 4))
         for _ in range(n_pages):
-            raster = _spread_raster()
-            left = _text_items_for_page(rng, 200, 400, int(rng.integers(1, 3)), 30, 160)
-            right = _text_items_for_page(rng, 200, 400, int(rng.integers(1, 3)), 235, 370)
+            raster = _spread_raster(rng, (SH, SW), tiled)
+            left = _text_items_for_page(
+                rng, SH, SW, int(rng.integers(8, 13)), int(0.075 * SW), int(0.40 * SW))
+            right = _text_items_for_page(
+                rng, SH, SW, int(rng.integers(8, 13)), int(0.5875 * SW), int(0.925 * SW))
             pages.append(PageSpec(raster=raster, items=left + right))
     elif doc_class == "outer_bar":
         n_pages = int(rng.integers(1, 3))
         for _ in range(n_pages):
-            raster = _spread_raster(bar_px=int(rng.integers(10, 18)))
-            items = _text_items_for_page(rng, 200, 400, 2, 40, 360)
+            bar = int(rng.integers(int(0.025 * SW), int(0.045 * SW)))
+            raster = _spread_raster(rng, (SH, SW), tiled, bar_px=bar)
+            items = _text_items_for_page(rng, SH, SW, 10, int(0.1 * SW), int(0.9 * SW))
             pages.append(PageSpec(raster=raster, items=items))
     elif doc_class == "mixed":
         n_pages = int(rng.integers(1, 4))
         for _ in range(n_pages):
-            raster = _portrait_raster()
-            embedded = np.full(
-                (int(rng.integers(8, 16)), int(rng.integers(8, 16))),
-                int(rng.integers(0, 256)),
-                dtype=np.uint8,
-            )
+            raster = _portrait_raster(rng, H, W, tiled)
+            side = max(16, int(0.1 * W))
+            embedded = _textured(rng, int(rng.integers(side, 2 * side)),
+                                 int(rng.integers(side, 2 * side)), base=128, amp=64)
             items = [
-                ("text", _sentence(rng, 6), 30, 12),
-                ("image", embedded, 60, 20),
-                ("text", _sentence(rng, 5), 120, 12),
+                ("text", _sentence(rng, 6), int(0.15 * H), int(0.085 * W)),
+                ("image", embedded, int(0.3 * H), int(0.14 * W)),
+                ("text", _sentence(rng, 5), int(0.6 * H), int(0.085 * W)),
             ]
             pages.append(PageSpec(raster=raster, items=items))
     elif doc_class == "all_dark":
-        pages.append(PageSpec(raster=np.full((100, 80), 10, dtype=np.uint8),
-                              items=[("text", _sentence(rng, 4), 40, 8)]))
+        pages.append(PageSpec(raster=_textured(rng, H // 2, int(0.54 * W), base=10, amp=5,
+                                               tiled=tiled),
+                              items=[("text", _sentence(rng, 4), int(0.2 * H), int(0.1 * W))]))
     elif doc_class == "mega_pdf":
         n_pages = int(rng.integers(150, 220))
         for p in range(n_pages):
-            raster = _portrait_raster(h=100, w=70)
+            raster = _portrait_raster(rng, MH, MW, tiled)
             items = _with_header_footer(
-                [("text", _sentence(rng, 5), 40, 6)], p, 100, 70
+                [("text", _sentence(rng, 5), int(0.1 * MH) + int(0.075 * MH) * i, int(0.086 * MW))
+                 for i in range(8)], p, MH, MW
             )
             pages.append(PageSpec(raster=raster, items=items))
     else:  # pragma: no cover
@@ -180,9 +223,11 @@ def make_document(doc_id: int, seed: int = 42, mega_every: int = 50) -> dict[str
     }
 
 
-def iter_corpus(n_docs: int, seed: int = 42, mega_every: int = 50) -> Iterator[dict[str, Any]]:
+def iter_corpus(
+    n_docs: int, seed: int = 42, mega_every: int = 50, profile: str = "scan"
+) -> Iterator[dict[str, Any]]:
     for doc_id in range(n_docs):
-        yield make_document(doc_id, seed=seed, mega_every=mega_every)
+        yield make_document(doc_id, seed=seed, mega_every=mega_every, profile=profile)
 
 
 def document_from_text(doc_id: int, text: str) -> dict[str, Any]:
@@ -193,6 +238,7 @@ def document_from_text(doc_id: int, text: str) -> dict[str, Any]:
     every 5th doc is a spread page, every 7th is stored rotated.
     """
 
+    rng = np.random.default_rng([97, doc_id])
     words = text.split()
     per_page = 40
     pages: list[PageSpec] = []
@@ -201,15 +247,16 @@ def document_from_text(doc_id: int, text: str) -> dict[str, Any]:
         chunk_words = words[start : start + per_page]
         lines = [" ".join(chunk_words[i : i + 8]) for i in range(0, len(chunk_words), 8)]
         if (doc_id + page_no) % 5 == 0:
-            raster = _spread_raster()
+            raster = _spread_raster(rng, _PROFILE["scan"]["spread"], tiled=False)
             items = [
-                ("text", line, 30 + 20 * i, 30 if i % 2 == 0 else 240)
+                ("text", line, 100 + 80 * i, 120 if i % 2 == 0 else 940)
                 for i, line in enumerate(lines[:7])
             ]
             pages.append(PageSpec(raster=raster, items=items))
         else:
-            raster = _portrait_raster()
-            items = [("text", line, 20 + 22 * i, 10) for i, line in enumerate(lines[:8])]
+            h, w = _PROFILE["scan"]["portrait"]
+            raster = _portrait_raster(rng, h, w, tiled=False)
+            items = [("text", line, 60 + 80 * i, 40) for i, line in enumerate(lines[:8])]
             upright = PageSpec(raster=raster, items=items)
             if (doc_id + page_no) % 7 == 0:
                 rotate = (90, 180, 270)[(doc_id + page_no) % 3]

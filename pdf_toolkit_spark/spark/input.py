@@ -22,6 +22,7 @@ def corpus_dataframe(
     seed: int = 42,
     mega_every: int = 50,
     partitions: int | None = None,
+    profile: str = "scan",
 ) -> DataFrame:
     """documents_raw (doc_id, pdf_bytes, n_pages) built distributed."""
 
@@ -31,7 +32,8 @@ def corpus_dataframe(
         from ..corpus import make_document
 
         for batch in batches:
-            docs = [make_document(int(i), seed=seed, mega_every=mega_every) for i in batch["id"]]
+            docs = [make_document(int(i), seed=seed, mega_every=mega_every, profile=profile)
+                    for i in batch["id"]]
             yield pd.DataFrame(
                 {
                     "doc_id": [d["doc_id"] for d in docs],

@@ -191,9 +191,14 @@ def build_pipeline(
 
     cfg = validate_config(dict(DEFAULTS, **(cfg or {})))
     salted = salt_into_chunks(input_df, cfg["pages_per_chunk"])
-    # Spread chunks of the same fat doc across the cluster; partition
-    # count follows spark.sql.shuffle.partitions.
-    salted = salted.repartition(F.col("doc_id"), F.col("chunk_start"))
+    # Spread chunks of the same fat doc across the cluster. The
+    # partition count is EXPLICIT (4 waves per core): extraction cost is
+    # per-page CPU, not bytes, so AQE's byte-based partition coalescing
+    # must not shrink this exchange (it collapsed UDF parallelism 4x
+    # when left implicit), and multiple waves absorb mega-PDF straggler
+    # chunks. AQE stays on for the downstream join/agg exchanges.
+    n_parts = spark.sparkContext.defaultParallelism * 4
+    salted = salted.repartition(n_parts, F.col("doc_id"), F.col("chunk_start"))
     records = salted.mapInPandas(make_extract_batch(cfg), schema=RECORDS_SCHEMA)
     spans = assemble_spans(strip_boilerplate(records, cfg))
     return spans, records
