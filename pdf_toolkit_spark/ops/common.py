@@ -8,8 +8,18 @@ makes MinHash/SimHash/LSH oracle-checkable across engines.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: XOR salts for the MinHash family: sig_j = min over shingles of
+#: (hash32(shingle) XOR salt_j). One md5 per shingle + J cheap XORs
+#: instead of J md5s; salts derive from md5 so Python, Spark, and
+#: DuckDB agree on the exact integers.
+MINHASH_SALTS = [
+    int(hashlib.md5(f"minhash:{j}".encode()).hexdigest()[:8], 16) for j in range(64)
+]
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -23,12 +23,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import SQL_HASH32, SQL_HASH60, SQL_NORM, hash32, hash60, norm_text, table
+from .common import (
+    MINHASH_SALTS,
+    SQL_HASH32,
+    SQL_HASH60,
+    SQL_NORM,
+    hash32,
+    hash60,
+    norm_text,
+    table,
+)
 
 N_HASHES = 16
 BAND_ROWS = 4  # 4 bands x 4 rows
 SIM_BITS = 60
 NEARDUP_COS = 0.4
+MAX_DF = 50  # stop-shingle cap for the Jaccard inverted index
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,34 +46,52 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs with fewer than 3 tokens contribute the whole text."""
 
     docs = table(spark, sf_dir, "documents")
-    norm = norm_text(F.col("text"))
-    toks = F.split(norm, " ")
-    n = F.when(norm == "", 0).otherwise(F.size(toks))
+    # Materialize norm/toks as projected columns FIRST: expressions
+    # referenced inside transform() lambdas are re-evaluated per array
+    # element, so an inline split() would be recomputed 3x per gram.
+    toked = docs.select(
+        "doc_id", norm_text(F.col("text")).alias("norm")
+    ).select(
+        "doc_id", "norm", F.split("norm", " ").alias("toks")
+    )
+    toks = F.col("toks")
+    n = F.when(F.col("norm") == "", 0).otherwise(F.size(toks))
     grams = F.transform(
         F.sequence(F.lit(1), n - 2),
         lambda i: F.concat_ws(
             " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
         ),
     )
-    shingles = F.when(n >= 3, F.array_distinct(grams)).otherwise(F.array(norm))
-    return docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    shingles = F.when(n >= 3, F.array_distinct(grams)).otherwise(F.array(F.col("norm")))
+    sh = toked.select("doc_id", F.explode(shingles).alias("shingle"))
+    # The shingle relation feeds several branches (index, df cap, sets,
+    # signatures) and Spark does not share subplans across branches —
+    # cache it (Spark's CacheManager dedupes by canonicalized plan, so
+    # repeated calls reuse one entry).
+    return sh.persist()
+
+
+def _signatures_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig_0..sig_{H-1}): MinHash signatures as ONE hash
+    aggregate with H min() expressions — map-side partial aggregation,
+    no H-fold row explosion (an explode-then-group formulation would
+    shuffle H x the shingle count; this shuffles one row per doc)."""
+
+    sh = _shingles(spark, sf_dir).select("doc_id", hash32(F.col("shingle")).alias("h"))
+    aggs = [
+        F.min(F.col("h").bitwiseXOR(F.lit(MINHASH_SALTS[j]))).alias(f"sig_{j}")
+        for j in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h_idx, sig): MinHash signatures, long format."""
+    """(doc_id, h_idx, sig): MinHash signatures, long format (unpivot
+    of the wide aggregate via stack)."""
 
-    sh = _shingles(spark, sf_dir)
-    salted = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("h_idx"),
-        "shingle",
-    )
-    val = hash32(F.concat_ws(":", F.col("h_idx").cast("string"), F.col("shingle")))
-    return (
-        salted.select("doc_id", "h_idx", val.alias("hv"))
-        .groupBy("doc_id", "h_idx")
-        .agg(F.min("hv").alias("sig"))
-    )
+    wide = _signatures_wide(spark, sf_dir)
+    pairs = ", ".join(f"{j}, sig_{j}" for j in range(N_HASHES))
+    return wide.selectExpr("doc_id", f"stack({N_HASHES}, {pairs}) AS (h_idx, sig)")
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,22 +110,23 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs via banded LSH + signature-agreement
     estimate. Output: (doc_a, doc_b, sim_est)."""
 
-    sigs = _signatures(spark, sf_dir)
-    bands = (
-        sigs.withColumn("band", F.floor(F.col("h_idx") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("h_idx", "sig"))),
-                        lambda x: x["sig"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_key")
-        )
+    wide = _signatures_wide(spark, sf_dir)
+    band_keys = [
+        F.md5(
+            F.concat_ws(",", *[
+                F.col(f"sig_{b * BAND_ROWS + r}").cast("string") for r in range(BAND_ROWS)
+            ])
+        ).alias(f"bk_{b}")
+        for b in range(N_HASHES // BAND_ROWS)
+    ]
+    keyed = wide.select("doc_id", *band_keys)
+    stack = ", ".join(f"{b}, bk_{b}" for b in range(N_HASHES // BAND_ROWS))
+    bands = keyed.selectExpr(
+        "doc_id", f"stack({N_HASHES // BAND_ROWS}, {stack}) AS (band, band_key)"
     )
+    # The LSH bucket equi-join: candidates co-locate on (band, band_key)
+    # — the primitive that keeps near-dup detection non-quadratic at
+    # fleet scale.
     pairs = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_key"])
@@ -105,13 +134,17 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), "h_idx", F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), "h_idx", F.col("sig").alias("sig_b"))
+    wa = wide.select(F.col("doc_id").alias("doc_a"),
+                     *[F.col(f"sig_{j}").alias(f"a_{j}") for j in range(N_HASHES)])
+    wb = wide.select(F.col("doc_id").alias("doc_b"),
+                     *[F.col(f"sig_{j}").alias(f"b_{j}") for j in range(N_HASHES)])
+    matches = sum(
+        (F.col(f"a_{j}") == F.col(f"b_{j}")).cast("double") for j in range(N_HASHES)
+    )
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "h_idx"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.round(F.avg((F.col("sig_a") == F.col("sig_b")).cast("double")), 6).alias("sim_est"))
+        pairs.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", F.round(matches / N_HASHES, 6).alias("sim_est"))
     )
 
 
@@ -120,25 +153,35 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_a, doc_b, jaccard) with jaccard >= 0.2."""
 
     sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
+    # Inverted-index candidate generation with a document-frequency cap:
+    # shingles in > MAX_DF docs are dropped from the INDEX (not from the
+    # Jaccard sets) — the standard guard that keeps the self-join from
+    # going quadratic on stop-shingles at corpus scale. A pair is
+    # evaluated iff it shares at least one indexable shingle.
+    df_ok = (
+        sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_DF)
+        .select("shingle")
     )
-    ja = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    jb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    idx = sh.join(df_ok, "shingle")
+    cands = (
+        idx.alias("a")
+        .join(idx.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact Jaccard over the FULL sets, but only for candidate pairs:
+    # per-pair array_intersect against collected shingle sets.
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shs"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    n_union = F.size("shs_a") + F.size("shs_b") - n_inter
     return (
-        inter.join(ja, "doc_a")
-        .join(jb, "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ).alias("jaccard"),
-        )
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(n_inter / n_union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
 
@@ -169,20 +212,38 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (vec_a, vec_b, cos_sim) with cos_sim >= 0.4. The scalable
     LSH-pruned path is ops/similarity.ann_lsh_topk."""
 
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    e = emb.select("vec_id", "v", norm.alias("nrm"))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= NEARDUP_COS)
-    )
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Broadcast-nested-loop with BLAS: one side is broadcast as a dense
+    # normalized matrix (vectors fit comfortably — same criterion as a
+    # broadcast join side), the other streams through mapInPandas in
+    # Arrow batches; cosine = one dgemm per batch. This beats per-pair
+    # Catalyst array folds ~50x. Beyond broadcastable scale, candidate
+    # generation moves to the LSH buckets (ops/similarity._buckets) and
+    # the rerank stays this dgemm, bucket-local.
+    side = emb.toPandas()
+    ids = side["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in side["embedding"]])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def block(batches):
+        b_ids, b_mat = bc.value
+        for batch in batches:
+            a_ids = batch["vec_id"].to_numpy()
+            a = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ b_mat.T
+            # HALF_UP rounding to match Spark/DuckDB round() semantics
+            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+            ii, jj = np.nonzero((sims >= NEARDUP_COS) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {"vec_a": a_ids[ii], "vec_b": b_ids[jj], "cos_sim": sims[ii, jj]}
+            )
+
+    return emb.mapInPandas(block, "vec_a long, vec_b long, cos_sim double")
 
 
 QUERIES = {
@@ -212,13 +273,15 @@ _SQL_SHINGLES = f"""
     )
 """
 
+_SALT_VALUES = ", ".join(f"({j}, {MINHASH_SALTS[j]})" for j in range(N_HASHES))
+
 _SQL_SIGS = f"""
     WITH {_SQL_SHINGLES},
-    hs AS (SELECT doc_id, unnest(generate_series(0, {N_HASHES - 1})) AS h_idx, shingle FROM sh),
+    hv AS (SELECT doc_id, {SQL_HASH32.format(e="shingle")} AS h FROM sh),
+    salts(h_idx, salt) AS (VALUES {_SALT_VALUES}),
     sigs AS (
-        SELECT doc_id, h_idx,
-               min({SQL_HASH32.format(e="h_idx::VARCHAR || ':' || shingle")}) AS sig
-        FROM hs GROUP BY doc_id, h_idx
+        SELECT doc_id, h_idx, min(xor(h, salt)) AS sig
+        FROM hv, salts GROUP BY doc_id, h_idx
     )
 """
 
@@ -248,19 +311,24 @@ ORACLES = {
     """,
     "dedup_ngram_jaccard_pairs": f"""
         WITH {_SQL_SHINGLES},
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-            FROM sh a JOIN sh b USING (shingle)
+        df_ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_DF}),
+        idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df_ok USING (shingle)),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM idx a JOIN idx b USING (shingle)
             WHERE a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
+        ),
+        sets AS (SELECT doc_id, list(DISTINCT shingle) AS shs FROM sh GROUP BY doc_id),
+        scored AS (
+            SELECT doc_a, doc_b,
+                   round(len(list_intersect(sa.shs, sb.shs))
+                         / (len(sa.shs) + len(sb.shs)
+                            - len(list_intersect(sa.shs, sb.shs))), 6) AS jaccard
+            FROM cands
+            JOIN sets sa ON sa.doc_id = doc_a
+            JOIN sets sb ON sb.doc_id = doc_b
         )
-        SELECT doc_a, doc_b,
-               round(n_inter / (ja.n_a + jb.n_b - n_inter), 6) AS jaccard
-        FROM inter
-        JOIN (SELECT doc_id AS doc_a, n_sh AS n_a FROM sizes) ja USING (doc_a)
-        JOIN (SELECT doc_id AS doc_b, n_sh AS n_b FROM sizes) jb USING (doc_b)
-        WHERE round(n_inter / (ja.n_a + jb.n_b - n_inter), 6) >= 0.2
+        SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.2
     """,
     "dedup_simhash_bits": f"""
         WITH base AS (SELECT doc_id, {_N} AS norm FROM documents),
