@@ -1,0 +1,12 @@
+"""Structured Streaming surface.
+
+The reference is strictly batch (SURVEY.md §2.10) — these operators are
+engine additions for continuous corpora: incremental extraction of
+newly landed documents (file-source stream + foreachBatch reusing the
+batch pipeline and its anti-join resume), and watermarked event-window
+aggregation for the pipeline's operational metrics stream.
+"""
+
+from .stream import stream_extraction, windowed_event_counts
+
+__all__ = ["stream_extraction", "windowed_event_counts"]
