@@ -51,6 +51,7 @@ REGION_SCAN_ITEM_IDX = 1_000_000
 
 _WS_RE = re.compile(r"\s+")
 _DIGIT_RE = re.compile(r"\d")
+_DIGIT_ONLY_RE = re.compile(r"\d+")
 
 
 def normalize_text(text: str) -> str:
@@ -123,6 +124,9 @@ def _span_for_text(
 ) -> SpanCandidate:
     y_band = max(0, min(9, int(10 * row / max(1, page_h))))
     stripped = text.strip()
+    # digit notion matches normalize_text's \d mask (str.isdigit also
+    # accepts superscripts etc. that \d does not — keep them consistent)
+    is_pagenum = bool(_DIGIT_ONLY_RE.fullmatch(stripped)) and y_band in (0, 9)
     return SpanCandidate(
         page_no=page_no,
         region_idx=region_idx,
@@ -132,7 +136,7 @@ def _span_for_text(
         media_ref=None,
         norm_text=normalize_text(text),
         y_band=y_band,
-        is_page_number=bool(stripped) and stripped.isdigit() and y_band in (0, 9),
+        is_page_number=is_pagenum,
     )
 
 

@@ -133,7 +133,38 @@ def broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_SEC = 1800
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (gaps-and-islands): events more than
+    SESSION_GAP_SEC apart start a new session per user. The batch twin
+    of the stateful streaming operator (streaming/stream.py
+    sessionize_stream); classic lag + running-sum window pattern."""
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > SESSION_GAP_SEC), 1).otherwise(0)
+    with_ids = ev.withColumn(
+        "session_id", F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    return (
+        with_ids.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+
+
 QUERIES = {
+    "rel_sessionization": sessionize,
     "rel_pricing_summary": pricing_summary,
     "rel_status_histogram": status_histogram,
     "rel_resume_anti_join": resume_anti_join,
@@ -145,6 +176,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_sessionization": f"""
+        WITH marked AS (
+            SELECT user_id, ts::TIMESTAMP AS ts, event_id, value,
+                   CASE WHEN epoch(ts::TIMESTAMP)
+                             - epoch(lag(ts::TIMESTAMP) OVER
+                                     (PARTITION BY user_id ORDER BY ts, event_id))
+                             > {SESSION_GAP_SEC}
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        ids AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        )
+        SELECT user_id, session_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, round(sum(value), 2) AS value_sum
+        FROM ids GROUP BY user_id, session_id
+    """,
     "rel_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

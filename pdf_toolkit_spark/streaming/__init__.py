@@ -7,6 +7,6 @@ batch pipeline and its anti-join resume), and watermarked event-window
 aggregation for the pipeline's operational metrics stream.
 """
 
-from .stream import stream_extraction, windowed_event_counts
+from .stream import sessionize_stream, stream_extraction, windowed_event_counts
 
-__all__ = ["stream_extraction", "windowed_event_counts"]
+__all__ = ["sessionize_stream", "stream_extraction", "windowed_event_counts"]

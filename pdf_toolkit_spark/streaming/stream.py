@@ -62,6 +62,75 @@ def stream_extraction(
     return writer.start()
 
 
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, value_sum double"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long, vsum double"
+
+
+def sessionize_stream(events: DataFrame, gap_sec: int = 1800, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator: gap-based per-user sessionization via
+    ``applyInPandasWithState`` (event-time timeout).
+
+    Sessions close either when a later in-batch event exceeds the gap,
+    or when the watermark passes session_end + gap (state timeout). The
+    batch twin is ops/relational.sessionize — the streaming/stateful
+    form keeps per-user state bounded by the watermark instead of
+    holding the full history.
+    """
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_sec * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+
+        def emit(start_us: int, last_us: int, n: int, vsum: float) -> pd.DataFrame:
+            return pd.DataFrame({
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+                "value_sum": [round(vsum, 2)],
+            })
+
+        if state.hasTimedOut:
+            start, last, n, vsum = state.get
+            state.remove()
+            yield emit(start, last, n, vsum)
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        # unit-explicit microseconds (event timestamps carry us precision)
+        ts_us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        vals = rows["value"].to_numpy()
+
+        cur = list(state.get) if state.exists else None
+        for t, v in zip(ts_us, vals):
+            if cur is None:
+                cur = [int(t), int(t), 1, float(v)]
+            elif t - cur[1] > gap_us:
+                yield emit(*cur)
+                cur = [int(t), int(t), 1, float(v)]
+            else:
+                cur[1] = int(t)
+                cur[2] += 1
+                cur[3] += float(v)
+        state.update(tuple(cur))
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)  # API takes ms
+
+    src = events.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    ).withWatermark("ts", watermark)
+    return src.groupBy("user_id").applyInPandasWithState(
+        update, SESSION_SCHEMA, _SESSION_STATE_SCHEMA, "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "5 minutes",

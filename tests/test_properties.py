@@ -1,0 +1,143 @@
+"""Property-based tests (hypothesis) — invariants the reference's
+example-based suite never checks. No Spark here: pure kernels, parsers,
+and the writer/reader round-trip under adversarial inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_toolkit_spark import kernels as K
+from pdf_toolkit_spark.errors import UserError
+from pdf_toolkit_spark.extract import normalize_text, strip_and_order
+from pdf_toolkit_spark.pagespec import chunk_ranges, parse_page_spec
+from pdf_toolkit_spark.pdfio import PageSpec, PdfDocument, write_pdf
+
+small_dims = st.tuples(st.integers(2, 64), st.integers(2, 64))
+
+
+@given(st.integers(1, 5000), st.integers(1, 700))
+def test_chunk_ranges_partition_exactly(total_pages, per_chunk):
+    """Chunks tile [0, total) with no gap, no overlap, in order."""
+
+    ranges = chunk_ranges(total_pages, per_chunk)
+    assert ranges[0][0] == 0
+    assert ranges[-1][1] == total_pages - 1
+    for (s0, e0), (s1, e1) in zip(ranges, ranges[1:]):
+        assert s1 == e0 + 1
+    assert all(e - s + 1 <= per_chunk for s, e in ranges)
+
+
+@given(st.sets(st.integers(1, 50), min_size=1))
+def test_parse_page_spec_roundtrip(pages):
+    """Any set of 1-based pages serialized as singles parses back to
+    the same zero-based sorted list."""
+
+    spec = ",".join(str(p) for p in sorted(pages))
+    assert parse_page_spec(spec, 50) == [p - 1 for p in sorted(pages)]
+
+
+@given(small_dims, st.integers(0, 255), st.data())
+@settings(max_examples=40, deadline=None)
+def test_crop_bbox_always_within_image(dims, threshold, data):
+    h, w = dims
+    img = data.draw(
+        st.integers(0, 2**32 - 1).map(
+            lambda s: np.random.default_rng(s).integers(0, 256, (h, w)).astype(np.uint8)
+        )
+    )
+    bbox, fallback, note = K.find_crop_bbox(img, threshold, pad_px=3, min_area_frac=0.25)
+    l, t, r, b = bbox
+    assert 0 <= l < r <= w
+    assert 0 <= t < b <= h
+    assert fallback == (note is not None)
+
+
+@given(st.integers(4, 400), st.integers(1, 399), st.integers(0, 50))
+def test_split_bounds_cover_and_order(width, gutter_x, trim):
+    left_end, right_start = K.split_bounds(width, gutter_x, trim)
+    assert 1 <= left_end <= right_start <= width - 1 or left_end <= right_start
+    assert left_end >= 1 and right_start <= width - 1
+    assert left_end <= right_start
+
+
+@given(small_dims, st.sampled_from([90, 180, 270]), st.data())
+@settings(max_examples=30, deadline=None)
+def test_rotation_roundtrip_identity(dims, deg, data):
+    h, w = dims
+    img = data.draw(
+        st.integers(0, 2**32 - 1).map(
+            lambda s: np.random.default_rng(s).integers(0, 256, (h, w)).astype(np.uint8)
+        )
+    )
+    inv = (360 - deg) % 360
+    assert np.array_equal(K.rotate_image_cw(K.rotate_image_cw(img, deg), inv), img)
+
+
+@given(st.text(max_size=200))
+def test_normalize_text_idempotent_and_digit_free(text):
+    import re
+
+    norm = normalize_text(text)
+    assert normalize_text(norm) == norm
+    assert re.search(r"\d", norm) is None  # \d is the masking notion
+
+
+_pdf_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=255,
+                           blacklist_characters="\r\n"),
+    min_size=0, max_size=80,
+)
+
+
+@given(st.lists(st.tuples(_pdf_text, st.integers(0, 90), st.integers(0, 90)),
+                min_size=0, max_size=6),
+       st.sampled_from([0, 90, 180, 270]))
+@settings(max_examples=40, deadline=None)
+def test_pdf_roundtrip_arbitrary_text(items, rotate):
+    """Writer -> parser round-trips arbitrary latin-1 text items in
+    order, with positions and the rotation flag intact."""
+
+    raster = np.full((100, 100), 200, dtype=np.uint8)
+    page = PageSpec(
+        raster=raster, rotate=rotate,
+        items=[("text", t, r, c) for (t, r, c) in items],
+    )
+    doc = PdfDocument(write_pdf([page]))
+    parsed = doc.load_page(0)
+    assert parsed.rotate == rotate
+    got = [(it[1], it[2], it[3]) for it in parsed.items if it[0] == "text"]
+    want = [(t.encode("latin-1", errors="replace").decode("latin-1"), r, c)
+            for (t, r, c) in items]
+    assert got == want
+
+
+@given(st.binary(max_size=400))
+def test_parser_never_hangs_on_garbage(data):
+    """Arbitrary bytes either parse or raise UserError — no other
+    exception types, no hangs (error-isolation contract of the UDF)."""
+
+    try:
+        PdfDocument(b"%PDF-1.4\n" + data)
+    except UserError:
+        pass
+    except Exception as exc:  # noqa: BLE001
+        pytest.fail(f"unexpected {type(exc).__name__}: {exc}")
+
+
+@given(st.integers(1, 30), st.integers(2, 8))
+def test_strip_and_order_offsets_dense(n_spans, n_pages):
+    from pdf_toolkit_spark.extract import SpanCandidate
+
+    cands = [
+        SpanCandidate(page_no=i % n_pages, region_idx=i % 2, item_idx=i,
+                      kind="text", text=f"t{i} unique", media_ref=None,
+                      norm_text=f"t{i} unique", y_band=5, is_page_number=False)
+        for i in range(n_spans)
+    ]
+    from pdf_toolkit_spark.config import DEFAULTS
+
+    spans = strip_and_order(cands, n_pages, DEFAULTS)
+    assert [s["offset"] for s in spans] == list(range(len(spans)))

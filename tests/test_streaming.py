@@ -12,7 +12,11 @@ from pyspark.sql import functions as F
 from pdf_toolkit_spark.corpus import corpus_config, make_document
 from pdf_toolkit_spark.extract import extract_document
 from pdf_toolkit_spark.spark.input import corpus_dataframe
-from pdf_toolkit_spark.streaming import stream_extraction, windowed_event_counts
+from pdf_toolkit_spark.streaming import (
+    sessionize_stream,
+    stream_extraction,
+    windowed_event_counts,
+)
 
 CFG = dict(corpus_config(), pages_per_chunk=32)
 
@@ -65,6 +69,51 @@ def test_windowed_event_counts_matches_static_aggregation(spark):
     row = got.first()
     assert row["n_events"] >= 1
     assert (row["window_end"] - row["window_start"]).total_seconds() == 300
+
+
+def test_stateful_sessionization_matches_batch_twin(spark, tmp_path):
+    """applyInPandasWithState sessions == the batch gaps-and-islands
+    sessionization, for every session the stream could close (a user's
+    final session may stay open in state when the query drains)."""
+
+    from pdf_toolkit_spark.ops.relational import sessionize
+
+    src_dir = str(tmp_path / "events")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # Land the stream as time-ordered file batches (a log stream arrives
+    # roughly in event-time order; gap sessionization — like any
+    # event-time state machine — relies on the watermark bounding
+    # disorder). Four quartile files with increasing mtimes.
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    bounds = [r[0] for r in events.select(
+        F.percentile(epoch, F.lit([0.25, 0.5, 0.75])).alias("p")).collect()][0]
+    lo = float("-inf")
+    for i, hi in enumerate([*bounds, float("inf")]):
+        part = events.filter((epoch > lo) & (epoch <= hi))
+        part.coalesce(1).write.mode("append").parquet(src_dir)
+        lo = hi
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    stream = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", "1").parquet(src_dir)
+    )
+    name = f"sessions_{int(time.time())}"
+    q = (
+        sessionize_stream(stream).writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(f"SELECT user_id, session_start, session_end, n_events, value_sum FROM {name}")
+
+    batch = sessionize(spark, "/root/testdata/sf0.001").select(
+        "user_id", "session_start", "session_end", "n_events", "value_sum"
+    )
+    # every emitted session must exist verbatim in the batch result
+    assert got.count() > 0
+    assert got.exceptAll(batch).count() == 0
+    # and the stream closes all but at most one (open) session per user
+    n_users = batch.select("user_id").distinct().count()
+    assert got.count() >= batch.count() - n_users
 
 
 def test_windowed_event_counts_streaming_mode(spark, tmp_path):
