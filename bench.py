@@ -74,6 +74,8 @@ def main() -> None:
         "dedup_embedding_neardup",
         "sim_knn_brute_force",
         "sim_ann_lsh_topk",
+        "sim_ivf_topk",
+        "rel_sessionization",
         "mm_media_format_histogram",
     ]
     for name in headliners:

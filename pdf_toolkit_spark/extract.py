@@ -290,7 +290,11 @@ def extract_page(page: ParsedPage, page_no: int, cfg: dict) -> PageResult:
         )
 
     lineage["notes"] = notes
-    lineage["detail_json"] = json.dumps({"notes": notes}, sort_keys=True)
+    # Full action record (manifest analog, page_images.py:967-1047):
+    # mode, spread flag, rotation, gutter, bboxes, fallback notes.
+    lineage["detail_json"] = json.dumps(
+        {k: v for k, v in lineage.items() if k != "detail_json"}, sort_keys=True
+    )
     return PageResult(candidates, lineage, counters)
 
 

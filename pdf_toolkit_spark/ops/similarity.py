@@ -12,7 +12,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import SQL_HASH32, hash32, table
@@ -104,10 +104,73 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CELLS = 16
+N_PROBE = 2
+
+
+def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell): IVF coarse quantization. Centroids are the first
+    N_CELLS corpus vectors (deterministic k-means++-style seeding; at
+    fleet scale a sampled k-means job refreshes them periodically —
+    assignment below is unchanged). Nearest centroid by cosine,
+    tie-broken by centroid id."""
+
+    e = _emb(spark, sf_dir)
+    cents = (
+        e.filter(F.col("vec_id") < N_CELLS)
+        .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def ivf_cell_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_cells(spark, sf_dir).groupBy("cell").agg(F.count("*").alias("n_vecs"))
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: exact rerank restricted to the query's
+    N_PROBE nearest cells (the IVF scale path: candidate set shrinks by
+    ~N_CELLS/N_PROBE; the probe list is a broadcast)."""
+
+    e = _emb(spark, sf_dir)
+    cents = (
+        e.filter(F.col("vec_id") < N_CELLS)
+        .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    probe = (
+        q.crossJoin(F.broadcast(cents))
+        .select("cell", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("cell"))
+        .limit(N_PROBE)
+        .select("cell")
+    )
+    cells = _ivf_cells(spark, sf_dir)
+    return (
+        e.join(cells, "vec_id")
+        .join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 QUERIES = {
     "sim_knn_brute_force": knn_brute_force,
     "sim_ann_lsh_buckets": ann_lsh_buckets,
     "sim_ann_lsh_topk": ann_lsh_topk,
+    "sim_ivf_cell_sizes": ivf_cell_sizes,
+    "sim_ivf_topk": ivf_topk,
 }
 
 _W = SQL_HASH32.format(e="p::VARCHAR || ':' || i::VARCHAR") + " / 2147483648.0 - 1.0"
@@ -131,7 +194,45 @@ _SQL_BUCKETS = f"""
     )
 """
 
+_SQL_IVF_CELLS = f"""
+    cents AS (
+        SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < {N_CELLS}
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cell,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS sim,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) DESC,
+                   c.cell ASC) AS rk
+        FROM embeddings e, cents c
+    ),
+    cells AS (SELECT vec_id, cell FROM scored WHERE rk = 1)
+"""
+
 ORACLES = {
+    "sim_ivf_cell_sizes": f"""
+        WITH {_SQL_IVF_CELLS}
+        SELECT cell, count(*) AS n_vecs FROM cells GROUP BY cell
+    """,
+    "sim_ivf_topk": f"""
+        WITH {_SQL_IVF_CELLS},
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+        probe AS (
+            SELECT c.cell FROM cents c, q
+            ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cell ASC
+            LIMIT {N_PROBE}
+        )
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+        FROM embeddings e
+        JOIN cells ON cells.vec_id = e.vec_id
+        JOIN probe ON probe.cell = cells.cell
+        CROSS JOIN q
+        WHERE e.vec_id != {QUERY_VEC_ID}
+        ORDER BY cos_sim DESC, e.vec_id ASC
+        LIMIT {TOP_K}
+    """,
     "sim_knn_brute_force": f"""
         SELECT e.vec_id,
                round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)
