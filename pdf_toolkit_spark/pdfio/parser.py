@@ -180,6 +180,85 @@ def _parse_value(lex: _Lexer, first: Any = None) -> Any:
     return tok  # Name, bytes, float, or keyword
 
 
+#: One-pass content-stream scanner (strings without nested parens,
+#: names, numbers, array brackets, operators). Nested-paren strings and
+#: inline dicts/hex route to the general lexer instead.
+_CONTENT_RE = re.compile(
+    rb"""(?P<str>\((?:[^()\\]|\\.)*\))
+       | (?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)
+       | (?P<num>[+-]?(?:\d+\.?\d*|\.\d+))
+       | (?P<lb>\[) | (?P<rb>\])
+       | (?P<op>[A-Za-z'"*]{1,3})
+    """,
+    re.X,
+)
+
+_STR_ESCAPES = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+
+
+def _unescape_pdf_string(raw: bytes) -> bytes:
+    if b"\\" not in raw:
+        return raw
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        ch = raw[i]
+        if ch == 0x5C and i + 1 < n:
+            nxt = raw[i + 1]
+            out.append(_STR_ESCAPES.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return bytes(out)
+
+
+def _scan_content_fast(stream: bytes):
+    """Yield ("val", value) / ("op", name) via one regex pass."""
+
+    array: Optional[list] = None
+    for m in _CONTENT_RE.finditer(stream):
+        kind = m.lastgroup
+        if kind == "str":
+            value: Any = _unescape_pdf_string(m.group()[1:-1])
+        elif kind == "num":
+            text = m.group().decode("ascii")
+            value = float(text) if "." in text else int(text)
+        elif kind == "name":
+            value = Name(m.group()[1:].decode("latin-1"))
+        elif kind == "lb":
+            array = []
+            continue
+        elif kind == "rb":
+            yield "val", array
+            array = None
+            continue
+        else:  # operator
+            yield "op", m.group().decode("latin-1")
+            continue
+        if array is not None:
+            array.append(value)
+        else:
+            yield "val", value
+
+
+def _scan_content_lexer(stream: bytes):
+    """General-lexer fallback for exotic content streams."""
+
+    lex = _Lexer(stream)
+    while lex.pos < len(stream):
+        try:
+            save = lex.pos
+            tok = lex.next_token()
+        except UserError:
+            return
+        if isinstance(tok, (int, float, bytes, Name)) or tok in ("[", "<<"):
+            lex.pos = save
+            yield "val", _parse_value(lex)
+        else:
+            yield "op", tok
+
+
 @dataclass
 class ParsedPage:
     """One decoded page in stored (unrotated) orientation."""
@@ -364,22 +443,30 @@ class PdfDocument:
     def _tokenize_content(stream: bytes, page_height: int):
         """Yield ("text", (str, row, col)) / ("image", (name, row, col, w, h))
         in stream order. Implements the subset of the graphics/text state
-        machine the corpus uses; unknown operators drop their operands."""
+        machine the corpus uses; unknown operators drop their operands.
 
-        lex = _Lexer(stream)
+        Content streams are token-dense, so the hot path is a single
+        compiled-regex scan (C speed); streams containing inline dicts /
+        hex strings fall back to the general lexer."""
+
+        if b"<" not in stream:
+            yield from PdfDocument._run_content_ops(
+                _scan_content_fast(stream), page_height
+            )
+            return
+        yield from PdfDocument._run_content_ops(
+            _scan_content_lexer(stream), page_height
+        )
+
+    @staticmethod
+    def _run_content_ops(tokens, page_height: int):
         operands: list[Any] = []
         ctm_stack: list[tuple] = []
         ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)  # a b c d e f
         tx = ty = 0.0
-        while lex.pos < len(stream):
-            try:
-                save = lex.pos
-                tok = lex.next_token()
-            except UserError:
-                break
-            if isinstance(tok, (int, float, bytes, Name)) or tok in ("[", "<<"):
-                lex.pos = save
-                operands.append(_parse_value(lex))
+        for kind, tok in tokens:
+            if kind == "val":
+                operands.append(tok)
                 continue
             op = tok
             if op == "q":
