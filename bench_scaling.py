@@ -44,7 +44,7 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 PROFILES = {
-    "textual": int(os.environ.get("SPARK_GRAFT_SCALE_DOCS_TEXTUAL", "48000")),
+    "textual": int(os.environ.get("SPARK_GRAFT_SCALE_DOCS_TEXTUAL", "96000")),
     "scan": int(os.environ.get("SPARK_GRAFT_SCALE_DOCS_SCAN", "8000")),
 }
 MEGA_EVERY = 400
