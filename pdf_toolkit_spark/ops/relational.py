@@ -163,8 +163,73 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + per-group top-k: rank customers by revenue within
+    their region (dims broadcast), keep the top 3."""
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    rev = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("r_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("r_name", "c_custkey", "revenue", "rk")
+    )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: fact-fact join with pushed date predicates,
+    revenue per order, deterministic top 10."""
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        orders.filter(F.col("o_orderdate") < "2000-01-01")
+        .join(li.filter(F.col("l_shipdate") > "2000-01-01"),
+              orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue")
+    )
+
+
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: order totals by region/nation with ROLLUP
+    subtotals and grand total."""
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"),
+             F.count("*").alias("n_orders"))
+    )
+
+
 QUERIES = {
     "rel_sessionization": sessionize,
+    "rel_top_customers_per_region": top_customers_per_region,
+    "rel_shipping_priority": shipping_priority,
+    "rel_rollup_sales": rollup_sales,
     "rel_pricing_summary": pricing_summary,
     "rel_status_histogram": status_histogram,
     "rel_resume_anti_join": resume_anti_join,
@@ -199,6 +264,39 @@ ORACLES = {
                min(ts) AS session_start, max(ts) AS session_end,
                count(*) AS n_events, round(sum(value), 2) AS value_sum
         FROM ids GROUP BY user_id, session_id
+    """,
+    "rel_top_customers_per_region": """
+        WITH rev AS (
+            SELECT r_name, c_custkey, round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, c_custkey
+        )
+        SELECT r_name, c_custkey, revenue, rk FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY r_name ORDER BY revenue DESC, c_custkey ASC) AS rk
+            FROM rev
+        ) WHERE rk <= 3
+    """,
+    "rel_shipping_priority": """
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderdate < '2000-01-01' AND l_shipdate > '2000-01-01'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "rel_rollup_sales": """
+        SELECT r_name, n_name, round(sum(o_totalprice), 2) AS total,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
     """,
     "rel_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
