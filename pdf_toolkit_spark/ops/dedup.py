@@ -207,6 +207,44 @@ def simhash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIM_BAND_BITS = 15  # 60 bits -> 4 bands
+SIM_HAMMING_MAX = 20
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: docs sharing any exact 15-bit band
+    of their 60-bit fingerprint, verified by exact Hamming distance.
+    Output: (doc_a, doc_b, hamming) with hamming <= SIM_HAMMING_MAX.
+    Same LSH-banding shape as MinHash — bucket equi-join, never
+    quadratic."""
+
+    bits = simhash_bits(spark, sf_dir)
+    bands = (
+        bits.groupBy(
+            "doc_id", F.floor(F.col("bit_idx") / SIM_BAND_BITS).cast("int").alias("band")
+        )
+        .agg(F.sum(
+            F.col("bit") * F.expr(f"shiftleft(1, CAST(bit_idx % {SIM_BAND_BITS} AS INT))")
+        ).alias("band_val"))
+    )
+    pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ba = bits.select(F.col("doc_id").alias("doc_a"), "bit_idx", F.col("bit").alias("bit_a"))
+    bb = bits.select(F.col("doc_id").alias("doc_b"), "bit_idx", F.col("bit").alias("bit_b"))
+    return (
+        pairs.join(ba, "doc_a")
+        .join(bb, ["doc_b", "bit_idx"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.abs(F.col("bit_a") - F.col("bit_b"))).alias("hamming"))
+        .filter(F.col("hamming") <= SIM_HAMMING_MAX)
+    )
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine near-dup pairs over ``embeddings``.
     Output: (vec_a, vec_b, cos_sim) with cos_sim >= 0.4. The scalable
@@ -252,6 +290,7 @@ QUERIES = {
     "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dedup_simhash_bits": simhash_bits,
+    "dedup_simhash_pairs": simhash_pairs,
     "dedup_embedding_neardup": embedding_neardup_pairs,
 }
 
@@ -274,6 +313,21 @@ _SQL_SHINGLES = f"""
 """
 
 _SALT_VALUES = ", ".join(f"({j}, {MINHASH_SALTS[j]})" for j in range(N_HASHES))
+
+#: Shared simhash-bits CTE body (spliced into oracles via SIMBITS_PLACEHOLDER).
+_SQL_SIMBITS = f"""
+    sbase AS (SELECT doc_id, {_N} AS norm FROM documents),
+    stoks AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS tok FROM sbase),
+    shashed AS (SELECT doc_id, {SQL_HASH60.format(e="tok")} AS h60 FROM stoks),
+    svotes AS (SELECT doc_id, h60, unnest(generate_series(0, {SIM_BITS - 1})) AS bit_idx
+               FROM shashed),
+    simbits AS (
+        SELECT doc_id, bit_idx,
+               CASE WHEN sum(CASE WHEN (h60 >> bit_idx) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM svotes GROUP BY doc_id, bit_idx
+    )
+"""
 
 _SQL_SIGS = f"""
     WITH {_SQL_SHINGLES},
@@ -331,15 +385,27 @@ ORACLES = {
         SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.2
     """,
     "dedup_simhash_bits": f"""
-        WITH base AS (SELECT doc_id, {_N} AS norm FROM documents),
-        toks AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS tok FROM base),
-        hashed AS (SELECT doc_id, {SQL_HASH60.format(e="tok")} AS h60 FROM toks),
-        votes AS (SELECT doc_id, h60, unnest(generate_series(0, {SIM_BITS - 1})) AS bit_idx
-                  FROM hashed)
-        SELECT doc_id, bit_idx,
-               CASE WHEN sum(CASE WHEN (h60 >> bit_idx) & 1 = 1 THEN 1 ELSE -1 END) >= 0
-                    THEN 1 ELSE 0 END AS bit
-        FROM votes GROUP BY doc_id, bit_idx
+        WITH {_SQL_SIMBITS}
+        SELECT doc_id, bit_idx, bit FROM simbits
+    """,
+    "dedup_simhash_pairs": f"""
+        WITH {_SQL_SIMBITS},
+        bands AS (
+            SELECT doc_id, CAST(floor(bit_idx / {SIM_BAND_BITS}) AS INT) AS band,
+                   sum(bit * (1 << CAST(bit_idx % {SIM_BAND_BITS} AS INT))) AS band_val
+            FROM simbits GROUP BY doc_id, band
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b USING (band, band_val)
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b, sum(abs(sa.bit - sb.bit)) AS hamming
+        FROM pairs p
+        JOIN simbits sa ON sa.doc_id = p.doc_a
+        JOIN simbits sb ON sb.doc_id = p.doc_b AND sb.bit_idx = sa.bit_idx
+        GROUP BY p.doc_a, p.doc_b
+        HAVING sum(abs(sa.bit - sb.bit)) <= {SIM_HAMMING_MAX}
     """,
     "dedup_embedding_neardup": f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
