@@ -193,6 +193,10 @@ def extract_page(page: ParsedPage, page_no: int, cfg: dict) -> PageResult:
                                   "", 0, False)
                 )
         lineage["mode_used"] = "crop"
+        lineage["notes"] = notes
+        lineage["detail_json"] = json.dumps(
+            {k: v for k, v in lineage.items() if k != "detail_json"}, sort_keys=True
+        )
         counters["crop_only"] = 1
         return PageResult(candidates, lineage, counters)
 

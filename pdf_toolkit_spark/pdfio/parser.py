@@ -195,6 +195,11 @@ _CONTENT_RE = re.compile(
 
 _STR_ESCAPES = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
 
+#: A second unescaped '(' before the first string closes => nested
+#: string; the fast scanner cannot handle those (conservative: may also
+#: match across separate strings — that just takes the slow path).
+_NESTED_PAREN_RE = re.compile(rb"\((?:[^()\\]|\\.)*\(")
+
 
 def _unescape_pdf_string(raw: bytes) -> bytes:
     if b"\\" not in raw:
@@ -294,33 +299,44 @@ class PdfDocument:
     # --- xref / object layer ---
 
     def _read_xref(self) -> dict[int, int]:
+        """Walk the xref chain (latest table first, then /Prev links for
+        incrementally-updated files); newer sections win."""
+
         tail = self.data[-256:]
         m = list(re.finditer(rb"startxref\s+(\d+)", tail))
         if not m:
             raise UserError("PDF has no startxref.")
-        xref_at = int(m[-1].group(1))
+        xref_at: Optional[int] = int(m[-1].group(1))
         offsets: dict[int, int] = {}
-        lex = _Lexer(self.data, xref_at)
-        tok = lex.next_token()
-        if tok != "xref":
-            raise UserError("Only classic xref tables are supported.")
-        while True:
-            save = lex.pos
-            tok = lex.next_token()
-            if tok == "trailer":
-                break
-            start = tok
-            count = lex.next_token()
-            if not (isinstance(start, int) and isinstance(count, int)):
-                lex.pos = save
-                raise UserError("Malformed xref subsection header.")
-            for i in range(count):
-                off = lex.next_token()
-                _gen = lex.next_token()
-                kind = lex.next_token()
-                if kind == "n":
-                    offsets[start + i] = int(off)
-        self._trailer = _parse_value(lex)
+        main_trailer: Optional[dict] = None
+        seen: set[int] = set()
+        while xref_at is not None and xref_at not in seen:
+            seen.add(xref_at)
+            lex = _Lexer(self.data, xref_at)
+            if lex.next_token() != "xref":
+                raise UserError("Only classic xref tables are supported.")
+            while True:
+                save = lex.pos
+                tok = lex.next_token()
+                if tok == "trailer":
+                    break
+                start = tok
+                count = lex.next_token()
+                if not (isinstance(start, int) and isinstance(count, int)):
+                    lex.pos = save
+                    raise UserError("Malformed xref subsection header.")
+                for i in range(count):
+                    off = lex.next_token()
+                    _gen = lex.next_token()
+                    kind = lex.next_token()
+                    if kind == "n":
+                        offsets.setdefault(start + i, int(off))
+            trailer = _parse_value(lex)
+            if main_trailer is None:
+                main_trailer = trailer
+            prev = trailer.get("Prev")
+            xref_at = int(prev) if isinstance(prev, (int, float)) else None
+        self._trailer = main_trailer or {}
         return offsets
 
     def resolve(self, value: Any) -> Any:
@@ -378,6 +394,24 @@ class PdfDocument:
         self._load_object(ref.num)
         return self._streams[ref.num]
 
+    def _content_stream(self, contents: Any) -> bytes:
+        """Page /Contents: a single stream ref OR an array of stream
+        refs (common in real producers) — concatenated with whitespace,
+        per spec, as one logical stream."""
+
+        if contents is None:
+            return b""
+        value = contents
+        if isinstance(value, Ref):
+            resolved = self.resolve(value)
+            if isinstance(resolved, list):
+                value = resolved  # indirect array of streams
+            else:
+                return self._stream_bytes(value)
+        if isinstance(value, list):
+            return b"\n".join(self._stream_bytes(r) for r in value)
+        raise UserError("Unsupported /Contents value.")
+
     def _decode_image(self, ref: Ref) -> Optional[np.ndarray]:
         obj = self.resolve(ref)
         if obj.get("Subtype") != Name("Image"):
@@ -414,8 +448,7 @@ class PdfDocument:
             if isinstance(ref, Ref)
         }
 
-        contents = page.get("Contents")
-        stream = self._stream_bytes(contents) if contents is not None else b""
+        stream = self._content_stream(page.get("Contents"))
 
         scan: Optional[np.ndarray] = None
         items: list[tuple] = []
@@ -449,7 +482,7 @@ class PdfDocument:
         compiled-regex scan (C speed); streams containing inline dicts /
         hex strings fall back to the general lexer."""
 
-        if b"<" not in stream:
+        if b"<" not in stream and not _NESTED_PAREN_RE.search(stream):
             yield from PdfDocument._run_content_ops(
                 _scan_content_fast(stream), page_height
             )
@@ -485,7 +518,11 @@ class PdfDocument:
                     e * pb + f * pd + pf,
                 )
             elif op in ("Td", "TD") and len(operands) >= 2:
-                tx, ty = float(operands[-2]), float(operands[-1])
+                # Td translates the text LINE matrix relative to the
+                # current line start (PDF 32000-1 §9.4.2) — it is not an
+                # absolute move. BT resets the origin; Tm sets absolute.
+                tx += float(operands[-2])
+                ty += float(operands[-1])
             elif op == "Tm" and len(operands) >= 6:
                 tx, ty = float(operands[-2]), float(operands[-1])
             elif op == "Tj" and operands and isinstance(operands[-1], bytes):

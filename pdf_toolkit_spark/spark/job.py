@@ -107,11 +107,16 @@ def salt_into_chunks(df: DataFrame, pages_per_chunk: int) -> DataFrame:
     `_chunk_ranges` analog (reference split.py:28-42)."""
 
     ppc = int(pages_per_chunk)
+    # Guard n_pages <= 0 (bad external metadata): sequence() throws on
+    # illegal bounds, which would kill the stage instead of producing a
+    # per-doc error row. Clamp to one chunk; the UDF then surfaces the
+    # doc as an 'error' lineage row if it truly has no pages.
+    n_pages = F.greatest(F.col("n_pages"), F.lit(1))
     chunks = F.transform(
-        F.sequence(F.lit(0), F.col("n_pages") - 1, F.lit(ppc)),
+        F.sequence(F.lit(0), n_pages - 1, F.lit(ppc)),
         lambda s: F.struct(
             s.alias("chunk_start"),
-            F.least(s + ppc - 1, F.col("n_pages") - 1).alias("chunk_end"),
+            F.least(s + ppc - 1, n_pages - 1).alias("chunk_end"),
         ),
     )
     return (
@@ -155,9 +160,16 @@ def assemble_spans(kept: DataFrame) -> DataFrame:
     aggregate; ordering via array_sort on the (page_no, region_idx,
     item_idx) prefix (unique per doc), offsets via transform index."""
 
+    # collect_list skips nulls, so 'none' placeholder rows (lineage
+    # carriers for empty pages) contribute nothing — and a doc whose
+    # pages are ALL empty still gets a committed row with an empty spans
+    # array (otherwise the resume anti-join would re-extract it forever).
     ordered = F.array_sort(
         F.collect_list(
-            F.struct("page_no", "region_idx", "item_idx", "kind", "text", "media_ref")
+            F.when(
+                F.col("kind") != "none",
+                F.struct("page_no", "region_idx", "item_idx", "kind", "text", "media_ref"),
+            )
         )
     )
     spans = F.transform(
@@ -178,7 +190,7 @@ def assemble_spans(kept: DataFrame) -> DataFrame:
     ).over(w)
     return (
         kept.withColumn("_doc_failed", doc_failed)
-        .filter((F.col("_doc_failed") == 0) & (F.col("kind") != "none"))
+        .filter(F.col("_doc_failed") == 0)
         .groupBy("doc_id")
         .agg(spans.alias("spans"))
     )
@@ -229,15 +241,28 @@ def run_extraction(
 
     cfg = validate_config(dict(DEFAULTS, **(cfg or {})))
     started = time.monotonic()
+    # arrow_batch_rows is a runtime conf: fat PDFs want small batches
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg["arrow_batch_rows"])
+    )
+    write_mode = "overwrite" if cfg["overwrite"] else "append"
 
     todo = input_df
     spans_path = f"{out_dir}/spans" if out_dir else None
+    if cfg["overwrite"]:
+        resume = False
     if resume and spans_path:
+        # Only a MISSING path means "first run"; any other read failure
+        # must abort — silently skipping resume here would append
+        # duplicate span rows for already-committed docs.
+        from pyspark.errors import AnalysisException
+
         try:
             committed = spark.read.parquet(spans_path).select("doc_id").distinct()
             todo = input_df.join(F.broadcast(committed), "doc_id", "left_anti")
-        except Exception:
-            pass  # no committed output yet
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
 
     spans, records = build_pipeline(spark, todo, cfg)
 
@@ -252,14 +277,14 @@ def run_extraction(
     records = records.persist()
     try:
         lineage_rows = records.filter(F.col("lineage_json").isNotNull())
+        # A chunked doc with one failed chunk counts as FAILED only
+        # (it commits nothing), so processed = seen - failed.
         agg = lineage_rows.agg(
             F.sum("pages_parsed").alias("pages_parsed"),
             F.sum("rotations_fixed").alias("rotations_fixed"),
             F.sum("spreads_split").alias("spreads_split"),
             F.sum("crop_only").alias("crop_only"),
-            F.count_distinct(
-                F.when(F.col("status") != "error", F.col("doc_id"))
-            ).alias("docs_processed"),
+            F.count_distinct(F.col("doc_id")).alias("docs_seen"),
             F.count_distinct(
                 F.when(F.col("status") == "error", F.col("doc_id"))
             ).alias("docs_failed"),
@@ -272,7 +297,7 @@ def run_extraction(
             )
             # Iceberg analog: partitionedBy(bucket(N, doc_id)) + snapshot
             # commit; parquet append keeps the same layout locally.
-            out_spans.write.mode("append").partitionBy("bucket").parquet(spans_path)
+            out_spans.write.mode(write_mode).partitionBy("bucket").parquet(spans_path)
 
             lineage_out = lineage_rows.select(
                 F.lit(run_id).alias("run_id"),
@@ -281,12 +306,12 @@ def run_extraction(
                 F.col("status"),
                 F.col("lineage_json").alias("detail_json"),
             )
-            lineage_out.write.mode("append").parquet(f"{out_dir}/lineage")
+            lineage_out.write.mode(write_mode).parquet(f"{out_dir}/lineage")
 
         metrics = {
             "run_id": run_id,
             "docs_failed": int(agg["docs_failed"] or 0),
-            "docs_processed": int(agg["docs_processed"] or 0),
+            "docs_processed": int(agg["docs_seen"] or 0) - int(agg["docs_failed"] or 0),
             "pages_parsed": int(agg["pages_parsed"] or 0),
             "spreads_split": int(agg["spreads_split"] or 0),
             "rotations_fixed": int(agg["rotations_fixed"] or 0),

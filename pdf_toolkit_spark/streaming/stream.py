@@ -116,7 +116,10 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800, watermark: str = "
                 yield emit(*cur)
                 cur = [int(t), int(t), 1, float(v)]
             else:
-                cur[1] = int(t)
+                # min/max: a late (out-of-order, within-watermark) event
+                # must never move session_end backwards
+                cur[0] = min(cur[0], int(t))
+                cur[1] = max(cur[1], int(t))
                 cur[2] += 1
                 cur[3] += float(v)
         state.update(tuple(cur))
