@@ -70,6 +70,7 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash_lsh_pairs",
         "dedup_simhash_bits",
+        "dedup_simhash_pairs",
         "dedup_ngram_jaccard_pairs",
         "dedup_embedding_neardup",
         "sim_knn_brute_force",
@@ -82,6 +83,13 @@ def main() -> None:
         t0 = time.monotonic()
         queries[name](spark, sf_dir).count()
         timings[name] = time.monotonic() - t0
+
+    # Dedup ops persist shared relations (shingles, signatures,
+    # fingerprints) for cross-branch reuse; release them explicitly so a
+    # long-lived session doesn't accumulate cached corpora.
+    from pdf_toolkit_spark.ops.dedup import release_caches
+
+    release_caches()
 
     total = sum(timings.values())
     out = {

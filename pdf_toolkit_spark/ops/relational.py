@@ -255,9 +255,12 @@ ORACLES = {
         ),
         ids AS (
             SELECT user_id, ts, value,
-                   sum(new_session) OVER (
+                   -- BIGINT cast: DuckDB's sum() yields HUGEINT -> float in
+                   -- Arrow output; Spark emits bigint. Values are identical,
+                   -- the cast keeps the driver's value-hash in agreement.
+                   CAST(sum(new_session) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM marked
         )
         SELECT user_id, session_id,

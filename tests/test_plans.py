@@ -61,6 +61,29 @@ def test_relational_queries_use_whole_stage_codegen(spark):
     assert "*(1)" in plan and "*(2)" in plan
 
 
+def test_embedding_neardup_is_distributed_block_dgemm(spark):
+    """The exact embedding near-dup must be a grouped-map plan (block-
+    pair dgemm via applyInPandas) reading straight from the parquet
+    scan — no cartesian product, no driver-side collect feeding a
+    broadcast variable."""
+
+    plan = explain_str(QUERIES["dedup_embedding_neardup"](spark, SF_DIR), "simple")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_simhash_pairs_joins_on_band_bucket(spark):
+    """SimHash candidates come from the banded fingerprint equi-join;
+    verification joins move one packed bigint per doc (no 60-row bit
+    relation on any edge)."""
+
+    plan = explain_str(QUERIES["dedup_simhash_pairs"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bit_count" in plan
+
+
 def test_lsh_pairs_joins_on_band_bucket(spark):
     """The near-dup candidate join must be an equi-join on the LSH
     bucket key — never a cartesian/broadcast-nested-loop."""
