@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import subprocess
 import sys
 import uuid
 from pathlib import Path
@@ -80,6 +81,11 @@ def main(argv: list[str] | None = None) -> int:
             out_dir=args.output,
             run_id=args.run_id or f"run-{uuid.uuid4().hex[:8]}",
             resume=not args.no_resume,
+            # Reconstructed invocation, recorded in the metrics table
+            # (reference manifest 'command', cli.py:434-438).
+            command=subprocess.list2cmdline(
+                ["extract_job.py", *(argv if argv is not None else sys.argv[1:])]
+            ),
         )
     except UserError as exc:
         print(f"error: {exc}", file=sys.stderr)

@@ -55,6 +55,9 @@ DEFAULTS: dict[str, Any] = {
     "boilerplate_min_pages": 3,            # repeated-span threshold floor
     "boilerplate_page_frac": 0.6,          # ...and fraction of doc pages
     "strip_page_numbers": True,            # digit-only spans in top/bottom band
+    # --- media sink ---
+    "persist_media": True,                 # write region/image PNGs behind media_ref
+    "debug": False,                        # also emit per-page debug overlays
     # --- Spark topology ---
     "pages_per_chunk": 64,                 # mega-PDF salting chunk size
     "output_buckets": 32,                  # bucket(doc_id) partition count
@@ -116,7 +119,7 @@ _RULES: dict[str, tuple[Callable[[Any], bool], str]] = {
     "arrow_batch_rows": (lambda v: v >= 1, "a positive integer"),
 }
 
-_BOOL_KEYS = {"dry_run", "overwrite", "strip_page_numbers"}
+_BOOL_KEYS = {"dry_run", "overwrite", "strip_page_numbers", "persist_media", "debug"}
 
 
 def deep_merge(base: dict[str, Any], overlay: dict[str, Any]) -> dict[str, Any]:

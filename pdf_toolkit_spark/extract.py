@@ -45,6 +45,7 @@ import numpy as np
 from . import kernels as K
 from .config import DEFAULTS
 from .pdfio.parser import ParsedPage, PdfDocument
+from .pdfio.png import encode_gray_png
 
 #: item_idx offset that places a region's scan span after its text spans.
 REGION_SCAN_ITEM_IDX = 1_000_000
@@ -92,6 +93,9 @@ class PageResult:
     candidates: list[SpanCandidate]
     lineage: dict[str, Any]
     counters: dict[str, int] = field(default_factory=dict)
+    #: content-addressed media blobs produced by this page:
+    #: media_ref -> PNG bytes (empty when persist_media is off).
+    media: dict[str, bytes] = field(default_factory=dict)
 
 
 def _crop_half(arr: np.ndarray, cfg: dict, is_left: bool) -> tuple[tuple, bool, Optional[str], dict]:
@@ -146,6 +150,18 @@ def extract_page(page: ParsedPage, page_no: int, cfg: dict) -> PageResult:
 
     counters = {"pages_parsed": 1, "rotations_fixed": 0, "spreads_split": 0, "crop_only": 0}
     notes: list[str] = []
+    media: dict[str, bytes] = {}
+    persist_media = bool(cfg.get("persist_media", True))
+
+    def _media_ref(arr: np.ndarray) -> str:
+        """Content-addressed ref; the PNG bytes ride along so the media
+        sink can persist them (the reference saves every output image,
+        page_images.py:934-938, render.py:140-142)."""
+
+        ref = media_ref_for(arr)
+        if persist_media and ref not in media:
+            media[ref] = encode_gray_png(arr)
+        return ref
     lineage: dict[str, Any] = {
         "page_no": page_no,
         "action": "extract",
@@ -189,7 +205,7 @@ def extract_page(page: ParsedPage, page_no: int, cfg: dict) -> PageResult:
                 candidates.append(_span_for_text(payload, row, page_h, page_no, 0, idx))
             else:
                 candidates.append(
-                    SpanCandidate(page_no, 0, idx, "image", None, media_ref_for(payload),
+                    SpanCandidate(page_no, 0, idx, "image", None, _media_ref(payload),
                                   "", 0, False)
                 )
         lineage["mode_used"] = "crop"
@@ -198,7 +214,7 @@ def extract_page(page: ParsedPage, page_no: int, cfg: dict) -> PageResult:
             {k: v for k, v in lineage.items() if k != "detail_json"}, sort_keys=True
         )
         counters["crop_only"] = 1
-        return PageResult(candidates, lineage, counters)
+        return PageResult(candidates, lineage, counters, media)
 
     height, width = scan.shape
     detected_spread = K.detect_spread(width, height, cfg["split_ratio"])
@@ -246,6 +262,13 @@ def extract_page(page: ParsedPage, page_no: int, cfg: dict) -> PageResult:
 
         lineage.update(gutter_x=gutter_x, left_bbox=left_bbox, right_bbox=right_bbox)
         counters["spreads_split"] = 1
+        if cfg.get("debug", False):
+            # Debug overlay (reference page_images.py:546-580): gutter
+            # line + both bboxes (right shifted into spread coords).
+            overlay = K.draw_debug_overlay(
+                scan, gutter_x, left_bbox, right_bbox, right_offset_x
+            )
+            lineage["debug_ref"] = _media_ref(overlay)
 
         l, t, r, b = left_bbox
         left_region = left_arr[t:b, l:r]
@@ -260,15 +283,15 @@ def extract_page(page: ParsedPage, page_no: int, cfg: dict) -> PageResult:
             else:
                 candidates.append(
                     SpanCandidate(page_no, region_idx, idx, "image", None,
-                                  media_ref_for(payload), "", 0, False)
+                                  _media_ref(payload), "", 0, False)
                 )
         candidates.append(
             SpanCandidate(page_no, 0, REGION_SCAN_ITEM_IDX, "image", None,
-                          media_ref_for(left_region), "", 0, False)
+                          _media_ref(left_region), "", 0, False)
         )
         candidates.append(
             SpanCandidate(page_no, 1, REGION_SCAN_ITEM_IDX + 1, "image", None,
-                          media_ref_for(right_region), "", 0, False)
+                          _media_ref(right_region), "", 0, False)
         )
     else:
         # Crop-only path forces the outer clamp off (page_images.py:891-909).
@@ -278,6 +301,8 @@ def extract_page(page: ParsedPage, page_no: int, cfg: dict) -> PageResult:
             notes.append(cnote)
         lineage["crop_bbox"] = crop_bbox
         counters["crop_only"] = 1
+        if cfg.get("debug", False):
+            lineage["debug_ref"] = _media_ref(K.draw_debug_overlay(scan, None, crop_bbox))
         l, t, r, b = crop_bbox
         region = scan[t:b, l:r]
         for idx, (kind, payload, row, _col) in enumerate(up_items):
@@ -285,12 +310,12 @@ def extract_page(page: ParsedPage, page_no: int, cfg: dict) -> PageResult:
                 candidates.append(_span_for_text(payload, row, height, page_no, 0, idx))
             else:
                 candidates.append(
-                    SpanCandidate(page_no, 0, idx, "image", None, media_ref_for(payload),
+                    SpanCandidate(page_no, 0, idx, "image", None, _media_ref(payload),
                                   "", 0, False)
                 )
         candidates.append(
             SpanCandidate(page_no, 0, REGION_SCAN_ITEM_IDX, "image", None,
-                          media_ref_for(region), "", 0, False)
+                          _media_ref(region), "", 0, False)
         )
 
     lineage["notes"] = notes
@@ -299,7 +324,7 @@ def extract_page(page: ParsedPage, page_no: int, cfg: dict) -> PageResult:
     lineage["detail_json"] = json.dumps(
         {k: v for k, v in lineage.items() if k != "detail_json"}, sort_keys=True
     )
-    return PageResult(candidates, lineage, counters)
+    return PageResult(candidates, lineage, counters, media)
 
 
 def boilerplate_threshold(n_pages: int, cfg: dict) -> int:
@@ -367,15 +392,17 @@ def extract_document(
 
     all_candidates: list[SpanCandidate] = []
     lineage_rows: list[dict[str, Any]] = []
+    media: dict[str, bytes] = {}
     counters = {"pages_parsed": 0, "rotations_fixed": 0, "spreads_split": 0,
                 "crop_only": 0, "docs_processed": 1}
     for page_no in range(lo, hi + 1):
         result = extract_page(doc.load_page(page_no), page_no, cfg)
         all_candidates.extend(result.candidates)
         lineage_rows.append(result.lineage)
+        media.update(result.media)
         for key, inc in result.counters.items():
             counters[key] = counters.get(key, 0) + inc
 
     spans = strip_and_order(all_candidates, n_pages, cfg)
     return {"spans": spans, "lineage": lineage_rows, "counters": counters,
-            "candidates": all_candidates, "n_pages": n_pages}
+            "candidates": all_candidates, "n_pages": n_pages, "media": media}

@@ -448,3 +448,39 @@ def rotate_point_cw(
     if d == 270:
         return n_cols - 1 - col, row
     raise UserError("Degrees must be one of 90, 180, 270 (clockwise).")
+
+
+def draw_debug_overlay(
+    scan: np.ndarray,
+    gutter_x: "int | None",
+    left_bbox: "BBox | None",
+    right_bbox: "BBox | None" = None,
+    right_offset_x: int = 0,
+) -> np.ndarray:
+    """Grayscale analog of the reference's debug overlay
+    (page_images.py:546-580): gutter line drawn dark (0), bbox borders
+    drawn bright (255); the right bbox is shifted by its offset into
+    full-spread coordinates, exactly as the reference shifts it by
+    ``gutter_x``. Returns a copy — the scan itself is never mutated."""
+
+    out = np.ascontiguousarray(scan).copy()
+    h, w = out.shape
+
+    def _box(bbox: "BBox", shift: int) -> None:
+        l, t, r, b = bbox
+        l, r = max(0, l + shift), min(w, r + shift)
+        t, b = max(0, t), min(h, b)
+        if r <= l or b <= t:
+            return
+        out[t, l:r] = 255
+        out[b - 1, l:r] = 255
+        out[t:b, l] = 255
+        out[t:b, r - 1] = 255
+
+    if gutter_x is not None and 0 <= gutter_x < w:
+        out[:, gutter_x] = 0
+    if left_bbox is not None:
+        _box(left_bbox, 0)
+    if right_bbox is not None:
+        _box(right_bbox, right_offset_x)
+    return out

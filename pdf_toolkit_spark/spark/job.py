@@ -63,6 +63,7 @@ def make_extract_batch(cfg: dict[str, Any]):
                 # stage failure. Failed docs emit no spans, stay
                 # uncommitted, and are retried by the next resume run.
                 doc_rows: list[tuple] = []
+                seen_refs: set[str] = set()
                 try:
                     doc = PdfDocument(bytes(pdf_bytes))
                     for page_no in range(int(lo), int(hi) + 1):
@@ -76,16 +77,28 @@ def make_extract_batch(cfg: dict[str, Any]):
                             c.get("spreads_split", 0),
                             c.get("crop_only", 0),
                         )
+                        # Media blobs ride as dedicated kind='media' rows
+                        # (one per distinct ref per doc chunk); they feed
+                        # the content-addressed media sink and never
+                        # become spans.
+                        for ref, png in result.media.items():
+                            if ref in seen_refs:
+                                continue
+                            seen_refs.add(ref)
+                            doc_rows.append((doc_id, int(n_pages), page_no, 0, 0,
+                                             "media", None, None, None, None,
+                                             ref, png, *(None,) * 6))
                         if not result.candidates:
                             doc_rows.append((doc_id, int(n_pages), page_no, 0, 0, "none",
-                                             None, None, None, None, None, *lineage_payload))
+                                             None, None, None, None, None, None,
+                                             *lineage_payload))
                             continue
                         for i, cand in enumerate(result.candidates):
                             payload = lineage_payload if i == 0 else (None,) * 6
                             doc_rows.append((
                                 doc_id, int(n_pages), cand.page_no, cand.region_idx,
                                 cand.item_idx, cand.kind, cand.text, cand.norm_text,
-                                cand.y_band, cand.is_page_number, cand.media_ref,
+                                cand.y_band, cand.is_page_number, cand.media_ref, None,
                                 *payload,
                             ))
                 except Exception as exc:  # parse/codec errors
@@ -93,7 +106,7 @@ def make_extract_batch(cfg: dict[str, Any]):
                         {"error": f"{type(exc).__name__}: {exc}"}, sort_keys=True
                     )
                     doc_rows = [(doc_id, int(n_pages), int(lo), 0, 0, "none",
-                                 None, None, None, None, None,
+                                 None, None, None, None, None, None,
                                  detail, "error", 0, 0, 0, 0)]
                 rows.extend(doc_rows)
             yield pd.DataFrame(rows, columns=cols)
@@ -167,7 +180,7 @@ def assemble_spans(kept: DataFrame) -> DataFrame:
     ordered = F.array_sort(
         F.collect_list(
             F.when(
-                F.col("kind") != "none",
+                ~F.col("kind").isin("none", "media"),
                 F.struct("page_no", "region_idx", "item_idx", "kind", "text", "media_ref"),
             )
         )
@@ -212,7 +225,10 @@ def build_pipeline(
     n_parts = spark.sparkContext.defaultParallelism * 4
     salted = salted.repartition(n_parts, F.col("doc_id"), F.col("chunk_start"))
     records = salted.mapInPandas(make_extract_batch(cfg), schema=RECORDS_SCHEMA)
-    spans = assemble_spans(strip_boilerplate(records, cfg))
+    # PNG blobs must not ride through the strip window / assembly
+    # shuffles — the spans branch projects them away up front (the media
+    # sink reads them from the shared, persisted records relation).
+    spans = assemble_spans(strip_boilerplate(records.drop("media_png"), cfg))
     return spans, records
 
 
@@ -230,6 +246,7 @@ def run_extraction(
     out_dir: Optional[str] = None,
     run_id: str = "run0",
     resume: bool = True,
+    command: Optional[str] = None,
 ) -> RunResult:
     """Execute the job; optionally checkpoint-resumable against out_dir.
 
@@ -237,10 +254,20 @@ def run_extraction(
     (page_images.py:740-752) as a left-anti join: docs whose spans are
     already committed are never re-parsed. Docs are written atomically
     per aggregation, so the committed set is always consistent.
+
+    Outputs under ``out_dir``: ``spans`` (bucketed by doc_id), ``media``
+    (content-addressed PNG blobs — written BEFORE spans so a committed
+    doc always has resolvable media_refs), ``lineage`` (timestamped
+    per-page action log), ``metrics`` (one row per run with ISO
+    timestamps and the reconstructed ``command``, the reference's
+    manifest metadata, manifest.py:90-106 / cli.py:434-438).
     """
+
+    from datetime import datetime, timezone
 
     cfg = validate_config(dict(DEFAULTS, **(cfg or {})))
     started = time.monotonic()
+    started_at = datetime.now(timezone.utc).isoformat()
     # arrow_batch_rows is a runtime conf: fat PDFs want small batches
     spark.conf.set(
         "spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg["arrow_batch_rows"])
@@ -291,6 +318,30 @@ def run_extraction(
         ).collect()[0]
 
         n_buckets = int(cfg["output_buckets"])
+        if spans_path and cfg["persist_media"]:
+            # Content-addressed media store: one row per distinct
+            # media_ref (any copy of the blob is identical by
+            # construction), anti-joined against already-committed refs
+            # so re-runs and resumes never rewrite existing blobs.
+            media_tbl = (
+                records.filter(F.col("kind") == "media")
+                .groupBy("media_ref")
+                .agg(F.first("media_png").alias("png_bytes"))
+            )
+            media_path = f"{out_dir}/media"
+            if not cfg["overwrite"]:
+                from pyspark.errors import AnalysisException
+
+                try:
+                    committed_refs = spark.read.parquet(media_path).select("media_ref")
+                    media_tbl = media_tbl.join(
+                        F.broadcast(committed_refs), "media_ref", "left_anti"
+                    )
+                except AnalysisException as exc:
+                    if ("PATH_NOT_FOUND" not in str(exc)
+                            and "Path does not exist" not in str(exc)):
+                        raise
+            media_tbl.write.mode(write_mode).parquet(media_path)
         if spans_path:
             out_spans = spans.withColumn(
                 "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
@@ -305,6 +356,7 @@ def run_extraction(
                 "page_no",
                 F.col("status"),
                 F.col("lineage_json").alias("detail_json"),
+                F.current_timestamp().alias("recorded_at"),
             )
             lineage_out.write.mode(write_mode).parquet(f"{out_dir}/lineage")
 
@@ -318,16 +370,21 @@ def run_extraction(
             "crop_only": int(agg["crop_only"] or 0),
             "elapsed_sec": time.monotonic() - started,
             "parallelism": spark.sparkContext.master,
+            "started_at": started_at,
+            "ended_at": datetime.now(timezone.utc).isoformat(),
+            "command": command,
         }
         if spans_path:
             metrics_df = spark.createDataFrame(
                 [tuple(metrics[f] for f in (
                     "run_id", "docs_processed", "pages_parsed", "spreads_split",
                     "rotations_fixed", "crop_only", "elapsed_sec", "parallelism",
+                    "started_at", "ended_at", "command",
                 ))],
                 schema="run_id string, docs_processed long, pages_parsed long, "
                        "spreads_split long, rotations_fixed long, crop_only long, "
-                       "elapsed_sec double, parallelism string",
+                       "elapsed_sec double, parallelism string, started_at string, "
+                       "ended_at string, command string",
             )
             metrics_df.write.mode("append").parquet(f"{out_dir}/metrics")
         return RunResult(run_id, metrics, spans_path)

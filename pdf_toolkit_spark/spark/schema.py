@@ -33,7 +33,9 @@ SPANS_SCHEMA = T.StructType([
 #: Stage-1 (mapInPandas) output: one row per span candidate; the first
 #: candidate row of each page additionally carries the page's lineage
 #: and counter increments (null elsewhere). kind='none' rows exist only
-#: to carry lineage for pages that produced no candidates.
+#: to carry lineage for pages that produced no candidates; kind='media'
+#: rows carry one content-addressed PNG blob each (media_ref +
+#: media_png) for the media sink and never become spans.
 RECORDS_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType(), False),
     T.StructField("n_pages", T.IntegerType(), False),
@@ -46,6 +48,7 @@ RECORDS_SCHEMA = T.StructType([
     T.StructField("y_band", T.IntegerType(), True),
     T.StructField("is_page_number", T.BooleanType(), True),
     T.StructField("media_ref", T.StringType(), True),
+    T.StructField("media_png", T.BinaryType(), True),
     # lineage payload (first row of each page only)
     T.StructField("lineage_json", T.StringType(), True),
     T.StructField("status", T.StringType(), True),
@@ -55,16 +58,27 @@ RECORDS_SCHEMA = T.StructType([
     T.StructField("crop_only", T.IntegerType(), True),
 ])
 
-#: Lineage table (FIXTURES.md §4): per-page action records.
+#: Lineage table (FIXTURES.md §4): per-page action records, timestamped
+#: (reference manifest records ISO timestamps, manifest.py:21-24).
 LINEAGE_SCHEMA = T.StructType([
     T.StructField("run_id", T.StringType(), False),
     T.StructField("doc_id", T.StringType(), False),
     T.StructField("page_no", T.IntegerType(), False),
     T.StructField("status", T.StringType(), True),
     T.StructField("detail_json", T.StringType(), True),
+    T.StructField("recorded_at", T.TimestampType(), True),
 ])
 
-#: Metrics table (FIXTURES.md §4): one row per run.
+#: Media table: content-addressed PNG blobs referenced by span
+#: media_refs (the reference's PNG sink, page_images.py:934-938).
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("png_bytes", T.BinaryType(), False),
+])
+
+#: Metrics table (FIXTURES.md §4): one row per run, with run metadata
+#: (ISO timestamps + reconstructed command, reference manifest.py:90-106
+#: and cli.py:434-438).
 METRICS_SCHEMA = T.StructType([
     T.StructField("run_id", T.StringType(), False),
     T.StructField("docs_processed", T.LongType(), True),
@@ -74,4 +88,7 @@ METRICS_SCHEMA = T.StructType([
     T.StructField("crop_only", T.LongType(), True),
     T.StructField("elapsed_sec", T.DoubleType(), True),
     T.StructField("parallelism", T.StringType(), True),
+    T.StructField("started_at", T.StringType(), True),
+    T.StructField("ended_at", T.StringType(), True),
+    T.StructField("command", T.StringType(), True),
 ])
