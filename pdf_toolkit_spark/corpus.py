@@ -215,9 +215,12 @@ def make_document(
     else:  # pragma: no cover
         raise ValueError(doc_class)
 
+    # Every third doc ships in the PDF 1.5 container (object stream +
+    # xref stream) so both parser paths are exercised end-to-end by the
+    # same corpus; page content — and therefore spans — is identical.
     return {
         "doc_id": f"doc{doc_id:06d}",
-        "pdf_bytes": write_pdf(pages),
+        "pdf_bytes": write_pdf(pages, pdf15=(doc_id % 3 == 1)),
         "n_pages": len(pages),
         "doc_class": doc_class,
     }

@@ -8,10 +8,21 @@ individual pages on demand — which is what makes mega-PDF chunk salting
 cheap (a chunk worker decodes only its page range, mirroring
 split.py:28-42 semantics).
 
-Supported surface (what the fixture corpus and common simple PDFs use):
-classic xref tables, FlateDecode streams, flat /Pages trees, DeviceGray
-8-bit image XObjects, and content streams with q/Q, cm, Do, BT/ET,
-Tf/Td/TD/Tm, Tj/TJ. Unknown operators are skipped operand-safely.
+Supported surface:
+- classic xref tables AND cross-reference streams (PDF 1.5+, §7.5.8),
+  incl. /Prev incremental-update chains, /XRefStm hybrid files, and
+  free-entry shadowing (an object freed by a newer revision stays gone)
+- object streams (/Type /ObjStm, §7.5.7)
+- stream filters: FlateDecode, LZWDecode, RunLengthDecode,
+  ASCIIHexDecode, ASCII85Decode, with PNG/TIFF /DecodeParms predictors;
+  filter arrays compose. DCTDecode/JPXDecode images surface as missing
+  rasters (no codecs in this container)
+- nested /Pages trees with attribute inheritance (Resources/MediaBox/
+  CropBox/Rotate, §7.7.3.4)
+- string escapes incl. \\ddd octal and line continuations
+- DeviceGray 8-bit image XObjects; content streams with q/Q, cm, Do,
+  BT/ET, Tf/Td/TD/Tm, Tj/TJ. Unknown operators are skipped
+  operand-safely.
 """
 
 from __future__ import annotations
@@ -38,6 +49,180 @@ class Ref:
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
+
+
+# --- stream filter pipeline (PDF 32000-1 §7.4) ---
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    body = data.split(b">", 1)[0]
+    hexed = re.sub(rb"\s", b"", body)
+    if len(hexed) % 2:
+        hexed += b"0"
+    return bytes.fromhex(hexed.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    body = re.sub(rb"\s", b"", data)
+    if body.startswith(b"<~"):
+        body = body[2:]
+    if body.endswith(b"~>"):
+        body = body[:-2]
+    return base64.a85decode(body)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        if length == 128:  # EOD
+            break
+        if length < 128:
+            out += data[i + 1 : i + 2 + length]
+            i += 2 + length
+        else:
+            out += data[i + 1 : i + 2] * (257 - length)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode: 9-12 bit variable-width codes, clear=256, EOD=257."""
+
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: Optional[bytes] = None
+    buf = bits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        bits += 8
+        while bits >= width:
+            bits -= width
+            code = (buf >> bits) & ((1 << width) - 1)
+            if code == 256:  # clear table
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise UserError("Corrupt LZW stream: first code out of range.")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise UserError("Corrupt LZW stream: code out of range.")
+            out += entry
+            prev = entry
+            # Code width grows one entry early with EarlyChange=1
+            # (the PDF default), at table sizes 511/1023/2047.
+            if width < 12:
+                bump_at = (511, 1023, 2047) if early_change else (512, 1024, 2048)
+                if len(table) in bump_at:
+                    width += 1
+    return bytes(out)
+
+
+def _unpredict(data: bytes, parms: dict) -> bytes:
+    """Apply /DecodeParms prediction reversal (PNG predictors 10-15,
+    TIFF predictor 2) after Flate/LZW decompression."""
+
+    predictor = int(parms.get("Predictor", 1))
+    if predictor <= 1:
+        return data
+    colors = int(parms.get("Colors", 1))
+    bpc = int(parms.get("BitsPerComponent", 8))
+    columns = int(parms.get("Columns", 1))
+    bpp = max(1, (colors * bpc) // 8)
+    row_len = (columns * colors * bpc + 7) // 8
+    if predictor == 2:  # TIFF horizontal differencing (8-bit only here)
+        if bpc != 8:
+            raise UserError("TIFF predictor requires 8 bits per component.")
+        arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, row_len).copy()
+        for x in range(bpp, row_len):
+            arr[:, x] = (arr[:, x] + arr[:, x - bpp]) & 0xFF
+        return arr.tobytes()
+    # PNG predictors: every row is prefixed with a filter-type byte
+    stride = row_len + 1
+    if len(data) % stride:
+        raise UserError("Predicted stream length is not a whole number of rows.")
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(-1, stride)
+    out = np.zeros((rows.shape[0], row_len), dtype=np.uint8)
+    for y in range(rows.shape[0]):
+        ftype = rows[y, 0]
+        line = rows[y, 1:].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else np.zeros(row_len, dtype=np.int32)
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 2:  # Up
+            out[y] = ((line + prior) & 0xFF).astype(np.uint8)
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            row = np.zeros(row_len, dtype=np.int32)
+            for x in range(row_len):
+                left = row[x - bpp] if x >= bpp else 0
+                up = int(prior[x])
+                upleft = int(prior[x - bpp]) if x >= bpp else 0
+                if ftype == 1:
+                    rec = line[x] + left
+                elif ftype == 3:
+                    rec = line[x] + (left + up) // 2
+                else:
+                    p = left + up - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                    if pa <= pb and pa <= pc:
+                        rec = line[x] + left
+                    elif pb <= pc:
+                        rec = line[x] + up
+                    else:
+                        rec = line[x] + upleft
+                row[x] = rec & 0xFF
+            out[y] = row.astype(np.uint8)
+        else:
+            raise UserError(f"Unknown PNG predictor filter type {ftype}.")
+    return out.tobytes()
+
+
+def _decode_stream_data(obj: dict, raw: bytes, resolve) -> bytes:
+    """Run the stream's /Filter pipeline (with /DecodeParms) over raw
+    bytes. Supported: FlateDecode, LZWDecode, RunLengthDecode,
+    ASCIIHexDecode, ASCII85Decode — each optionally predicted.
+    DCTDecode/JPXDecode/etc. raise (image consumers surface those as
+    missing rasters)."""
+
+    filters = resolve(obj.get("Filter"))
+    if filters is None:
+        return raw
+    if not isinstance(filters, list):
+        filters = [filters]
+    parms = resolve(obj.get("DecodeParms", obj.get("DP")))
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    data = raw
+    for name, parm in zip(filters, parms):
+        parm = resolve(parm) or {}
+        fname = str(name)
+        if fname == "FlateDecode" or fname == "Fl":
+            data = _unpredict(zlib.decompress(data), parm)
+        elif fname == "LZWDecode" or fname == "LZW":
+            data = _unpredict(_lzw_decode(data, int(parm.get("EarlyChange", 1))), parm)
+        elif fname == "RunLengthDecode" or fname == "RL":
+            data = _runlength_decode(data)
+        elif fname == "ASCIIHexDecode" or fname == "AHx":
+            data = _ascii_hex_decode(data)
+        elif fname == "ASCII85Decode" or fname == "A85":
+            data = _ascii85_decode(data)
+        else:
+            raise UserError(f"Unsupported stream filter: {fname}.")
+    return data
 
 
 class _Lexer:
@@ -121,11 +306,22 @@ class _Lexer:
         depth = 1
         while self.pos < len(d):
             ch = d[self.pos]
-            if ch == 0x5C:  # backslash escape
-                nxt = d[self.pos + 1]
-                mapping = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
-                out.append(mapping.get(nxt, nxt))
-                self.pos += 2
+            if ch == 0x5C:  # backslash escape (PDF 32000-1 §7.3.4.2)
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0x5C
+                if 0x30 <= nxt <= 0x37:  # \ddd octal, 1-3 digits
+                    val, k = 0, 0
+                    while k < 3 and self.pos + 1 + k < len(d) and 0x30 <= d[self.pos + 1 + k] <= 0x37:
+                        val = val * 8 + (d[self.pos + 1 + k] - 0x30)
+                        k += 1
+                    out.append(val & 0xFF)
+                    self.pos += 1 + k
+                elif nxt in (0x0A, 0x0D):  # backslash-EOL: line continuation
+                    self.pos += 2
+                    if nxt == 0x0D and self.pos < len(d) and d[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(_STR_ESCAPES.get(nxt, nxt))
+                    self.pos += 2
                 continue
             if ch == 0x28:
                 depth += 1
@@ -210,8 +406,20 @@ def _unescape_pdf_string(raw: bytes) -> bytes:
         ch = raw[i]
         if ch == 0x5C and i + 1 < n:
             nxt = raw[i + 1]
-            out.append(_STR_ESCAPES.get(nxt, nxt))
-            i += 2
+            if 0x30 <= nxt <= 0x37:  # \ddd octal, 1-3 digits
+                val, k = 0, 0
+                while k < 3 and i + 1 + k < n and 0x30 <= raw[i + 1 + k] <= 0x37:
+                    val = val * 8 + (raw[i + 1 + k] - 0x30)
+                    k += 1
+                out.append(val & 0xFF)
+                i += 1 + k
+            elif nxt in (0x0A, 0x0D):  # backslash-EOL: line continuation
+                i += 2
+                if nxt == 0x0D and i < n and raw[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(_STR_ESCAPES.get(nxt, nxt))
+                i += 2
         else:
             out.append(ch)
             i += 1
@@ -282,62 +490,156 @@ class ParsedPage:
 class PdfDocument:
     """Lazy PDF reader over an in-memory byte string."""
 
+    #: Page attributes inherited down the /Pages tree (PDF 32000-1 §7.7.3.4).
+    _INHERITABLE = ("Resources", "MediaBox", "CropBox", "Rotate")
+
     def __init__(self, data: bytes) -> None:
         if not data.startswith(b"%PDF"):
             raise UserError("Not a PDF: missing %PDF header.")
         self.data = data
         self._cache: dict[int, Any] = {}
-        self._streams: dict[int, bytes] = {}
+        self._raw_streams: dict[int, bytes] = {}
+        self._decoded_streams: dict[int, bytes] = {}
+        self._objstm_cache: dict[int, tuple[list[tuple[int, int]], bytes, int]] = {}
         self._offsets = self._read_xref()
         root = self._trailer.get("Root")
         catalog = self.resolve(root)
         if not isinstance(catalog, dict):
             raise UserError("PDF catalog not found.")
         pages_node = self.resolve(catalog.get("Pages"))
-        self._kids: list[Ref] = self._flatten_kids(pages_node)
+        #: (page ref, inherited attrs) in document order.
+        self._kids: list[tuple[Ref, dict]] = self._flatten_kids(pages_node, {})
 
     # --- xref / object layer ---
 
-    def _read_xref(self) -> dict[int, int]:
-        """Walk the xref chain (latest table first, then /Prev links for
-        incrementally-updated files); newer sections win."""
+    def _read_xref(self) -> dict[int, tuple]:
+        """Walk the xref chain: classic tables AND cross-reference
+        streams (PDF 1.5+, §7.5.8), following /Prev links (incremental
+        updates) and /XRefStm (hybrid files). Newer sections win —
+        including 'f' (free) entries, which shadow older in-use offsets
+        so objects deleted by a later revision stay deleted.
+
+        Entry values: ("n", byte_offset) for regular objects,
+        ("c", objstm_num, idx) for objects in object streams, and
+        ("f",) for freed objects.
+        """
 
         tail = self.data[-256:]
         m = list(re.finditer(rb"startxref\s+(\d+)", tail))
         if not m:
             raise UserError("PDF has no startxref.")
-        xref_at: Optional[int] = int(m[-1].group(1))
-        offsets: dict[int, int] = {}
+        offsets: dict[int, tuple] = {}
         main_trailer: Optional[dict] = None
         seen: set[int] = set()
-        while xref_at is not None and xref_at not in seen:
+        queue: list[int] = [int(m[-1].group(1))]
+        while queue:
+            xref_at = queue.pop(0)
+            if xref_at in seen:
+                continue
             seen.add(xref_at)
             lex = _Lexer(self.data, xref_at)
-            if lex.next_token() != "xref":
-                raise UserError("Only classic xref tables are supported.")
-            while True:
-                save = lex.pos
-                tok = lex.next_token()
-                if tok == "trailer":
-                    break
-                start = tok
-                count = lex.next_token()
-                if not (isinstance(start, int) and isinstance(count, int)):
-                    lex.pos = save
-                    raise UserError("Malformed xref subsection header.")
-                for i in range(count):
-                    off = lex.next_token()
-                    _gen = lex.next_token()
-                    kind = lex.next_token()
-                    if kind == "n":
-                        offsets.setdefault(start + i, int(off))
-            trailer = _parse_value(lex)
+            save = lex.pos
+            tok = lex.next_token()
+            if tok == "xref":  # classic table
+                while True:
+                    save = lex.pos
+                    tok = lex.next_token()
+                    if tok == "trailer":
+                        break
+                    start = tok
+                    count = lex.next_token()
+                    if not (isinstance(start, int) and isinstance(count, int)):
+                        lex.pos = save
+                        raise UserError("Malformed xref subsection header.")
+                    for i in range(count):
+                        off = lex.next_token()
+                        _gen = lex.next_token()
+                        kind = lex.next_token()
+                        if kind == "n":
+                            offsets.setdefault(start + i, ("n", int(off)))
+                        elif kind == "f":
+                            offsets.setdefault(start + i, ("f",))
+                trailer = _parse_value(lex)
+            else:  # cross-reference stream: "N G obj << /Type /XRef ... >> stream"
+                lex.pos = save
+                trailer = self._read_xref_stream(lex, offsets)
             if main_trailer is None:
                 main_trailer = trailer
+            # Hybrid-reference files: /XRefStm points at a stream whose
+            # entries take precedence over this table's /Prev chain —
+            # queue it first (setdefault = first writer wins).
+            xs = trailer.get("XRefStm")
+            if isinstance(xs, (int, float)):
+                queue.append(int(xs))
             prev = trailer.get("Prev")
-            xref_at = int(prev) if isinstance(prev, (int, float)) else None
+            if isinstance(prev, (int, float)):
+                queue.append(int(prev))
         self._trailer = main_trailer or {}
         return offsets
+
+    def _read_xref_stream(self, lex: _Lexer, offsets: dict[int, tuple]) -> dict:
+        """Decode one /Type /XRef stream section into ``offsets`` and
+        return its dict (which doubles as the trailer)."""
+
+        got_num = lex.next_token()
+        _gen = lex.next_token()
+        kw = lex.next_token()
+        if not isinstance(got_num, int) or kw != "obj":
+            raise UserError("Malformed cross-reference section.")
+        xd = _parse_value(lex)
+        if not (isinstance(xd, dict) and xd.get("Type") == Name("XRef")):
+            raise UserError("startxref does not point at an xref table or stream.")
+        raw = self._read_raw_stream_here(lex, xd, allow_indirect_length=False)
+        data = _decode_stream_data(xd, raw, lambda v: v)  # params are direct per spec
+        w = [int(v) for v in xd.get("W", [])]
+        if len(w) != 3:
+            raise UserError("XRef stream missing /W widths.")
+        size = int(xd.get("Size", 0))
+        index = [int(v) for v in xd.get("Index", [0, size])]
+        entry_len = sum(w)
+        pos = 0
+        for k in range(0, len(index), 2):
+            start, count = index[k], index[k + 1]
+            for i in range(count):
+                chunk = data[pos : pos + entry_len]
+                pos += entry_len
+                fields = []
+                at = 0
+                for width in w:
+                    fields.append(int.from_bytes(chunk[at : at + width], "big") if width else None)
+                    at += width
+                etype = fields[0] if w[0] else 1  # default type 1 when w1=0
+                num = start + i
+                if etype == 1:
+                    offsets.setdefault(num, ("n", fields[1]))
+                elif etype == 2:
+                    offsets.setdefault(num, ("c", fields[1], fields[2]))
+                else:  # type 0: free
+                    offsets.setdefault(num, ("f",))
+        return xd
+
+    def _read_raw_stream_here(
+        self, lex: _Lexer, value: dict, allow_indirect_length: bool = True
+    ) -> bytes:
+        """Position ``lex`` just after the dict: consume the stream
+        keyword + EOL and return the raw (still encoded) bytes."""
+
+        if lex.peek_bytes(6) != b"stream":
+            raise UserError("Expected a stream.")
+        lex.pos += 6
+        if self.data.startswith(b"\r\n", lex.pos):
+            lex.pos += 2
+        elif self.data.startswith(b"\n", lex.pos):
+            lex.pos += 1
+        length = value.get("Length")
+        if isinstance(length, Ref):
+            if not allow_indirect_length:
+                # During the xref walk no objects are resolvable yet;
+                # fall back to scanning for the endstream keyword.
+                end = self.data.index(b"endstream", lex.pos)
+                return self.data[lex.pos : end].rstrip(b"\r\n")
+            length = self.resolve(length)
+        return self.data[lex.pos : lex.pos + int(length)]
 
     def resolve(self, value: Any) -> Any:
         while isinstance(value, Ref):
@@ -347,9 +649,14 @@ class PdfDocument:
     def _load_object(self, num: int) -> Any:
         if num in self._cache:
             return self._cache[num]
-        off = self._offsets.get(num)
-        if off is None:
+        entry = self._offsets.get(num)
+        if entry is None or entry[0] == "f":
             raise UserError(f"PDF object {num} not in xref.")
+        if entry[0] == "c":  # lives in an object stream (§7.5.7)
+            value = self._load_from_objstm(entry[1], entry[2], num)
+            self._cache[num] = value
+            return value
+        off = entry[1]
         lex = _Lexer(self.data, off)
         got_num = lex.next_token()
         got_gen = lex.next_token()
@@ -357,28 +664,67 @@ class PdfDocument:
         if got_num != num or kw != "obj":
             raise UserError(f"Object {num} not found at xref offset {off}.")
         value = _parse_value(lex)
-        if lex.peek_bytes(6) == b"stream":
-            lex.pos += 6
-            if self.data.startswith(b"\r\n", lex.pos):
-                lex.pos += 2
-            elif self.data.startswith(b"\n", lex.pos):
-                lex.pos += 1
-            length = self.resolve(value.get("Length"))
-            raw = self.data[lex.pos : lex.pos + int(length)]
-            if value.get("Filter") == Name("FlateDecode"):
-                raw = zlib.decompress(raw)
-            self._streams[num] = raw
+        if isinstance(value, dict) and lex.peek_bytes(6) == b"stream":
+            # Store raw bytes; the filter pipeline runs lazily on first
+            # consumption so one unsupported image filter doesn't poison
+            # unrelated objects.
+            self._raw_streams[num] = self._read_raw_stream_here(lex, value)
         self._cache[num] = value
         return value
 
-    def _flatten_kids(self, pages_node: Any) -> list[Ref]:
-        kids: list[Ref] = []
+    def _load_from_objstm(self, objstm_num: int, idx: int, want_num: int) -> Any:
+        cached = self._objstm_cache.get(objstm_num)
+        if cached is None:
+            stm_dict = self._load_object(objstm_num)
+            if not (isinstance(stm_dict, dict) and stm_dict.get("Type") == Name("ObjStm")):
+                raise UserError(f"Object {objstm_num} is not an object stream.")
+            data = self._decoded_stream_for(objstm_num, stm_dict)
+            n = int(self.resolve(stm_dict.get("N", 0)))
+            first = int(self.resolve(stm_dict.get("First", 0)))
+            hdr = _Lexer(data)
+            pairs: list[tuple[int, int]] = []
+            for _ in range(n):
+                onum = hdr.next_token()
+                ooff = hdr.next_token()
+                if not (isinstance(onum, int) and isinstance(ooff, int)):
+                    raise UserError("Malformed object-stream header.")
+                pairs.append((onum, ooff))
+            cached = (pairs, data, first)
+            self._objstm_cache[objstm_num] = cached
+        pairs, data, first = cached
+        if idx >= len(pairs) or pairs[idx][0] != want_num:
+            # be forgiving: locate by object number if the index is off
+            matches = [o for o in pairs if o[0] == want_num]
+            if not matches:
+                raise UserError(f"Object {want_num} not present in object stream {objstm_num}.")
+            onum, ooff = matches[0]
+        else:
+            onum, ooff = pairs[idx]
+        return _parse_value(_Lexer(data, first + ooff))
+
+    def _decoded_stream_for(self, num: int, obj: dict) -> bytes:
+        data = self._decoded_streams.get(num)
+        if data is None:
+            data = _decode_stream_data(obj, self._raw_streams[num], self.resolve)
+            self._decoded_streams[num] = data
+        return data
+
+    def _flatten_kids(self, pages_node: Any, inherited: dict) -> list[tuple[Ref, dict]]:
+        """Depth-first page refs with inherited attributes accumulated
+        down nested /Pages trees (§7.7.3.4): a child node's own value
+        overrides its ancestors'."""
+
+        inh = dict(inherited)
+        for key in self._INHERITABLE:
+            if key in pages_node:
+                inh[key] = pages_node[key]
+        kids: list[tuple[Ref, dict]] = []
         for kid in self.resolve(pages_node.get("Kids", [])):
             node = self.resolve(kid)
             if node.get("Type") == Name("Pages"):
-                kids.extend(self._flatten_kids(node))
+                kids.extend(self._flatten_kids(node, inh))
             else:
-                kids.append(kid)
+                kids.append((kid, inh))
         return kids
 
     @property
@@ -391,8 +737,10 @@ class PdfDocument:
         ref = ref if isinstance(ref, Ref) else None
         if ref is None:
             raise UserError("Expected an indirect stream reference.")
-        self._load_object(ref.num)
-        return self._streams[ref.num]
+        obj = self._load_object(ref.num)
+        if ref.num not in self._raw_streams:
+            raise UserError(f"Object {ref.num} has no stream.")
+        return self._decoded_stream_for(ref.num, obj)
 
     def _content_stream(self, contents: Any) -> bytes:
         """Page /Contents: a single stream ref OR an array of stream
@@ -420,7 +768,10 @@ class PdfDocument:
         h = int(self.resolve(obj["Height"]))
         if obj.get("ColorSpace") != Name("DeviceGray") or int(self.resolve(obj.get("BitsPerComponent", 8))) != 8:
             return None  # unsupported encodings surface as missing scans
-        raw = self._stream_bytes(ref)
+        try:
+            raw = self._stream_bytes(ref)
+        except UserError:
+            return None  # e.g. DCTDecode — no codec in this container
         if len(raw) < w * h:
             return None
         return np.frombuffer(raw[: w * h], dtype=np.uint8).reshape(h, w)
@@ -435,13 +786,21 @@ class PdfDocument:
 
         if not (0 <= index < self.page_count):
             raise UserError(f"Page index {index} out of range (0..{self.page_count - 1}).")
-        page = self.resolve(self._kids[index])
-        media = [self.resolve(v) for v in self.resolve(page.get("MediaBox", [0, 0, 612, 792]))]
+        ref, inherited = self._kids[index]
+        page = self.resolve(ref)
+
+        def attr(key: str, default: Any = None) -> Any:
+            # Page's own value wins; else nearest ancestor (§7.7.3.4).
+            if key in page:
+                return page[key]
+            return inherited.get(key, default)
+
+        media = [self.resolve(v) for v in self.resolve(attr("MediaBox", [0, 0, 612, 792]))]
         width = int(media[2] - media[0])
         height = int(media[3] - media[1])
-        rotate = int(self.resolve(page.get("Rotate", 0))) % 360
+        rotate = int(self.resolve(attr("Rotate", 0))) % 360
 
-        resources = self.resolve(page.get("Resources", {})) or {}
+        resources = self.resolve(attr("Resources", {})) or {}
         xobject_refs: dict[str, Ref] = {
             name: ref
             for name, ref in (self.resolve(resources.get("XObject", {})) or {}).items()

@@ -1,4 +1,5 @@
-"""Deterministic minimal PDF 1.4 writer.
+"""Deterministic minimal PDF writer (classic 1.4 layout, or 1.5 with
+object + cross-reference streams via ``pdf15=True``).
 
 Produces real PDF files: xref table, catalog/pages tree, per-page
 content streams (text shown with BT/Tf/Td/Tj/ET, images placed with
@@ -62,7 +63,9 @@ class _Builder:
         self.set(num, body)
         return num
 
-    def render(self, root_num: int) -> bytes:
+    def render(self, root_num: int, *, pdf15: bool = False) -> bytes:
+        if pdf15:
+            return self._render_pdf15(root_num)
         header = b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n"
         out = bytearray(header)
         offsets = [0]
@@ -83,6 +86,54 @@ class _Builder:
         ).encode()
         return bytes(out)
 
+    def _render_pdf15(self, root_num: int) -> bytes:
+        """PDF 1.5 layout: non-stream objects packed into one object
+        stream (/Type /ObjStm, §7.5.7), cross-reference emitted as a
+        /Type /XRef stream (§7.5.8) with W [1 4 2]. Deterministic like
+        the classic path."""
+
+        out = bytearray(b"%PDF-1.5\n%\xc2\xb5\xc2\xb6\n")
+        objstm_num = len(self._objects)
+        xref_num = objstm_num + 1
+        top: list[int] = []
+        comp: list[int] = []
+        for num in range(1, len(self._objects)):
+            body = self._objects[num] or b"null"
+            (top if b"\nstream\n" in body else comp).append(num)
+        entries: dict[int, tuple[int, int, int]] = {0: (0, 0, 65535)}
+        for num in top:
+            entries[num] = (1, len(out), 0)
+            out += f"{num} 0 obj\n".encode() + (self._objects[num] or b"null") + b"\nendobj\n"
+        if comp:
+            blob = bytearray()
+            offs: list[int] = []
+            for num in comp:
+                offs.append(len(blob))
+                blob += (self._objects[num] or b"null") + b"\n"
+            hdr = " ".join(f"{n} {o}" for n, o in zip(comp, offs)).encode() + b"\n"
+            payload = zlib.compress(bytes(hdr) + bytes(blob), 6)
+            entries[objstm_num] = (1, len(out), 0)
+            out += (
+                f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(comp)} /First {len(hdr)} "
+                f"/Filter /FlateDecode /Length {len(payload)} >>\nstream\n"
+            ).encode() + payload + b"\nendstream\nendobj\n"
+            for idx, num in enumerate(comp):
+                entries[num] = (2, objstm_num, idx)
+        size = xref_num + 1
+        xref_at = len(out)
+        entries[xref_num] = (1, xref_at, 0)
+        rows = bytearray()
+        for num in range(size):
+            t, f2, f3 = entries.get(num, (0, 0, 65535))
+            rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        xdata = zlib.compress(bytes(rows), 6)
+        out += (
+            f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] /Index [0 {size}] "
+            f"/Root {root_num} 0 R /Filter /FlateDecode /Length {len(xdata)} >>\nstream\n"
+        ).encode() + xdata + b"\nendstream\nendobj\n"
+        out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+        return bytes(out)
+
 
 def _image_xobject(arr: np.ndarray) -> bytes:
     h, w = arr.shape
@@ -95,8 +146,13 @@ def _image_xobject(arr: np.ndarray) -> bytes:
     return head + data + b"\nendstream"
 
 
-def write_pdf(pages: list[PageSpec]) -> bytes:
-    """Serialize pages into a complete PDF byte stream."""
+def write_pdf(pages: list[PageSpec], *, pdf15: bool = False) -> bytes:
+    """Serialize pages into a complete PDF byte stream.
+
+    ``pdf15=True`` emits the PDF 1.5 container layout (object stream +
+    cross-reference stream) with identical page content — the parser
+    must extract byte-identical spans from either form.
+    """
 
     b = _Builder()
     catalog_num = b.reserve()
@@ -156,4 +212,4 @@ def write_pdf(pages: list[PageSpec]) -> bytes:
     kids = " ".join(f"{n} 0 R" for n in kid_nums)
     b.set(pages_num, f"<< /Type /Pages /Kids [{kids}] /Count {len(kid_nums)} >>".encode())
     b.set(catalog_num, f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode())
-    return b.render(catalog_num)
+    return b.render(catalog_num, pdf15=pdf15)

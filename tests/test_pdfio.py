@@ -83,6 +83,6 @@ def test_lazy_page_count_does_not_decode_streams():
     pages = [_page(np.full((200, 300), 128, dtype=np.uint8)) for _ in range(20)]
     doc = PdfDocument(write_pdf(pages))
     assert doc.page_count == 20
-    assert doc._streams == {}  # nothing decoded until load_page
+    assert doc._decoded_streams == {}  # nothing decoded until load_page
     doc.load_page(3)
-    assert len(doc._streams) >= 1
+    assert len(doc._decoded_streams) >= 1
