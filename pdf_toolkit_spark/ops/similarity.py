@@ -106,20 +106,54 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CELLS = 16
 N_PROBE = 2
+KM_ITERS = 2        # unrolled Lloyd iterations (same count in the oracle)
+KM_SAMPLE_MOD = 5   # centroids train on the deterministic 1-in-5 sample
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, cv): spherical k-means centroids.
+
+    Seeds are the first N_CELLS vectors of a deterministic
+    1-in-KM_SAMPLE_MOD sample; KM_ITERS Lloyd steps refine them
+    (assign by cosine -> per-dimension mean, rounded to 6 dp so Spark
+    and DuckDB agree). This is the 100-TB shape: the sample is tiny
+    relative to the corpus, every step is a broadcast join + one
+    aggregate, and the refreshed centroids broadcast to the assignment
+    pass. Replaces the round-1 'first 16 vectors' seeding."""
+
+    e = _emb(spark, sf_dir)
+    sample = e.filter(F.col("vec_id") % KM_SAMPLE_MOD == 0)
+    cents = sample.filter(F.col("vec_id") < KM_SAMPLE_MOD * N_CELLS).select(
+        (F.col("vec_id") / KM_SAMPLE_MOD).cast("int").alias("cell"),
+        F.col("v").alias("cv"),
+    )
+    for _ in range(KM_ITERS):
+        scored = sample.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "v", "cell",
+            F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+        assigned = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("cell", "v")
+        )
+        dims = assigned.select("cell", F.posexplode("v").alias("i", "x"))
+        means = dims.groupBy("cell", "i").agg(F.round(F.avg("x"), 6).alias("m"))
+        cents = means.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+    return cents
 
 
 def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cell): IVF coarse quantization. Centroids are the first
-    N_CELLS corpus vectors (deterministic k-means++-style seeding; at
-    fleet scale a sampled k-means job refreshes them periodically —
-    assignment below is unchanged). Nearest centroid by cosine,
-    tie-broken by centroid id."""
+    """(vec_id, cell): IVF coarse quantization against the k-means
+    centroids. Nearest centroid by cosine, tie-broken by cell id."""
 
     e = _emb(spark, sf_dir)
-    cents = (
-        e.filter(F.col("vec_id") < N_CELLS)
-        .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
-    )
+    cents = _centroids(spark, sf_dir)
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cell", F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("sim")
     )
@@ -141,10 +175,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~N_CELLS/N_PROBE; the probe list is a broadcast)."""
 
     e = _emb(spark, sf_dir)
-    cents = (
-        e.filter(F.col("vec_id") < N_CELLS)
-        .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
-    )
+    cents = _centroids(spark, sf_dir)
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
     probe = (
         q.crossJoin(F.broadcast(cents))
@@ -194,21 +225,42 @@ _SQL_BUCKETS = f"""
     )
 """
 
-_SQL_IVF_CELLS = f"""
-    cents AS (
-        SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
-        FROM embeddings WHERE vec_id < {N_CELLS}
-    ),
+def _sql_kmeans_cells() -> str:
+    """Unrolled KM_ITERS-step spherical k-means + final assignment —
+    the DuckDB twin of _centroids/_ivf_cells, generated so the two
+    engines stay in lockstep on iteration count and rounding."""
+
+    parts = [f"""
+    emb64 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    samp AS (SELECT vec_id, v FROM emb64 WHERE vec_id % {KM_SAMPLE_MOD} = 0),
+    cents0 AS (SELECT CAST(vec_id // {KM_SAMPLE_MOD} AS INT) AS cell, v AS cv
+               FROM samp WHERE vec_id < {KM_SAMPLE_MOD * N_CELLS})"""]
+    for k in range(1, KM_ITERS + 1):
+        parts.append(f"""
+    scored_km{k} AS (
+        SELECT s.vec_id, s.v, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                   round(list_cosine_similarity(s.v, c.cv), 6) DESC, c.cell ASC) AS rk
+        FROM samp s, cents{k - 1} c),
+    asg{k} AS (SELECT vec_id, v, cell FROM scored_km{k} WHERE rk = 1),
+    dims{k} AS (SELECT cell, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x
+                FROM asg{k}),
+    means{k} AS (SELECT cell, i, round(avg(x), 6) AS m FROM dims{k} GROUP BY cell, i),
+    cents{k} AS (SELECT cell, list(m ORDER BY i) AS cv FROM means{k} GROUP BY cell)""")
+    parts.append(f"""
+    cents AS (SELECT cell, cv FROM cents{KM_ITERS}),
     scored AS (
         SELECT e.vec_id, c.cell,
-               round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS sim,
+               round(list_cosine_similarity(e.v, c.cv), 6) AS sim,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                   round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) DESC,
+                   round(list_cosine_similarity(e.v, c.cv), 6) DESC,
                    c.cell ASC) AS rk
-        FROM embeddings e, cents c
-    ),
-    cells AS (SELECT vec_id, cell FROM scored WHERE rk = 1)
-"""
+        FROM emb64 e, cents c),
+    cells AS (SELECT vec_id, cell FROM scored WHERE rk = 1)""")
+    return ",".join(parts)
+
+
+_SQL_IVF_CELLS = _sql_kmeans_cells()
 
 ORACLES = {
     "sim_ivf_cell_sizes": f"""
