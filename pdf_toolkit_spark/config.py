@@ -57,6 +57,9 @@ DEFAULTS: dict[str, Any] = {
     "strip_page_numbers": True,            # digit-only spans in top/bottom band
     # --- media sink ---
     "persist_media": True,                 # write region/image PNGs behind media_ref
+    "media_png_level": 0,                  # zlib level for media PNGs; 0 = stored
+                                           # blocks (the parquet sink recompresses,
+                                           # so deflate here is pure CPU overhead)
     "debug": False,                        # also emit per-page debug overlays
     # --- Spark topology ---
     "pages_per_chunk": 64,                 # mega-PDF salting chunk size
@@ -114,6 +117,7 @@ _RULES: dict[str, tuple[Callable[[Any], bool], str]] = {
     "min_area_frac": (_between(0, 1, lo_open=True), "in (0, 1]"),
     "boilerplate_min_pages": (lambda v: v >= 2, ">= 2"),
     "boilerplate_page_frac": (_between(0, 1, lo_open=True), "in (0, 1]"),
+    "media_png_level": (_between(0, 9), "in [0, 9]"),
     "pages_per_chunk": (lambda v: v >= 1, "a positive integer"),
     "output_buckets": (lambda v: v >= 1, "a positive integer"),
     "arrow_batch_rows": (lambda v: v >= 1, "a positive integer"),

@@ -152,6 +152,7 @@ def extract_page(page: ParsedPage, page_no: int, cfg: dict) -> PageResult:
     notes: list[str] = []
     media: dict[str, bytes] = {}
     persist_media = bool(cfg.get("persist_media", True))
+    png_level = int(cfg.get("media_png_level", 0))
 
     def _media_ref(arr: np.ndarray) -> str:
         """Content-addressed ref; the PNG bytes ride along so the media
@@ -160,7 +161,7 @@ def extract_page(page: ParsedPage, page_no: int, cfg: dict) -> PageResult:
 
         ref = media_ref_for(arr)
         if persist_media and ref not in media:
-            media[ref] = encode_gray_png(arr)
+            media[ref] = encode_gray_png(arr, level=png_level)
         return ref
     lineage: dict[str, Any] = {
         "page_no": page_no,
