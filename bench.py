@@ -73,6 +73,7 @@ def main() -> None:
         "dedup_simhash_pairs",
         "dedup_ngram_jaccard_pairs",
         "dedup_embedding_neardup",
+        "dedup_embedding_neardup_lsh",
         "sim_knn_brute_force",
         "sim_ann_lsh_topk",
         "sim_ivf_topk",

@@ -48,8 +48,13 @@ PROFILES = {
     "scan": int(os.environ.get("SPARK_GRAFT_SCALE_DOCS_SCAN", "8000")),
 }
 MEGA_EVERY = 400
-PAIR = (int(os.environ.get("SPARK_GRAFT_SCALE_N", "2")),
-        int(os.environ.get("SPARK_GRAFT_SCALE_4N", "8")))
+# Default pair 1 -> 4: both points sit BELOW the sandbox's shared
+# memory-bus knee (aggregate bandwidth peaks at ~8 memory-heavy
+# processes and collapses beyond it — see BENCH/BASELINE.md §3), so the
+# proxy actually measures engine scaling rather than ambient bus
+# contention. 2 -> 8 numbers are reported alongside in BASELINE.md.
+PAIR = (int(os.environ.get("SPARK_GRAFT_SCALE_N", "1")),
+        int(os.environ.get("SPARK_GRAFT_SCALE_4N", "4")))
 BASE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/dev/shm/scaling")
 
 

@@ -396,6 +396,41 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic embedding near-dup: candidate pairs restricted to
+    vectors sharing a random-hyperplane LSH bucket
+    (ops/similarity._buckets), exact cosine rerank on candidates only.
+    Output: (vec_a, vec_b, cos_sim) with cos_sim >= 0.4.
+
+    This is the 100-TB default — the bucket is the shuffle key, so the
+    pair space never goes quadratic; :func:`embedding_neardup_pairs` is
+    the exact-recall block-dgemm fallback. Approximate by construction
+    (bucket recall < 1), but fully deterministic: the oracle reproduces
+    the identical md5-derived buckets, so the check is still exact."""
+
+    from .similarity import _buckets, _cosine, _emb
+
+    b = _buckets(spark, sf_dir)
+    pairs = (
+        b.alias("a")
+        .join(b.alias("b"), "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+    e = _emb(spark, sf_dir)
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a", "vec_b",
+            F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= NEARDUP_COS)
+    )
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_minhash_signatures": minhash_signatures,
@@ -404,6 +439,7 @@ QUERIES = {
     "dedup_simhash_bits": simhash_bits,
     "dedup_simhash_pairs": simhash_pairs,
     "dedup_embedding_neardup": embedding_neardup_pairs,
+    "dedup_embedding_neardup_lsh": embedding_neardup_lsh,
 }
 
 _N = SQL_NORM.format(e="text")
@@ -533,3 +569,21 @@ ORACLES = {
               >= {NEARDUP_COS}
     """,
 }
+
+# The LSH-pruned variant reuses similarity's bucket CTE so the two
+# engines derive identical md5 hyperplane buckets.
+from .similarity import _SQL_BUCKETS as _SIM_SQL_BUCKETS  # noqa: E402
+
+ORACLES["dedup_embedding_neardup_lsh"] = f"""
+    WITH {_SIM_SQL_BUCKETS}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)
+               AS cos_sim
+    FROM buckets a
+    JOIN buckets b USING (bucket)
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    WHERE a.vec_id < b.vec_id
+      AND round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)
+          >= {NEARDUP_COS}
+"""

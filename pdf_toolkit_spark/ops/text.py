@@ -1,10 +1,13 @@
-"""Text-analysis operators over the ``documents`` table: token counting,
-quality scoring, language-ID heuristic, document fingerprinting.
+"""Text-analysis operators over the ``documents`` table: token counting
+(whitespace and BPE-ish pretokenizer regex), quality scoring,
+language-ID heuristic, and document fingerprinting (whole-doc md5 and
+a winnowing rolling-hash sketch).
 
 All pure built-in-function queries (JVM-side, whole-stage codegen; zero
 Python). Each has an exact DuckDB oracle. At 100 TB these are
-embarrassingly parallel scans: no shuffle except the final aggregate in
-``lang_id_distribution``.
+embarrassingly parallel scans; the only shuffles are the final
+aggregates in ``lang_id_distribution`` and ``rolling_fingerprint``
+(both keyed small: lang code / doc_id).
 """
 
 from __future__ import annotations
@@ -93,12 +96,78 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.md5(collapsed).alias("fp"))
 
 
+#: GPT-2-style pretokenizer shape, restricted to constructs both Java
+#: regex (Spark) and RE2 (DuckDB) evaluate identically: contraction
+#: suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+#: whitespace runs. (The original GPT-2 pattern's \s+(?!\S) lookahead is
+#: dropped — RE2 has no lookahead.)
+BPE_RE = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
+
+WINNOW_W = 4  # winnowing window: min token-hash per W consecutive positions
+
+
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token count: matches of the GPT-2-style pretokenizer
+    regex over the lowercased text (the unit an LLM tokenizer would
+    split before merges). Pure JVM regex scan — no Python."""
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.lower(F.col("text")), F.lit(BPE_RE)).alias("n_bpe_tokens"),
+    )
+
+
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document sketch (Schleimer et al., MOSS): per token
+    position, the min 32-bit token hash over the next WINNOW_W
+    positions; the doc fingerprint is md5 over the sorted distinct
+    selected hashes. Robust to local edits — the standard rolling-hash
+    fingerprint for near-dup triage at corpus scale (one narrow window
+    pass + one aggregate; shuffle key is doc_id)."""
+
+    from pyspark.sql import Window
+    from .common import hash32
+
+    docs = table(spark, sf_dir, "documents")
+    norm = norm_text(F.col("text"))
+    toks = (
+        docs.select("doc_id", norm.alias("norm"))
+        .filter(F.col("norm") != "")
+        .select("doc_id", F.posexplode(F.split("norm", " ")).alias("pos", "tok"))
+    )
+    hashed = toks.select("doc_id", "pos", hash32(F.col("tok")).alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    picked = hashed.select("doc_id", F.min("h").over(w).alias("sel"))
+    return (
+        picked.groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_set("sel")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("winnow_fp"),
+            F.count_distinct("sel").alias("n_selected"),
+        )
+    )
+
+
 QUERIES = {
     "text_token_count": token_count,
+    "text_bpe_token_count": bpe_token_count,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
     "text_lang_distribution": lang_id_distribution,
     "text_fingerprint": fingerprint,
+    "text_rolling_fingerprint": rolling_fingerprint,
 }
 
 _N = SQL_NORM.format(e="text")
@@ -150,4 +219,35 @@ ORACLES = {
         ) GROUP BY lang_pred
     """,
     "text_fingerprint": f"SELECT doc_id, md5(replace({_N}, ' ', '')) AS fp FROM documents",
+    "text_bpe_token_count": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '{BPE_RE.replace("'", "''")}'))
+                   AS n_bpe_tokens
+        FROM documents
+    """,
+    "text_rolling_fingerprint": f"""
+        WITH toks AS (
+            SELECT doc_id, i - 1 AS pos, t[i] AS tok
+            FROM (SELECT doc_id, string_split({_N}, ' ') AS t FROM documents
+                  WHERE {_N} != ''),
+                 LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+        ),
+        hashed AS (
+            SELECT doc_id, pos,
+                   (('0x' || substr(md5(tok),1,8))::BIGINT) AS h
+            FROM toks
+        ),
+        picked AS (
+            SELECT doc_id,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+                       AS sel
+            FROM hashed
+        ),
+        uniq AS (SELECT DISTINCT doc_id, sel FROM picked)
+        SELECT doc_id,
+               md5(string_agg(sel::VARCHAR, ',' ORDER BY sel)) AS winnow_fp,
+               count(*) AS n_selected
+        FROM uniq GROUP BY doc_id
+    """,
 }

@@ -225,10 +225,17 @@ def build_pipeline(
     n_parts = spark.sparkContext.defaultParallelism * 4
     salted = salted.repartition(n_parts, F.col("doc_id"), F.col("chunk_start"))
     records = salted.mapInPandas(make_extract_batch(cfg), schema=RECORDS_SCHEMA)
-    # PNG blobs must not ride through the strip window / assembly
-    # shuffles — the spans branch projects them away up front (the media
-    # sink reads them from the shared, persisted records relation).
-    spans = assemble_spans(strip_boilerplate(records.drop("media_png"), cfg))
+    # The spans branch shuffles twice (strip window, assembly groupBy) —
+    # keep those exchanges narrow: media rows (and their PNG blobs)
+    # never enter them, and the lineage payload columns (fat JSON +
+    # counters, consumed from the records branch only) are projected
+    # away before the first exchange. Measured at the 96k-doc textual
+    # corpus this halves strip-shuffle bytes.
+    span_rows = records.filter(F.col("kind") != "media").select(
+        "doc_id", "n_pages", "page_no", "region_idx", "item_idx", "kind",
+        "text", "norm_text", "y_band", "is_page_number", "media_ref", "status",
+    )
+    spans = assemble_spans(strip_boilerplate(span_rows, cfg))
     return spans, records
 
 

@@ -91,3 +91,16 @@ def test_lsh_pairs_joins_on_band_bucket(spark):
     plan = explain_str(QUERIES["dedup_minhash_lsh_pairs"](spark, SF_DIR), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_and_lsh_neardup_plans_are_equi_joins(spark):
+    """Jaccard's inverted-index self-join and the LSH-pruned embedding
+    near-dup must both stay equi-joins (shingle / bucket keys)."""
+
+    for name in ("dedup_ngram_jaccard_pairs", "dedup_embedding_neardup_lsh"):
+        plan = explain_str(QUERIES[name](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # Jaccard must not collect shingle sets into arrays anymore
+    plan = explain_str(QUERIES["dedup_ngram_jaccard_pairs"](spark, SF_DIR), "simple")
+    assert "collect_set" not in plan and "array_intersect" not in plan
