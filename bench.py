@@ -85,12 +85,14 @@ def main() -> None:
         queries[name](spark, sf_dir).count()
         timings[name] = time.monotonic() - t0
 
-    # Dedup ops persist shared relations (shingles, signatures,
-    # fingerprints) for cross-branch reuse; release them explicitly so a
-    # long-lived session doesn't accumulate cached corpora.
-    from pdf_toolkit_spark.ops.dedup import release_caches
+    # Dedup/similarity ops persist shared relations (shingles,
+    # signatures, fingerprints, buckets, centroids) for cross-branch
+    # reuse; release them explicitly so a long-lived session doesn't
+    # accumulate cached corpora.
+    from pdf_toolkit_spark.ops import dedup, similarity
 
-    release_caches()
+    dedup.release_caches()
+    similarity.release_caches()
 
     total = sum(timings.values())
     out = {

@@ -152,7 +152,7 @@ def extract_page(page: ParsedPage, page_no: int, cfg: dict) -> PageResult:
     notes: list[str] = []
     media: dict[str, bytes] = {}
     persist_media = bool(cfg.get("persist_media", True))
-    png_level = int(cfg.get("media_png_level", 0))
+    png_level = int(cfg.get("media_png_level", DEFAULTS["media_png_level"]))
 
     def _media_ref(arr: np.ndarray) -> str:
         """Content-addressed ref; the PNG bytes ride along so the media

@@ -21,6 +21,29 @@ TOP_K = 10
 N_PLANES = 8
 QUERY_VEC_ID = 0
 
+#: Relations feeding several plan branches (buckets: candidate join +
+#: query bucket; centroids: probe list + cell assignment). Spark has no
+#: cross-branch subplan sharing, so without a persist the whole subtree
+#: (k-means chain / hyperplane aggregation) executes once per branch.
+_PERSISTED: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def release_caches() -> None:
+    """Unpersist every relation this module cached (call between
+    corpora in a long-lived session)."""
+
+    for df in _PERSISTED.values():
+        df.unpersist()
+    _PERSISTED.clear()
+
+
+def _cached(key: tuple[str, str], build) -> "DataFrame":
+    df = _PERSISTED.get(key)
+    if df is None:
+        df = build().persist()
+        _PERSISTED[key] = df
+    return df
+
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "embeddings").select(
@@ -52,8 +75,13 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, bucket): sign pattern of N_PLANES md5-derived random
-    hyperplanes, packed into an int."""
+    hyperplanes, packed into an int. Persisted: the ANN queries (and
+    the LSH near-dup) reference it from two plan branches."""
 
+    return _cached(("buckets", sf_dir), lambda: _buckets_build(spark, sf_dir))
+
+
+def _buckets_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     long = e.select(
         "vec_id",
@@ -121,6 +149,10 @@ def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, and the refreshed centroids broadcast to the assignment
     pass. Replaces the round-1 'first 16 vectors' seeding."""
 
+    return _cached(("centroids", sf_dir), lambda: _centroids_build(spark, sf_dir))
+
+
+def _centroids_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     sample = e.filter(F.col("vec_id") % KM_SAMPLE_MOD == 0)
     cents = sample.filter(F.col("vec_id") < KM_SAMPLE_MOD * N_CELLS).select(

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import SQL_NORM, norm_text, table
+from .common import SQL_HASH32, SQL_NORM, norm_text, table
 
 # Language marker words: occurrences counted on the normalized text
 # with space padding so word boundaries are honest.
@@ -100,8 +100,10 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: regex (Spark) and RE2 (DuckDB) evaluate identically: contraction
 #: suffixes, space-prefixed letter runs, digit runs, punctuation runs,
 #: whitespace runs. (The original GPT-2 pattern's \s+(?!\S) lookahead is
-#: dropped — RE2 has no lookahead.)
-BPE_RE = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
+#: dropped — RE2 has no lookahead — and whitespace is an explicit ASCII
+#: class because Java's \s includes \x0B while RE2's does not.)
+_WS_CLS = " \\t\\n\\f\\r"
+BPE_RE = f"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9{_WS_CLS}']+|[{_WS_CLS}]+"
 
 WINNOW_W = 4  # winnowing window: min token-hash per W consecutive positions
 
@@ -233,8 +235,7 @@ ORACLES = {
                  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
         ),
         hashed AS (
-            SELECT doc_id, pos,
-                   (('0x' || substr(md5(tok),1,8))::BIGINT) AS h
+            SELECT doc_id, pos, {SQL_HASH32.format(e="tok")} AS h
             FROM toks
         ),
         picked AS (

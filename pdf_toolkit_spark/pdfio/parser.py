@@ -206,6 +206,10 @@ def _decode_stream_data(obj: dict, raw: bytes, resolve) -> bytes:
     parms = resolve(obj.get("DecodeParms", obj.get("DP")))
     if not isinstance(parms, list):
         parms = [parms] * len(filters)
+    elif len(parms) < len(filters):
+        # A short /DecodeParms array must not truncate the filter chain
+        # (zip would silently skip the remaining decode stages).
+        parms = parms + [None] * (len(filters) - len(parms))
     data = raw
     for name, parm in zip(filters, parms):
         parm = resolve(parm) or {}
@@ -541,6 +545,7 @@ class PdfDocument:
             save = lex.pos
             tok = lex.next_token()
             if tok == "xref":  # classic table
+                local: list[tuple[int, tuple]] = []
                 while True:
                     save = lex.pos
                     tok = lex.next_token()
@@ -556,21 +561,27 @@ class PdfDocument:
                         _gen = lex.next_token()
                         kind = lex.next_token()
                         if kind == "n":
-                            offsets.setdefault(start + i, ("n", int(off)))
+                            local.append((start + i, ("n", int(off))))
                         elif kind == "f":
-                            offsets.setdefault(start + i, ("f",))
+                            local.append((start + i, ("f",)))
                 trailer = _parse_value(lex)
+                # Hybrid-reference files (§7.5.8.4): the table typically
+                # marks object-stream-resident objects FREE so PDF-1.4
+                # readers skip them, while /XRefStm carries their real
+                # type-2 entries. The stream's entries must therefore be
+                # applied BEFORE this table's own (setdefault = first
+                # writer wins), not merely before /Prev.
+                xs = trailer.get("XRefStm")
+                if isinstance(xs, (int, float)) and int(xs) not in seen:
+                    seen.add(int(xs))
+                    self._read_xref_stream(_Lexer(self.data, int(xs)), offsets)
+                for num, entry in local:
+                    offsets.setdefault(num, entry)
             else:  # cross-reference stream: "N G obj << /Type /XRef ... >> stream"
                 lex.pos = save
                 trailer = self._read_xref_stream(lex, offsets)
             if main_trailer is None:
                 main_trailer = trailer
-            # Hybrid-reference files: /XRefStm points at a stream whose
-            # entries take precedence over this table's /Prev chain —
-            # queue it first (setdefault = first writer wins).
-            xs = trailer.get("XRefStm")
-            if isinstance(xs, (int, float)):
-                queue.append(int(xs))
             prev = trailer.get("Prev")
             if isinstance(prev, (int, float)):
                 queue.append(int(prev))

@@ -111,7 +111,14 @@ def extract_image_folder(
     n_parts = spark.sparkContext.defaultParallelism * 4
     repart = images.repartition(n_parts, F.col("image_id"))
     records = repart.mapInPandas(_make_image_extract_batch(cfg), schema=RECORDS_SCHEMA)
-    spans = assemble_spans(strip_boilerplate(records.drop("media_png"), cfg))
+    # Same narrow-exchange discipline as the PDF pipeline: media rows
+    # and lineage payload columns never enter the strip/assembly
+    # shuffles (they're consumed from the records branch only).
+    span_rows = records.filter(F.col("kind") != "media").select(
+        "doc_id", "n_pages", "page_no", "region_idx", "item_idx", "kind",
+        "text", "norm_text", "y_band", "is_page_number", "media_ref", "status",
+    )
+    spans = assemble_spans(strip_boilerplate(span_rows, cfg))
     return spans, records
 
 

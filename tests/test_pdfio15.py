@@ -341,3 +341,36 @@ def test_tiff_predictor_2():
     got = _unpredict(diffed.astype(np.uint8).tobytes(),
                      {"Predictor": 2, "Columns": w})
     assert got == rows.tobytes()
+
+
+def test_hybrid_xrefstm_entries_beat_classic_free_entries():
+    """Hybrid-reference layout (§7.5.8.4): the classic table marks
+    object-stream-resident objects FREE (so 1.4 readers skip them)
+    while /XRefStm carries their real type-2 entries — the stream's
+    entries must win over the same section's free entries."""
+
+    pages = _pages(2, seed=21)
+    base = write_pdf(pages, pdf15=True)
+    xref_stm_at = int(base.rsplit(b"startxref", 1)[1].split(b"%%EOF")[0].strip())
+    out = bytearray(base)
+    xref_at = len(out)
+    # objects 1-3 (catalog, pages, font) live in the object stream in
+    # the pdf15 layout; a hybrid main table hides them as free
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    out += b"1 3\n" + b"0000000000 65535 f \n" * 3
+    out += (
+        f"trailer\n<< /Size 20 /Root 1 0 R /XRefStm {xref_stm_at} >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    hybrid = bytes(out)
+
+    spans_hybrid = extract_document(hybrid)["spans"]
+    spans_classic = extract_document(write_pdf(pages))["spans"]
+    assert spans_hybrid == spans_classic and len(spans_hybrid) > 0
+
+
+def test_short_decodeparms_array_does_not_truncate_filter_chain():
+    payload = b"short parms must not skip filters" * 3
+    encoded = zlib.compress(payload).hex().encode("ascii") + b">"
+    obj = {"Filter": ["ASCIIHexDecode", "FlateDecode"], "DecodeParms": [None]}
+    assert _decode_stream_data(obj, encoded, lambda v: v) == payload
