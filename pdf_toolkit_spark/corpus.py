@@ -121,7 +121,7 @@ def _inverse_rotate_page(upright: PageSpec, rotate: int) -> PageSpec:
     if rotate % 360 == 0:
         return upright
     inv = (360 - rotate) % 360
-    up_h, up_w = upright.raster.shape
+    up_h, up_w = upright.raster.shape[:2]
     stored_raster = K.rotate_image_cw(upright.raster, inv)
     stored_items = []
     for item in upright.items:
@@ -188,11 +188,25 @@ def make_document(
             pages.append(PageSpec(raster=raster, items=items))
     elif doc_class == "mixed":
         n_pages = int(rng.integers(1, 4))
+        # Alternate gray / RGB mixed docs: the color path (DeviceRGB
+        # XObjects, ITU-R 601 gray analysis, RGB media blobs) is
+        # exercised end-to-end by the same corpus and equality gate.
+        color = (doc_id // len(DOC_CLASSES)) % 2 == 0
         for _ in range(n_pages):
             raster = _portrait_raster(rng, H, W, tiled)
+            if color:
+                raster = np.stack(
+                    [raster,
+                     _portrait_raster(rng, H, W, tiled),
+                     _portrait_raster(rng, H, W, tiled)], axis=-1)
             side = max(16, int(0.1 * W))
-            embedded = _textured(rng, int(rng.integers(side, 2 * side)),
-                                 int(rng.integers(side, 2 * side)), base=128, amp=64)
+            eh, ew = int(rng.integers(side, 2 * side)), int(rng.integers(side, 2 * side))
+            embedded = _textured(rng, eh, ew, base=128, amp=64)
+            if color:
+                embedded = np.stack(
+                    [embedded,
+                     _textured(rng, eh, ew, base=128, amp=64),
+                     _textured(rng, eh, ew, base=128, amp=64)], axis=-1)
             items = [
                 ("text", _sentence(rng, 6), int(0.15 * H), int(0.085 * W)),
                 ("image", embedded, int(0.3 * H), int(0.14 * W)),

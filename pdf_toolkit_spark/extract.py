@@ -45,7 +45,7 @@ import numpy as np
 from . import kernels as K
 from .config import DEFAULTS
 from .pdfio.parser import ParsedPage, PdfDocument
-from .pdfio.png import encode_gray_png
+from .pdfio.png import encode_png
 
 #: item_idx offset that places a region's scan span after its text spans.
 REGION_SCAN_ITEM_IDX = 1_000_000
@@ -67,8 +67,9 @@ def media_ref_for(arr: np.ndarray) -> str:
     across runs/executors so re-runs are idempotent (SURVEY.md §7)."""
 
     h, w = arr.shape[:2]
+    c = 1 if arr.ndim == 2 else arr.shape[2]
     digest = hashlib.sha256()
-    digest.update(f"{h}x{w}:".encode())
+    digest.update(f"{h}x{w}x{c}:".encode())
     digest.update(np.ascontiguousarray(arr).tobytes())
     return "sha256:" + digest.hexdigest()[:16]
 
@@ -161,7 +162,7 @@ def extract_page(page: ParsedPage, page_no: int, cfg: dict) -> PageResult:
 
         ref = media_ref_for(arr)
         if persist_media and ref not in media:
-            media[ref] = encode_gray_png(arr, level=png_level)
+            media[ref] = encode_png(arr, level=png_level)  # gray or RGB
         return ref
     lineage: dict[str, Any] = {
         "page_no": page_no,
@@ -217,7 +218,7 @@ def extract_page(page: ParsedPage, page_no: int, cfg: dict) -> PageResult:
         counters["crop_only"] = 1
         return PageResult(candidates, lineage, counters, media)
 
-    height, width = scan.shape
+    height, width = scan.shape[:2]  # scan may be gray (h,w) or RGB (h,w,3)
     detected_spread = K.detect_spread(width, height, cfg["split_ratio"])
     mode = cfg["mode"]
     should_split = mode == "split" or (mode == "auto" and detected_spread)
@@ -267,7 +268,7 @@ def extract_page(page: ParsedPage, page_no: int, cfg: dict) -> PageResult:
             # Debug overlay (reference page_images.py:546-580): gutter
             # line + both bboxes (right shifted into spread coords).
             overlay = K.draw_debug_overlay(
-                scan, gutter_x, left_bbox, right_bbox, right_offset_x
+                K.to_gray(scan), gutter_x, left_bbox, right_bbox, right_offset_x
             )
             lineage["debug_ref"] = _media_ref(overlay)
 
@@ -303,7 +304,7 @@ def extract_page(page: ParsedPage, page_no: int, cfg: dict) -> PageResult:
         lineage["crop_bbox"] = crop_bbox
         counters["crop_only"] = 1
         if cfg.get("debug", False):
-            lineage["debug_ref"] = _media_ref(K.draw_debug_overlay(scan, None, crop_bbox))
+            lineage["debug_ref"] = _media_ref(K.draw_debug_overlay(K.to_gray(scan), None, crop_bbox))
         l, t, r, b = crop_bbox
         region = scan[t:b, l:r]
         for idx, (kind, payload, row, _col) in enumerate(up_items):

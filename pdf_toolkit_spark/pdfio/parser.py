@@ -772,20 +772,33 @@ class PdfDocument:
         raise UserError("Unsupported /Contents value.")
 
     def _decode_image(self, ref: Ref) -> Optional[np.ndarray]:
+        """Image XObject -> (h, w) gray or (h, w, 3) RGB uint8 array
+        (the reference's PIL "L"/"RGB" modes, page_images.py:711-716);
+        unsupported encodings surface as missing rasters."""
+
         obj = self.resolve(ref)
         if obj.get("Subtype") != Name("Image"):
             return None
         w = int(self.resolve(obj["Width"]))
         h = int(self.resolve(obj["Height"]))
-        if obj.get("ColorSpace") != Name("DeviceGray") or int(self.resolve(obj.get("BitsPerComponent", 8))) != 8:
-            return None  # unsupported encodings surface as missing scans
+        cs = self.resolve(obj.get("ColorSpace"))
+        if cs == Name("DeviceGray"):
+            channels = 1
+        elif cs == Name("DeviceRGB"):
+            channels = 3
+        else:
+            return None
+        if int(self.resolve(obj.get("BitsPerComponent", 8))) != 8:
+            return None
         try:
             raw = self._stream_bytes(ref)
         except UserError:
             return None  # e.g. DCTDecode — no codec in this container
-        if len(raw) < w * h:
+        n = w * h * channels
+        if len(raw) < n:
             return None
-        return np.frombuffer(raw[: w * h], dtype=np.uint8).reshape(h, w)
+        arr = np.frombuffer(raw[:n], dtype=np.uint8)
+        return arr.reshape(h, w) if channels == 1 else arr.reshape(h, w, 3)
 
     def load_page(self, index: int) -> ParsedPage:
         """Decode one page: raster scan + ordered text/image items.
@@ -830,7 +843,7 @@ class PdfDocument:
                     continue
                 is_full_page_scan = (
                     scan is None
-                    and arr.shape == (height, width)
+                    and arr.shape[:2] == (height, width)
                     and (place_w, place_h) == (width, height)
                 )
                 if is_full_page_scan:

@@ -1,14 +1,17 @@
-"""Minimal 8-bit grayscale PNG codec (stdlib zlib + struct only).
+"""Minimal 8-bit grayscale/RGB PNG codec (stdlib zlib + struct only).
 
 The container ships no imaging libraries, so the media sink encodes
 extracted page regions itself. This is the engine-owned analog of the
 reference's ``pixmap.save(path)`` / ``Image.save(path)`` PNG sinks
 (reference render.py:140-142, page_images.py:934-938) — standard PNG
-output any external tool can open, produced without PIL.
+output any external tool can open, produced without PIL. The reference
+operates on PIL modes "L" and "RGB" (page_images.py:711-716); this
+codec covers the same two.
 
-Encoder: color type 0 (grayscale), bit depth 8, filter type 0 rows,
-one IDAT chunk. Decoder: accepts any of the five standard scanline
-filters (0-4) so externally-produced grayscale PNGs round-trip too.
+Encoder: color type 0 (grayscale, (h, w) uint8) or 2 (RGB, (h, w, 3)
+uint8), bit depth 8, filter type 0 rows, one IDAT chunk. Decoder:
+accepts any of the five standard scanline filters (0-4), reusing the
+parser's predictor reconstruction.
 """
 
 from __future__ import annotations
@@ -30,41 +33,51 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_gray_png(arr: np.ndarray, *, level: int = 1) -> bytes:
-    """Encode a (h, w) uint8 array as a grayscale PNG.
+def encode_png(arr: np.ndarray, *, level: int = 1) -> bytes:
+    """Encode a (h, w) or (h, w, 3) uint8 array as a PNG.
 
     zlib level 1 by default: media encoding sits on the extraction hot
-    path, and content-addressed blobs are deduplicated downstream, so
-    speed beats ratio here.
+    path, and level 1 already shrinks compressible rasters ~50x while
+    cutting downstream Arrow/shuffle byte traffic.
     """
 
-    if arr.ndim != 2 or arr.dtype != np.uint8:
-        raise ValueError(f"expected (h, w) uint8 array, got {arr.shape} {arr.dtype}")
-    h, w = arr.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # depth 8, gray
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3) or (
+        arr.ndim == 3 and arr.shape[2] != 3
+    ):
+        raise ValueError(f"expected (h, w) or (h, w, 3) uint8 array, got {arr.shape} {arr.dtype}")
+    if arr.ndim == 2:
+        h, w = arr.shape
+        color_type, row_len = 0, w
+        flat = arr
+    else:
+        h, w, _ = arr.shape
+        color_type, row_len = 2, w * 3
+        flat = arr.reshape(h, row_len)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     # filter byte 0 prepended to every row
-    raster = np.empty((h, w + 1), dtype=np.uint8)
+    raster = np.empty((h, row_len + 1), dtype=np.uint8)
     raster[:, 0] = 0
-    raster[:, 1:] = arr
+    raster[:, 1:] = flat
     idat = zlib.compress(raster.tobytes(), level)
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    return b if pb <= pc else c
+def encode_gray_png(arr: np.ndarray, *, level: int = 1) -> bytes:
+    """Encode a (h, w) uint8 array as a grayscale PNG."""
+
+    if arr.ndim != 2:
+        raise ValueError(f"expected (h, w) uint8 array, got {arr.shape} {arr.dtype}")
+    return encode_png(arr, level=level)
 
 
-def decode_gray_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit grayscale PNG into a (h, w) uint8 array."""
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit grayscale or RGB PNG into a (h, w) or (h, w, 3)
+    uint8 array (any standard scanline filter)."""
 
     if not data.startswith(_SIG):
         raise ValueError("not a PNG: bad signature")
     pos = len(_SIG)
-    width = height = None
+    width = height = color = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -75,10 +88,10 @@ def decode_gray_png(data: bytes) -> np.ndarray:
             width, height, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth != 8 or color != 0 or interlace != 0:
+            if depth != 8 or color not in (0, 2) or interlace != 0:
                 raise ValueError(
                     f"unsupported PNG (depth={depth} color={color} interlace={interlace}); "
-                    "only 8-bit non-interlaced grayscale is supported"
+                    "only 8-bit non-interlaced grayscale/RGB is supported"
                 )
         elif tag == b"IDAT":
             idat.extend(payload)
@@ -86,43 +99,28 @@ def decode_gray_png(data: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
+    colors = 1 if color == 0 else 3
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (width + 1):
+    if len(raw) != height * (width * colors + 1):
         raise ValueError("PNG scanline data has wrong length")
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, width + 1)
-    out = np.zeros((height, width), dtype=np.uint8)
-    for y in range(height):
-        ftype = rows[y, 0]
-        line = rows[y, 1:].astype(np.int32)
-        if ftype == 0:
-            out[y] = line
-        elif ftype == 1:  # Sub
-            acc = 0
-            row = np.empty(width, dtype=np.uint8)
-            for x in range(width):
-                acc = (line[x] + acc) & 0xFF
-                row[x] = acc
-            out[y] = row
-        elif ftype == 2:  # Up
-            prior = out[y - 1].astype(np.int32) if y else np.zeros(width, dtype=np.int32)
-            out[y] = ((line + prior) & 0xFF).astype(np.uint8)
-        elif ftype == 3:  # Average
-            prior = out[y - 1].astype(np.int32) if y else np.zeros(width, dtype=np.int32)
-            row = np.empty(width, dtype=np.uint8)
-            left = 0
-            for x in range(width):
-                left = (line[x] + (left + int(prior[x])) // 2) & 0xFF
-                row[x] = left
-            out[y] = row
-        elif ftype == 4:  # Paeth
-            prior = out[y - 1].astype(np.int32) if y else np.zeros(width, dtype=np.int32)
-            row = np.empty(width, dtype=np.uint8)
-            left = upleft = 0
-            for x in range(width):
-                left = (line[x] + _paeth(left, int(prior[x]), upleft)) & 0xFF
-                row[x] = left
-                upleft = int(prior[x])
-            out[y] = row
-        else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-    return out
+    # PNG scanline filters are exactly the PDF PNG predictors — reuse
+    # the parser's reconstruction (filter byte per row, bpp-aware).
+    from .parser import _unpredict
+
+    flat = _unpredict(
+        raw, {"Predictor": 15, "Colors": colors, "BitsPerComponent": 8, "Columns": width}
+    )
+    out = np.frombuffer(flat, dtype=np.uint8)
+    if colors == 1:
+        return out.reshape(height, width)
+    return out.reshape(height, width, 3)
+
+
+def decode_gray_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit PNG to grayscale shape (h, w); RGB input is
+    rejected (callers that accept both use :func:`decode_png`)."""
+
+    arr = decode_png(data)
+    if arr.ndim != 2:
+        raise ValueError("expected a grayscale PNG, got RGB")
+    return arr

@@ -3,7 +3,7 @@ object + cross-reference streams via ``pdf15=True``).
 
 Produces real PDF files: xref table, catalog/pages tree, per-page
 content streams (text shown with BT/Tf/Td/Tj/ET, images placed with
-cm + Do), grayscale image XObjects (FlateDecode), /Rotate page keys.
+cm + Do), grayscale and RGB image XObjects (FlateDecode), /Rotate page keys.
 No timestamps, no random IDs — byte-identical output for identical
 input, which makes media_refs and resume tests reproducible.
 
@@ -136,11 +136,12 @@ class _Builder:
 
 
 def _image_xobject(arr: np.ndarray) -> bytes:
-    h, w = arr.shape
+    h, w = arr.shape[:2]
+    cs = "DeviceRGB" if arr.ndim == 3 else "DeviceGray"
     data = zlib.compress(np.ascontiguousarray(arr, dtype=np.uint8).tobytes(), level=6)
     head = (
         f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
-        f"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+        f"/ColorSpace /{cs} /BitsPerComponent 8 /Filter /FlateDecode "
         f"/Length {len(data)} >>\nstream\n"
     ).encode()
     return head + data + b"\nendstream"
@@ -161,7 +162,7 @@ def write_pdf(pages: list[PageSpec], *, pdf15: bool = False) -> bytes:
 
     kid_nums: list[int] = []
     for page in pages:
-        h, w = page.raster.shape
+        h, w = page.raster.shape[:2]
         xobjects: dict[str, int] = {"Im0": b.add(_image_xobject(page.raster))}
 
         ops = [b"q", f"{w} 0 0 {h} 0 0 cm".encode(), b"/Im0 Do", b"Q"]
@@ -183,7 +184,7 @@ def write_pdf(pages: list[PageSpec], *, pdf15: bool = False) -> bytes:
                 name = f"Im{img_idx}"
                 img_idx += 1
                 xobjects[name] = b.add(_image_xobject(arr))
-                ih, iw = arr.shape
+                ih, iw = arr.shape[:2]
                 y_bottom = h - (row + ih)
                 ops += [
                     b"q",

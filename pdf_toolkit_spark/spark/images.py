@@ -59,7 +59,7 @@ def _make_image_extract_batch(cfg: dict[str, Any]):
     def image_extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..extract import extract_page
         from ..pdfio.parser import ParsedPage
-        from ..pdfio.png import decode_gray_png
+        from ..pdfio.png import decode_png
 
         import json as _json
 
@@ -67,8 +67,8 @@ def _make_image_extract_batch(cfg: dict[str, Any]):
             rows: list[tuple] = []
             for image_id, png in zip(batch["image_id"], batch["png"]):
                 try:
-                    arr = decode_gray_png(bytes(png))
-                    h, w = arr.shape
+                    arr = decode_png(bytes(png))  # gray or RGB
+                    h, w = arr.shape[:2]
                     page = ParsedPage(index=0, width=w, height=h, rotate=0,
                                       scan=arr, items=[])
                     result = extract_page(page, 0, cfg)
@@ -133,14 +133,14 @@ def rotate_image_folder(images: DataFrame, degrees: int) -> DataFrame:
 
     def rotate_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .. import kernels as K
-        from ..pdfio.png import decode_gray_png, encode_gray_png
+        from ..pdfio.png import decode_png, encode_png
 
         for batch in batches:
             out_ids, out_pngs = [], []
             for image_id, png in zip(batch["image_id"], batch["png"]):
-                arr = K.rotate_image_cw(decode_gray_png(bytes(png)), degrees % 360)
+                arr = K.rotate_image_cw(decode_png(bytes(png)), degrees % 360)
                 out_ids.append(image_id)
-                out_pngs.append(encode_gray_png(arr))
+                out_pngs.append(encode_png(arr))
             yield pd.DataFrame({"image_id": out_ids, "png": out_pngs})
 
     return images.mapInPandas(rotate_batch, "image_id string, png binary")

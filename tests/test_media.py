@@ -12,7 +12,7 @@ import pytest
 
 from pdf_toolkit_spark.corpus import corpus_config, make_document
 from pdf_toolkit_spark.extract import extract_document
-from pdf_toolkit_spark.pdfio.png import decode_gray_png, encode_gray_png
+from pdf_toolkit_spark.pdfio.png import decode_gray_png, decode_png, encode_gray_png
 from pdf_toolkit_spark.spark.input import corpus_dataframe
 from pdf_toolkit_spark.spark.job import run_extraction
 
@@ -111,7 +111,7 @@ def test_every_span_media_ref_resolves_to_exact_bytes(spark, media_run):
 
     some = sorted(media)[:5]
     for ref in some:
-        arr = decode_gray_png(media[ref])
+        arr = decode_png(media[ref])  # corpus media includes RGB blobs
         assert media_ref_for(arr) == ref
 
 
