@@ -9,9 +9,9 @@ through Arrow batches, explicit output schema, small batch sizes,
 content-addressed output refs. Swap ``_fake_decode_header`` for a PIL /
 ffmpeg call and nothing else changes.
 
-No SQL oracle (binary + Python kernel): the driver records a rows-only
-check; exactness is covered by tests/test_ops.py against a local
-re-implementation.
+Because the stub is sha256-derived it IS SQL-expressible: both queries
+carry exact DuckDB oracles (sha256(VARCHAR) hashes the same UTF-8
+bytes), plus the local re-implementation check in tests/test_ops.py.
 """
 
 from __future__ import annotations
@@ -95,6 +95,26 @@ QUERIES = {
     "mm_media_format_histogram": media_format_histogram,
 }
 
-#: No ORACLES: binary payload + Python kernel is not SQL-expressible;
-#: the driver applies its rows-only check, tests cover exactness.
-ORACLES: dict[str, str] = {}
+#: Exact DuckDB oracles: the stub decoder is sha256-derived, and DuckDB
+#: sha256(VARCHAR) hashes the UTF-8 bytes — exactly the payload the
+#: Spark side encodes. (With a real codec these revert to rows-only
+#: checks; the deterministic stub is what makes them SQL-expressible.)
+_META_SQL = """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CASE (('0x' || substr(sha256(text), 1, 2))::INT % 3)
+                WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+           64 + ('0x' || substr(sha256(text), 3, 2))::INT AS width,
+           64 + ('0x' || substr(sha256(text), 5, 2))::INT AS height,
+           'sha256:' || substr(sha256(text), 1, 16) AS thumb_ref
+    FROM documents
+"""
+
+ORACLES: dict[str, str] = {
+    "mm_media_metadata": _META_SQL,
+    "mm_media_format_histogram": f"""
+        SELECT format, count(*) AS n_docs,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+        FROM ({_META_SQL}) GROUP BY format
+    """,
+}
