@@ -22,8 +22,8 @@ def test_contract_keys_are_consistent():
     o = E.oracle_sql()
     assert set(o) <= set(q), "oracle without a query"
     assert len(q) >= 20
-    # non-oracle ops are the genuinely non-SQL ones
-    assert set(q) - set(o) == {"extract_spans", "mm_media_metadata", "mm_media_format_histogram"}
+    # the only non-oracle op is the genuinely non-SQL one
+    assert set(q) - set(o) == {"extract_spans"}
 
 
 def test_extract_spans_query_runs(spark):
