@@ -182,8 +182,14 @@ def _centroids_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cell): IVF coarse quantization against the k-means
-    centroids. Nearest centroid by cosine, tie-broken by cell id."""
+    centroids. Nearest centroid by cosine, tie-broken by cell id.
+    Persisted: the assignment crossJoin is the expensive part and both
+    ivf_cell_sizes and ivf_topk consume it."""
 
+    return _cached(("ivf_cells", sf_dir), lambda: _ivf_cells_build(spark, sf_dir))
+
+
+def _ivf_cells_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     cents = _centroids(spark, sf_dir)
     scored = e.crossJoin(F.broadcast(cents)).select(
