@@ -141,3 +141,99 @@ def test_strip_and_order_offsets_dense(n_spans, n_pages):
 
     spans = strip_and_order(cands, n_pages, DEFAULTS)
     assert [s["offset"] for s in spans] == list(range(len(spans)))
+
+
+# --- round-2 codecs: PNG, PDF strings, LZW, predictors ---
+
+@given(
+    st.integers(1, 40), st.integers(1, 40),
+    st.sampled_from([None, 3]),  # gray or RGB
+    st.integers(0, 6),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_any_shape_and_level(h, w, channels, level, rnd):
+    from pdf_toolkit_spark.pdfio.png import decode_png, encode_png
+
+    rng = np.random.default_rng(rnd.randrange(2**32))
+    shape = (h, w) if channels is None else (h, w, channels)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    got = decode_png(encode_png(arr, level=level))
+    assert got.shape == arr.shape and np.array_equal(got, arr)
+
+
+@given(st.binary(min_size=0, max_size=200))
+def test_pdf_string_escape_roundtrip_arbitrary_bytes(payload):
+    """Writer-escaped arbitrary latin-1 bytes decode back exactly
+    through the content-stream string unescaper (octal, parens,
+    backslash all covered by generation)."""
+
+    from pdf_toolkit_spark.pdfio.parser import _unescape_pdf_string
+    from pdf_toolkit_spark.pdfio.writer import _escape_pdf_string
+
+    text = payload.decode("latin-1")
+    escaped = _escape_pdf_string(text)
+    # writer escapes (, ), \\ only; those never collide with octal forms
+    assert _unescape_pdf_string(escaped) == text.encode("latin-1")
+
+
+@given(st.binary(min_size=0, max_size=3000))
+@settings(max_examples=30, deadline=None)
+def test_lzw_decode_never_crashes_and_roundtrips(data):
+    """Decoder is total on garbage (UserError or bytes, no other
+    exception) and exact on encoder output."""
+
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_pdfio15 import _lzw_encode
+
+    from pdf_toolkit_spark.pdfio.parser import _lzw_decode
+
+    assert _lzw_decode(_lzw_encode(data)) == data
+    try:
+        _lzw_decode(data)  # garbage input: bounded behavior only
+    except UserError:
+        pass
+
+
+@given(st.integers(1, 30), st.integers(1, 20), st.integers(1, 3),
+       st.randoms(use_true_random=False))
+@settings(max_examples=30, deadline=None)
+def test_png_predictor_unfilter_inverts_all_filters(rows, cols, colors, rnd):
+    """For every PNG filter type 0-4: filtering then _unpredict is the
+    identity (bpp-aware, gray and multi-channel)."""
+
+    from pdf_toolkit_spark.pdfio.parser import _unpredict
+
+    rng = np.random.default_rng(rnd.randrange(2**32))
+    row_len = cols * colors
+    raw = rng.integers(0, 256, size=(rows, row_len), dtype=np.uint8).astype(np.int32)
+    bpp = colors
+    filtered = bytearray()
+    prior = np.zeros(row_len, dtype=np.int32)
+    for y in range(rows):
+        ftype = int(rng.integers(0, 5))
+        filtered.append(ftype)
+        line = raw[y]
+        for x in range(row_len):
+            left = int(line[x - bpp]) if x >= bpp else 0
+            up = int(prior[x])
+            upleft = int(prior[x - bpp]) if x >= bpp else 0
+            if ftype == 0:
+                out = line[x]
+            elif ftype == 1:
+                out = line[x] - left
+            elif ftype == 2:
+                out = line[x] - up
+            elif ftype == 3:
+                out = line[x] - (left + up) // 2
+            else:
+                p = left + up - upleft
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else upleft)
+                out = line[x] - pred
+            filtered.append(out & 0xFF)
+        prior = line
+    got = _unpredict(bytes(filtered), {"Predictor": 15, "Colors": colors,
+                                       "BitsPerComponent": 8, "Columns": cols})
+    assert got == raw.astype(np.uint8).tobytes()
