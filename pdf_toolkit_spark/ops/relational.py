@@ -133,6 +133,28 @@ def broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_supplier_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: the fact table joined to three broadcast dims
+    (part, supplier, nation), profit per nation and brand. Covers the
+    two testdata tables (part, supplier) no other query touches."""
+
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("profit"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 SESSION_GAP_SEC = 1800
 
 
@@ -238,6 +260,7 @@ QUERIES = {
     "rel_zero_padded_names": zero_padded_names,
     "rel_ratio_filter_agg": ratio_filter_agg,
     "rel_broadcast_join_agg": broadcast_join_agg,
+    "rel_part_supplier_profit": part_supplier_profit,
 }
 
 ORACLES = {
@@ -346,5 +369,15 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """,
+    "rel_part_supplier_profit": """
+        SELECT n_name, p_brand,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name, p_brand
     """,
 }
