@@ -35,6 +35,9 @@ def test_dim_joins_are_broadcast(spark):
     plan = explain_str(QUERIES["rel_broadcast_join_agg"](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2  # nation and region at least
     assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 2
+    # Q9 shape: all three dims broadcast against the fact scan
+    plan9 = explain_str(QUERIES["rel_part_supplier_profit"](spark, SF_DIR))
+    assert plan9.count("BroadcastHashJoin") >= 3
 
 
 def test_resume_anti_join_is_broadcast(spark):
