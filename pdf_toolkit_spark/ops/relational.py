@@ -56,8 +56,14 @@ def resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     committed = docs.filter(F.col("doc_id") % 10 < 3).select("doc_id")
+    # No broadcast HINT: the committed set is small here (Catalyst
+    # size-estimates it under the broadcast threshold and picks a
+    # broadcast join on its own) but grows with the corpus — at 10^12
+    # committed doc_ids the same plan degrades gracefully to sort-merge
+    # instead of OOMing the driver. tests/test_plans.py pins both
+    # behaviors.
     return (
-        docs.join(F.broadcast(committed), "doc_id", "left_anti")
+        docs.join(committed, "doc_id", "left_anti")
         .select("doc_id", "n_chars")
     )
 

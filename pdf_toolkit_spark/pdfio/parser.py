@@ -165,6 +165,13 @@ def _unpredict(data: bytes, parms: dict) -> bytes:
             out[y] = line
         elif ftype == 2:  # Up
             out[y] = ((line + prior) & 0xFF).astype(np.uint8)
+        elif ftype == 1 and row_len % bpp == 0:
+            # Sub: out[x] = line[x] + out[x-bpp] (mod 256) — a modular
+            # prefix sum per bpp lane; uint8 accumulate wraps mod 256,
+            # so the whole row vectorizes (foreign PNGs hit this often;
+            # the per-pixel loop was O(h*w) Python).
+            lanes = rows[y, 1:].reshape(-1, bpp)
+            out[y] = np.add.accumulate(lanes, axis=0, dtype=np.uint8).reshape(-1)
         elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
             row = np.zeros(row_len, dtype=np.int32)
             for x in range(row_len):
@@ -646,9 +653,23 @@ class PdfDocument:
         if isinstance(length, Ref):
             if not allow_indirect_length:
                 # During the xref walk no objects are resolvable yet;
-                # fall back to scanning for the endstream keyword.
-                end = self.data.index(b"endstream", lex.pos)
-                return self.data[lex.pos : end].rstrip(b"\r\n")
+                # fall back to scanning for the endstream keyword. Use
+                # the LAST 'endstream' before the enclosing 'endobj' (a
+                # payload containing the literal bytes would otherwise
+                # truncate early) and strip at most ONE EOL — the spec
+                # allows a single EOL before 'endstream' (§7.3.8.1);
+                # any further trailing 0x0A/0x0D are data bytes.
+                endobj = self.data.find(b"endobj", lex.pos)
+                hi = endobj if endobj != -1 else len(self.data)
+                end = self.data.rfind(b"endstream", lex.pos, hi)
+                if end == -1:
+                    end = self.data.index(b"endstream", lex.pos)
+                chunk = self.data[lex.pos : end]
+                if chunk.endswith(b"\r\n"):
+                    chunk = chunk[:-2]
+                elif chunk.endswith((b"\r", b"\n")):
+                    chunk = chunk[:-1]
+                return chunk
             length = self.resolve(length)
         return self.data[lex.pos : lex.pos + int(length)]
 

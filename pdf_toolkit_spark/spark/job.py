@@ -144,8 +144,9 @@ def strip_boilerplate(records: DataFrame, cfg: dict[str, Any]) -> DataFrame:
     A text span is boilerplate when its (norm_text, y_band) appears on
     >= max(min_pages, ceil(frac * n_pages)) distinct pages of the doc,
     or (optionally) when it is a digit-only span in the top/bottom
-    band. The repeat count is a window aggregate over text rows only —
-    image/none rows skip the shuffle entirely.
+    band. All rows ride the one window exchange (partitioned by
+    doc_id/norm_text/y_band); image/none rows merely contribute nothing
+    to the repeat COUNT (collect_set skips their null page_no).
     """
 
     w = Window.partitionBy("doc_id", "norm_text", "y_band")
@@ -268,6 +269,16 @@ def run_extraction(
     per-page action log), ``metrics`` (one row per run with ISO
     timestamps and the reconstructed ``command``, the reference's
     manifest metadata, manifest.py:90-106 / cli.py:434-438).
+
+    Compatibility notes for pre-existing out_dirs:
+
+    - media_ref preimage is ``{h}x{w}x{c}:`` since round 2 (round 1
+      wrote ``{h}x{w}:``). Resuming a round-1 out_dir keeps committed
+      spans whose old-format refs do not resolve in the media table;
+      re-run with ``overwrite`` (or clear the out_dir) to re-key.
+    - metrics/lineage schemas have widened across rounds; read them via
+      :func:`read_metrics` / :func:`read_lineage` (mergeSchema=true) so
+      mixed-schema dirs don't silently drop the newer columns.
     """
 
     from datetime import datetime, timezone
@@ -293,7 +304,13 @@ def run_extraction(
 
         try:
             committed = spark.read.parquet(spans_path).select("doc_id").distinct()
-            todo = input_df.join(F.broadcast(committed), "doc_id", "left_anti")
+            # NO broadcast hint: AQE runtime-converts the anti-join to a
+            # broadcast when the committed set is small, and falls back
+            # to sort-merge when it is not — at 10^9-10^12 committed
+            # doc_ids a hard-coded broadcast is a driver/executor OOM
+            # (SURVEY.md §2.3: "broadcast when committed set is small,
+            # else sort-merge").
+            todo = input_df.join(committed, "doc_id", "left_anti")
         except AnalysisException as exc:
             if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
                 raise
@@ -341,8 +358,11 @@ def run_extraction(
 
                 try:
                     committed_refs = spark.read.parquet(media_path).select("media_ref")
+                    # Same as the spans resume join: no broadcast hint —
+                    # the committed media set grows unboundedly with the
+                    # corpus; AQE picks broadcast only while it is small.
                     media_tbl = media_tbl.join(
-                        F.broadcast(committed_refs), "media_ref", "left_anti"
+                        committed_refs, "media_ref", "left_anti"
                     )
                 except AnalysisException as exc:
                     if ("PATH_NOT_FOUND" not in str(exc)
@@ -397,6 +417,22 @@ def run_extraction(
         return RunResult(run_id, metrics, spans_path)
     finally:
         records.unpersist()
+
+
+def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the run-metrics table. mergeSchema: the metrics schema has
+    widened across engine versions (8 -> 11 columns) and parquet
+    otherwise picks an arbitrary file's schema for a mixed directory,
+    silently dropping started_at/ended_at/command."""
+
+    return spark.read.option("mergeSchema", "true").parquet(f"{out_dir}/metrics")
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the lineage table (mergeSchema for the recorded_at column
+    added after round 1; see :func:`read_metrics`)."""
+
+    return spark.read.option("mergeSchema", "true").parquet(f"{out_dir}/lineage")
 
 
 def spans_dataframe(spark: SparkSession, input_df: DataFrame, cfg: Optional[dict] = None) -> DataFrame:

@@ -14,7 +14,7 @@ from pdf_toolkit_spark.corpus import corpus_config, make_document
 from pdf_toolkit_spark.extract import extract_document
 from pdf_toolkit_spark.pdfio.png import decode_gray_png, decode_png, encode_gray_png
 from pdf_toolkit_spark.spark.input import corpus_dataframe
-from pdf_toolkit_spark.spark.job import run_extraction
+from pdf_toolkit_spark.spark.job import read_lineage, read_metrics, run_extraction
 
 CFG = dict(corpus_config(), pages_per_chunk=32)
 
@@ -131,11 +131,11 @@ def test_media_refs_are_unique_and_resume_does_not_rewrite(spark, media_run):
 
 def test_metrics_carry_timestamps_and_command(spark, media_run):
     out, result = media_run
-    m = spark.read.parquet(f"{out}/metrics").filter("run_id = 'm1'").collect()[0]
+    m = read_metrics(spark, out).filter("run_id = 'm1'").collect()[0]
     assert m["command"] == "pytest media_run"
     assert m["started_at"] <= m["ended_at"]  # ISO-8601 strings sort
     assert result.metrics["started_at"] == m["started_at"]
-    lineage = spark.read.parquet(f"{out}/lineage")
+    lineage = read_lineage(spark, out)
     assert "recorded_at" in lineage.columns
     assert lineage.filter("recorded_at IS NULL").count() == 0
 

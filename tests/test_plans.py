@@ -41,8 +41,28 @@ def test_dim_joins_are_broadcast(spark):
 
 
 def test_resume_anti_join_is_broadcast(spark):
+    # Small committed set: Catalyst's size estimate (not a hint) picks
+    # the broadcast strategy.
     plan = explain_str(QUERIES["rel_resume_anti_join"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # The broadcast must come from size stats, not a hard-coded hint —
+    # at 10^12 committed doc_ids a forced broadcast is a driver OOM.
+    extended = explain_str(QUERIES["rel_resume_anti_join"](spark, SF_DIR), "extended")
+    assert "ResolvedHint" not in extended and "UnresolvedHint" not in extended
+
+
+def test_resume_anti_join_degrades_to_sort_merge_when_large(spark):
+    """With the broadcast threshold off (standing in for a committed
+    set too large to size under it), the SAME anti-join plans as a
+    shuffled join — proof there is no hard-coded broadcast hint."""
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(QUERIES["rel_resume_anti_join"](spark, SF_DIR))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "BroadcastHashJoin" not in plan
+    assert "LeftAnti" in plan
 
 
 def test_no_row_at_a_time_python_in_any_query(spark):
