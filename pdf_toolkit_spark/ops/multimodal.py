@@ -37,16 +37,11 @@ MEDIA_META_SCHEMA = T.StructType([
 
 
 def fake_decode_header(payload: bytes) -> dict:
-    """STUB decoder: deterministic pseudo-metadata from the payload.
+    """STUB decoder for formats this container has no codec for:
+    deterministic pseudo-metadata from the payload bytes. A real
+    deployment swaps this for PIL.Image.open / soundfile / pyav with
+    the same signature and cost shape."""
 
-    A real deployment decodes actual media here (PIL.Image.open /
-    soundfile / pyav); those libraries are absent in this environment,
-    so the 'decode' is a hash-derived fake with the same signature and
-    cost shape. NotImplementedError marks the real-codec path.
-    """
-
-    if payload[:4] in (b"\x89PNG", b"RIFF", b"\xff\xd8\xff\xe0"):
-        raise NotImplementedError("real media codecs are not available in this build")
     digest = hashlib.sha256(payload).digest()
     return {
         "format": ("img", "audio", "video")[digest[0] % 3],
@@ -54,6 +49,39 @@ def fake_decode_header(payload: bytes) -> dict:
         "height": 64 + digest[2],
         "thumb_ref": "sha256:" + digest.hex()[:16],
     }
+
+
+def decode_header(payload: bytes) -> dict:
+    """Media header dispatch: REAL decodes for the formats the engine
+    owns codecs for (PNG via pdfio.png, JPEG via pdfio.jpeg), the
+    deterministic stub for everything else, NotImplementedError for
+    recognized-but-unsupported containers (RIFF audio/video)."""
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..pdfio.png import decode_png
+
+        arr = decode_png(payload)
+        h, w = arr.shape[:2]
+        return {
+            "format": "png-gray" if arr.ndim == 2 else "png-rgb",
+            "width": int(w),
+            "height": int(h),
+            "thumb_ref": "sha256:" + hashlib.sha256(payload).hexdigest()[:16],
+        }
+    if payload[:2] == b"\xff\xd8":
+        from ..pdfio.jpeg import decode_jpeg
+
+        arr = decode_jpeg(payload)
+        h, w = arr.shape[:2]
+        return {
+            "format": "jpeg-gray" if arr.ndim == 2 else "jpeg-rgb",
+            "width": int(w),
+            "height": int(h),
+            "thumb_ref": "sha256:" + hashlib.sha256(payload).hexdigest()[:16],
+        }
+    if payload[:4] == b"RIFF":
+        raise NotImplementedError("no RIFF audio/video codec in this build")
+    return fake_decode_header(payload)
 
 
 def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,7 +97,7 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {k: [] for k in ("doc_id", "n_bytes", "format", "width", "height", "thumb_ref")}
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
                 raw = bytes(payload)
-                meta = fake_decode_header(raw)
+                meta = decode_header(raw)
                 out["doc_id"].append(int(doc_id))
                 out["n_bytes"].append(len(raw))
                 for k in ("format", "width", "height", "thumb_ref"):
@@ -90,9 +118,60 @@ def media_format_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PNG_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("format", T.StringType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("mean_px", T.IntegerType(), False),
+])
+
+
+def png_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec media path: per doc, a deterministic PNG payload
+    (dims/mode/fill derived from sha256(text), encoded with the
+    engine's own pdfio.png codec) is decoded back through
+    :func:`decode_header` — IHDR parse, zlib inflate, scanline
+    reconstruction — and the decoded raster's stats become columns.
+
+    The payload derivation is sha256-arithmetic, so width/height/mode/
+    mean have an exact DuckDB oracle even though the decode itself is a
+    real pixel decode (the part a SQL engine cannot express)."""
+
+    import numpy as np
+
+    from ..pdfio.png import encode_png
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k: [] for k in ("doc_id", "format", "width", "height", "mean_px")}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                d = hashlib.sha256(bytes(payload)).digest()
+                w, h, fill = 16 + d[1] % 32, 16 + d[2] % 32, d[3]
+                shape = (h, w, 3) if d[0] % 2 else (h, w)
+                png = encode_png(np.full(shape, fill, np.uint8))
+                meta = decode_header(png)          # the REAL decode
+                from ..pdfio.png import decode_png
+
+                arr = decode_png(png)
+                out["doc_id"].append(int(doc_id))
+                out["format"].append(meta["format"])
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["mean_px"].append(int(arr.mean()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(roundtrip, schema=PNG_META_SCHEMA)
+
+
 QUERIES = {
     "mm_media_metadata": media_metadata,
     "mm_media_format_histogram": media_format_histogram,
+    "mm_png_decode": png_decode_metadata,
 }
 
 #: Exact DuckDB oracles: the stub decoder is sha256-derived, and DuckDB
@@ -116,5 +195,18 @@ ORACLES: dict[str, str] = {
         SELECT format, count(*) AS n_docs,
                CAST(sum(n_bytes) AS BIGINT) AS total_bytes
         FROM ({_META_SQL}) GROUP BY format
+    """,
+    # The payload DERIVATION is sha256-arithmetic (SQL-expressible);
+    # the Spark side must round-trip it through the real PNG codec to
+    # reproduce these values (a flat fill makes the decoded mean equal
+    # the fill byte, so a decode bug breaks the match).
+    "mm_png_decode": """
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(sha256(text), 1, 2))::INT % 2 = 1
+                    THEN 'png-rgb' ELSE 'png-gray' END AS format,
+               CAST(16 + ('0x' || substr(sha256(text), 3, 2))::INT % 32 AS INT) AS width,
+               CAST(16 + ('0x' || substr(sha256(text), 5, 2))::INT % 32 AS INT) AS height,
+               CAST(('0x' || substr(sha256(text), 7, 2))::INT AS INT) AS mean_px
+        FROM documents
     """,
 }

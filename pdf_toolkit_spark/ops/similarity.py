@@ -136,6 +136,7 @@ N_CELLS = 16
 N_PROBE = 2
 KM_ITERS = 2        # unrolled Lloyd iterations (same count in the oracle)
 KM_SAMPLE_MOD = 5   # centroids train on the deterministic 1-in-5 sample
+_KM_SCALE = float(1 << 20)  # centroid-mean quantization grid (2^-20)
 
 
 def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,7 +172,16 @@ def _centroids_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cell", "v")
         )
         dims = assigned.select("cell", F.posexplode("v").alias("i", "x"))
-        means = dims.groupBy("cell", "i").agg(F.round(F.avg("x"), 6).alias("m"))
+        # Deterministic mean: avg(double) sums in partition order, so a
+        # value near a 6-dp rounding boundary could flip between runs
+        # (and vs DuckDB's sequential avg). Quantize each component to
+        # the 2^-20 grid first — integer-valued doubles sum EXACTLY in
+        # any order (|sum| << 2^53), so the pre-round mean is
+        # bit-identical across partitionings and engines.
+        q = F.signum("x") * F.floor(F.abs(F.col("x")) * _KM_SCALE + F.lit(0.5))
+        means = dims.groupBy("cell", "i").agg(
+            F.round(F.sum(q) / F.count("*") / _KM_SCALE, 6).alias("m")
+        )
         cents = means.groupBy("cell").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
@@ -283,7 +293,10 @@ def _sql_kmeans_cells() -> str:
     asg{k} AS (SELECT vec_id, v, cell FROM scored_km{k} WHERE rk = 1),
     dims{k} AS (SELECT cell, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x
                 FROM asg{k}),
-    means{k} AS (SELECT cell, i, round(avg(x), 6) AS m FROM dims{k} GROUP BY cell, i),
+    means{k} AS (SELECT cell, i,
+                        round(sum(sign(x) * floor(abs(x) * {int(_KM_SCALE)} + 0.5))
+                              / count(*) / {int(_KM_SCALE)}, 6) AS m
+                 FROM dims{k} GROUP BY cell, i),
     cents{k} AS (SELECT cell, list(m ORDER BY i) AS cv FROM means{k} GROUP BY cell)""")
     parts.append(f"""
     cents AS (SELECT cell, cv FROM cents{KM_ITERS}),
