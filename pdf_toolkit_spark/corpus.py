@@ -135,9 +135,16 @@ def _inverse_rotate_page(upright: PageSpec, rotate: int) -> PageSpec:
 
 
 def make_document(
-    doc_id: int, seed: int = 42, mega_every: int = 50, profile: str = "scan"
+    doc_id: int, seed: int = 42, mega_every: int = 50, profile: str = "scan",
+    jpeg_every: int = 0,
 ) -> dict[str, Any]:
-    """Build one document; returns {doc_id, pdf_bytes, n_pages, doc_class}."""
+    """Build one document; returns {doc_id, pdf_bytes, n_pages, doc_class}.
+
+    ``jpeg_every=k`` makes every k-th document ship its rasters as
+    DCTDecode (baseline JPEG) image XObjects instead of FlateDecode —
+    the dominant encoding of real-world scanned PDFs. Deterministic
+    like everything else (the engine's own encoder, fixed quality).
+    """
 
     prof = _PROFILE[profile]
     tiled = prof["tiled"]
@@ -229,6 +236,10 @@ def make_document(
     else:  # pragma: no cover
         raise ValueError(doc_class)
 
+    if jpeg_every and doc_id % jpeg_every == 0:
+        for page in pages:
+            page.codec = "jpeg"
+
     # Every third doc ships in the PDF 1.5 container (object stream +
     # xref stream) so both parser paths are exercised end-to-end by the
     # same corpus; page content — and therefore spans — is identical.
@@ -241,10 +252,12 @@ def make_document(
 
 
 def iter_corpus(
-    n_docs: int, seed: int = 42, mega_every: int = 50, profile: str = "scan"
+    n_docs: int, seed: int = 42, mega_every: int = 50, profile: str = "scan",
+    jpeg_every: int = 0,
 ) -> Iterator[dict[str, Any]]:
     for doc_id in range(n_docs):
-        yield make_document(doc_id, seed=seed, mega_every=mega_every, profile=profile)
+        yield make_document(doc_id, seed=seed, mega_every=mega_every, profile=profile,
+                            jpeg_every=jpeg_every)
 
 
 def document_from_text(doc_id: int, text: str) -> dict[str, Any]:

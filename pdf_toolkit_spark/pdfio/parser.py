@@ -15,8 +15,9 @@ Supported surface:
 - object streams (/Type /ObjStm, §7.5.7)
 - stream filters: FlateDecode, LZWDecode, RunLengthDecode,
   ASCIIHexDecode, ASCII85Decode, with PNG/TIFF /DecodeParms predictors;
-  filter arrays compose. DCTDecode/JPXDecode images surface as missing
-  rasters (no codecs in this container)
+  filter arrays compose. DCTDecode image XObjects decode through the
+  engine-owned baseline JPEG codec (pdfio/jpeg.py); progressive JPEG /
+  JPXDecode surface as missing rasters
 - nested /Pages trees with attribute inheritance (Resources/MediaBox/
   CropBox/Rotate, §7.7.3.4)
 - string escapes incl. \\ddd octal and line continuations
@@ -811,10 +812,46 @@ class PdfDocument:
             return None
         if int(self.resolve(obj.get("BitsPerComponent", 8))) != 8:
             return None
+        filters = self.resolve(obj.get("Filter"))
+        flist = filters if isinstance(filters, list) else (
+            [filters] if filters is not None else []
+        )
+        if flist and str(self.resolve(flist[-1])) in ("DCTDecode", "DCT"):
+            # JPEG-compressed XObject: run any preceding filters
+            # (e.g. [ASCII85, DCT]) on the raw bytes, then the engine's
+            # own baseline JPEG decoder (pdfio/jpeg.py — the reference
+            # inherits this from fitz.open, reference render.py:89).
+            from .jpeg import decode_jpeg
+
+            self._load_object(ref.num)
+            raw = self._raw_streams.get(ref.num)
+            if raw is None:
+                return None
+            if len(flist) > 1:
+                sub = dict(obj)
+                sub["Filter"] = flist[:-1]
+                parms = self.resolve(obj.get("DecodeParms", obj.get("DP")))
+                if isinstance(parms, list):
+                    sub["DecodeParms"] = parms[: len(flist) - 1]
+                try:
+                    raw = _decode_stream_data(sub, raw, self.resolve)
+                except UserError:
+                    return None
+            try:
+                arr = decode_jpeg(raw)
+            except UserError:
+                return None  # progressive/arithmetic — surface as missing
+            if arr.shape[:2] != (h, w):
+                return None
+            if channels == 1 and arr.ndim == 3:
+                return None  # colorspace/stream mismatch
+            if channels == 3 and arr.ndim == 2:
+                arr = np.stack([arr] * 3, axis=-1)
+            return arr
         try:
             raw = self._stream_bytes(ref)
         except UserError:
-            return None  # e.g. DCTDecode — no codec in this container
+            return None  # unsupported filter chain
         n = w * h * channels
         if len(raw) < n:
             return None

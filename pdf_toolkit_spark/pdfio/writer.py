@@ -34,6 +34,10 @@ class PageSpec:
     raster: np.ndarray                    # (h, w) uint8, stored orientation
     rotate: int = 0                       # /Rotate: 0|90|180|270
     items: list[Item] = field(default_factory=list)
+    #: image codec for this page's rasters: "flate" (lossless) or
+    #: "jpeg" (DCTDecode, baseline via pdfio/jpeg.py — what real
+    #: scanned PDFs ship)
+    codec: str = "flate"
 
 
 def _escape_pdf_string(text: str) -> bytes:
@@ -135,13 +139,20 @@ class _Builder:
         return bytes(out)
 
 
-def _image_xobject(arr: np.ndarray) -> bytes:
+def _image_xobject(arr: np.ndarray, codec: str = "flate") -> bytes:
     h, w = arr.shape[:2]
     cs = "DeviceRGB" if arr.ndim == 3 else "DeviceGray"
-    data = zlib.compress(np.ascontiguousarray(arr, dtype=np.uint8).tobytes(), level=6)
+    if codec == "jpeg":
+        from .jpeg import encode_jpeg
+
+        data = encode_jpeg(np.ascontiguousarray(arr, dtype=np.uint8), quality=75)
+        filt = "DCTDecode"
+    else:
+        data = zlib.compress(np.ascontiguousarray(arr, dtype=np.uint8).tobytes(), level=6)
+        filt = "FlateDecode"
     head = (
         f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
-        f"/ColorSpace /{cs} /BitsPerComponent 8 /Filter /FlateDecode "
+        f"/ColorSpace /{cs} /BitsPerComponent 8 /Filter /{filt} "
         f"/Length {len(data)} >>\nstream\n"
     ).encode()
     return head + data + b"\nendstream"
@@ -163,7 +174,7 @@ def write_pdf(pages: list[PageSpec], *, pdf15: bool = False) -> bytes:
     kid_nums: list[int] = []
     for page in pages:
         h, w = page.raster.shape[:2]
-        xobjects: dict[str, int] = {"Im0": b.add(_image_xobject(page.raster))}
+        xobjects: dict[str, int] = {"Im0": b.add(_image_xobject(page.raster, page.codec))}
 
         ops = [b"q", f"{w} 0 0 {h} 0 0 cm".encode(), b"/Im0 Do", b"Q"]
         img_idx = 1
@@ -183,7 +194,7 @@ def write_pdf(pages: list[PageSpec], *, pdf15: bool = False) -> bytes:
                 _, arr, row, col = item
                 name = f"Im{img_idx}"
                 img_idx += 1
-                xobjects[name] = b.add(_image_xobject(arr))
+                xobjects[name] = b.add(_image_xobject(arr, page.codec))
                 ih, iw = arr.shape[:2]
                 y_bottom = h - (row + ih)
                 ops += [

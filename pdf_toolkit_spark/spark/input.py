@@ -23,6 +23,7 @@ def corpus_dataframe(
     mega_every: int = 50,
     partitions: int | None = None,
     profile: str = "scan",
+    jpeg_every: int = 0,
 ) -> DataFrame:
     """documents_raw (doc_id, pdf_bytes, n_pages) built distributed."""
 
@@ -32,7 +33,8 @@ def corpus_dataframe(
         from ..corpus import make_document
 
         for batch in batches:
-            docs = [make_document(int(i), seed=seed, mega_every=mega_every, profile=profile)
+            docs = [make_document(int(i), seed=seed, mega_every=mega_every,
+                                  profile=profile, jpeg_every=jpeg_every)
                     for i in batch["id"]]
             yield pd.DataFrame(
                 {

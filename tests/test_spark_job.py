@@ -48,6 +48,25 @@ def test_mega_pdf_went_through_chunked_path(spans_by_doc):
     assert offsets == list(range(len(offsets)))  # dense global order
 
 
+def test_span_sequence_equality_jpeg_corpus(spark):
+    """The same equality gate over a DCTDecode corpus: every 4th doc's
+    rasters are baseline JPEG (pdfio/jpeg.py) — the dominant real-world
+    scan encoding. Distributed decode must equal the serial oracle
+    pixel-for-pixel (media_refs hash decoded pixels)."""
+
+    n = 8
+    input_df = corpus_dataframe(spark, n, seed=42, mega_every=0, jpeg_every=4)
+    spans_df, _ = build_pipeline(spark, input_df, CFG)
+    rows = {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in spans_df.collect()}
+    saw_jpeg = False
+    for doc_id in range(n):
+        doc = make_document(doc_id, seed=42, mega_every=0, jpeg_every=4)
+        saw_jpeg = saw_jpeg or b"DCTDecode" in doc["pdf_bytes"]
+        expected = extract_document(doc["pdf_bytes"], CFG)["spans"]
+        assert rows[doc["doc_id"]] == expected, doc["doc_class"]
+    assert saw_jpeg
+
+
 def test_resume_skips_committed_docs(spark, tmp_path):
     out = str(tmp_path / "out")
     first = corpus_dataframe(spark, 6, seed=42, mega_every=0)
