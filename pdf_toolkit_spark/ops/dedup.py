@@ -69,6 +69,7 @@ def release_caches() -> None:
     for df in _PERSISTED.values():
         df.unpersist()
     _PERSISTED.clear()
+    _DOC_COUNTS.clear()
 
 
 def _cached(key: tuple[str, str], build) -> DataFrame:
@@ -292,13 +293,35 @@ def simhash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SIM_BAND_BITS = 20  # 60 bits -> 3 bands (wider bands = fewer candidates)
 SIM_HAMMING_MAX = 8
+SIM_BAND_SMALL, SIM_BAND_LARGE = 20, 30  # divisors of SIM_BITS
+SIM_BAND_CUTOVER = 100_000
+
+_DOC_COUNTS: dict[str, int] = {}
+
+
+def sim_band_bits_for(n_docs: int) -> int:
+    """SimHash band width derived from corpus size: 20-bit bands (3
+    bands, ~1/2^20 collision rate per band) below the cutover, 30-bit
+    (2 bands) beyond it — at fleet scale the candidate count per band
+    is n^2/2^bits, so the band must widen as the corpus grows. The
+    DuckDB oracle computes the same CASE over the same count."""
+
+    return SIM_BAND_SMALL if n_docs < SIM_BAND_CUTOVER else SIM_BAND_LARGE
+
+
+def _n_docs(spark: SparkSession, sf_dir: str) -> int:
+    n = _DOC_COUNTS.get(sf_dir)
+    if n is None:
+        n = table(spark, sf_dir, "documents").count()
+        _DOC_COUNTS[sf_dir] = n
+    return n
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: docs sharing any exact 20-bit band
-    of their 60-bit fingerprint, verified by exact Hamming distance
+    """SimHash near-dup candidates: docs sharing any exact band of
+    their 60-bit fingerprint (band width corpus-derived, see
+    :func:`sim_band_bits_for`), verified by exact Hamming distance
     bit_count(fp_a ^ fp_b). Output: (doc_a, doc_b, hamming) with
     hamming <= SIM_HAMMING_MAX.
 
@@ -309,10 +332,11 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands."""
 
     fps = _simhash_fp(spark, sf_dir)
-    n_bands = SIM_BITS // SIM_BAND_BITS
-    mask = (1 << SIM_BAND_BITS) - 1
+    band_bits = sim_band_bits_for(_n_docs(spark, sf_dir))
+    n_bands = SIM_BITS // band_bits
+    mask = (1 << band_bits) - 1
     band_exprs = ", ".join(
-        f"{b}, CAST((fp >> {b * SIM_BAND_BITS}) & {mask} AS BIGINT)"
+        f"{b}, CAST((fp >> {b * band_bits}) & {mask} AS BIGINT)"
         for b in range(n_bands)
     )
     bands = fps.selectExpr(
@@ -542,10 +566,18 @@ ORACLES = {
     """,
     "dedup_simhash_pairs": f"""
         WITH {_SQL_SIMBITS},
+        dparams AS (
+            SELECT CASE WHEN count(*) < {SIM_BAND_CUTOVER}
+                        THEN {SIM_BAND_SMALL} ELSE {SIM_BAND_LARGE} END AS bb
+            FROM documents
+        ),
         bands AS (
             SELECT doc_id, b AS band,
-                   (fp >> (b * {SIM_BAND_BITS})) & {(1 << SIM_BAND_BITS) - 1} AS band_val
-            FROM simfps, (SELECT unnest(generate_series(0, {SIM_BITS // SIM_BAND_BITS - 1})) AS b)
+                   (fp >> (b * (SELECT bb FROM dparams)))
+                       & ((1::BIGINT << (SELECT bb FROM dparams)) - 1) AS band_val
+            FROM simfps,
+                 (SELECT unnest(generate_series(0, CAST({SIM_BITS} // bb AS INT) - 1)) AS b
+                  FROM dparams)
         ),
         pairs AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

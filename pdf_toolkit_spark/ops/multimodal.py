@@ -168,10 +168,49 @@ def png_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(roundtrip, schema=PNG_META_SCHEMA)
 
 
+def jpeg_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same real-codec round-trip as :func:`png_decode_metadata`, but
+    through the baseline JPEG codec (pdfio/jpeg.py). A flat-fill block
+    is DC-only and survives quantization exactly (quality-75 luma DC
+    step divides the scaled DC), so the decoded mean still equals the
+    digest-derived fill byte and the DuckDB oracle stays exact even
+    though JPEG is lossy in general."""
+
+    import numpy as np
+
+    from ..pdfio.jpeg import encode_jpeg
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..pdfio.jpeg import decode_jpeg
+
+        for batch in batches:
+            out = {k: [] for k in ("doc_id", "format", "width", "height", "mean_px")}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                d = hashlib.sha256(bytes(payload)).digest()
+                w, h, fill = 16 + d[1] % 32, 16 + d[2] % 32, d[3]
+                shape = (h, w, 3) if d[0] % 2 else (h, w)
+                jpg = encode_jpeg(np.full(shape, fill, np.uint8))
+                meta = decode_header(jpg)          # dispatches to decode_jpeg
+                arr = decode_jpeg(jpg)
+                out["doc_id"].append(int(doc_id))
+                out["format"].append(meta["format"])
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["mean_px"].append(int(arr.mean()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(roundtrip, schema=PNG_META_SCHEMA)
+
+
 QUERIES = {
     "mm_media_metadata": media_metadata,
     "mm_media_format_histogram": media_format_histogram,
     "mm_png_decode": png_decode_metadata,
+    "mm_jpeg_decode": jpeg_decode_metadata,
 }
 
 #: Exact DuckDB oracles: the stub decoder is sha256-derived, and DuckDB
@@ -204,6 +243,15 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                CASE WHEN ('0x' || substr(sha256(text), 1, 2))::INT % 2 = 1
                     THEN 'png-rgb' ELSE 'png-gray' END AS format,
+               CAST(16 + ('0x' || substr(sha256(text), 3, 2))::INT % 32 AS INT) AS width,
+               CAST(16 + ('0x' || substr(sha256(text), 5, 2))::INT % 32 AS INT) AS height,
+               CAST(('0x' || substr(sha256(text), 7, 2))::INT AS INT) AS mean_px
+        FROM documents
+    """,
+    "mm_jpeg_decode": """
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(sha256(text), 1, 2))::INT % 2 = 1
+                    THEN 'jpeg-rgb' ELSE 'jpeg-gray' END AS format,
                CAST(16 + ('0x' || substr(sha256(text), 3, 2))::INT % 32 AS INT) AS width,
                CAST(16 + ('0x' || substr(sha256(text), 5, 2))::INT % 32 AS INT) AS height,
                CAST(('0x' || substr(sha256(text), 7, 2))::INT AS INT) AS mean_px

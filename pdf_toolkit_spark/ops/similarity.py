@@ -12,14 +12,67 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import SQL_HASH32, hash32, table
 
 TOP_K = 10
-N_PLANES = 8
 QUERY_VEC_ID = 0
+
+#: Capacity parameters are DERIVED from corpus size, not fixed — at
+#: 100x the data a fixed bucket/cell count makes every bucket 100x
+#: fatter and the bucket-local rerank quadratic-within-bucket. The
+#: same formulas run as scalar subqueries in the DuckDB oracles, so
+#: the two engines stay in lockstep at every scale factor.
+TARGET_BUCKET_OCCUPANCY = 16   # aim ~16 vectors per LSH bucket
+MIN_PLANES, MAX_PLANES = 8, 24
+MIN_CELLS, MAX_CELLS = 16, 4096
+
+
+def planes_for(n_vecs: int) -> int:
+    """LSH hyperplane count: ceil(log2(n / target occupancy)), clamped.
+    Bucket count 2^planes tracks corpus size so expected occupancy
+    stays ~TARGET_BUCKET_OCCUPANCY."""
+
+    return min(MAX_PLANES, max(
+        MIN_PLANES, math.ceil(math.log2(max(n_vecs, 1) / TARGET_BUCKET_OCCUPANCY))
+    ))
+
+
+def cells_for(n_vecs: int) -> int:
+    """IVF cell count: ~sqrt(n) (the standard IVF sizing — cell scan
+    cost and probe cost balance), clamped."""
+
+    return min(MAX_CELLS, max(MIN_CELLS, math.ceil(math.sqrt(max(n_vecs, 1)))))
+
+
+#: SQL twins of the derivations above (scalar params CTE over the same
+#: table the Spark side counts).
+SQL_EPARAMS = f"""
+    eparams AS (
+        SELECT LEAST({MAX_PLANES}, GREATEST({MIN_PLANES},
+                   CAST(ceil(log2(count(*) / {TARGET_BUCKET_OCCUPANCY}.0)) AS INT))) AS np,
+               LEAST({MAX_CELLS}, GREATEST({MIN_CELLS},
+                   CAST(ceil(sqrt(count(*))) AS INT))) AS nc
+        FROM embeddings
+    )
+"""
+
+_COUNTS: dict[str, int] = {}
+
+
+def _n_vecs(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus size for parameter derivation — a parquet-metadata count,
+    cached per sf_dir (cheap even at fleet scale)."""
+
+    n = _COUNTS.get(sf_dir)
+    if n is None:
+        n = table(spark, sf_dir, "embeddings").count()
+        _COUNTS[sf_dir] = n
+    return n
 
 #: Relations feeding several plan branches (buckets: candidate join +
 #: query bucket; centroids: probe list + cell assignment). Spark has no
@@ -35,6 +88,7 @@ def release_caches() -> None:
     for df in _PERSISTED.values():
         df.unpersist()
     _PERSISTED.clear()
+    _COUNTS.clear()
 
 
 def _cached(key: tuple[str, str], build) -> "DataFrame":
@@ -82,13 +136,14 @@ def _buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _buckets_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_planes = planes_for(_n_vecs(spark, sf_dir))
     e = _emb(spark, sf_dir)
     long = e.select(
         "vec_id",
         F.posexplode("v").alias("i", "x"),
     ).select(
         "vec_id", "i", "x",
-        F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("p"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("p"),
     )
     w = (
         hash32(F.concat_ws(":", F.col("p").cast("string"), F.col("i").cast("string")))
@@ -132,7 +187,6 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_CELLS = 16
 N_PROBE = 2
 KM_ITERS = 2        # unrolled Lloyd iterations (same count in the oracle)
 KM_SAMPLE_MOD = 5   # centroids train on the deterministic 1-in-5 sample
@@ -154,9 +208,10 @@ def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _centroids_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_cells = cells_for(_n_vecs(spark, sf_dir))
     e = _emb(spark, sf_dir)
     sample = e.filter(F.col("vec_id") % KM_SAMPLE_MOD == 0)
-    cents = sample.filter(F.col("vec_id") < KM_SAMPLE_MOD * N_CELLS).select(
+    cents = sample.filter(F.col("vec_id") < KM_SAMPLE_MOD * n_cells).select(
         (F.col("vec_id") / KM_SAMPLE_MOD).cast("int").alias("cell"),
         F.col("v").alias("cv"),
     )
@@ -255,12 +310,13 @@ QUERIES = {
 _W = SQL_HASH32.format(e="p::VARCHAR || ':' || i::VARCHAR") + " / 2147483648.0 - 1.0"
 
 _SQL_BUCKETS = f"""
+    {SQL_EPARAMS},
     long AS (
         SELECT vec_id, i - 1 AS i, x, p
         FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
                      generate_subscripts(embedding, 1) AS i
               FROM embeddings),
-             (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p)
+             (SELECT unnest(generate_series(0, (SELECT np - 1 FROM eparams))) AS p)
     ),
     dots AS (
         SELECT vec_id, p, sum(x * ({_W})) AS dot
@@ -279,10 +335,11 @@ def _sql_kmeans_cells() -> str:
     engines stay in lockstep on iteration count and rounding."""
 
     parts = [f"""
+    {SQL_EPARAMS},
     emb64 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     samp AS (SELECT vec_id, v FROM emb64 WHERE vec_id % {KM_SAMPLE_MOD} = 0),
     cents0 AS (SELECT CAST(vec_id // {KM_SAMPLE_MOD} AS INT) AS cell, v AS cv
-               FROM samp WHERE vec_id < {KM_SAMPLE_MOD * N_CELLS})"""]
+               FROM samp WHERE vec_id < {KM_SAMPLE_MOD} * (SELECT nc FROM eparams))"""]
     for k in range(1, KM_ITERS + 1):
         parts.append(f"""
     scored_km{k} AS (

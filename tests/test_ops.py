@@ -91,6 +91,28 @@ def test_multimodal_metadata_matches_local_stub(spark):
             assert row[k] == meta[k], (row["doc_id"], k)
 
 
+def test_capacity_params_scale_with_corpus(spark):
+    """LSH/IVF/SimHash capacity constants are corpus-derived, not
+    fixed: pins the derivation functions across scales (incl. clamps)
+    and checks realized bucket occupancy at the test sf."""
+
+    from pdf_toolkit_spark.ops.dedup import sim_band_bits_for
+    from pdf_toolkit_spark.ops.similarity import cells_for, planes_for
+
+    assert planes_for(500) == 8 and cells_for(500) == 23
+    assert planes_for(50_000) == 12 and cells_for(50_000) == 224
+    assert planes_for(5_000_000) == 19
+    assert planes_for(10**12) == 24 and cells_for(10**12) == 4096  # clamps
+    assert sim_band_bits_for(500) == 20 and sim_band_bits_for(10**9) == 30
+    # realized occupancy: mean bucket load stays within 4x of target
+    buckets = QUERIES["sim_ann_lsh_buckets"](spark, SF_DIR).toPandas()
+    n = int(buckets["n_vecs"].sum())
+    assert n / len(buckets) <= 4 * 16
+    # IVF cell count tracks the sqrt(n) derivation (allow empty cells)
+    cells = QUERIES["sim_ivf_cell_sizes"](spark, SF_DIR).toPandas()
+    assert cells_for(n) // 2 <= len(cells) <= cells_for(n)
+
+
 def test_every_query_has_unique_aliased_columns(spark):
     for name, fn in QUERIES.items():
         df = fn(spark, SF_DIR)
