@@ -52,3 +52,43 @@ def corpus_dataframe(
 
 def read_documents_raw(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(DOCUMENTS_RAW_SCHEMA).parquet(path)
+
+
+def write_corpus_files(
+    out_dir: str,
+    n_docs: int,
+    seed: int = 42,
+    mega_every: int = 50,
+    profile: str = "scan",
+    jpeg_every: int = 0,
+) -> list[tuple[str, str, int]]:
+    """Materialize the fixture corpus as one PDF file per document —
+    the local stand-in for object storage in locator-mode extraction —
+    and return manifest rows (doc_id, pdf_locator, n_pages)."""
+
+    import os
+
+    from ..corpus import iter_corpus
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows: list[tuple[str, str, int]] = []
+    for d in iter_corpus(n_docs, seed=seed, mega_every=mega_every,
+                         profile=profile, jpeg_every=jpeg_every):
+        path = os.path.join(out_dir, f"{d['doc_id']}.pdf")
+        with open(path, "wb") as fh:
+            fh.write(d["pdf_bytes"])
+        rows.append((d["doc_id"], path, d["n_pages"]))
+    return rows
+
+
+def locator_dataframe(
+    spark: SparkSession, manifest_rows: list[tuple[str, str, int]]
+) -> DataFrame:
+    """documents_locator (doc_id, pdf_locator, n_pages) from a manifest.
+    On a cluster this is a metadata-table read (paths + page counts);
+    the PDF bytes never enter the plan — chunk workers fetch their own
+    doc's bytes inside the extraction UDF."""
+
+    from .schema import DOCUMENTS_LOCATOR_SCHEMA
+
+    return spark.createDataFrame(manifest_rows, schema=DOCUMENTS_LOCATOR_SCHEMA)

@@ -53,9 +53,15 @@ def make_extract_batch(cfg: dict[str, Any]):
         import json as _json
 
         for batch in batches:
+            # Locator mode: the exchange carried only a path; fetch the
+            # bytes executor-side (local file here; object-store GET on
+            # a cluster). Fetch failures take the same per-doc error
+            # path as parse failures.
+            by_locator = "pdf_locator" in batch.columns
+            carrier = batch["pdf_locator"] if by_locator else batch["pdf_bytes"]
             rows: list[tuple] = []
-            for doc_id, pdf_bytes, n_pages, lo, hi in zip(
-                batch["doc_id"], batch["pdf_bytes"], batch["n_pages"],
+            for doc_id, payload, n_pages, lo, hi in zip(
+                batch["doc_id"], carrier, batch["n_pages"],
                 batch["chunk_start"], batch["chunk_end"],
             ):
                 # Per-document error isolation: at 10^12-doc scale one
@@ -65,6 +71,11 @@ def make_extract_batch(cfg: dict[str, Any]):
                 doc_rows: list[tuple] = []
                 seen_refs: set[str] = set()
                 try:
+                    if by_locator:
+                        with open(payload, "rb") as fh:
+                            pdf_bytes = fh.read()
+                    else:
+                        pdf_bytes = payload
                     doc = PdfDocument(bytes(pdf_bytes))
                     for page_no in range(int(lo), int(hi) + 1):
                         result = extract_page(doc.load_page(page_no), page_no, cfg)
@@ -117,8 +128,15 @@ def make_extract_batch(cfg: dict[str, Any]):
 def salt_into_chunks(df: DataFrame, pages_per_chunk: int) -> DataFrame:
     """Explode each doc into page-range chunk rows (zero-based inclusive
     bounds) — pure Catalyst (sequence/transform/explode), the
-    `_chunk_ranges` analog (reference split.py:28-42)."""
+    `_chunk_ranges` analog (reference split.py:28-42).
 
+    The carrier column rides the explode: ``pdf_locator`` when present
+    (preferred for mega-PDFs — a 1 GB doc split into 100 chunks would
+    otherwise move 100 GB of replicated bytes through the salt
+    exchange; a locator string replicates for free), else the inline
+    ``pdf_bytes``."""
+
+    carrier = "pdf_locator" if "pdf_locator" in df.columns else "pdf_bytes"
     ppc = int(pages_per_chunk)
     # Guard n_pages <= 0 (bad external metadata): sequence() throws on
     # illegal bounds, which would kill the stage instead of producing a
@@ -134,7 +152,7 @@ def salt_into_chunks(df: DataFrame, pages_per_chunk: int) -> DataFrame:
     )
     return (
         df.withColumn("chunk", F.explode(chunks))
-        .select("doc_id", "pdf_bytes", "n_pages", "chunk.chunk_start", "chunk.chunk_end")
+        .select("doc_id", carrier, "n_pages", "chunk.chunk_start", "chunk.chunk_end")
     )
 
 

@@ -16,6 +16,17 @@ DOCUMENTS_RAW_SCHEMA = T.StructType([
     T.StructField("n_pages", T.IntegerType(), False),
 ])
 
+#: Locator-mode input: documents stay in object storage and only a
+#: path travels through the plan. This is the 100-TB mega-PDF shape —
+#: chunk salting replicates the input row per chunk, and replicating a
+#: locator string is free while replicating a 1 GB pdf_bytes column
+#: moves n_chunks x the corpus through the salt exchange.
+DOCUMENTS_LOCATOR_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("pdf_locator", T.StringType(), False),
+    T.StructField("n_pages", T.IntegerType(), False),
+])
+
 #: One span: the north rule's (kind, text, media_ref, order) tuple.
 SPAN_STRUCT = T.StructType([
     T.StructField("kind", T.StringType(), False),

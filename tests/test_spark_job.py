@@ -91,6 +91,49 @@ def test_resume_skips_committed_docs(spark, tmp_path):
         assert rows[doc["doc_id"]] == extract_document(doc["pdf_bytes"], CFG)["spans"]
 
 
+def test_locator_mode_matches_bytes_mode(spark, tmp_path):
+    """Locator-mode input (doc bytes stay in 'object storage'; only a
+    path rides the chunk-salt exchange) must produce identical spans to
+    bytes-mode — incl. the chunked mega doc — while keeping every byte
+    column out of the salted relation."""
+
+    from pdf_toolkit_spark.spark.input import locator_dataframe, write_corpus_files
+    from pdf_toolkit_spark.spark.job import salt_into_chunks
+
+    rows = write_corpus_files(str(tmp_path / "corpus"), 13, seed=42, mega_every=12)
+    loc_df = locator_dataframe(spark, rows)
+
+    salted = salt_into_chunks(loc_df, CFG["pages_per_chunk"])
+    assert "pdf_bytes" not in salted.columns  # the point: no byte replication
+    assert "pdf_locator" in salted.columns
+    # the mega doc really does fan out into several locator-only rows
+    mega_chunks = salted.filter("doc_id = 'doc000011'").count()
+    assert mega_chunks > 1
+
+    spans_df, _ = build_pipeline(spark, loc_df, CFG)
+    got = {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in spans_df.collect()}
+    assert len(got) == 13
+    for doc_id in range(13):
+        doc = make_document(doc_id, seed=42, mega_every=12)
+        expected = extract_document(doc["pdf_bytes"], CFG)["spans"]
+        assert got[doc["doc_id"]] == expected, doc["doc_class"]
+
+
+def test_locator_fetch_failure_is_isolated(spark, tmp_path):
+    """A dangling locator (deleted/unreachable object) becomes an
+    'error' lineage row like any parse failure — not a stage failure."""
+
+    from pdf_toolkit_spark.spark.input import locator_dataframe, write_corpus_files
+
+    rows = write_corpus_files(str(tmp_path / "corpus"), 2, seed=42, mega_every=0)
+    rows.append(("gone", str(tmp_path / "corpus" / "missing.pdf"), 3))
+    df = locator_dataframe(spark, rows)
+    spans_df, records_df = build_pipeline(spark, df, CFG)
+    assert {r["doc_id"] for r in spans_df.collect()} == {"doc000000", "doc000001"}
+    errors = records_df.filter("status = 'error'").select("doc_id").distinct().collect()
+    assert {r["doc_id"] for r in errors} == {"gone"}
+
+
 def test_metrics_counters_match_serial(spark):
     input_df = corpus_dataframe(spark, 12, seed=42, mega_every=0)
     result = run_extraction(spark, input_df, CFG, out_dir=None, run_id="m1")
