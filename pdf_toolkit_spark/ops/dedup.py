@@ -148,7 +148,15 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs via banded LSH + signature-agreement
-    estimate. Output: (doc_a, doc_b, sim_est)."""
+    estimate. Output: (doc_a, doc_b, sim_est).
+
+    Single-join shape: the band relation carries each doc's FULL
+    signature as one array column (16 ints ride the band exchange —
+    ~64 bytes x n_bands per doc), so the agreement estimate computes
+    INSIDE the band equi-join and a final group-by dedupes pairs that
+    collide in several bands. The round-1/2 formulation re-joined the
+    distinct pairs against the wide signature relation twice; this one
+    is band-join + one aggregate, no rerank joins at all."""
 
     wide = _signatures_wide(spark, sf_dir)
     band_keys = [
@@ -159,33 +167,32 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"bk_{b}")
         for b in range(N_HASHES // BAND_ROWS)
     ]
-    keyed = wide.select("doc_id", *band_keys)
+    sig_arr = F.array(*[F.col(f"sig_{j}") for j in range(N_HASHES)])
+    keyed = wide.select("doc_id", sig_arr.alias("sigs"), *band_keys)
     stack = ", ".join(f"{b}, bk_{b}" for b in range(N_HASHES // BAND_ROWS))
     bands = keyed.selectExpr(
-        "doc_id", f"stack({N_HASHES // BAND_ROWS}, {stack}) AS (band, band_key)"
+        "doc_id", "sigs", f"stack({N_HASHES // BAND_ROWS}, {stack}) AS (band, band_key)"
     )
     # The LSH bucket equi-join: candidates co-locate on (band, band_key)
     # — the primitive that keeps near-dup detection non-quadratic at
     # fleet scale.
-    pairs = (
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sigs"), F.col("b.sigs"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    scored = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(matches / N_HASHES, 6).alias("sim_est"),
+        )
     )
-    wa = wide.select(F.col("doc_id").alias("doc_a"),
-                     *[F.col(f"sig_{j}").alias(f"a_{j}") for j in range(N_HASHES)])
-    wb = wide.select(F.col("doc_id").alias("doc_b"),
-                     *[F.col(f"sig_{j}").alias(f"b_{j}") for j in range(N_HASHES)])
-    matches = sum(
-        (F.col(f"a_{j}") == F.col(f"b_{j}")).cast("double") for j in range(N_HASHES)
-    )
-    return (
-        pairs.join(wa, "doc_a")
-        .join(wb, "doc_b")
-        .select("doc_a", "doc_b", F.round(matches / N_HASHES, 6).alias("sim_est"))
-    )
+    return scored.groupBy("doc_a", "doc_b").agg(F.min("sim_est").alias("sim_est"))
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

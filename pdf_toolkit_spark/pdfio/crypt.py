@@ -1,0 +1,146 @@
+"""Standard security handler (PDF 32000-1 §7.6.3): RC4-40/128, R2/R3.
+
+The reference opens encrypted PDFs through PyMuPDF; here the engine
+implements the public-spec algorithms directly. Scope: encryption
+dictionary V 1/2 with revision R 2/3 (RC4), empty-or-known user
+password. AES (V4+/R4+) is detected and rejected with a clear error so
+such docs take the per-document error-lineage path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from ..errors import UserError
+
+#: §7.6.3.3 padding string (Algorithm 2 step a).
+PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (symmetric: encrypt == decrypt)."""
+
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, ch in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = ch ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pad_password(pw: bytes) -> bytes:
+    return (pw + PAD)[:32]
+
+
+def compute_key(
+    user_pw: bytes, o_entry: bytes, p: int, id0: bytes, r: int, key_len: int
+) -> bytes:
+    """Algorithm 2: the file encryption key."""
+
+    md = hashlib.md5()
+    md.update(_pad_password(user_pw))
+    md.update(o_entry[:32])
+    md.update(struct.pack("<i", p if p < 2**31 else p - 2**32))
+    md.update(id0)
+    digest = md.digest()
+    if r >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest[:key_len]).digest()
+    return digest[:key_len]
+
+
+def compute_o(owner_pw: bytes, user_pw: bytes, r: int, key_len: int) -> bytes:
+    """Algorithm 3: the /O entry."""
+
+    digest = hashlib.md5(_pad_password(owner_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest).digest()
+    key = digest[:key_len]
+    out = rc4(key, _pad_password(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            out = rc4(bytes(b ^ i for b in key), out)
+    return out
+
+
+def compute_u(key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithm 4 (R2) / Algorithm 5 (R3): the /U entry."""
+
+    if r == 2:
+        return rc4(key, PAD)
+    digest = hashlib.md5(PAD + id0).digest()
+    out = rc4(key, digest)
+    for i in range(1, 20):
+        out = rc4(bytes(b ^ i for b in key), out)
+    return out + b"\x00" * 16
+
+
+def verify_user_password(
+    user_pw: bytes, o_entry: bytes, u_entry: bytes, p: int, id0: bytes,
+    r: int, key_len: int,
+) -> bytes | None:
+    """Algorithm 6: returns the file key when the password opens the
+    document, else None."""
+
+    key = compute_key(user_pw, o_entry, p, id0, r, key_len)
+    expect = compute_u(key, id0, r)
+    ok = expect[:16] == u_entry[:16] if r >= 3 else expect == u_entry[:32]
+    return key if ok else None
+
+
+def object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """§7.6.2 Algorithm 1: the per-object RC4 key."""
+
+    md = hashlib.md5()
+    md.update(file_key)
+    md.update(struct.pack("<I", num)[:3])
+    md.update(struct.pack("<I", gen)[:2])
+    return md.digest()[: min(len(file_key) + 5, 16)]
+
+
+class StandardDecryptor:
+    """Holds the verified file key; decrypts strings/streams per object."""
+
+    def __init__(self, file_key: bytes) -> None:
+        self.file_key = file_key
+
+    def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
+        return rc4(object_key(self.file_key, num, gen), data)
+
+
+def build_decryptor(enc: dict, id0: bytes, user_pw: bytes = b"") -> StandardDecryptor:
+    """Validate an /Encrypt dictionary (resolved to direct values) and
+    return a decryptor, or raise UserError."""
+
+    if str(enc.get("Filter")) != "Standard":
+        raise UserError(f"Unsupported security handler: {enc.get('Filter')}.")
+    v = int(enc.get("V", 0))
+    r = int(enc.get("R", 2))
+    if v not in (1, 2) or r not in (2, 3):
+        raise UserError(f"Unsupported encryption V={v} R={r} (RC4 V1/V2 only; no AES).")
+    key_len = 5 if v == 1 else int(enc.get("Length", 40)) // 8
+    if not (5 <= key_len <= 16):
+        raise UserError(f"Bad encryption key length {key_len * 8}.")
+    o_entry = enc.get("O")
+    u_entry = enc.get("U")
+    if not isinstance(o_entry, bytes) or not isinstance(u_entry, bytes):
+        raise UserError("Encryption dictionary missing /O or /U.")
+    p = int(enc.get("P", -1)) & 0xFFFFFFFF
+    key = verify_user_password(user_pw, o_entry, u_entry, p, id0, r, key_len)
+    if key is None:
+        raise UserError("Encrypted PDF: password required (user password rejected).")
+    return StandardDecryptor(key)

@@ -505,7 +505,7 @@ class PdfDocument:
     #: Page attributes inherited down the /Pages tree (PDF 32000-1 §7.7.3.4).
     _INHERITABLE = ("Resources", "MediaBox", "CropBox", "Rotate")
 
-    def __init__(self, data: bytes) -> None:
+    def __init__(self, data: bytes, password: str = "") -> None:
         if not data.startswith(b"%PDF"):
             raise UserError("Not a PDF: missing %PDF header.")
         self.data = data
@@ -513,7 +513,11 @@ class PdfDocument:
         self._raw_streams: dict[int, bytes] = {}
         self._decoded_streams: dict[int, bytes] = {}
         self._objstm_cache: dict[int, tuple[list[tuple[int, int]], bytes, int]] = {}
+        self._gens: dict[int, int] = {}
+        self._crypt = None
+        self._encrypt_num: Optional[int] = None
         self._offsets = self._read_xref()
+        self._setup_decryption(password)
         root = self._trailer.get("Root")
         catalog = self.resolve(root)
         if not isinstance(catalog, dict):
@@ -523,6 +527,45 @@ class PdfDocument:
         self._kids: list[tuple[Ref, dict]] = self._flatten_kids(pages_node, {})
 
     # --- xref / object layer ---
+
+    def _setup_decryption(self, password: str) -> None:
+        """Standard security handler (§7.6.3) via pdfio/crypt.py: RC4
+        V1/V2, R2/R3. The /Encrypt dictionary itself and xref streams
+        are never encrypted; strings decrypt per owning object in
+        :meth:`_load_object`, streams in :meth:`_decoded_stream_for`.
+        Unsupported handlers (AES) raise UserError, which the job turns
+        into a per-document error-lineage row."""
+
+        enc = self._trailer.get("Encrypt")
+        if enc is None:
+            return
+        from .crypt import build_decryptor
+
+        if isinstance(enc, Ref):
+            self._encrypt_num = enc.num
+        enc_dict = self.resolve(enc)
+        if not isinstance(enc_dict, dict):
+            raise UserError("Malformed /Encrypt dictionary.")
+        ids = self._trailer.get("ID")
+        id0 = b""
+        if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+            id0 = ids[0]
+        enc_direct = {k: self.resolve(v) for k, v in enc_dict.items()}
+        self._crypt = build_decryptor(
+            enc_direct, id0, password.encode("latin-1")
+        )
+
+    def _decrypt_value(self, value: Any, num: int, gen: int) -> Any:
+        """Recursively decrypt string leaves of a parsed object (§7.6.2:
+        strings encrypt with their OWNING object's key)."""
+
+        if isinstance(value, bytes):
+            return self._crypt.decrypt(value, num, gen)
+        if isinstance(value, list):
+            return [self._decrypt_value(v, num, gen) for v in value]
+        if isinstance(value, dict):
+            return {k: self._decrypt_value(v, num, gen) for k, v in value.items()}
+        return value
 
     def _read_xref(self) -> dict[int, tuple]:
         """Walk the xref chain: classic tables AND cross-reference
@@ -696,12 +739,15 @@ class PdfDocument:
         kw = lex.next_token()
         if got_num != num or kw != "obj":
             raise UserError(f"Object {num} not found at xref offset {off}.")
+        self._gens[num] = got_gen if isinstance(got_gen, int) else 0
         value = _parse_value(lex)
         if isinstance(value, dict) and lex.peek_bytes(6) == b"stream":
             # Store raw bytes; the filter pipeline runs lazily on first
             # consumption so one unsupported image filter doesn't poison
             # unrelated objects.
             self._raw_streams[num] = self._read_raw_stream_here(lex, value)
+        if self._crypt is not None and num != self._encrypt_num:
+            value = self._decrypt_value(value, num, self._gens[num])
         self._cache[num] = value
         return value
 
@@ -738,7 +784,13 @@ class PdfDocument:
     def _decoded_stream_for(self, num: int, obj: dict) -> bytes:
         data = self._decoded_streams.get(num)
         if data is None:
-            data = _decode_stream_data(obj, self._raw_streams[num], self.resolve)
+            raw = self._raw_streams[num]
+            if self._crypt is not None and num != self._encrypt_num:
+                # Stream content decrypts with the owning object's key
+                # BEFORE the filter pipeline (§7.6.2). Xref streams
+                # never route here (decoded directly in _read_xref).
+                raw = self._crypt.decrypt(raw, num, self._gens.get(num, 0))
+            data = _decode_stream_data(obj, raw, self.resolve)
             self._decoded_streams[num] = data
         return data
 
@@ -827,6 +879,8 @@ class PdfDocument:
             raw = self._raw_streams.get(ref.num)
             if raw is None:
                 return None
+            if self._crypt is not None and ref.num != self._encrypt_num:
+                raw = self._crypt.decrypt(raw, ref.num, self._gens.get(ref.num, 0))
             if len(flist) > 1:
                 sub = dict(obj)
                 sub["Filter"] = flist[:-1]

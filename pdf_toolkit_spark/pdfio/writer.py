@@ -67,8 +67,11 @@ class _Builder:
         self.set(num, body)
         return num
 
-    def render(self, root_num: int, *, pdf15: bool = False) -> bytes:
+    def render(self, root_num: int, *, pdf15: bool = False,
+               encrypt: "tuple | None" = None) -> bytes:
         if pdf15:
+            if encrypt is not None:
+                raise ValueError("encrypted fixtures use the classic layout")
             return self._render_pdf15(root_num)
         header = b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n"
         out = bytearray(header)
@@ -76,16 +79,24 @@ class _Builder:
         for num, body in enumerate(self._objects):
             if num == 0:
                 continue
+            body = body or b"null"
+            if encrypt is not None and num != encrypt[0]:
+                body = _encrypt_streams_in_body(body, num, encrypt[2])
             offsets.append(len(out))
-            out += f"{num} 0 obj\n".encode() + (body or b"null") + b"\nendobj\n"
+            out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
         xref_at = len(out)
         n = len(self._objects)
         out += f"xref\n0 {n}\n".encode()
         out += b"0000000000 65535 f \n"
         for off in offsets[1:]:
             out += f"{off:010d} 00000 n \n".encode()
+        trailer = f"<< /Size {n} /Root {root_num} 0 R"
+        if encrypt is not None:
+            idhex = encrypt[1].hex()
+            trailer += f" /Encrypt {encrypt[0]} 0 R /ID [<{idhex}> <{idhex}>]"
+        trailer += " >>"
         out += (
-            f"trailer\n<< /Size {n} /Root {root_num} 0 R >>\n"
+            f"trailer\n{trailer}\n"
             f"startxref\n{xref_at}\n%%EOF\n"
         ).encode()
         return bytes(out)
@@ -139,6 +150,24 @@ class _Builder:
         return bytes(out)
 
 
+def _encrypt_streams_in_body(body: bytes, num: int, file_key: bytes) -> bytes:
+    """RC4-encrypt the stream payload of an object body (strings in
+    this writer's output live only inside content streams, so stream
+    encryption covers everything; RC4 is length-preserving, /Length
+    stays valid)."""
+
+    marker = b"\nstream\n"
+    at = body.find(marker)
+    if at == -1:
+        return body
+    start = at + len(marker)
+    end = body.rindex(b"\nendstream")
+    from .crypt import object_key, rc4
+
+    payload = rc4(object_key(file_key, num, 0), body[start:end])
+    return body[:start] + payload + body[end:]
+
+
 def _image_xobject(arr: np.ndarray, codec: str = "flate") -> bytes:
     h, w = arr.shape[:2]
     cs = "DeviceRGB" if arr.ndim == 3 else "DeviceGray"
@@ -158,12 +187,19 @@ def _image_xobject(arr: np.ndarray, codec: str = "flate") -> bytes:
     return head + data + b"\nendstream"
 
 
-def write_pdf(pages: list[PageSpec], *, pdf15: bool = False) -> bytes:
+def write_pdf(
+    pages: list[PageSpec], *, pdf15: bool = False,
+    encrypt: bool = False, user_password: str = "",
+) -> bytes:
     """Serialize pages into a complete PDF byte stream.
 
     ``pdf15=True`` emits the PDF 1.5 container layout (object stream +
     cross-reference stream) with identical page content — the parser
     must extract byte-identical spans from either form.
+
+    ``encrypt=True`` applies the standard security handler (RC4-40,
+    R2, deterministic /ID) with ``user_password`` — the encrypted-
+    corpus fixture path; classic layout only.
     """
 
     b = _Builder()
@@ -224,4 +260,20 @@ def write_pdf(pages: list[PageSpec], *, pdf15: bool = False) -> bytes:
     kids = " ".join(f"{n} 0 R" for n in kid_nums)
     b.set(pages_num, f"<< /Type /Pages /Kids [{kids}] /Count {len(kid_nums)} >>".encode())
     b.set(catalog_num, f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode())
-    return b.render(catalog_num, pdf15=pdf15)
+    enc_info = None
+    if encrypt:
+        import hashlib
+
+        from .crypt import compute_key, compute_o, compute_u
+
+        pw = user_password.encode("latin-1")
+        id0 = hashlib.md5(b"pdf_toolkit_spark deterministic file id").digest()
+        o_entry = compute_o(pw, pw, r=2, key_len=5)
+        key = compute_key(pw, o_entry, 0xFFFFFFFF, id0, r=2, key_len=5)
+        u_entry = compute_u(key, id0, r=2)
+        enc_num = b.add(
+            f"<< /Filter /Standard /V 1 /R 2 /Length 40 /P -1 "
+            f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> >>".encode()
+        )
+        enc_info = (enc_num, id0, key)
+    return b.render(catalog_num, pdf15=pdf15, encrypt=enc_info)

@@ -1,0 +1,123 @@
+"""Standard-security-handler coverage (pdfio/crypt.py + parser/writer
+integration): RC4 round trips, password rejection, AES rejection, and
+the job-level guarantee that encrypted-but-unreadable docs become
+error lineage rows instead of stage failures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pdf_toolkit_spark.corpus import corpus_config
+from pdf_toolkit_spark.errors import UserError
+from pdf_toolkit_spark.extract import extract_document
+from pdf_toolkit_spark.pdfio.crypt import (
+    build_decryptor,
+    compute_key,
+    compute_o,
+    compute_u,
+    object_key,
+    rc4,
+    verify_user_password,
+)
+from pdf_toolkit_spark.pdfio.parser import PdfDocument
+from pdf_toolkit_spark.pdfio.writer import PageSpec, write_pdf
+
+
+def _pages() -> list[PageSpec]:
+    rng = np.random.default_rng(9)
+    raster = rng.integers(235, 252, size=(120, 90)).astype(np.uint8)
+    emb = rng.integers(90, 170, size=(24, 30)).astype(np.uint8)
+    return [
+        PageSpec(raster=raster, items=[
+            ("text", "secret page one", 20, 8),
+            ("image", emb, 48, 12),
+            ("text", "tail line", 100, 8),
+        ]),
+        PageSpec(raster=raster.T.copy(), rotate=90,
+                 items=[("text", "page two", 30, 10)]),
+    ]
+
+
+def test_rc4_is_symmetric_and_matches_known_vector():
+    # Public RFC 6229-style vector: key 'Key', plaintext 'Plaintext'
+    out = rc4(b"Key", b"Plaintext")
+    assert out.hex() == "bbf316e8d940af0ad3"
+    assert rc4(b"Key", out) == b"Plaintext"
+
+
+def test_r2_and_r3_entries_self_verify():
+    id0 = b"\x01" * 16
+    for r, key_len in ((2, 5), (3, 16)):
+        o = compute_o(b"owner", b"", r, key_len)
+        key = compute_key(b"", o, 0xFFFFFFFF, id0, r, key_len)
+        u = compute_u(key, id0, r)
+        assert verify_user_password(b"", o, u, 0xFFFFFFFF, id0, r, key_len) == key
+        assert verify_user_password(b"wrong", o, u, 0xFFFFFFFF, id0, r, key_len) is None
+
+
+def test_object_key_truncation():
+    assert len(object_key(b"\x00" * 5, 1, 0)) == 10
+    assert len(object_key(b"\x00" * 16, 1, 0)) == 16
+
+
+def test_build_decryptor_rejects_aes_and_unknown_handler():
+    base = {"Filter": "Standard", "O": b"x" * 32, "U": b"y" * 32, "P": -1}
+    with pytest.raises(UserError, match="AES"):
+        build_decryptor(dict(base, V=4, R=4), b"")
+    with pytest.raises(UserError, match="security handler"):
+        build_decryptor({"Filter": "FancyCustom"}, b"")
+
+
+def test_encrypted_pdf_roundtrip_matches_plaintext_spans():
+    """The gate: an RC4-40 empty-user-password PDF must extract spans
+    identical to its unencrypted twin (strings, streams, and image
+    XObjects all decrypt)."""
+
+    cfg = corpus_config()
+    plain = write_pdf(_pages())
+    enc = write_pdf(_pages(), encrypt=True)
+    assert plain != enc and b"/Encrypt" in enc
+    # content streams really are ciphertext (plaintext marker absent)
+    assert b"secret page one" not in enc
+
+    spans_plain = extract_document(plain, cfg)["spans"]
+    spans_enc = extract_document(enc, cfg)["spans"]
+    assert spans_enc == spans_plain
+    assert any(s["kind"] == "text" for s in spans_enc)
+    assert any(s["kind"] == "image" for s in spans_enc)
+
+
+def test_password_protected_pdf_rejected_without_password():
+    enc = write_pdf(_pages(), encrypt=True, user_password="hunter2")
+    with pytest.raises(UserError, match="password"):
+        PdfDocument(enc)
+    # and opens WITH the password
+    doc = PdfDocument(enc, password="hunter2")
+    assert doc.page_count == 2
+    page = doc.load_page(0)
+    assert any(it[0] == "text" and it[1] == "secret page one" for it in page.items)
+
+
+def test_encrypted_doc_is_error_lineage_row_not_stage_failure(spark):
+    from pdf_toolkit_spark.corpus import make_document
+    from pdf_toolkit_spark.spark.job import build_pipeline
+    from pdf_toolkit_spark.spark.schema import DOCUMENTS_RAW_SCHEMA
+
+    cfg = corpus_config()
+    good = make_document(0, seed=42, mega_every=0)
+    locked = write_pdf(_pages(), encrypt=True, user_password="nope")
+    open_enc = write_pdf(_pages(), encrypt=True)  # empty user pw: readable
+    rows = [
+        ("ok", bytearray(good["pdf_bytes"]), good["n_pages"]),
+        ("locked", bytearray(locked), 2),
+        ("open-enc", bytearray(open_enc), 2),
+    ]
+    df = spark.createDataFrame(rows, schema=DOCUMENTS_RAW_SCHEMA)
+    spans_df, records_df = build_pipeline(spark, df, cfg)
+    spans = {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in spans_df.collect()}
+    assert set(spans) == {"ok", "open-enc"}
+    assert spans["open-enc"] == extract_document(open_enc, cfg)["spans"]
+    errors = records_df.filter("status = 'error'").collect()
+    assert {r["doc_id"] for r in errors} == {"locked"}
+    assert "password" in errors[0]["lineage_json"]
