@@ -94,3 +94,43 @@ def test_corrupt_image_is_isolated(spark, tmp_path):
     assert spans == {"ok.png"}
     errs = records_df.filter("status = 'error'").select("doc_id").collect()
     assert {r["doc_id"] for r in errs} == {"broken.png"}
+
+
+def test_images_job_cli_rotate_and_page_images(spark, image_dir, tmp_path):
+    """argv-level twins of the reference's `rotate images` /
+    `page-images` commands (reference cli.py:178-307), smoke-tested
+    in-process with the shared session."""
+
+    import importlib.util
+    import json as _json
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "images_job", Path(__file__).resolve().parents[1] / "jobs" / "images_job.py")
+    images_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(images_job)
+    path, arrays = image_dir
+
+    rot_out = str(tmp_path / "rot")
+    rc = images_job.main(
+        ["rotate", "--input", path, "--output", rot_out, "--degrees", "90"],
+        _spark=spark)
+    assert rc == 0
+    rows = {r["image_id"]: bytes(r["png"])
+            for r in spark.read.parquet(rot_out).collect()}
+    assert set(rows) == set(arrays)
+    got = decode_gray_png(rows["img001.png"])
+    assert np.array_equal(got, K.rotate_image_cw(arrays["img001.png"], 90))
+
+    pi_out = str(tmp_path / "pi")
+    rc = images_job.main(
+        ["page-images", "--input", path, "--output", pi_out, "--run-id", "cli1"],
+        _spark=spark)
+    assert rc == 0
+    spans = spark.read.parquet(f"{pi_out}/spans")
+    assert spans.count() == len(arrays)
+    lineage = spark.read.parquet(f"{pi_out}/lineage")
+    assert lineage.filter("run_id = 'cli1'").count() == len(arrays)
+    # the spread image really went down the split path
+    media = spark.read.parquet(f"{pi_out}/media")
+    assert media.count() >= 1
