@@ -6,8 +6,13 @@
   crop -> boilerplate strip -> ordered spans).
 - ``queries()``        — every implemented operator (SURVEY.md §2 +
   training-data ops), (spark, sf_dir) -> DataFrame.
-- ``oracle_sql()``     — exact DuckDB twins for the SQL-expressible
-  ones (19 of 22); extraction/multimodal are rows-only by nature.
+- ``oracle_sql()``     — exact DuckDB twins for every entry except
+  ``extract_spans`` (the extraction pipeline itself is non-SQL; it is
+  pinned by the serial-extractor equality gate in tests/test_spark_job
+  instead). Capacity parameters (LSH planes, IVF cells, SimHash band
+  width) are corpus-derived on BOTH sides — scalar params CTEs in the
+  SQL mirror the Python derivations — so the twins stay in lockstep at
+  any scale factor.
 """
 
 from __future__ import annotations

@@ -69,6 +69,8 @@ def main() -> None:
         "text_fingerprint",
         "dedup_exact",
         "dedup_minhash_lsh_pairs",
+        "dedup_components",
+        "rel_stratified_sample",
         "dedup_simhash_bits",
         "dedup_simhash_pairs",
         "dedup_ngram_jaccard_pairs",

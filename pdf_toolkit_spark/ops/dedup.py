@@ -369,6 +369,86 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COMPONENT_MIN_SIM = 0.5   # pair-graph edge threshold for clustering
+CC_MAX_ITERS = 20
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: every document labeled with the minimum
+    doc_id of its connected component in the MinHash-LSH pair graph
+    (edges: sim_est >= COMPONENT_MIN_SIM). Output: (doc_id,
+    canonical_id) for ALL documents — singletons map to themselves.
+    This is the step a real dedup pipeline runs after pair generation:
+    keep one canonical doc per cluster, drop the rest.
+
+    Shape: iterative min-label propagation (the standard distributed
+    connected-components loop; GraphX/GraphFrames use the same
+    primitive) — per iteration one equi-join on the edge list + one
+    min-aggregate, each a bounded shuffle on doc_id. Iteration count is
+    the graph diameter (near-dup clusters are clique-ish: 2-4 rounds in
+    practice); a driver-side convergence check stops the loop and
+    raises if CC_MAX_ITERS is hit. The DuckDB oracle computes the same
+    fixpoint with a recursive CTE, so the result is exact."""
+
+    edges_ab = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .filter(F.col("sim_est") >= COMPONENT_MIN_SIM)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        edges_ab.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges_ab.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("canonical_id")).persist()
+    try:
+        for _ in range(CC_MAX_ITERS):
+            neigh = (
+                edges.join(
+                    labels.select(
+                        F.col("doc_id").alias("src"),
+                        F.col("canonical_id").alias("src_label"),
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("src_label").alias("neigh_label"))
+            )
+            new_labels = (
+                labels.join(neigh, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("canonical_id"),
+                        F.coalesce(F.col("neigh_label"), F.col("canonical_id")),
+                    ).alias("canonical_id"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                # Hand the converged (materialized) relation to the
+                # module cache so release_caches() reclaims it.
+                old = _PERSISTED.get(("cc_labels", sf_dir))
+                if old is not None:
+                    old.unpersist()
+                _PERSISTED[("cc_labels", sf_dir)] = labels
+                return labels
+        raise RuntimeError(
+            f"connected components did not converge in {CC_MAX_ITERS} iterations"
+        )
+    finally:
+        edges.unpersist()
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs over ``embeddings`` via block-pair
     dgemm. Output: (vec_a, vec_b, cos_sim) with cos_sim >= 0.4.
@@ -466,6 +546,7 @@ QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
+    "dedup_components": dedup_components,
     "dedup_ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dedup_simhash_bits": simhash_bits,
     "dedup_simhash_pairs": simhash_pairs,
@@ -608,6 +689,48 @@ ORACLES = {
               >= {NEARDUP_COS}
     """,
 }
+
+# Connected components: the same banded pairs + agreement filter, then
+# the transitive closure as a recursive CTE — DuckDB computes the exact
+# fixpoint the Spark label-propagation loop converges to.
+ORACLES["dedup_components"] = (
+    _SQL_SIGS.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+    cbands AS (
+        SELECT doc_id, CAST(floor(h_idx / {BAND_ROWS}) AS INT) AS band,
+               md5(string_agg(sig::VARCHAR, ',' ORDER BY h_idx)) AS band_key
+        FROM sigs GROUP BY doc_id, band
+    ),
+    cpairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cbands a JOIN cbands b USING (band, band_key)
+        WHERE a.doc_id < b.doc_id
+    ),
+    strong AS (
+        SELECT p.doc_a, p.doc_b
+        FROM cpairs p
+        JOIN sigs sa ON sa.doc_id = p.doc_a
+        JOIN sigs sb ON sb.doc_id = p.doc_b AND sb.h_idx = sa.h_idx
+        GROUP BY p.doc_a, p.doc_b
+        HAVING round(avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END), 6)
+               >= {COMPONENT_MIN_SIM}
+    ),
+    cedges AS (
+        SELECT doc_a AS s, doc_b AS d FROM strong
+        UNION SELECT doc_b, doc_a FROM strong
+    ),
+    reach(s, d) AS (
+        SELECT s, d FROM cedges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN cedges e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS doc_id, min(d) AS min_reach FROM reach GROUP BY s)
+    SELECT doc.doc_id,
+           CAST(COALESCE(LEAST(c.min_reach, doc.doc_id), doc.doc_id) AS BIGINT)
+               AS canonical_id
+    FROM documents doc LEFT JOIN comp c ON c.doc_id = doc.doc_id
+"""
+)
 
 # The LSH-pruned variant reuses similarity's bucket CTE so the two
 # engines derive identical md5 hyperplane buckets.

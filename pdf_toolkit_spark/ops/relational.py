@@ -253,8 +253,31 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_PER_STRATUM = 20
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: the first SAMPLE_PER_STRATUM
+    docs of each (lang, source) stratum in md5-of-id order — the
+    engine-portable stand-in for per-stratum reservoir sampling (hash
+    order IS a uniform random order, and both engines agree on it).
+    At fleet scale this is one window over the stratum shuffle; no
+    driver-side sampling state."""
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_PER_STRATUM)
+        .select("doc_id", "lang", "source", F.col("rk").alias("sample_rank"))
+    )
+
+
 QUERIES = {
     "rel_sessionization": sessionize,
+    "rel_stratified_sample": stratified_sample,
     "rel_top_customers_per_region": top_customers_per_region,
     "rel_shipping_priority": shipping_priority,
     "rel_rollup_sales": rollup_sales,
@@ -270,6 +293,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_stratified_sample": f"""
+        SELECT doc_id, lang, source, sample_rank FROM (
+            SELECT doc_id, lang, source,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS INT) AS sample_rank
+            FROM documents
+        ) WHERE sample_rank <= {SAMPLE_PER_STRATUM}
+    """,
     "rel_sessionization": f"""
         WITH marked AS (
             SELECT user_id, ts::TIMESTAMP AS ts, event_id, value,
