@@ -484,3 +484,21 @@ def draw_debug_overlay(
     if right_bbox is not None:
         _box(right_bbox, right_offset_x)
     return out
+
+
+def resample_nearest(image: np.ndarray, zoom: float) -> np.ndarray:
+    """DPI re-render of a raster page: nearest-neighbor resample by
+    ``zoom = dpi / 72`` (the reference's fitz.Matrix(zoom, zoom) render,
+    reference render.py:105-107, applied to scan-backed pages — this
+    engine has no vector rasterizer, so the page raster IS the page).
+    Output dims round(h*zoom) x round(w*zoom), min 1; deterministic
+    (pixel-center mapping, no interpolation)."""
+
+    if zoom <= 0:
+        raise ValueError("zoom must be positive")
+    h, w = image.shape[:2]
+    oh = max(1, int(np.floor(h * zoom + 0.5)))
+    ow = max(1, int(np.floor(w * zoom + 0.5)))
+    rows = np.clip(((np.arange(oh) + 0.5) * h / oh).astype(np.int64), 0, h - 1)
+    cols = np.clip(((np.arange(ow) + 0.5) * w / ow).astype(np.int64), 0, w - 1)
+    return image[rows][:, cols]

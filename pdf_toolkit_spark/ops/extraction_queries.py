@@ -67,8 +67,38 @@ def extract_full_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans
 
 
+def extract_render_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `render` command twin over the synthesized corpus at 36 DPI
+    (zoom 0.5): page metadata projection. The PIXELS are pinned by
+    tests/test_render.py against the serial parser; the metadata
+    (page fan-out + zero-padded names + statuses) is SQL-derivable
+    from the documents table, so this entry carries an exact oracle."""
+
+    from ..spark.render import render_pages
+
+    raw = documents_as_pdfs(spark, sf_dir)
+    return render_pages(raw, dpi=36).select("doc_id", "page_no", "name", "status")
+
+
 QUERIES = {
     "extract_spans": extract_spans,
+    "extract_render_pages": extract_render_pages,
 }
 
-ORACLES: dict[str, str] = {}
+#: document_from_text paginates at 40 whitespace-split words per page
+#: (corpus.py document_from_text); the oracle reproduces that fan-out.
+ORACLES: dict[str, str] = {
+    "extract_render_pages": """
+        WITH pageno AS (
+            SELECT 'doc' || lpad(doc_id::VARCHAR, 6, '0') AS doc_id,
+                   unnest(generate_series(0,
+                       GREATEST(CAST(ceil(len(regexp_split_to_array(trim(text), '\\s+')) / 40.0) AS INT), 1) - 1
+                   )) AS page_no
+            FROM documents
+        )
+        SELECT doc_id, CAST(page_no AS INT) AS page_no,
+               'page_p' || lpad((page_no + 1)::VARCHAR, 4, '0') || '.png' AS name,
+               'written' AS status
+        FROM pageno
+    """,
+}
