@@ -12,7 +12,7 @@ aggregates in ``lang_id_distribution`` and ``rolling_fingerprint``
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import SQL_HASH32, SQL_NORM, norm_text, table
@@ -162,8 +162,39 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-K terms by tf-idf (tf = in-doc count, idf =
+    ln(N/df) with df = docs containing the term). Output: (doc_id,
+    term, score, term_rank). 100-TB shape: two hash aggregates (term
+    counts; document frequencies) + one broadcast-able join on term +
+    one per-doc window — no driver state, the df relation is tiny
+    relative to the corpus (vocabulary-sized)."""
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # metadata-count, mirrors the oracle's scalar subquery
+    toks = docs.select(
+        "doc_id", F.explode(F.split(norm_text(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id", "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "score", "term_rank")
+    )
+
+
 QUERIES = {
     "text_token_count": token_count,
+    "text_tfidf_top_terms": tfidf_top_terms,
     "text_bpe_token_count": bpe_token_count,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
@@ -190,6 +221,27 @@ _BEST = f"greatest({_C_EN}, {_C_ES}, {_C_DE}, {_C_FR})"
 
 ORACLES = {
     "text_token_count": f"SELECT doc_id, {_NT} AS n_tokens FROM documents",
+    "text_tfidf_top_terms": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_N}, ' ')) AS term
+            FROM documents WHERE {_N} != ''
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term != '' GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / dfreq.df), 6)
+                       AS score
+            FROM tf JOIN dfreq USING (term)
+        )
+        SELECT doc_id, term, score, CAST(term_rank AS INT) AS term_rank FROM (
+            SELECT doc_id, term, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, term ASC) AS term_rank
+            FROM scored
+        ) WHERE term_rank <= {TFIDF_TOP_K}
+    """,
     "text_quality_score": f"""
         SELECT doc_id,
                {_NT} AS n_tokens,
