@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .common import SQL_HASH32, hash32, table
@@ -220,11 +220,20 @@ def _centroids_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "v", "cell",
             F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
         )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+        # argmax by (sim desc, cell asc) as a hash AGGREGATE, not a
+        # row_number window: max_by gets map-side partial aggregation
+        # and no per-partition sort — at fleet scale the window's full
+        # sort of n_vecs x n_cells scored rows is the bottleneck.
+        # max(struct) compares fields left-to-right, so (sim, -cell)
+        # reproduces the (sim DESC, cell ASC) tie-break exactly.
         assigned = (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("cell", "v")
+            scored.groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct("cell", "v"), F.struct(F.col("sim"), -F.col("cell"))
+                ).alias("best")
+            )
+            .select(F.col("best.cell").alias("cell"), F.col("best.v").alias("v"))
         )
         dims = assigned.select("cell", F.posexplode("v").alias("i", "x"))
         # Deterministic mean: avg(double) sums in partition order, so a
@@ -260,11 +269,12 @@ def _ivf_cells_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cell", F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("sim")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cell")
+    # Same argmax-as-aggregate shape as the k-means assignment: one
+    # hash agg with map-side combine over the scan, NO shuffle of the
+    # scored n_vecs x n_cells relation for a sort — this is the full-
+    # corpus pass, the single most expensive IVF step at scale.
+    return scored.groupBy("vec_id").agg(
+        F.max_by("cell", F.struct(F.col("sim"), -F.col("cell"))).alias("cell")
     )
 
 
@@ -287,10 +297,15 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(N_PROBE)
         .select("cell")
     )
-    cells = _ivf_cells(spark, sf_dir)
+    # Prune the assignment to the probed cells BEFORE touching the
+    # embeddings: cells |><| probe is ~N_PROBE/N_CELLS of the corpus,
+    # so it broadcasts into the embeddings join and the full relation
+    # is never shuffled. (The previous order — e |><| cells first —
+    # shuffled every vector twice just to drop 1 - N_PROBE/N_CELLS of
+    # them afterwards.)
+    probed = _ivf_cells(spark, sf_dir).join(F.broadcast(probe), "cell")
     return (
-        e.join(cells, "vec_id")
-        .join(F.broadcast(probe), "cell")
+        e.join(probed, "vec_id")
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
         .select("vec_id", F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"))
