@@ -80,6 +80,7 @@ def main() -> None:
         "sim_ann_lsh_topk",
         "sim_ivf_topk",
         "rel_sessionization",
+        "html_extract_spans",
         "mm_media_format_histogram",
     ]
     for name in headliners:
