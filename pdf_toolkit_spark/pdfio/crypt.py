@@ -1,10 +1,12 @@
-"""Standard security handler (PDF 32000-1 §7.6.3): RC4-40/128, R2/R3.
+"""Standard security handler (PDF 32000-1 §7.6.3): RC4 and AES-128.
 
 The reference opens encrypted PDFs through PyMuPDF; here the engine
 implements the public-spec algorithms directly. Scope: encryption
-dictionary V 1/2 with revision R 2/3 (RC4), empty-or-known user
-password. AES (V4+/R4+) is detected and rejected with a clear error so
-such docs take the per-document error-lineage path.
+dictionary V 1/2 (RC4-40/128, R 2/3) and V 4 / R 4 crypt filters with
+/CFM V2 (RC4) or AESV2 (AES-128-CBC, pdfio/aes.py), empty-or-known
+user password, /EncryptMetadata both ways. AES-256 (V5/R6) is detected
+and rejected with a clear error so such docs take the per-document
+error-lineage path.
 """
 
 from __future__ import annotations
@@ -46,7 +48,8 @@ def _pad_password(pw: bytes) -> bytes:
 
 
 def compute_key(
-    user_pw: bytes, o_entry: bytes, p: int, id0: bytes, r: int, key_len: int
+    user_pw: bytes, o_entry: bytes, p: int, id0: bytes, r: int, key_len: int,
+    encrypt_metadata: bool = True,
 ) -> bytes:
     """Algorithm 2: the file encryption key."""
 
@@ -55,6 +58,8 @@ def compute_key(
     md.update(o_entry[:32])
     md.update(struct.pack("<i", p if p < 2**31 else p - 2**32))
     md.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        md.update(b"\xff\xff\xff\xff")
     digest = md.digest()
     if r >= 3:
         for _ in range(50):
@@ -91,35 +96,45 @@ def compute_u(key: bytes, id0: bytes, r: int) -> bytes:
 
 def verify_user_password(
     user_pw: bytes, o_entry: bytes, u_entry: bytes, p: int, id0: bytes,
-    r: int, key_len: int,
+    r: int, key_len: int, encrypt_metadata: bool = True,
 ) -> bytes | None:
     """Algorithm 6: returns the file key when the password opens the
     document, else None."""
 
-    key = compute_key(user_pw, o_entry, p, id0, r, key_len)
+    key = compute_key(user_pw, o_entry, p, id0, r, key_len, encrypt_metadata)
     expect = compute_u(key, id0, r)
     ok = expect[:16] == u_entry[:16] if r >= 3 else expect == u_entry[:32]
     return key if ok else None
 
 
-def object_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """§7.6.2 Algorithm 1: the per-object RC4 key."""
+def object_key(file_key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
+    """§7.6.2 Algorithm 1: the per-object key (AES appends the fixed
+    'sAlT' bytes to the digest input)."""
 
     md = hashlib.md5()
     md.update(file_key)
     md.update(struct.pack("<I", num)[:3])
     md.update(struct.pack("<I", gen)[:2])
+    if aes:
+        md.update(b"sAlT")
     return md.digest()[: min(len(file_key) + 5, 16)]
 
 
 class StandardDecryptor:
-    """Holds the verified file key; decrypts strings/streams per object."""
+    """Holds the verified file key; decrypts strings/streams per object
+    (aes=True -> AESV2: CBC, IV-prefixed, padded; else RC4)."""
 
-    def __init__(self, file_key: bytes) -> None:
+    def __init__(self, file_key: bytes, aes: bool = False) -> None:
         self.file_key = file_key
+        self.aes = aes
 
     def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
-        return rc4(object_key(self.file_key, num, gen), data)
+        key = object_key(self.file_key, num, gen, aes=self.aes)
+        if self.aes:
+            from .aes import cbc_decrypt
+
+            return cbc_decrypt(key, data)
+        return rc4(key, data)
 
 
 def build_decryptor(enc: dict, id0: bytes, user_pw: bytes = b"") -> StandardDecryptor:
@@ -130,9 +145,35 @@ def build_decryptor(enc: dict, id0: bytes, user_pw: bytes = b"") -> StandardDecr
         raise UserError(f"Unsupported security handler: {enc.get('Filter')}.")
     v = int(enc.get("V", 0))
     r = int(enc.get("R", 2))
-    if v not in (1, 2) or r not in (2, 3):
-        raise UserError(f"Unsupported encryption V={v} R={r} (RC4 V1/V2 only; no AES).")
+    aes = False
+    if v == 4 and r == 4:
+        # Crypt filters: require the standard /StdCF applied to both
+        # streams and strings (the layout every mainstream producer
+        # emits); /CFM selects RC4 (V2) or AES-128 (AESV2).
+        cf = enc.get("CF") or {}
+        stdcf = cf.get("StdCF") or {}
+        cfm = str(stdcf.get("CFM", ""))
+        stmf, strf = str(enc.get("StmF", "Identity")), str(enc.get("StrF", "Identity"))
+        if stmf != "StdCF" or strf != "StdCF":
+            raise UserError(
+                f"Unsupported crypt-filter mapping StmF={stmf} StrF={strf}."
+            )
+        if cfm == "AESV2":
+            aes = True
+        elif cfm != "V2":
+            raise UserError(f"Unsupported crypt filter method {cfm or '(none)'}.")
+    elif v not in (1, 2) or r not in (2, 3):
+        raise UserError(
+            f"Unsupported encryption V={v} R={r} (RC4 V1/V2/V4 and AESV2 only)."
+        )
     key_len = 5 if v == 1 else int(enc.get("Length", 40)) // 8
+    if v == 4:
+        cf_len = (enc.get("CF") or {}).get("StdCF", {}).get("Length")
+        if cf_len is not None:
+            n = int(cf_len)
+            key_len = n // 8 if n > 16 else n  # producers write bytes OR bits
+    if aes:
+        key_len = 16  # AESV2 is AES-128 by definition
     if not (5 <= key_len <= 16):
         raise UserError(f"Bad encryption key length {key_len * 8}.")
     o_entry = enc.get("O")
@@ -140,7 +181,8 @@ def build_decryptor(enc: dict, id0: bytes, user_pw: bytes = b"") -> StandardDecr
     if not isinstance(o_entry, bytes) or not isinstance(u_entry, bytes):
         raise UserError("Encryption dictionary missing /O or /U.")
     p = int(enc.get("P", -1)) & 0xFFFFFFFF
-    key = verify_user_password(user_pw, o_entry, u_entry, p, id0, r, key_len)
+    em = bool(enc.get("EncryptMetadata", True))
+    key = verify_user_password(user_pw, o_entry, u_entry, p, id0, r, key_len, em)
     if key is None:
         raise UserError("Encrypted PDF: password required (user password rejected).")
-    return StandardDecryptor(key)
+    return StandardDecryptor(key, aes=aes)

@@ -537,8 +537,9 @@ class PdfDocument:
 
     def _setup_decryption(self, password: str) -> None:
         """Standard security handler (§7.6.3) via pdfio/crypt.py: RC4
-        V1/V2, R2/R3. The /Encrypt dictionary itself and xref streams
-        are never encrypted; strings decrypt per owning object in
+        V1/V2 R2/R3 and V4/R4 crypt filters (/CFM V2 or AESV2 — AES-128
+        via pdfio/aes.py). The /Encrypt dictionary itself and xref
+        streams are never encrypted; strings decrypt per owning object in
         :meth:`_load_object`, streams in :meth:`_decoded_stream_for`.
         Unsupported handlers (AES) raise UserError, which the job turns
         into a per-document error-lineage row."""

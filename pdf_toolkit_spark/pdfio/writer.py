@@ -14,6 +14,7 @@ raster dims.
 
 from __future__ import annotations
 
+import re
 import zlib
 from dataclasses import dataclass, field
 from typing import Union
@@ -81,7 +82,9 @@ class _Builder:
                 continue
             body = body or b"null"
             if encrypt is not None and num != encrypt[0]:
-                body = _encrypt_streams_in_body(body, num, encrypt[2])
+                body = _encrypt_streams_in_body(
+                    body, num, encrypt[2], aes=len(encrypt) > 3 and encrypt[3]
+                )
             offsets.append(len(out))
             out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
         xref_at = len(out)
@@ -150,11 +153,13 @@ class _Builder:
         return bytes(out)
 
 
-def _encrypt_streams_in_body(body: bytes, num: int, file_key: bytes) -> bytes:
-    """RC4-encrypt the stream payload of an object body (strings in
-    this writer's output live only inside content streams, so stream
-    encryption covers everything; RC4 is length-preserving, /Length
-    stays valid)."""
+def _encrypt_streams_in_body(
+    body: bytes, num: int, file_key: bytes, aes: bool = False
+) -> bytes:
+    """Encrypt the stream payload of an object body (strings in this
+    writer's output live only inside content streams, so stream
+    encryption covers everything). RC4 is length-preserving; AESV2
+    grows the payload (IV + padding), so /Length is rewritten."""
 
     marker = b"\nstream\n"
     at = body.find(marker)
@@ -164,6 +169,17 @@ def _encrypt_streams_in_body(body: bytes, num: int, file_key: bytes) -> bytes:
     end = body.rindex(b"\nendstream")
     from .crypt import object_key, rc4
 
+    if aes:
+        import hashlib
+
+        from .aes import cbc_encrypt
+
+        iv = hashlib.md5(b"iv:%d" % num).digest()  # deterministic fixture IV
+        payload = cbc_encrypt(object_key(file_key, num, 0, aes=True), iv, body[start:end])
+        head = re.sub(
+            rb"/Length \d+", b"/Length %d" % len(payload), body[:at], count=1
+        )
+        return head + marker + payload + body[end:]
     payload = rc4(object_key(file_key, num, 0), body[start:end])
     return body[:start] + payload + body[end:]
 
@@ -189,7 +205,7 @@ def _image_xobject(arr: np.ndarray, codec: str = "flate") -> bytes:
 
 def write_pdf(
     pages: list[PageSpec], *, pdf15: bool = False,
-    encrypt: bool = False, user_password: str = "",
+    encrypt: "bool | str" = False, user_password: str = "",
 ) -> bytes:
     """Serialize pages into a complete PDF byte stream.
 
@@ -198,8 +214,9 @@ def write_pdf(
     must extract byte-identical spans from either form.
 
     ``encrypt=True`` applies the standard security handler (RC4-40,
-    R2, deterministic /ID) with ``user_password`` — the encrypted-
-    corpus fixture path; classic layout only.
+    R2, deterministic /ID) with ``user_password``; ``encrypt="aes"``
+    emits V4/R4 crypt filters with /AESV2 (AES-128-CBC) instead — the
+    encrypted-corpus fixture paths; classic layout only.
     """
 
     b = _Builder()
@@ -268,12 +285,25 @@ def write_pdf(
 
         pw = user_password.encode("latin-1")
         id0 = hashlib.md5(b"pdf_toolkit_spark deterministic file id").digest()
-        o_entry = compute_o(pw, pw, r=2, key_len=5)
-        key = compute_key(pw, o_entry, 0xFFFFFFFF, id0, r=2, key_len=5)
-        u_entry = compute_u(key, id0, r=2)
-        enc_num = b.add(
-            f"<< /Filter /Standard /V 1 /R 2 /Length 40 /P -1 "
-            f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> >>".encode()
-        )
-        enc_info = (enc_num, id0, key)
+        if encrypt == "aes":
+            o_entry = compute_o(pw, pw, r=4, key_len=16)
+            key = compute_key(pw, o_entry, 0xFFFFFFFF, id0, r=4, key_len=16)
+            u_entry = compute_u(key, id0, r=4)
+            enc_num = b.add(
+                f"<< /Filter /Standard /V 4 /R 4 /Length 128 /P -1 "
+                f"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                f"/StmF /StdCF /StrF /StdCF "
+                f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> >>".encode()
+            )
+            enc_info = (enc_num, id0, key, True)
+        else:
+            o_entry = compute_o(pw, pw, r=2, key_len=5)
+            key = compute_key(pw, o_entry, 0xFFFFFFFF, id0, r=2, key_len=5)
+            u_entry = compute_u(key, id0, r=2)
+            enc_info = None
+            enc_num = b.add(
+                f"<< /Filter /Standard /V 1 /R 2 /Length 40 /P -1 "
+                f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> >>".encode()
+            )
+            enc_info = (enc_num, id0, key)
     return b.render(catalog_num, pdf15=pdf15, encrypt=enc_info)

@@ -61,12 +61,69 @@ def test_object_key_truncation():
     assert len(object_key(b"\x00" * 16, 1, 0)) == 16
 
 
-def test_build_decryptor_rejects_aes_and_unknown_handler():
+def test_build_decryptor_rejects_aes256_and_unknown_handler():
     base = {"Filter": "Standard", "O": b"x" * 32, "U": b"y" * 32, "P": -1}
-    with pytest.raises(UserError, match="AES"):
-        build_decryptor(dict(base, V=4, R=4), b"")
+    with pytest.raises(UserError, match="V=5"):
+        build_decryptor(dict(base, V=5, R=6), b"")
+    with pytest.raises(UserError, match="crypt filter method"):
+        build_decryptor(
+            dict(base, V=4, R=4, CF={"StdCF": {"CFM": "AESV3"}},
+                 StmF="StdCF", StrF="StdCF"),
+            b"",
+        )
+    with pytest.raises(UserError, match="crypt-filter mapping"):
+        build_decryptor(
+            dict(base, V=4, R=4, CF={"StdCF": {"CFM": "AESV2"}}, StmF="Identity"),
+            b"",
+        )
     with pytest.raises(UserError, match="security handler"):
         build_decryptor({"Filter": "FancyCustom"}, b"")
+
+
+def test_aes128_matches_fips197_vector():
+    from pdf_toolkit_spark.pdfio.aes import (
+        _decrypt_block,
+        _encrypt_block,
+        cbc_decrypt,
+        cbc_encrypt,
+        expand_key,
+    )
+
+    key = bytes(range(16))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    rks = expand_key(key)
+    ct = _encrypt_block(pt, rks)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"  # FIPS-197 C.1
+    assert _decrypt_block(ct, rks) == pt
+    for msg in (b"", b"short", b"x" * 16, b"y" * 1000):
+        assert cbc_decrypt(key, cbc_encrypt(key, b"\x07" * 16, msg)) == msg
+
+
+def test_aes_object_key_appends_salt():
+    plain = object_key(b"\x00" * 16, 3, 0)
+    salted = object_key(b"\x00" * 16, 3, 0, aes=True)
+    assert plain != salted and len(salted) == 16
+
+
+def test_aesv2_pdf_roundtrip_matches_plaintext_spans():
+    """V4/R4 AESV2 twin of the RC4 gate: IV-prefixed CBC streams with
+    rewritten /Length must decrypt to byte-identical spans."""
+
+    cfg = corpus_config()
+    plain = write_pdf(_pages())
+    enc = write_pdf(_pages(), encrypt="aes")
+    assert b"/AESV2" in enc and b"secret page one" not in enc
+    assert extract_document(enc, cfg)["spans"] == extract_document(plain, cfg)["spans"]
+
+
+def test_aesv2_password_protection():
+    enc = write_pdf(_pages(), encrypt="aes", user_password="hunter2")
+    with pytest.raises(UserError, match="password"):
+        PdfDocument(enc)
+    doc = PdfDocument(enc, password="hunter2")
+    assert doc.page_count == 2
+    page = doc.load_page(0)
+    assert any(it[0] == "text" and it[1] == "secret page one" for it in page.items)
 
 
 def test_encrypted_pdf_roundtrip_matches_plaintext_spans():
