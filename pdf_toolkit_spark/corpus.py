@@ -136,7 +136,7 @@ def _inverse_rotate_page(upright: PageSpec, rotate: int) -> PageSpec:
 
 def make_document(
     doc_id: int, seed: int = 42, mega_every: int = 50, profile: str = "scan",
-    jpeg_every: int = 0,
+    jpeg_every: int = 0, encrypt_every: int = 0,
 ) -> dict[str, Any]:
     """Build one document; returns {doc_id, pdf_bytes, n_pages, doc_class}.
 
@@ -144,6 +144,11 @@ def make_document(
     DCTDecode (baseline JPEG) image XObjects instead of FlateDecode —
     the dominant encoding of real-world scanned PDFs. Deterministic
     like everything else (the engine's own encoder, fixed quality).
+
+    ``encrypt_every=k`` encrypts every k-th document with an empty
+    user password, alternating RC4-40 (R2) and AESV2 (V4/R4) so both
+    decryption paths run inside the distributed pipeline (encrypted
+    fixtures use the classic layout; spans are unaffected).
     """
 
     prof = _PROFILE[profile]
@@ -243,9 +248,14 @@ def make_document(
     # Every third doc ships in the PDF 1.5 container (object stream +
     # xref stream) so both parser paths are exercised end-to-end by the
     # same corpus; page content — and therefore spans — is identical.
+    encrypt: "bool | str" = False
+    if encrypt_every and doc_id % encrypt_every == 0:
+        encrypt = "aes" if (doc_id // encrypt_every) % 2 else True
     return {
         "doc_id": f"doc{doc_id:06d}",
-        "pdf_bytes": write_pdf(pages, pdf15=(doc_id % 3 == 1)),
+        "pdf_bytes": write_pdf(
+            pages, pdf15=(not encrypt and doc_id % 3 == 1), encrypt=encrypt
+        ),
         "n_pages": len(pages),
         "doc_class": doc_class,
     }
@@ -253,11 +263,11 @@ def make_document(
 
 def iter_corpus(
     n_docs: int, seed: int = 42, mega_every: int = 50, profile: str = "scan",
-    jpeg_every: int = 0,
+    jpeg_every: int = 0, encrypt_every: int = 0,
 ) -> Iterator[dict[str, Any]]:
     for doc_id in range(n_docs):
         yield make_document(doc_id, seed=seed, mega_every=mega_every, profile=profile,
-                            jpeg_every=jpeg_every)
+                            jpeg_every=jpeg_every, encrypt_every=encrypt_every)
 
 
 def document_from_text(doc_id: int, text: str) -> dict[str, Any]:

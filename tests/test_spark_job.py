@@ -67,6 +67,29 @@ def test_span_sequence_equality_jpeg_corpus(spark):
     assert saw_jpeg
 
 
+def test_span_sequence_equality_encrypted_corpus(spark):
+    """The equality gate over an encrypted corpus: every 3rd doc is
+    encrypted (alternating RC4-40 and AESV2, empty user password) —
+    distributed decryption inside the pandas UDF must yield spans
+    identical to each doc's serial extraction."""
+
+    n = 12
+    input_df = corpus_dataframe(spark, n, seed=42, mega_every=0, encrypt_every=3)
+    spans_df, _ = build_pipeline(spark, input_df, CFG)
+    rows = {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in spans_df.collect()}
+    saw_rc4 = saw_aes = False
+    for doc_id in range(n):
+        doc = make_document(doc_id, seed=42, mega_every=0, encrypt_every=3)
+        if b"/Encrypt" in doc["pdf_bytes"]:
+            if b"/AESV2" in doc["pdf_bytes"]:
+                saw_aes = True
+            else:
+                saw_rc4 = True
+        expected = extract_document(doc["pdf_bytes"], CFG)["spans"]
+        assert rows[doc["doc_id"]] == expected, doc["doc_class"]
+    assert saw_rc4 and saw_aes
+
+
 def test_resume_skips_committed_docs(spark, tmp_path):
     out = str(tmp_path / "out")
     first = corpus_dataframe(spark, 6, seed=42, mega_every=0)
