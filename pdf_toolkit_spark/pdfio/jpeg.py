@@ -1,17 +1,21 @@
-"""Baseline sequential JPEG codec (ISO/IEC 10918-1, public spec only).
+"""JPEG codec: baseline sequential AND progressive DCT decode,
+baseline encode (ISO/IEC 10918-1 / ITU T.81, public spec only).
 
 The reference gets JPEG support for free from PyMuPDF
 (``fitz.open``, reference render.py:89); this container has no image
 codecs, so the engine owns one — the same pattern as pdfio/png.py.
-Scope is the baseline sequential DCT process, which is what DCTDecode
-image XObjects in scanned PDFs overwhelmingly use:
 
-- decoder: SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS/RSTn/EOI marker walk,
-  canonical Huffman tables (spec DECODE semantics via a 16-bit peek
-  LUT), dequantize + batched orthonormal IDCT, chroma upsampling for
-  sampling factors in {1, 2} (4:4:4, 4:2:2, 4:4:0, 4:2:0), JFIF
-  YCbCr -> RGB. Grayscale decodes to (h, w) uint8, color to (h, w, 3).
-  Progressive/arithmetic/12-bit streams raise UserError.
+- decoder: SOI/APPn/COM/DQT/SOF0/1/2/DHT/DRI/SOS/RSTn/EOI marker
+  walk, canonical Huffman tables (spec DECODE semantics via a 16-bit
+  peek LUT), persistent per-component coefficient stores filled scan
+  by scan — progressive (SOF2) spectral-selection and successive-
+  approximation scans implement T.81 §G.2 (DC first/refine, AC
+  first/refine with EOB runs; cross-validated bit-exact against JVM
+  ImageIO in tests/test_jpeg.py) — then one dequantize + batched
+  orthonormal IDCT, chroma upsampling for sampling factors in {1, 2}
+  (4:4:4, 4:2:2, 4:4:0, 4:2:0), JFIF YCbCr -> RGB. Grayscale decodes
+  to (h, w) uint8, color to (h, w, 3). Arithmetic/12-bit/hierarchical
+  streams raise UserError.
 - encoder: quality-scaled Annex K quantization tables, Annex K Huffman
   tables, 4:4:4 (no subsampling — deterministic fixtures, simplest
   parity), batched FDCT, run-length + magnitude entropy coding.
@@ -431,6 +435,17 @@ class _SegDecoder:
         self.nb -= length
         return lut_sym[peek]
 
+    def get_bits(self, size: int) -> int:
+        """Raw bits (EOB-run lengths, refinement/correction bits)."""
+
+        if size == 0:
+            return 0
+        if self.nb < size:
+            self._fill16()
+        v = (self.buf >> (self.nb - size)) & ((1 << size) - 1)
+        self.nb -= size
+        return v
+
     def receive_extend(self, size: int) -> int:
         if size == 0:
             return 0
@@ -444,9 +459,9 @@ class _SegDecoder:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to (h, w) gray or (h, w, 3)
-    RGB uint8. Raises UserError on progressive/arithmetic/12-bit or
-    corrupt streams."""
+    """Decode a baseline-sequential OR progressive JPEG to (h, w) gray
+    or (h, w, 3) RGB uint8. Raises UserError on arithmetic/12-bit/
+    hierarchical or corrupt streams."""
 
     try:
         return _decode_jpeg(data)
@@ -461,9 +476,17 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     n = len(data)
     qtables: dict[int, np.ndarray] = {}
     huff_luts: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
-    frame = None  # (h, w, comps) comps: list of (cid, hs, vs, tq)
+    frame = None  # (h, w, comps, progressive) comps: list of (cid, hs, vs, tq)
     restart_interval = 0
-    scan_result: dict[int, np.ndarray] = {}
+    # Persistent per-component coefficient stores: progressive scans
+    # accumulate into them across SOS segments (and multi-scan
+    # sequential files no longer lose earlier components); the IDCT
+    # runs ONCE at end of frame.
+    stores: dict[int, np.ndarray] = {}
+    grids: dict[int, tuple[int, int]] = {}     # padded (cb_h, cb_w)
+    nbdims: dict[int, tuple[int, int]] = {}    # non-interleaved (nb_h, nb_w)
+    geom = None
+    scans_decoded = 0
 
     while pos < n:
         if data[pos] != 0xFF:
@@ -491,7 +514,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 nat = np.zeros(64)
                 nat[ZIGZAG] = tbl
                 qtables[tq] = nat.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline(+ext) sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision = body[0]
             if precision != 8:
                 raise UserError(f"Unsupported JPEG precision {precision}.")
@@ -505,9 +528,26 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 if hs not in (1, 2) or vs not in (1, 2):
                     raise UserError(f"Unsupported JPEG sampling {hs}x{vs}.")
                 comps.append((cid, hs, vs, tq))
-            frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise UserError("Unsupported JPEG process (baseline sequential only).")
+            frame = (h, w, comps, marker == 0xC2)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            geom = (hmax, vmax, mcux, mcuy)
+            for cid, hs, vs, _tq in comps:
+                cb_h, cb_w = mcuy * vs, mcux * hs
+                stores[cid] = np.zeros((cb_h * cb_w, 64), dtype=np.int32)
+                grids[cid] = (cb_h, cb_w)
+                nbdims[cid] = (
+                    ((h * vs + vmax - 1) // vmax + 7) // 8,
+                    ((w * hs + hmax - 1) // hmax + 7) // 8,
+                )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UserError("Unsupported JPEG process (sequential/progressive DCT only).")
+        elif marker == 0xC8:
+            raise UserError("Unsupported JPEG process (sequential/progressive DCT only).")
+        elif marker == 0xCA:
+            raise UserError("Unsupported JPEG process (sequential/progressive DCT only).")
         elif marker == 0xC4:  # DHT
             bp = 0
             while bp < len(body):
@@ -527,21 +567,31 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
                 scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ahl = body[3 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0x0F
             pos = pos + seglen
-            scan_result, pos = _decode_scan(
-                data, pos, frame, scan_comps, qtables, huff_luts, restart_interval
+            pos = _decode_scan(
+                data, pos, frame, geom, scan_comps, huff_luts,
+                restart_interval, stores, grids, nbdims, ss, se, ah, al,
             )
+            scans_decoded += 1
             continue
         pos += seglen
 
-    if frame is None or not scan_result:
+    if frame is None or not scans_decoded:
         raise UserError("JPEG has no decoded scan.")
-    h, w, comps = frame
+    h, w, comps, _prog = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     planes = []
-    for cid, hs, vs, _tq in comps:
-        plane = scan_result[cid]
+    for cid, hs, vs, tq in comps:
+        cb_h, cb_w = grids[cid]
+        blocks = stores[cid].astype(np.float64).reshape(-1, 8, 8) * qtables[tq][None, :, :]
+        pix = np.einsum("km,nmp,pq->nkq", _A.T, blocks, _A) + 128.0
+        pix = np.clip(np.floor(pix + 0.5), 0, 255)
+        plane = _deblockify(pix, cb_h, cb_w, cb_h * 8, cb_w * 8)
         if hs != hmax or vs != vmax:  # chroma upsampling (replication)
             plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
         planes.append(plane[:h, :w].astype(np.float64))
@@ -557,35 +607,36 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
 
 
-def _decode_scan(data, pos, frame, scan_comps, qtables, huff_luts, restart_interval):
-    h, w, comps = frame
+def _decode_scan(
+    data, pos, frame, geom, scan_comps, huff_luts, restart_interval,
+    stores, grids, nbdims, ss, se, ah, al,
+):
+    """Decode one entropy-coded scan into the persistent coefficient
+    stores. Sequential scans carry ss=0/se=63/ah=al=0; progressive
+    scans (SOF2) carry the spectral-selection / successive-
+    approximation parameters and use the T.81 §G.2 procedures
+    (DC first/refine, AC first/refine with EOB runs)."""
+
+    h, w, comps, progressive = frame
     by_id = {c[0]: c for c in comps}
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    hmax, vmax, mcux, mcuy = geom
 
     interleaved = len(scan_comps) > 1
+    if progressive and ss > 0 and interleaved:
+        raise UserError("Corrupt JPEG: progressive AC scan must be single-component.")
     if not interleaved:
-        cid, _, _ = scan_comps[0][0], scan_comps[0][1], scan_comps[0][2]
-        _, hs, vs, _tq = by_id[cid]
-        bw = (w * hs // hmax + 7) // 8
-        bh = (h * vs // vmax + 7) // 8
-        total_mcus = bw * bh
+        cid = scan_comps[0][0]
+        nb_h, nb_w = nbdims[cid]
+        total_mcus = nb_h * nb_w
     else:
         total_mcus = mcux * mcuy
 
-    # per-component coefficient stores
-    coeff: dict[int, np.ndarray] = {}
-    grid: dict[int, tuple[int, int]] = {}
-    for cid, hs, vs, _tq in comps:
-        cb_w = mcux * hs if interleaved else (w * hs // hmax + 7) // 8
-        cb_h = mcuy * vs if interleaved else (h * vs // vmax + 7) // 8
-        coeff[cid] = np.zeros((cb_h * cb_w, 64), dtype=np.float64)
-        grid[cid] = (cb_h, cb_w)
+    dc_first = ss == 0 and ah == 0
+    dc_refine = ss == 0 and ah > 0
+    zz = ZIGZAG.tolist()
+    p1, m1 = 1 << al, -1 << al
 
     segments, endpos = _split_entropy_segments(data, pos)
-    zz = ZIGZAG.tolist()
 
     mcu = 0
     for seg in segments:
@@ -593,52 +644,141 @@ def _decode_scan(data, pos, frame, scan_comps, qtables, huff_luts, restart_inter
             break
         dec = _SegDecoder(seg)
         preds = {c[0]: 0 for c in scan_comps}
+        eobrun = 0
         seg_budget = restart_interval if restart_interval else total_mcus - mcu
         for _ in range(min(seg_budget, total_mcus - mcu)):
             for cs, td, ta in scan_comps:
                 _, hs, vs, _tq = by_id[cs]
-                dc_sym, dc_len = huff_luts[(0, td)]
-                ac_sym, ac_len = huff_luts[(1, ta)]
                 nb_v = vs if interleaved else 1
-                nb_h = hs if interleaved else 1
-                _, cb_w = grid[cs]
+                nb_h_ = hs if interleaved else 1
+                _, cb_w = grids[cs]
+                store = stores[cs]
                 for byi in range(nb_v):
-                    for bxi in range(nb_h):
-                        blk = [0.0] * 64
-                        s = dec.read_symbol(dc_sym, dc_len)
-                        diff = dec.receive_extend(s)
-                        preds[cs] += diff
-                        blk[0] = float(preds[cs])
-                        k = 1
-                        while k < 64:
-                            rs = dec.read_symbol(ac_sym, ac_len)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise UserError("Corrupt JPEG: AC index overflow.")
-                            blk[zz[k]] = float(dec.receive_extend(s))
-                            k += 1
+                    for bxi in range(nb_h_):
                         if interleaved:
                             my, mx = divmod(mcu, mcux)
                             row = my * vs + byi
                             col = mx * hs + bxi
                         else:
-                            row, col = divmod(mcu, cb_w)
-                        coeff[cs][row * cb_w + col] = blk
+                            row, col = divmod(mcu, nbdims[cs][1])
+                        idx = row * cb_w + col
+                        if not progressive:
+                            blk = [0] * 64
+                            _seq_block(dec, blk, huff_luts[(0, td)],
+                                       huff_luts[(1, ta)], preds, cs, zz)
+                            store[idx] = blk
+                        elif dc_first:
+                            sym = dec.read_symbol(*huff_luts[(0, td)])
+                            preds[cs] += dec.receive_extend(sym)
+                            store[idx, 0] = preds[cs] << al
+                        elif dc_refine:
+                            if dec.get_bits(1):
+                                store[idx, 0] |= p1
+                        else:
+                            blk = store[idx]
+                            if ah == 0:
+                                eobrun = _ac_first_block(
+                                    dec, blk, huff_luts[(1, ta)], ss, se, al,
+                                    eobrun, zz)
+                            else:
+                                eobrun = _ac_refine_block(
+                                    dec, blk, huff_luts[(1, ta)], ss, se,
+                                    p1, m1, eobrun, zz)
             mcu += 1
     if mcu < total_mcus:
         raise UserError("Corrupt JPEG: truncated scan.")
+    return endpos
 
-    result: dict[int, np.ndarray] = {}
-    for cid, hs, vs, tq in comps:
-        cb_h, cb_w = grid[cid]
-        blocks = coeff[cid].reshape(-1, 8, 8) * qtables[tq][None, :, :]
-        pix = np.einsum("km,nmp,pq->nkq", _A.T, blocks, _A) + 128.0
-        pix = np.clip(np.floor(pix + 0.5), 0, 255)
-        result[cid] = _deblockify(pix, cb_h, cb_w, cb_h * 8, cb_w * 8)
-    return result, endpos
+
+def _seq_block(dec, blk, dc_lut, ac_lut, preds, cs, zz):
+    """One baseline-sequential data unit (DC diff + AC run-lengths)."""
+
+    s = dec.read_symbol(*dc_lut)
+    preds[cs] += dec.receive_extend(s)
+    blk[0] = preds[cs]
+    k = 1
+    while k < 64:
+        rs = dec.read_symbol(*ac_lut)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise UserError("Corrupt JPEG: AC index overflow.")
+        blk[zz[k]] = dec.receive_extend(s)
+        k += 1
+
+
+def _ac_first_block(dec, blk, ac_lut, ss, se, al, eobrun, zz):
+    """Progressive AC scan, first pass (Ah=0): T.81 G.2.2 with EOB
+    runs; new coefficients land shifted left by Al."""
+
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = dec.read_symbol(*ac_lut)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += dec.get_bits(r)
+            return eobrun - 1  # this block ends the run too
+        k += r
+        if k > se:
+            raise UserError("Corrupt JPEG: AC index overflow.")
+        blk[zz[k]] = dec.receive_extend(s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(dec, blk, ac_lut, ss, se, p1, m1, eobrun, zz):
+    """Progressive AC scan, refinement pass (Ah>0): T.81 G.2.3 —
+    correction bits for history-nonzero coefficients interleave with
+    newly significant ones (same control flow as the widely-documented
+    libjpeg decode_mcu_AC_refine)."""
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = dec.read_symbol(*ac_lut)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s:
+                if s != 1:
+                    raise UserError("Corrupt JPEG: bad refinement magnitude.")
+                newval = p1 if dec.get_bits(1) else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += dec.get_bits(r)
+                    break  # EOB-run correction loop below finishes the block
+            while k <= se:
+                z = zz[k]
+                if blk[z] != 0:
+                    if dec.get_bits(1) and (blk[z] & p1) == 0:
+                        blk[z] += p1 if blk[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        if s:
+                            blk[z] = newval
+                        break
+                    r -= 1
+                k += 1
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = zz[k]
+            if blk[z] != 0:
+                if dec.get_bits(1) and (blk[z] & p1) == 0:
+                    blk[z] += p1 if blk[z] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun

@@ -16,8 +16,8 @@ Supported surface:
 - stream filters: FlateDecode, LZWDecode, RunLengthDecode,
   ASCIIHexDecode, ASCII85Decode, with PNG/TIFF /DecodeParms predictors;
   filter arrays compose. DCTDecode image XObjects decode through the
-  engine-owned baseline JPEG codec (pdfio/jpeg.py); progressive JPEG /
-  JPXDecode surface as missing rasters
+  engine-owned JPEG codec (pdfio/jpeg.py, baseline AND progressive);
+  JPXDecode surfaces as missing rasters
 - nested /Pages trees with attribute inheritance (Resources/MediaBox/
   CropBox/Rotate, §7.7.3.4)
 - string escapes incl. \\ddd octal and line continuations

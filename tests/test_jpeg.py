@@ -63,12 +63,12 @@ def test_encode_deterministic_golden():
     assert np.array_equal(d1, d2)
 
 
-def test_progressive_and_truncated_raise():
+def test_arithmetic_and_truncated_raise():
     a = np.full((16, 16), 90, np.uint8)
     j = bytearray(encode_jpeg(a))
     sof_at = bytes(j).find(b"\xff\xc0")
-    j[sof_at + 1] = 0xC2  # pretend progressive
-    with pytest.raises(UserError, match="baseline"):
+    j[sof_at + 1] = 0xC9  # pretend arithmetic sequential
+    with pytest.raises(UserError, match="process"):
         decode_jpeg(bytes(j))
     with pytest.raises(UserError):
         decode_jpeg(encode_jpeg(a)[: len(j) // 2])  # truncated scan
@@ -112,3 +112,79 @@ def test_jpeg_corpus_class_extracts():
     assert out["spans"], "jpeg-coded doc produced no spans"
     flate = make_document(1, seed=42, mega_every=0, jpeg_every=5)
     assert b"DCTDecode" not in flate["pdf_bytes"]
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoding
+# ---------------------------------------------------------------------------
+
+def _prog_fixture():
+    import base64
+    import zlib
+
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures_progressive_jpeg import PROG_GRAY_JPG, PROG_GRAY_REF_ZB64
+
+    jpg = base64.b64decode(PROG_GRAY_JPG)
+    ref = np.frombuffer(
+        zlib.decompress(base64.b64decode(PROG_GRAY_REF_ZB64)), np.uint8
+    ).reshape(75, 101)
+    return jpg, ref
+
+
+def test_progressive_gray_matches_imageio_reference():
+    """Pinned cross-engine check: a 6-scan successive-approximation
+    SOF2 file (JVM ImageIO encoder) must decode to ImageIO's own
+    raster output within IDCT rounding (observed max |err| = 1)."""
+
+    jpg, ref = _prog_fixture()
+    assert b"\xff\xc2" in jpg  # really progressive
+    dec = decode_jpeg(jpg)
+    assert dec.shape == ref.shape
+    err = np.abs(dec.astype(int) - ref.astype(int))
+    assert err.max() <= 1 and err.mean() < 0.05
+
+
+def test_progressive_pdf_xobject_extracts():
+    """A DCTDecode XObject carrying the progressive fixture must flow
+    through the parser's image path like any baseline JPEG."""
+
+    import zlib as _zlib
+
+    jpg, ref = _prog_fixture()
+    h, w = ref.shape
+    content = _zlib.compress(b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h))
+    chunks = [
+        b"%PDF-1.5\n",
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+        b"/Contents 4 0 R /Resources << /XObject << /Im0 5 0 R >> >> >>\nendobj\n"
+        % (w, h),
+        b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(content)
+        + content + b"\nendstream\nendobj\n",
+        b"5 0 obj\n<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode "
+        b"/Length %d >>\nstream\n" % (w, h, len(jpg))
+        + jpg + b"\nendstream\nendobj\n",
+    ]
+    pdf = bytearray()
+    offs = {}
+    for i, c in enumerate(chunks):
+        if i:
+            offs[i] = len(pdf)
+        pdf += c
+    xref_at = len(pdf)
+    pdf += b"xref\n0 6\n0000000000 65535 f \n"
+    for i in range(1, 6):
+        pdf += b"%010d 00000 n \n" % offs[i]
+    pdf += b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref_at
+    doc = PdfDocument(bytes(pdf))
+    page = doc.load_page(0)
+    # full-page raster -> classified as the page scan
+    assert page.scan is not None and page.scan.shape == ref.shape
+    err = np.abs(page.scan.astype(int) - ref.astype(int))
+    assert err.max() <= 1
