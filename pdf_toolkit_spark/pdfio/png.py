@@ -58,7 +58,17 @@ def encode_png(arr: np.ndarray, *, level: int = 1) -> bytes:
     raster = np.empty((h, row_len + 1), dtype=np.uint8)
     raster[:, 0] = 0
     raster[:, 1:] = flat
-    idat = zlib.compress(raster.tobytes(), level)
+    data = raster.tobytes()
+    if level > 0 and len(data) >= 65536:
+        # Adaptive store mode: deflate on incompressible rasters (photo
+        # noise) costs ~7 ms per media blob for no shrink — half the
+        # serial extraction profile. Probe a 16 KiB prefix; if it
+        # saves < ~6 % fall back to stored deflate blocks (level 0,
+        # memcpy speed). Deterministic: the probe depends only on the
+        # pixels, so both the serial oracle and every executor agree.
+        if len(zlib.compress(data[:16384], level)) > 16384 - 1024:
+            level = 0
+    idat = zlib.compress(data, level)
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
