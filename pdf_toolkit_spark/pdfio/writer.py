@@ -193,7 +193,14 @@ def _image_xobject(arr: np.ndarray, codec: str = "flate") -> bytes:
         data = encode_jpeg(np.ascontiguousarray(arr, dtype=np.uint8), quality=75)
         filt = "DCTDecode"
     else:
-        data = zlib.compress(np.ascontiguousarray(arr, dtype=np.uint8).tobytes(), level=6)
+        raw = np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+        # Adaptive level (same probe as pdfio/png.py encode_png): the
+        # corpus's noise rasters are incompressible, and deflate-6 on
+        # them dominated fixture generation for nothing.
+        lvl = 6
+        if len(raw) >= 65536 and len(zlib.compress(raw[:16384], 1)) > 16384 - 1024:
+            lvl = 0
+        data = zlib.compress(raw, level=lvl)
         filt = "FlateDecode"
     head = (
         f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
