@@ -192,7 +192,67 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 256  # tokens per training window (concat-and-chunk packing)
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style keep/drop decision with the FIRST failing rule as the
+    reason (fixed rule order => deterministic): too_short (< 5
+    tokens), low_alpha (alphabetic ratio < 0.6), no_stopwords (>= 20
+    tokens but zero en/of/and stopword hits). Output: (doc_id, keep,
+    drop_reason). Pure scan, whole-stage codegen; at fleet scale this
+    IS the shape — a filter column computed in the same pass as the
+    read, no shuffle at all."""
+
+    docs = table(spark, sf_dir, "documents")
+    norm = norm_text(F.col("text"))
+    n_tokens = F.when(norm == "", 0).otherwise(F.size(F.split(norm, " ")))
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+        / F.greatest(F.length(F.col("text")), F.lit(1))
+    )
+    stop = _occurrences(norm, "the") + _occurrences(norm, "of") + _occurrences(norm, "and")
+    reason = (
+        F.when(n_tokens < 5, "too_short")
+        .when(alpha_ratio < 0.6, "low_alpha")
+        .when((n_tokens >= 20) & (stop == 0), "no_stopwords")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return docs.select(
+        "doc_id", reason.isNull().alias("keep"), reason.alias("drop_reason")
+    )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents are
+    concatenated in doc_id order and cut every PACK_BUDGET tokens;
+    each doc reports its global start offset and the training window
+    it starts in. Output: (doc_id, n_tokens, start_offset, window_id).
+
+    Implemented as one running-sum window. The single global ordering
+    makes this a one-partition window here; at fleet scale the same
+    result comes from the standard two-pass prefix sum (per-partition
+    partial sums + a tiny driver-side exclusive scan of partition
+    totals broadcast back) — the OUTPUT contract is identical, which
+    is what the oracle pins."""
+
+    docs = table(spark, sf_dir, "documents")
+    norm = norm_text(F.col("text"))
+    n_tokens = F.when(norm == "", 0).otherwise(F.size(F.split(norm, " ")))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    toks = docs.select("doc_id", n_tokens.alias("n_tokens"))
+    return toks.select(
+        "doc_id", "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_offset"),
+    ).select(
+        "doc_id", "n_tokens", "start_offset",
+        F.floor(F.col("start_offset") / PACK_BUDGET).cast("bigint").alias("window_id"),
+    )
+
+
 QUERIES = {
+    "text_quality_filter": quality_filter,
+    "text_pack_sequences": pack_sequences,
     "text_token_count": token_count,
     "text_tfidf_top_terms": tfidf_top_terms,
     "text_bpe_token_count": bpe_token_count,
@@ -220,6 +280,28 @@ _C_EN, _C_ES, _C_DE, _C_FR = (_occ_sql(w) for w in ("the", "la", "der", "le"))
 _BEST = f"greatest({_C_EN}, {_C_ES}, {_C_DE}, {_C_FR})"
 
 ORACLES = {
+    "text_quality_filter": f"""
+        SELECT doc_id, reason IS NULL AS keep, reason AS drop_reason FROM (
+            SELECT doc_id,
+                   CASE WHEN {_NT} < 5 THEN 'too_short'
+                        WHEN {_ALPHA} / greatest(length(text), 1) < 0.6 THEN 'low_alpha'
+                        WHEN {_NT} >= 20 AND
+                             ({_occ_sql('the')} + {_occ_sql('of')} + {_occ_sql('and')}) = 0
+                            THEN 'no_stopwords'
+                   END AS reason
+            FROM documents
+        )
+    """,
+    "text_pack_sequences": f"""
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS start_offset,
+               CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          / {PACK_BUDGET}) AS BIGINT) AS window_id
+        FROM (SELECT doc_id, {_NT} AS n_tokens FROM documents)
+    """,
     "text_token_count": f"SELECT doc_id, {_NT} AS n_tokens FROM documents",
     "text_tfidf_top_terms": f"""
         WITH toks AS (
