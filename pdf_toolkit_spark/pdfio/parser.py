@@ -22,7 +22,9 @@ Supported surface:
   CropBox/Rotate, §7.7.3.4)
 - string escapes incl. \\ddd octal and line continuations
 - DeviceGray 8-bit image XObjects; content streams with q/Q, cm, Do,
-  BT/ET, Tf/Td/TD/Tm, Tj/TJ. Unknown operators are skipped
+  BT/ET, Tf/Td/TD/Tm, Tj/TJ, and BI/ID/EI inline images (§8.9.7,
+  abbreviated keys/filters, raw length from W*H*BPC so binary data
+  containing 'EI' cannot truncate). Unknown operators are skipped
   operand-safely.
 """
 
@@ -475,7 +477,8 @@ def _scan_content_fast(stream: bytes):
 
 
 def _scan_content_lexer(stream: bytes):
-    """General-lexer fallback for exotic content streams."""
+    """General-lexer fallback for exotic content streams (inline dicts,
+    nested-paren strings, BI/ID/EI inline images)."""
 
     lex = _Lexer(stream)
     while lex.pos < len(stream):
@@ -487,8 +490,102 @@ def _scan_content_lexer(stream: bytes):
         if isinstance(tok, (int, float, bytes, Name)) or tok in ("[", "<<"):
             lex.pos = save
             yield "val", _parse_value(lex)
+        elif tok == "BI":
+            try:
+                arr = _read_inline_image(lex, stream)
+            except UserError:
+                return
+            if arr is not None:
+                yield "val", arr
+                yield "op", "INLINE_IMG"
         else:
             yield "op", tok
+
+
+#: Inline-image abbreviations (PDF 32000-1 Table 93).
+_INLINE_KEYS = {"W": "Width", "H": "Height", "BPC": "BitsPerComponent",
+                "CS": "ColorSpace", "F": "Filter", "DP": "DecodeParms",
+                "D": "Decode", "IM": "ImageMask", "I": "Interpolate"}
+_INLINE_CS = {"G": "DeviceGray", "RGB": "DeviceRGB", "CMYK": "DeviceCMYK"}
+_INLINE_FILTERS = {"AHx": "ASCIIHexDecode", "A85": "ASCII85Decode",
+                   "LZW": "LZWDecode", "Fl": "FlateDecode",
+                   "RL": "RunLengthDecode", "CCF": "CCITTFaxDecode",
+                   "DCT": "DCTDecode"}
+_EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r /\[\]<>(]|$)")
+
+
+def _read_inline_image(lex: "_Lexer", stream: bytes):
+    """Parse one BI ... ID <data> EI block (§8.9.7) and return the
+    decoded (h, w) / (h, w, 3) uint8 array, or None for unsupported
+    variants (image masks, CMYK, non-8-bit). Leaves the lexer
+    positioned after EI either way."""
+
+    params: dict[str, Any] = {}
+    while True:
+        key = lex.next_token()
+        if key == "ID":
+            break
+        if not isinstance(key, Name):
+            raise UserError(f"Bad inline-image key {key!r}.")
+        val = _parse_value(lex)
+        params[_INLINE_KEYS.get(str(key), str(key))] = val
+    pos = lex.pos
+    if pos < len(stream) and stream[pos] in _WS:
+        pos += 1  # exactly one whitespace after ID (§8.9.7)
+
+    w = int(params.get("Width", 0))
+    h = int(params.get("Height", 0))
+    bpc = int(params.get("BitsPerComponent", 8))
+    cs_raw = params.get("ColorSpace")
+    cs = _INLINE_CS.get(str(cs_raw), str(cs_raw)) if cs_raw is not None else "DeviceGray"
+    filters = params.get("Filter")
+    flist = filters if isinstance(filters, list) else (
+        [filters] if filters is not None else []
+    )
+    flist = [Name(_INLINE_FILTERS.get(str(f), str(f))) for f in flist]
+
+    if not flist:
+        ncomp = 3 if cs == "DeviceRGB" else (4 if cs == "DeviceCMYK" else 1)
+        nbytes = h * ((w * ncomp * bpc + 7) // 8)
+        data = stream[pos : pos + nbytes]
+        pos += nbytes
+        m = _EI_RE.search(stream, pos - 1)
+        if m is None:
+            raise UserError("Inline image missing EI.")
+        lex.pos = m.end()
+    else:
+        m = _EI_RE.search(stream, pos)
+        if m is None:
+            raise UserError("Inline image missing EI.")
+        data = stream[pos : m.start()]
+        lex.pos = m.end()
+
+    if params.get("ImageMask") or bpc != 8 or cs not in ("DeviceGray", "DeviceRGB"):
+        return None
+    if flist:
+        obj = {"Filter": flist if len(flist) > 1 else flist[0]}
+        if "DecodeParms" in params:
+            obj["DecodeParms"] = params["DecodeParms"]
+        if str(flist[-1]) == "DCTDecode":
+            from .jpeg import decode_jpeg
+
+            sub = dict(obj)
+            sub["Filter"] = flist[:-1] if len(flist) > 1 else None
+            raw = _decode_stream_data(sub, data, lambda x: x) if sub["Filter"] else data
+            try:
+                arr = decode_jpeg(raw)
+            except UserError:
+                return None
+            return arr if arr.ndim in (2, 3) else None
+        try:
+            data = _decode_stream_data(obj, data, lambda x: x)
+        except UserError:
+            return None
+    ncomp = 3 if cs == "DeviceRGB" else 1
+    if len(data) < h * w * ncomp:
+        return None
+    arr = np.frombuffer(data[: h * w * ncomp], dtype=np.uint8)
+    return arr.reshape(h, w, 3) if ncomp == 3 else arr.reshape(h, w)
 
 
 @dataclass
@@ -956,7 +1053,17 @@ class PdfDocument:
         scan: Optional[np.ndarray] = None
         items: list[tuple] = []
         for kind, payload in self._tokenize_content(stream, height):
-            if kind == "image":
+            if kind == "inline":
+                arr, row, col, place_w, place_h = payload
+                if (
+                    scan is None
+                    and arr.shape[:2] == (height, width)
+                    and (place_w, place_h) == (width, height)
+                ):
+                    scan = arr
+                else:
+                    items.append(("image", arr, row, col))
+            elif kind == "image":
                 name, row, col, place_w, place_h = payload
                 arr = self._decode_image(xobject_refs[name]) if name in xobject_refs else None
                 if arr is None:
@@ -985,7 +1092,11 @@ class PdfDocument:
         compiled-regex scan (C speed); streams containing inline dicts /
         hex strings fall back to the general lexer."""
 
-        if b"<" not in stream and not _NESTED_PAREN_RE.search(stream):
+        if (
+            b"<" not in stream
+            and b"BI" not in stream
+            and not _NESTED_PAREN_RE.search(stream)
+        ):
             yield from PdfDocument._run_content_ops(
                 _scan_content_fast(stream), page_height
             )
@@ -1043,6 +1154,12 @@ class PdfDocument:
                 col = int(e)
                 row = int(page_height - (f + place_h))  # top edge
                 yield "image", (name, row, col, place_w, place_h)
+            elif op == "INLINE_IMG" and operands and isinstance(operands[-1], np.ndarray):
+                a, _b, _c, d, e, f = ctm
+                place_w, place_h = int(abs(a)), int(abs(d))
+                col = int(e)
+                row = int(page_height - (f + place_h))
+                yield "inline", (operands[-1], row, col, place_w, place_h)
             elif op == "BT":
                 tx = ty = 0.0
             # ET, Tf, and anything else: state-neutral here

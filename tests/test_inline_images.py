@@ -1,0 +1,98 @@
+"""Inline images (BI/ID/EI, PDF 32000-1 §8.9.7): raw and filtered
+variants, abbreviation mapping, document-order placement among text
+items, and graceful skipping of unsupported forms."""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+from pdf_toolkit_spark.pdfio.parser import PdfDocument
+
+
+def _build_pdf(content: bytes, w: int = 60, h: int = 40) -> bytes:
+    chunks = [
+        b"%PDF-1.4\n",
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+        b"/Contents 4 0 R >>\nendobj\n" % (w, h),
+        b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+        + content + b"\nendstream\nendobj\n",
+    ]
+    pdf = bytearray()
+    offs = {}
+    for i, c in enumerate(chunks):
+        if i:
+            offs[i] = len(pdf)
+        pdf += c
+    xref_at = len(pdf)
+    pdf += b"xref\n0 5\n0000000000 65535 f \n"
+    for i in range(1, 5):
+        pdf += b"%010d 00000 n \n" % offs[i]
+    pdf += b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(pdf)
+
+
+RNG = np.random.default_rng(2)
+GRAY = RNG.integers(0, 256, (8, 10), dtype=np.uint8).astype(np.uint8)
+
+
+def test_raw_inline_gray_image():
+    c = b"q 10 0 0 8 5 20 cm BI /W 10 /H 8 /BPC 8 /CS /G ID " + GRAY.tobytes() + b" EI Q"
+    page = PdfDocument(_build_pdf(c)).load_page(0)
+    items = [it for it in page.items if it[0] == "image"]
+    assert len(items) == 1 and np.array_equal(items[0][1], GRAY)
+
+
+def test_flate_inline_rgb_image():
+    rgb = RNG.integers(0, 256, (6, 7, 3), dtype=np.uint8).astype(np.uint8)
+    c = (b"q 7 0 0 6 2 10 cm BI /W 7 /H 6 /BPC 8 /CS /RGB /F /Fl ID "
+         + zlib.compress(rgb.tobytes()) + b" EI Q")
+    page = PdfDocument(_build_pdf(c)).load_page(0)
+    items = [it for it in page.items if it[0] == "image"]
+    assert len(items) == 1 and np.array_equal(items[0][1], rgb)
+
+
+def test_asciihex_inline_image_keeps_document_order():
+    hx = GRAY.tobytes().hex().encode()
+    c = (b"BT /F1 10 Tf 3 30 Td (before) Tj ET "
+         b"q 10 0 0 8 0 0 cm BI /W 10 /H 8 /BPC 8 /CS /G /F /AHx ID "
+         + hx + b"> EI Q BT 3 5 Td (after) Tj ET")
+    page = PdfDocument(_build_pdf(c)).load_page(0)
+    kinds = [it[0] for it in page.items]
+    assert kinds == ["text", "image", "text"]
+    assert [it[1] for it in page.items if it[0] == "text"] == ["before", "after"]
+    assert np.array_equal([it for it in page.items if it[0] == "image"][0][1], GRAY)
+
+
+def test_unsupported_inline_mask_skipped_gracefully():
+    c = (b"BI /W 8 /H 8 /BPC 1 /IM true ID " + bytes(8)
+         + b" EI BT 3 5 Td (still here) Tj ET")
+    page = PdfDocument(_build_pdf(c)).load_page(0)
+    assert [it[1] for it in page.items if it[0] == "text"] == ["still here"]
+    assert not [it for it in page.items if it[0] == "image"]
+
+
+def test_full_page_inline_image_becomes_scan():
+    full = RNG.integers(0, 256, (40, 60), dtype=np.uint8).astype(np.uint8)
+    c = b"q 60 0 0 40 0 0 cm BI /W 60 /H 40 /BPC 8 /CS /G /F /Fl ID " + zlib.compress(
+        full.tobytes()
+    ) + b" EI Q"
+    page = PdfDocument(_build_pdf(c)).load_page(0)
+    assert page.scan is not None and np.array_equal(page.scan, full)
+    assert not page.items
+
+
+def test_ei_inside_binary_data_is_not_a_terminator():
+    """Raw data whose bytes happen to contain ' EI ' must not truncate:
+    unfiltered data length is computed from W/H/BPC, not by searching."""
+
+    tricky = bytearray(GRAY.tobytes())
+    tricky[11:15] = b" EI "  # embed a fake terminator inside the pixels
+    c = b"q 10 0 0 8 5 20 cm BI /W 10 /H 8 /BPC 8 /CS /G ID " + bytes(tricky) + b" EI Q"
+    page = PdfDocument(_build_pdf(c)).load_page(0)
+    items = [it for it in page.items if it[0] == "image"]
+    assert len(items) == 1
+    assert np.array_equal(items[0][1], np.frombuffer(bytes(tricky), np.uint8).reshape(8, 10))
