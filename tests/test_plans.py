@@ -127,3 +127,24 @@ def test_jaccard_and_lsh_neardup_plans_are_equi_joins(spark):
     # Jaccard must not collect shingle sets into arrays anymore
     plan = explain_str(QUERIES["dedup_ngram_jaccard_pairs"](spark, SF_DIR), "simple")
     assert "collect_set" not in plan and "array_intersect" not in plan
+
+
+def test_ivf_argmax_is_aggregate_not_window(spark):
+    """Both IVF argmaxes (k-means assignment, full-corpus cell
+    assignment) must be max_by hash aggregates — a row_number window
+    would sort the n_vecs x n_cells scored relation at every scale."""
+
+    for name in ("sim_ivf_cell_sizes", "sim_ivf_topk"):
+        plan = explain_str(QUERIES[name](spark, SF_DIR), "simple")
+        assert "Window" not in plan, name
+        assert "max_by" in plan, name
+
+
+def test_ivf_topk_prunes_cells_before_embeddings_join(spark):
+    """ivf_topk must broadcast the probed-cell assignment into the
+    embeddings join (no shuffle of the full table: zero sort-merge
+    joins in the plan)."""
+
+    plan = explain_str(QUERIES["sim_ivf_topk"](spark, SF_DIR), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
