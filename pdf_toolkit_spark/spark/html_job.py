@@ -45,6 +45,14 @@ def html_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-doc DOM heuristics applied; corpus strip NOT yet applied)."""
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return html_records_df(docs)
+
+
+def html_records_df(docs: DataFrame) -> DataFrame:
+    """DOM-extraction records for an arbitrary (doc_id, text) relation
+    (the streaming twin feeds micro-batches through this)."""
+
+    spark = docs.sparkSession
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

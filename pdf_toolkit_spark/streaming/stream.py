@@ -159,3 +159,90 @@ def windowed_event_counts(
             "event_type", "n_events", "value_sum",
         )
     )
+
+
+def stream_html_extraction(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming twin of the HTML extraction pipeline: a parquet
+    file-source stream of (doc_id, text) rows; each micro-batch runs
+    the DOM-heuristics stage and is stripped against CUMULATIVE
+    site-level boilerplate counts carried across batches (and across
+    restarts) in a tiny epoch-versioned state table.
+
+    Semantics vs the batch job: the frequency rule sees only documents
+    observed SO FAR, so a site's chrome is stripped from the batch in
+    which its count first reaches BOILER_MIN_DOCS and onward — earlier
+    already-committed spans are not retro-edited (the standard
+    streaming tradeoff; the batch job is the exact retrospective
+    form). State is (site, norm_text, n_docs) — chrome-string-sized,
+    NOT corpus-sized — so the merge is a broadcast-scale aggregate at
+    any corpus size.
+    """
+
+    import glob as _glob
+
+    from pyspark.sql import types as T
+
+    from ..htmlx import BOILER_MIN_DOCS
+    from ..spark.html_job import assemble_spans, html_records_df
+
+    in_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+    ])
+    stream = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(input_dir)
+    )
+    state_root = f"{out_dir}/boiler_state"
+
+    def _latest_state() -> "DataFrame | None":
+        epochs = sorted(_glob.glob(f"{state_root}/epoch=*"))
+        if not epochs:
+            return None
+        return spark.read.parquet(epochs[-1])
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        records = html_records_df(batch_df.select("doc_id", "text")).persist()
+        try:
+            batch_counts = (
+                records.filter(F.col("kind") == "text")
+                .groupBy("site", "norm_text")
+                .agg(F.countDistinct("doc_id").alias("n_docs"))
+            )
+            prev = _latest_state()
+            merged = (
+                batch_counts if prev is None
+                else prev.unionByName(batch_counts)
+                .groupBy("site", "norm_text")
+                .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+            )
+            # epoch-versioned write: atomic per batch, replayable on
+            # restart (same epoch overwrites the same directory).
+            merged.write.mode("overwrite").parquet(f"{state_root}/epoch={epoch_id:012d}")
+            boiler = (
+                spark.read.parquet(f"{state_root}/epoch={epoch_id:012d}")
+                .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+                .select("site", "norm_text")
+            )
+            text = records.filter(F.col("kind") == "text").join(
+                boiler, ["site", "norm_text"], "left_anti"
+            )
+            stripped = text.unionByName(records.filter(F.col("kind") != "text"))
+            assemble_spans(stripped).write.mode("append").parquet(f"{out_dir}/spans")
+        finally:
+            records.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -4,6 +4,7 @@ next trigger without reprocessing committed docs."""
 
 from __future__ import annotations
 
+import os
 import time
 
 import pytest
@@ -145,3 +146,59 @@ def test_windowed_event_counts_streaming_mode(spark, tmp_path):
     )
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_stream_html_extraction_accumulates_boiler_state(spark, tmp_path):
+    """HTML streaming twin: slogans survive while a site's observed
+    doc count is below BOILER_MIN_DOCS and are stripped once the
+    CUMULATIVE count (carried across separate stream runs via the
+    state table) reaches it."""
+
+    import pandas as pd
+
+    from pdf_toolkit_spark.htmlx import BOILER_MIN_DOCS, SLOGANS
+    from pdf_toolkit_spark.streaming.stream import stream_html_extraction
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    text = " ".join(f"tok{i} alpha beta gamma delta" for i in range(30))
+
+    # batch 1: two docs of site 0 (below threshold of 3)
+    pd.DataFrame({"doc_id": [0, 13], "text": [text + " one", text + " two"]}).to_parquet(
+        f"{src}/b1.parquet"
+    )
+    q = stream_html_extraction(spark, src, out, ck)
+    q.awaitTermination(120)
+
+    spans1 = spark.read.parquet(f"{out}/spans")
+    slogans = set(SLOGANS)
+    kept1 = [
+        s["text"] for r in spans1.collect() for s in r["spans"] if s["text"] in slogans
+    ]
+    assert len(kept1) == 2  # chrome not yet strippable: only 2 docs seen
+
+    # batch 2 (separate run, same checkpoint): two more site-0 docs
+    # pushes the cumulative count to 4 >= BOILER_MIN_DOCS
+    pd.DataFrame({"doc_id": [26, 39], "text": [text + " three", text + " four"]}).to_parquet(
+        f"{src}/b2.parquet"
+    )
+    q = stream_html_extraction(spark, src, out, ck)
+    q.awaitTermination(120)
+
+    spans_all = spark.read.parquet(f"{out}/spans")
+    by_doc = {r["doc_id"]: [s["text"] for s in r["spans"]] for r in spans_all.collect()}
+    assert set(by_doc) == {"doc000000", "doc000013", "doc000026", "doc000039"}
+    # new docs are slogan-free; batch-1 docs keep their committed spans
+    assert not (set(by_doc["doc000026"]) & slogans)
+    assert not (set(by_doc["doc000039"]) & slogans)
+    assert set(by_doc["doc000000"]) & slogans
+
+    # cumulative state: the site-0 slogan row counts all 4 docs
+    import glob
+
+    latest = sorted(glob.glob(f"{out}/boiler_state/epoch=*"))[-1]
+    state = spark.read.parquet(latest)
+    slog_rows = state.filter(F.col("n_docs") >= 4).count()
+    assert slog_rows >= 1
