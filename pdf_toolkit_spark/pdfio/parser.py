@@ -1015,7 +1015,11 @@ class PdfDocument:
         if len(raw) < n:
             return None
         arr = np.frombuffer(raw[:n], dtype=np.uint8)
-        return arr.reshape(h, w) if channels == 1 else arr.reshape(h, w, 3)
+        arr = arr.reshape(h, w) if channels == 1 else arr.reshape(h, w, 3)
+        decode = self.resolve(obj.get("Decode"))
+        if decode and list(decode)[:2] == [1, 0]:
+            arr = (255 - arr).astype(np.uint8)  # §8.9.5.2 inverted range
+        return arr
 
     def load_page(self, index: int) -> ParsedPage:
         """Decode one page: raster scan + ordered text/image items.
@@ -1111,6 +1115,7 @@ class PdfDocument:
         ctm_stack: list[tuple] = []
         ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)  # a b c d e f
         tx = ty = 0.0
+        leading = 0.0
         for kind, tok in tokens:
             if kind == "val":
                 operands.append(tok)
@@ -1137,6 +1142,20 @@ class PdfDocument:
                 # absolute move. BT resets the origin; Tm sets absolute.
                 tx += float(operands[-2])
                 ty += float(operands[-1])
+                if op == "TD":  # TD also sets leading to -ty (§9.4.2)
+                    leading = -float(operands[-1])
+            elif op == "TL" and operands:
+                leading = float(operands[-1])
+            elif op == "T*":
+                ty -= leading
+            elif op == "'" and operands and isinstance(operands[-1], bytes):
+                ty -= leading  # ' = T* then Tj (§9.4.3)
+                text = operands[-1].decode("latin-1")
+                yield "text", (text, int(page_height - ty), int(tx))
+            elif op == '"' and len(operands) >= 3 and isinstance(operands[-1], bytes):
+                ty -= leading  # " = aw ac set + T* + Tj; spacing ignored here
+                text = operands[-1].decode("latin-1")
+                yield "text", (text, int(page_height - ty), int(tx))
             elif op == "Tm" and len(operands) >= 6:
                 tx, ty = float(operands[-2]), float(operands[-1])
             elif op == "Tj" and operands and isinstance(operands[-1], bytes):

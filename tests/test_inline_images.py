@@ -96,3 +96,51 @@ def test_ei_inside_binary_data_is_not_a_terminator():
     items = [it for it in page.items if it[0] == "image"]
     assert len(items) == 1
     assert np.array_equal(items[0][1], np.frombuffer(bytes(tricky), np.uint8).reshape(8, 10))
+
+
+def test_decode_array_inversion():
+    """/Decode [1 0] image XObjects invert sample values (§8.9.5.2)."""
+
+    import zlib as _z
+
+    img = RNG.integers(0, 256, (8, 10), dtype=np.uint8).astype(np.uint8)
+    data = _z.compress(img.tobytes())
+    chunks = [
+        b"%PDF-1.4\n",
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 60 40] "
+        b"/Contents 4 0 R /Resources << /XObject << /Im0 5 0 R >> >> >>\nendobj\n",
+        b"4 0 obj\n<< /Length 30 >>\nstream\nq 10 0 0 8 5 20 cm /Im0 Do Q\nendstream\nendobj\n",
+        b"5 0 obj\n<< /Type /XObject /Subtype /Image /Width 10 /Height 8 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+        b"/Decode [1 0] /Length %d >>\nstream\n" % len(data)
+        + data + b"\nendstream\nendobj\n",
+    ]
+    pdf = bytearray()
+    offs = {}
+    for i, c in enumerate(chunks):
+        if i:
+            offs[i] = len(pdf)
+        pdf += c
+    xref_at = len(pdf)
+    pdf += b"xref\n0 6\n0000000000 65535 f \n"
+    for i in range(1, 6):
+        pdf += b"%010d 00000 n \n" % offs[i]
+    pdf += b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref_at
+    page = PdfDocument(bytes(pdf)).load_page(0)
+    items = [it for it in page.items if it[0] == "image"]
+    assert len(items) == 1 and np.array_equal(items[0][1], 255 - img)
+
+
+def test_quote_and_tstar_text_operators():
+    """TL / T* / ' / " advance the text line and show text — real PDFs
+    lay out paragraphs this way; skipping them silently loses text."""
+
+    c = (b"BT /F1 10 Tf 12 TL 5 30 Td (first) Tj (second) ' "
+         b"(third) ' 1 2 (fourth) \" T* (fifth) Tj ET")
+    page = PdfDocument(_build_pdf(c)).load_page(0)
+    texts = [(it[1], it[2]) for it in page.items if it[0] == "text"]
+    assert [t for t, _ in texts] == ["first", "second", "third", "fourth", "fifth"]
+    rows = [r for _, r in texts]
+    assert rows == sorted(rows) and len(set(rows)) == 5  # each ' drops one leading
