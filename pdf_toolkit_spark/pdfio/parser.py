@@ -1056,7 +1056,8 @@ class PdfDocument:
 
         scan: Optional[np.ndarray] = None
         items: list[tuple] = []
-        for kind, payload in self._tokenize_content(stream, height):
+        tokens = self._expand_forms(stream, dict(xobject_refs), xobject_refs)
+        for kind, payload in self._run_content_ops(tokens, height):
             if kind == "inline":
                 arr, row, col, place_w, place_h = payload
                 if (
@@ -1087,27 +1088,90 @@ class PdfDocument:
         return ParsedPage(index, width, height, rotate, scan, items)
 
     @staticmethod
-    def _tokenize_content(stream: bytes, page_height: int):
-        """Yield ("text", (str, row, col)) / ("image", (name, row, col, w, h))
-        in stream order. Implements the subset of the graphics/text state
-        machine the corpus uses; unknown operators drop their operands.
-
-        Content streams are token-dense, so the hot path is a single
-        compiled-regex scan (C speed); streams containing inline dicts /
-        hex strings fall back to the general lexer."""
+    def _scan_tokens(stream: bytes):
+        """Token scanner choice: content streams are token-dense, so
+        the hot path is a single compiled-regex scan (C speed); streams
+        containing inline dicts / hex strings / inline images fall back
+        to the general lexer."""
 
         if (
             b"<" not in stream
             and b"BI" not in stream
             and not _NESTED_PAREN_RE.search(stream)
         ):
-            yield from PdfDocument._run_content_ops(
-                _scan_content_fast(stream), page_height
-            )
-            return
+            return _scan_content_fast(stream)
+        return _scan_content_lexer(stream)
+
+    @staticmethod
+    def _tokenize_content(stream: bytes, page_height: int):
+        """Yield ("text", (str, row, col)) / ("image", (name, row, col, w, h))
+        in stream order. Implements the subset of the graphics/text state
+        machine the corpus uses; unknown operators drop their operands."""
+
         yield from PdfDocument._run_content_ops(
-            _scan_content_lexer(stream), page_height
+            PdfDocument._scan_tokens(stream), page_height
         )
+
+    _FORM_DEPTH_MAX = 8
+
+    def _expand_forms(
+        self, stream: bytes, scope: dict, registry: dict, depth: int = 0
+    ):
+        """Token stream with /Subtype /Form XObject invocations spliced
+        inline (§8.10): `name Do` becomes `q [Matrix] cm <form tokens> Q`
+        so the form's content executes under the caller's CTM. Image
+        XObjects referenced INSIDE a form are re-registered under unique
+        aliases in `registry` (load_page's name->Ref map) — form-local
+        resource names cannot collide with the page's. Depth-capped
+        against recursive forms."""
+
+        pending: list = []
+        for kind, tok in PdfDocument._scan_tokens(stream):
+            if kind == "val":
+                pending.append((kind, tok))
+                continue
+            if (
+                tok == "Do"
+                and pending
+                and isinstance(pending[-1][1], Name)
+                and depth < self._FORM_DEPTH_MAX
+            ):
+                name = str(pending[-1][1])
+                ref = scope.get(name)
+                obj = self.resolve(ref) if isinstance(ref, Ref) else None
+                if isinstance(obj, dict) and obj.get("Subtype") == Name("Form"):
+                    for item in pending[:-1]:
+                        yield item
+                    pending.clear()
+                    try:
+                        body = self._stream_bytes(ref)
+                    except UserError:
+                        continue  # unreadable form: skip invocation
+                    res = self.resolve(obj.get("Resources")) or {}
+                    sub_xo = self.resolve(res.get("XObject", {})) or {}
+                    sub_scope = dict(scope)
+                    sub_scope.update(
+                        {n: r for n, r in sub_xo.items() if isinstance(r, Ref)}
+                    )
+                    yield "op", "q"
+                    matrix = self.resolve(obj.get("Matrix"))
+                    if matrix and len(matrix) == 6:
+                        for v in matrix:
+                            yield "val", float(self.resolve(v))
+                        yield "op", "cm"
+                    yield from self._expand_forms(body, sub_scope, registry, depth + 1)
+                    yield "op", "Q"
+                    continue
+                if depth > 0 and isinstance(ref, Ref):
+                    # image Do inside a form: alias into the page registry
+                    alias = f"__form{depth}_{ref.num}_{ref.gen}"
+                    registry[alias] = ref
+                    pending[-1] = ("val", Name(alias))
+            for item in pending:
+                yield item
+            pending.clear()
+            yield kind, tok
+        yield from pending
 
     @staticmethod
     def _run_content_ops(tokens, page_height: int):

@@ -144,3 +144,72 @@ def test_quote_and_tstar_text_operators():
     assert [t for t, _ in texts] == ["first", "second", "third", "fourth", "fifth"]
     rows = [r for _, r in texts]
     assert rows == sorted(rows) and len(set(rows)) == 5  # each ' drops one leading
+
+
+def _build_with_objects(objs_extra: list, content: bytes, w=60, h=40,
+                        resources=b"/XObject << /Fm0 5 0 R >>") -> bytes:
+    chunks = [
+        b"%PDF-1.4\n",
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+        b"/Contents 4 0 R /Resources << %s >> >>\nendobj\n" % (w, h, resources),
+        b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+        + content + b"\nendstream\nendobj\n",
+    ] + objs_extra
+    pdf = bytearray()
+    offs = {}
+    for i, c in enumerate(chunks):
+        if i:
+            offs[i] = len(pdf)
+        pdf += c
+    xref_at = len(pdf)
+    pdf += b"xref\n0 %d\n0000000000 65535 f \n" % len(chunks)
+    for i in range(1, len(chunks)):
+        pdf += b"%010d 00000 n \n" % offs[i]
+    pdf += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(chunks), xref_at)
+    return bytes(pdf)
+
+
+def test_form_xobject_expands_with_matrix_and_nested_image():
+    """/Subtype /Form invocations splice their content at the call
+    site: the form's /Matrix composes into the CTM (the nested image
+    lands translated) and form-local resource names resolve without
+    colliding with the page's."""
+
+    img = RNG.integers(0, 256, (8, 10), dtype=np.uint8).astype(np.uint8)
+    imgdata = zlib.compress(img.tobytes())
+    form_body = b"BT /F1 8 Tf 2 6 Td (inside form) Tj ET q 10 0 0 8 0 0 cm /Im9 Do Q"
+    form_obj = (
+        b"5 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 30 20] "
+        b"/Matrix [1 0 0 1 10 5] /Resources << /XObject << /Im9 6 0 R >> >> "
+        b"/Length %d >>\nstream\n" % len(form_body)
+        + form_body + b"\nendstream\nendobj\n"
+    )
+    img_obj = (
+        b"6 0 obj\n<< /Type /XObject /Subtype /Image /Width 10 /Height 8 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n" % len(imgdata)
+        + imgdata + b"\nendstream\nendobj\n"
+    )
+    content = (b"BT /F1 10 Tf 3 35 Td (page text) Tj ET "
+               b"q 1 0 0 1 0 0 cm /Fm0 Do Q BT 3 2 Td (tail) Tj ET")
+    page = PdfDocument(_build_with_objects([form_obj, img_obj], content)).load_page(0)
+    texts = [it[1] for it in page.items if it[0] == "text"]
+    assert texts == ["page text", "inside form", "tail"]  # document order kept
+    imgs = [it for it in page.items if it[0] == "image"]
+    assert len(imgs) == 1 and np.array_equal(imgs[0][1], img)
+    assert imgs[0][3] == 10  # /Matrix translate reached the placement
+
+
+def test_recursive_form_is_depth_bounded():
+    body = b"q /Fm0 Do Q BT 1 1 Td (r) Tj ET"
+    form = (
+        b"5 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 30 20] "
+        b"/Resources << /XObject << /Fm0 5 0 R >> >> /Length %d >>\nstream\n" % len(body)
+        + body + b"\nendstream\nendobj\n"
+    )
+    page = PdfDocument(_build_with_objects([form], b"/Fm0 Do")).load_page(0)
+    n = sum(1 for it in page.items if it[0] == "text")
+    assert 1 <= n <= 8  # bounded, no stack overflow
