@@ -17,7 +17,8 @@ Supported surface:
   ASCIIHexDecode, ASCII85Decode, with PNG/TIFF /DecodeParms predictors;
   filter arrays compose. DCTDecode image XObjects decode through the
   engine-owned JPEG codec (pdfio/jpeg.py, baseline AND progressive);
-  JPXDecode surfaces as missing rasters
+  CCITTFaxDecode (K < 0, Group 4) through the engine-owned T.6 codec
+  (pdfio/ccitt.py); JPXDecode surfaces as missing rasters
 - nested /Pages trees with attribute inheritance (Resources/MediaBox/
   CropBox/Rotate, §7.7.3.4)
 - string escapes incl. \\ddd octal and line continuations
@@ -967,12 +968,51 @@ class PdfDocument:
             channels = 3
         else:
             return None
-        if int(self.resolve(obj.get("BitsPerComponent", 8))) != 8:
-            return None
+        bpc = int(self.resolve(obj.get("BitsPerComponent", 8)))
         filters = self.resolve(obj.get("Filter"))
         flist = filters if isinstance(filters, list) else (
             [filters] if filters is not None else []
         )
+        if flist and str(self.resolve(flist[-1])) in ("CCITTFaxDecode", "CCF"):
+            # Group-4 fax scan (1-bit): the engine-owned T.6 codec
+            # (pdfio/ccitt.py) decodes straight to 8-bit gray.
+            if channels != 1:
+                return None
+            from .ccitt import decode_ccitt_pdf
+
+            self._load_object(ref.num)
+            raw = self._raw_streams.get(ref.num)
+            if raw is None:
+                return None
+            if self._crypt is not None and ref.num != self._encrypt_num:
+                raw = self._crypt.decrypt(raw, ref.num, self._gens.get(ref.num, 0))
+            parms = self.resolve(obj.get("DecodeParms", obj.get("DP")))
+            if isinstance(parms, list):
+                if len(flist) > 1:
+                    sub = dict(obj)
+                    sub["Filter"] = flist[:-1]
+                    sub["DecodeParms"] = parms[: len(flist) - 1]
+                    try:
+                        raw = _decode_stream_data(sub, raw, self.resolve)
+                    except UserError:
+                        return None
+                parms = parms[-1]
+            parms = self.resolve(parms) or {}
+            parms = {k: self.resolve(v) for k, v in dict(parms).items()}
+            parms.setdefault("Columns", w)
+            parms.setdefault("Rows", h)
+            try:
+                arr = decode_ccitt_pdf(raw, parms)
+            except UserError:
+                return None
+            if arr.shape != (h, w):
+                return None
+            decode = self.resolve(obj.get("Decode"))
+            if decode and list(decode)[:2] == [1, 0]:
+                arr = (255 - arr).astype(np.uint8)
+            return arr
+        if bpc != 8:
+            return None
         if flist and str(self.resolve(flist[-1])) in ("DCTDecode", "DCT"):
             # JPEG-compressed XObject: run any preceding filters
             # (e.g. [ASCII85, DCT]) on the raw bytes, then the engine's
