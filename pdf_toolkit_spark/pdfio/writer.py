@@ -35,9 +35,10 @@ class PageSpec:
     raster: np.ndarray                    # (h, w) uint8, stored orientation
     rotate: int = 0                       # /Rotate: 0|90|180|270
     items: list[Item] = field(default_factory=list)
-    #: image codec for this page's rasters: "flate" (lossless) or
+    #: image codec for this page's rasters: "flate" (lossless),
     #: "jpeg" (DCTDecode, baseline via pdfio/jpeg.py — what real
-    #: scanned PDFs ship)
+    #: scanned PDFs ship), or "ccitt" (Group-4 fax via pdfio/ccitt.py;
+    #: gray rasters are thresholded to 1-bit at >127)
     codec: str = "flate"
 
 
@@ -187,6 +188,17 @@ def _encrypt_streams_in_body(
 def _image_xobject(arr: np.ndarray, codec: str = "flate") -> bytes:
     h, w = arr.shape[:2]
     cs = "DeviceRGB" if arr.ndim == 3 else "DeviceGray"
+    if codec == "ccitt" and arr.ndim == 2:
+        from .ccitt import encode_g4
+
+        data = encode_g4((arr <= 127).astype(np.uint8))  # dark pixels = black
+        head = (
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /CCITTFaxDecode "
+            f"/DecodeParms << /K -1 /Columns {w} /Rows {h} >> "
+            f"/Length {len(data)} >>\nstream\n"
+        ).encode()
+        return head + data + b"\nendstream"
     if codec == "jpeg":
         from .jpeg import encode_jpeg
 
