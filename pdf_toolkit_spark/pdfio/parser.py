@@ -962,10 +962,37 @@ class PdfDocument:
         w = int(self.resolve(obj["Width"]))
         h = int(self.resolve(obj["Height"]))
         cs = self.resolve(obj.get("ColorSpace"))
-        if cs == Name("DeviceGray"):
+        palette = None
+        if isinstance(cs, list) and cs and self.resolve(cs[0]) == Name("Indexed"):
+            # [/Indexed base hival lookup] (§8.6.6.3): decode indices,
+            # then expand through the palette to the base space.
+            if len(cs) != 4:
+                return None
+            base = self.resolve(cs[1])
+            hival = int(self.resolve(cs[2]))
+            lookup = self.resolve(cs[3])
+            if isinstance(lookup, Ref):
+                try:
+                    lookup = self._stream_bytes(lookup)
+                except UserError:
+                    return None
+            if not isinstance(lookup, bytes) or base not in (
+                Name("DeviceRGB"), Name("DeviceGray")
+            ):
+                return None
+            ncomp = 3 if base == Name("DeviceRGB") else 1
+            if len(lookup) < (hival + 1) * ncomp:
+                return None
+            palette = np.frombuffer(
+                lookup[: (hival + 1) * ncomp], dtype=np.uint8
+            ).reshape(-1, ncomp)
+            channels = 1  # one index sample per pixel on the wire
+        elif cs == Name("DeviceGray"):
             channels = 1
         elif cs == Name("DeviceRGB"):
             channels = 3
+        elif cs == Name("DeviceCMYK"):
+            channels = 4
         else:
             return None
         bpc = int(self.resolve(obj.get("BitsPerComponent", 8)))
@@ -1055,7 +1082,20 @@ class PdfDocument:
         if len(raw) < n:
             return None
         arr = np.frombuffer(raw[:n], dtype=np.uint8)
-        arr = arr.reshape(h, w) if channels == 1 else arr.reshape(h, w, 3)
+        arr = arr.reshape(h, w) if channels == 1 else arr.reshape(h, w, channels)
+        if palette is not None:
+            # palette expansion: index -> base-space sample(s)
+            idx = np.minimum(arr, len(palette) - 1)
+            arr = palette[idx]
+            arr = arr[..., 0] if arr.shape[-1] == 1 else arr
+            return np.ascontiguousarray(arr)
+        if channels == 4:
+            # naive CMYK -> RGB (additive inversion; no ICC in scope)
+            c, m, y_, k = (arr[..., i].astype(np.float64) / 255.0 for i in range(4))
+            rgb = np.stack(
+                [(1 - c) * (1 - k), (1 - m) * (1 - k), (1 - y_) * (1 - k)], axis=-1
+            )
+            return np.clip(np.floor(rgb * 255.0 + 0.5), 0, 255).astype(np.uint8)
         decode = self.resolve(obj.get("Decode"))
         if decode and list(decode)[:2] == [1, 0]:
             arr = (255 - arr).astype(np.uint8)  # §8.9.5.2 inverted range

@@ -213,3 +213,64 @@ def test_recursive_form_is_depth_bounded():
     page = PdfDocument(_build_with_objects([form], b"/Fm0 Do")).load_page(0)
     n = sum(1 for it in page.items if it[0] == "text")
     assert 1 <= n <= 8  # bounded, no stack overflow
+
+
+def _xobject_pdf(xobj_dict: bytes, data: bytes, extra_objs: bytes = b"") -> bytes:
+    chunks = [
+        b"%PDF-1.4\n",
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 60 40] "
+        b"/Contents 4 0 R /Resources << /XObject << /Im0 5 0 R >> >> >>\nendobj\n",
+        b"4 0 obj\n<< /Length 29 >>\nstream\nq 10 0 0 8 5 20 cm /Im0 Do Q\nendstream\nendobj\n",
+        b"5 0 obj\n" + xobj_dict + b"\nstream\n" + data + b"\nendstream\nendobj\n",
+    ]
+    if extra_objs:
+        chunks.append(extra_objs)
+    pdf = bytearray()
+    offs = {}
+    for i, c in enumerate(chunks):
+        if i:
+            offs[i] = len(pdf)
+        pdf += c
+    xref_at = len(pdf)
+    pdf += b"xref\n0 %d\n0000000000 65535 f \n" % len(chunks)
+    for i in range(1, len(chunks)):
+        pdf += b"%010d 00000 n \n" % offs[i]
+    pdf += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(chunks), xref_at)
+    return bytes(pdf)
+
+
+def test_indexed_colorspace_image_expands_through_palette():
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], np.uint8)
+    idx = RNG.integers(0, 4, (8, 10), dtype=np.uint8).astype(np.uint8)
+    data = zlib.compress(idx.tobytes())
+    xobj = (
+        b"<< /Type /XObject /Subtype /Image /Width 10 /Height 8 "
+        b"/ColorSpace [/Indexed /DeviceRGB 3 <" + palette.tobytes().hex().encode() + b">] "
+        b"/BitsPerComponent 8 /Filter /FlateDecode /Length %d >>" % len(data)
+    )
+    page = PdfDocument(_xobject_pdf(xobj, data)).load_page(0)
+    items = [it for it in page.items if it[0] == "image"]
+    assert len(items) == 1
+    assert np.array_equal(items[0][1], palette[idx])
+
+
+def test_device_cmyk_image_converts_to_rgb():
+    cmyk = np.zeros((8, 10, 4), np.uint8)
+    cmyk[..., 0] = 255  # pure cyan
+    cmyk[0, :, :] = [0, 0, 0, 255]  # black row
+    data = zlib.compress(cmyk.tobytes())
+    xobj = (
+        b"<< /Type /XObject /Subtype /Image /Width 10 /Height 8 "
+        b"/ColorSpace /DeviceCMYK /BitsPerComponent 8 /Filter /FlateDecode "
+        b"/Length %d >>" % len(data)
+    )
+    page = PdfDocument(_xobject_pdf(xobj, data)).load_page(0)
+    items = [it for it in page.items if it[0] == "image"]
+    assert len(items) == 1
+    arr = items[0][1]
+    assert arr.shape == (8, 10, 3)
+    assert np.array_equal(arr[1, 0], [0, 255, 255])  # cyan
+    assert np.array_equal(arr[0, 0], [0, 0, 0])      # black
