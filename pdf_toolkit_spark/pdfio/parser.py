@@ -448,6 +448,29 @@ def _unescape_pdf_string(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def _unpack_samples(raw: bytes, w: int, h: int, bpc: int):
+    """Single-component samples at 1/2/4/16 bits per component ->
+    (h, w) uint8 of RAW sample values (caller range-scales; 16-bit
+    keeps the high byte). Rows are byte-padded per §8.9.5.2."""
+
+    if bpc == 16:
+        n = w * h * 2
+        if len(raw) < n:
+            return None
+        return np.frombuffer(raw[:n], dtype=">u2").reshape(h, w).astype(np.uint16) \
+            .__rshift__(8).astype(np.uint8)
+    row_bytes = (w * bpc + 7) // 8
+    if len(raw) < row_bytes * h:
+        return None
+    rows = np.frombuffer(raw[: row_bytes * h], dtype=np.uint8).reshape(h, row_bytes)
+    bits = np.unpackbits(rows, axis=1)[:, : w * bpc]
+    if bpc == 1:
+        return bits
+    samples = bits.reshape(h, w, bpc)
+    weights = (1 << np.arange(bpc - 1, -1, -1)).astype(np.uint8)
+    return (samples * weights).sum(axis=2).astype(np.uint8)
+
+
 def _scan_content_fast(stream: bytes):
     """Yield ("val", value) / ("op", name) via one regex pass."""
 
@@ -1038,7 +1061,9 @@ class PdfDocument:
             if decode and list(decode)[:2] == [1, 0]:
                 arr = (255 - arr).astype(np.uint8)
             return arr
-        if bpc != 8:
+        if bpc != 8 and not (bpc in (1, 2, 4, 16) and channels == 1 and not (
+            flist and str(self.resolve(flist[-1])) in ("DCTDecode", "DCT")
+        )):
             return None
         if flist and str(self.resolve(flist[-1])) in ("DCTDecode", "DCT"):
             # JPEG-compressed XObject: run any preceding filters
@@ -1078,11 +1103,22 @@ class PdfDocument:
             raw = self._stream_bytes(ref)
         except UserError:
             return None  # unsupported filter chain
-        n = w * h * channels
-        if len(raw) < n:
-            return None
-        arr = np.frombuffer(raw[:n], dtype=np.uint8)
-        arr = arr.reshape(h, w) if channels == 1 else arr.reshape(h, w, channels)
+        if bpc != 8:
+            arr = _unpack_samples(raw, w, h, bpc)
+            if arr is None:
+                return None
+            if palette is None:
+                # scale sub-8/16-bit gray to the full 8-bit range
+                if bpc == 16:
+                    pass  # already high byte
+                else:
+                    arr = (arr.astype(np.uint16) * 255 // ((1 << bpc) - 1)).astype(np.uint8)
+        else:
+            n = w * h * channels
+            if len(raw) < n:
+                return None
+            arr = np.frombuffer(raw[:n], dtype=np.uint8)
+            arr = arr.reshape(h, w) if channels == 1 else arr.reshape(h, w, channels)
         if palette is not None:
             # palette expansion: index -> base-space sample(s)
             idx = np.minimum(arr, len(palette) - 1)

@@ -274,3 +274,63 @@ def test_device_cmyk_image_converts_to_rgb():
     assert arr.shape == (8, 10, 3)
     assert np.array_equal(arr[1, 0], [0, 255, 255])  # cyan
     assert np.array_equal(arr[0, 0], [0, 0, 0])      # black
+
+
+def _pack_bits(vals: np.ndarray, bpc: int) -> bytes:
+    out = bytearray()
+    for row in vals:
+        b = 0
+        nb = 0
+        for v in row:
+            b = (b << bpc) | int(v)
+            nb += bpc
+            while nb >= 8:
+                out.append((b >> (nb - 8)) & 0xFF)
+                nb -= 8
+        if nb:
+            out.append((b << (8 - nb)) & 0xFF)
+    return bytes(out)
+
+
+def test_sub8bit_gray_images_scale_to_full_range():
+    for bpc in (1, 2, 4):
+        maxv = (1 << bpc) - 1
+        img = RNG.integers(0, maxv + 1, (8, 10), dtype=np.uint8).astype(np.uint8)
+        data = zlib.compress(_pack_bits(img, bpc))
+        xobj = (
+            b"<< /Type /XObject /Subtype /Image /Width 10 /Height 8 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent %d /Filter /FlateDecode "
+            b"/Length %d >>" % (bpc, len(data))
+        )
+        page = PdfDocument(_xobject_pdf(xobj, data)).load_page(0)
+        items = [it for it in page.items if it[0] == "image"]
+        expected = (img.astype(np.uint16) * 255 // maxv).astype(np.uint8)
+        assert len(items) == 1 and np.array_equal(items[0][1], expected), bpc
+
+
+def test_16bit_gray_image_keeps_high_byte():
+    img16 = RNG.integers(0, 1 << 16, (8, 10), dtype=np.uint16).astype(">u2")
+    data = zlib.compress(img16.tobytes())
+    xobj = (
+        b"<< /Type /XObject /Subtype /Image /Width 10 /Height 8 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 16 /Filter /FlateDecode "
+        b"/Length %d >>" % len(data)
+    )
+    page = PdfDocument(_xobject_pdf(xobj, data)).load_page(0)
+    items = [it for it in page.items if it[0] == "image"]
+    assert len(items) == 1
+    assert np.array_equal(items[0][1], (img16.astype(np.uint16) >> 8).astype(np.uint8))
+
+
+def test_indexed_4bit_palette_image():
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8)
+    idx = RNG.integers(0, 4, (8, 10), dtype=np.uint8).astype(np.uint8)
+    data = zlib.compress(_pack_bits(idx, 4))
+    xobj = (
+        b"<< /Type /XObject /Subtype /Image /Width 10 /Height 8 "
+        b"/ColorSpace [/Indexed /DeviceRGB 3 <" + palette.tobytes().hex().encode() + b">] "
+        b"/BitsPerComponent 4 /Filter /FlateDecode /Length %d >>" % len(data)
+    )
+    page = PdfDocument(_xobject_pdf(xobj, data)).load_page(0)
+    items = [it for it in page.items if it[0] == "image"]
+    assert len(items) == 1 and np.array_equal(items[0][1], palette[idx])
