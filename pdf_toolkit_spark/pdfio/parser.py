@@ -1204,6 +1204,18 @@ class PdfDocument:
         return ParsedPage(index, width, height, rotate, scan, items)
 
     @staticmethod
+    def _text_bytes_to_str(b: bytes) -> str:
+        """PDF text-string decoding (§7.9.2.2): UTF-16BE when the BOM
+        is present, else PDFDocEncoding (latin-1 superset here)."""
+
+        if b[:2] == b"\xfe\xff":
+            try:
+                return b[2:].decode("utf-16-be")
+            except UnicodeDecodeError:
+                return b[2:].decode("latin-1")
+        return b.decode("latin-1")
+
+    @staticmethod
     def _scan_tokens(stream: bytes):
         """Token scanner choice: content streams are token-dense, so
         the hot path is a single compiled-regex scan (C speed); streams
@@ -1330,20 +1342,21 @@ class PdfDocument:
                 ty -= leading
             elif op == "'" and operands and isinstance(operands[-1], bytes):
                 ty -= leading  # ' = T* then Tj (§9.4.3)
-                text = operands[-1].decode("latin-1")
+                text = PdfDocument._text_bytes_to_str(operands[-1])
                 yield "text", (text, int(page_height - ty), int(tx))
             elif op == '"' and len(operands) >= 3 and isinstance(operands[-1], bytes):
                 ty -= leading  # " = aw ac set + T* + Tj; spacing ignored here
-                text = operands[-1].decode("latin-1")
+                text = PdfDocument._text_bytes_to_str(operands[-1])
                 yield "text", (text, int(page_height - ty), int(tx))
             elif op == "Tm" and len(operands) >= 6:
                 tx, ty = float(operands[-2]), float(operands[-1])
             elif op == "Tj" and operands and isinstance(operands[-1], bytes):
-                text = operands[-1].decode("latin-1")
+                text = PdfDocument._text_bytes_to_str(operands[-1])
                 yield "text", (text, int(page_height - ty), int(tx))
             elif op == "TJ" and operands and isinstance(operands[-1], list):
                 text = "".join(
-                    part.decode("latin-1") for part in operands[-1] if isinstance(part, bytes)
+                    PdfDocument._text_bytes_to_str(part)
+                    for part in operands[-1] if isinstance(part, bytes)
                 )
                 yield "text", (text, int(page_height - ty), int(tx))
             elif op == "Do" and operands and isinstance(operands[-1], Name):

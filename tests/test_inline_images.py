@@ -334,3 +334,15 @@ def test_indexed_4bit_palette_image():
     page = PdfDocument(_xobject_pdf(xobj, data)).load_page(0)
     items = [it for it in page.items if it[0] == "image"]
     assert len(items) == 1 and np.array_equal(items[0][1], palette[idx])
+
+
+def test_utf16be_text_strings_decode():
+    """BOM-prefixed UTF-16BE text strings (§7.9.2.2) — common in PDFs
+    carrying non-Latin text — decode to the real characters."""
+
+    text = "Grüße 世界"
+    payload = b"\xfe\xff" + text.encode("utf-16-be")
+    esc = payload.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+    c = b"BT /F1 10 Tf 3 30 Td (" + esc + b") Tj ET"
+    page = PdfDocument(_build_pdf(c)).load_page(0)
+    assert [it[1] for it in page.items if it[0] == "text"] == [text]
