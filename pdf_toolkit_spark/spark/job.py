@@ -162,9 +162,10 @@ def strip_boilerplate(records: DataFrame, cfg: dict[str, Any]) -> DataFrame:
     A text span is boilerplate when its (norm_text, y_band) appears on
     >= max(min_pages, ceil(frac * n_pages)) distinct pages of the doc,
     or (optionally) when it is a digit-only span in the top/bottom
-    band. All rows ride the one window exchange (partitioned by
-    doc_id/norm_text/y_band); image/none rows merely contribute nothing
-    to the repeat COUNT (collect_set skips their null page_no).
+    band. All rows ride the span branch's single doc_id exchange
+    (build_pipeline repartitions once; this window's 3-key clustering
+    is satisfied by it); image/none rows merely contribute nothing to
+    the repeat COUNT (collect_set skips their null page_no).
     """
 
     w = Window.partitionBy("doc_id", "norm_text", "y_band")
@@ -254,6 +255,15 @@ def build_pipeline(
         "doc_id", "n_pages", "page_no", "region_idx", "item_idx", "kind",
         "text", "norm_text", "y_band", "is_page_number", "media_ref", "status",
     )
+    # ONE doc_id exchange serves the whole span branch: hash
+    # partitioning on doc_id satisfies the strip window's
+    # (doc_id, norm_text, y_band) clustering requirement (subset rule),
+    # the ordering window's, AND the assembly aggregate's — without
+    # this explicit repartition, Catalyst inserts a separate
+    # 3-key exchange for the strip window and re-shuffles the full
+    # span relation a second time for assembly. At corpus scale that
+    # is an entire extra pass of the span bytes through the wire.
+    span_rows = span_rows.repartition(F.col("doc_id"))
     spans = assemble_spans(strip_boilerplate(span_rows, cfg))
     return spans, records
 

@@ -148,3 +148,26 @@ def test_ivf_topk_prunes_cells_before_embeddings_join(spark):
     plan = explain_str(QUERIES["sim_ivf_topk"](spark, SF_DIR), "simple")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_span_branch_has_single_doc_id_exchange(spark):
+    """The span branch (strip window + ordering window + assembly agg)
+    must ride ONE doc_id exchange after the extraction UDF: hash
+    partitioning on doc_id satisfies the strip window's 3-key
+    clustering via the subset rule. Two exchanges total: the explicit
+    UDF repartition and the doc_id shuffle."""
+
+    import re
+
+    from pdf_toolkit_spark.corpus import corpus_config
+    from pdf_toolkit_spark.spark.input import corpus_dataframe
+    from pdf_toolkit_spark.spark.job import build_pipeline
+
+    docs = corpus_dataframe(spark, 4, seed=42, mega_every=0)
+    spans, _ = build_pipeline(spark, docs, corpus_config())
+    plan = explain_str(spans, "formatted")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("chunk_start" in k for k in keys)          # UDF spread
+    assert any("norm_text" not in k and "doc_id" in k and "chunk_start" not in k
+               for k in keys)                             # the fused doc_id shuffle
