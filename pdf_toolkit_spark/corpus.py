@@ -252,13 +252,17 @@ def make_document(
     # xref stream) so both parser paths are exercised end-to-end by the
     # same corpus; page content — and therefore spans — is identical.
     encrypt: "bool | str" = False
+    pdf15 = doc_id % 3 == 1
     if encrypt_every and doc_id % encrypt_every == 0:
-        encrypt = "aes" if (doc_id // encrypt_every) % 2 else True
+        # cycle cipher x container so all four combinations appear
+        # (encrypted doc_ids are multiples of encrypt_every, which can
+        # never hit the doc_id % 3 == 1 stride above)
+        k = doc_id // encrypt_every
+        encrypt = "aes" if k % 2 else True
+        pdf15 = (k // 2) % 2 == 1
     return {
         "doc_id": f"doc{doc_id:06d}",
-        "pdf_bytes": write_pdf(
-            pages, pdf15=(not encrypt and doc_id % 3 == 1), encrypt=encrypt
-        ),
+        "pdf_bytes": write_pdf(pages, pdf15=pdf15, encrypt=encrypt),
         "n_pages": len(pages),
         "doc_class": doc_class,
     }

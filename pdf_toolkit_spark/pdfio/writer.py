@@ -72,9 +72,7 @@ class _Builder:
     def render(self, root_num: int, *, pdf15: bool = False,
                encrypt: "tuple | None" = None) -> bytes:
         if pdf15:
-            if encrypt is not None:
-                raise ValueError("encrypted fixtures use the classic layout")
-            return self._render_pdf15(root_num)
+            return self._render_pdf15(root_num, encrypt=encrypt)
         header = b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n"
         out = bytearray(header)
         offsets = [0]
@@ -105,11 +103,17 @@ class _Builder:
         ).encode()
         return bytes(out)
 
-    def _render_pdf15(self, root_num: int) -> bytes:
+    def _render_pdf15(self, root_num: int, encrypt: "tuple | None" = None) -> bytes:
         """PDF 1.5 layout: non-stream objects packed into one object
         stream (/Type /ObjStm, §7.5.7), cross-reference emitted as a
         /Type /XRef stream (§7.5.8) with W [1 4 2]. Deterministic like
-        the classic path."""
+        the classic path.
+
+        With encryption: top-level stream payloads encrypt per object;
+        the ObjStm's own stream encrypts with ITS object key while the
+        objects packed inside are NOT individually encrypted (§7.6.1 —
+        their strings are protected by the ObjStm encryption); the
+        /Encrypt dictionary and the XRef stream stay plaintext."""
 
         out = bytearray(b"%PDF-1.5\n%\xc2\xb5\xc2\xb6\n")
         objstm_num = len(self._objects)
@@ -118,11 +122,19 @@ class _Builder:
         comp: list[int] = []
         for num in range(1, len(self._objects)):
             body = self._objects[num] or b"null"
-            (top if b"\nstream\n" in body else comp).append(num)
+            if encrypt is not None and num == encrypt[0]:
+                top.append(num)  # /Encrypt must stay direct + plaintext
+            else:
+                (top if b"\nstream\n" in body else comp).append(num)
         entries: dict[int, tuple[int, int, int]] = {0: (0, 0, 65535)}
         for num in top:
+            body = self._objects[num] or b"null"
+            if encrypt is not None and num != encrypt[0]:
+                body = _encrypt_streams_in_body(
+                    body, num, encrypt[2], aes=len(encrypt) > 3 and encrypt[3]
+                )
             entries[num] = (1, len(out), 0)
-            out += f"{num} 0 obj\n".encode() + (self._objects[num] or b"null") + b"\nendobj\n"
+            out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
         if comp:
             blob = bytearray()
             offs: list[int] = []
@@ -130,7 +142,27 @@ class _Builder:
                 offs.append(len(blob))
                 blob += (self._objects[num] or b"null") + b"\n"
             hdr = " ".join(f"{n} {o}" for n, o in zip(comp, offs)).encode() + b"\n"
-            payload = zlib.compress(bytes(hdr) + bytes(blob), 6)
+            packed = bytes(hdr) + bytes(blob)
+            if encrypt is not None:
+                from .crypt import object_key, rc4
+
+                aes = len(encrypt) > 3 and encrypt[3]
+                if aes:
+                    import hashlib
+
+                    from .aes import cbc_encrypt
+
+                    iv = hashlib.md5(b"iv:%d" % objstm_num).digest()
+                    payload = cbc_encrypt(
+                        object_key(encrypt[2], objstm_num, 0, aes=True), iv,
+                        zlib.compress(packed, 6),
+                    )
+                else:
+                    payload = rc4(
+                        object_key(encrypt[2], objstm_num, 0), zlib.compress(packed, 6)
+                    )
+            else:
+                payload = zlib.compress(packed, 6)
             entries[objstm_num] = (1, len(out), 0)
             out += (
                 f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(comp)} /First {len(hdr)} "
@@ -146,9 +178,13 @@ class _Builder:
             t, f2, f3 = entries.get(num, (0, 0, 65535))
             rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
         xdata = zlib.compress(bytes(rows), 6)
+        enc_entry = ""
+        if encrypt is not None:
+            idhex = encrypt[1].hex()
+            enc_entry = f"/Encrypt {encrypt[0]} 0 R /ID [<{idhex}> <{idhex}>] "
         out += (
             f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] /Index [0 {size}] "
-            f"/Root {root_num} 0 R /Filter /FlateDecode /Length {len(xdata)} >>\nstream\n"
+            f"/Root {root_num} 0 R {enc_entry}/Filter /FlateDecode /Length {len(xdata)} >>\nstream\n"
         ).encode() + xdata + b"\nendstream\nendobj\n"
         out += f"startxref\n{xref_at}\n%%EOF\n".encode()
         return bytes(out)

@@ -116,6 +116,25 @@ def test_aesv2_pdf_roundtrip_matches_plaintext_spans():
     assert extract_document(enc, cfg)["spans"] == extract_document(plain, cfg)["spans"]
 
 
+def test_encrypted_pdf15_container_roundtrips():
+    """Encryption + the 1.5 layout (the modern norm): top-level stream
+    payloads and the ObjStm encrypt per object, packed objects are not
+    double-encrypted, /Encrypt stays direct and plaintext in the XRef
+    stream dict. Both ciphers must extract spans equal to plaintext."""
+
+    cfg = corpus_config()
+    plain = write_pdf(_pages(), pdf15=True)
+    for mode in (True, "aes"):
+        enc = write_pdf(_pages(), pdf15=True, encrypt=mode)
+        assert b"/ObjStm" in enc and b"/Encrypt" in enc
+        assert b"secret page one" not in enc
+        assert extract_document(enc, cfg)["spans"] == extract_document(plain, cfg)["spans"]
+        locked = write_pdf(_pages(), pdf15=True, encrypt=mode, user_password="pw")
+        with pytest.raises(UserError, match="password"):
+            PdfDocument(locked)
+        assert PdfDocument(locked, password="pw").page_count == 2
+
+
 def test_aesv2_password_protection():
     enc = write_pdf(_pages(), encrypt="aes", user_password="hunter2")
     with pytest.raises(UserError, match="password"):

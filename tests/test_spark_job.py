@@ -75,11 +75,11 @@ def test_span_sequence_equality_encrypted_corpus(spark):
     distributed decryption inside the pandas UDF must yield spans
     identical to each doc's serial extraction."""
 
-    n = 12
+    n = 15
     input_df = corpus_dataframe(spark, n, seed=42, mega_every=0, encrypt_every=3)
     spans_df, _ = build_pipeline(spark, input_df, CFG)
     rows = {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in spans_df.collect()}
-    saw_rc4 = saw_aes = False
+    saw_rc4 = saw_aes = saw_enc15 = False
     for doc_id in range(n):
         doc = make_document(doc_id, seed=42, mega_every=0, encrypt_every=3)
         if b"/Encrypt" in doc["pdf_bytes"]:
@@ -87,9 +87,10 @@ def test_span_sequence_equality_encrypted_corpus(spark):
                 saw_aes = True
             else:
                 saw_rc4 = True
+            saw_enc15 = saw_enc15 or b"/ObjStm" in doc["pdf_bytes"]
         expected = extract_document(doc["pdf_bytes"], CFG)["spans"]
         assert rows[doc["doc_id"]] == expected, doc["doc_class"]
-    assert saw_rc4 and saw_aes
+    assert saw_rc4 and saw_aes and saw_enc15  # incl. encrypted 1.5 containers
 
 
 def test_resume_skips_committed_docs(spark, tmp_path):
