@@ -146,9 +146,9 @@ def make_document(
     like everything else (the engine's own encoder, fixed quality).
 
     ``encrypt_every=k`` encrypts every k-th document with an empty
-    user password, alternating RC4-40 (R2) and AESV2 (V4/R4) so both
-    decryption paths run inside the distributed pipeline (encrypted
-    fixtures use the classic layout; spans are unaffected).
+    user password, cycling RC4-40 (R2), AESV2 (V4/R4), and AES-256
+    (V5/R6) across both container layouts so every decryption path
+    runs inside the distributed pipeline (spans are unaffected).
     """
 
     prof = _PROFILE[profile]
@@ -254,12 +254,12 @@ def make_document(
     encrypt: "bool | str" = False
     pdf15 = doc_id % 3 == 1
     if encrypt_every and doc_id % encrypt_every == 0:
-        # cycle cipher x container so all four combinations appear
+        # cycle cipher x container so all six combinations appear
         # (encrypted doc_ids are multiples of encrypt_every, which can
         # never hit the doc_id % 3 == 1 stride above)
         k = doc_id // encrypt_every
-        encrypt = "aes" if k % 2 else True
-        pdf15 = (k // 2) % 2 == 1
+        encrypt = (True, "aes", "aes256")[k % 3]
+        pdf15 = (k // 3) % 2 == 1
     return {
         "doc_id": f"doc{doc_id:06d}",
         "pdf_bytes": write_pdf(pages, pdf15=pdf15, encrypt=encrypt),

@@ -54,26 +54,33 @@ del _c, _x, t
 
 
 def expand_key(key: bytes) -> list[bytes]:
-    """128-bit key schedule: 11 round keys of 16 bytes."""
+    """AES key schedule for 128- or 256-bit keys: 11 or 15 round keys."""
 
-    if len(key) != 16:
-        raise UserError(f"AES-128 requires a 16-byte key, got {len(key)}.")
-    words = [key[i:i + 4] for i in range(0, 16, 4)]
-    for r in range(10):
+    if len(key) not in (16, 32):
+        raise UserError(f"AES requires a 16- or 32-byte key, got {len(key)}.")
+    nk = len(key) // 4
+    nr = 10 if nk == 4 else 14
+    words = [key[i:i + 4] for i in range(0, len(key), 4)]
+    i = nk
+    while len(words) < 4 * (nr + 1):
         w = words[-1]
-        w = bytes(
-            (_SBOX[w[1]] ^ _RCON[r], _SBOX[w[2]], _SBOX[w[3]], _SBOX[w[0]])
-        )
-        for j in range(4):
-            w = bytes(a ^ b for a, b in zip(w, words[-4]))
-            words.append(w)
-    return [b"".join(words[i:i + 4]) for i in range(0, 44, 4)]
+        if i % nk == 0:
+            w = bytes(
+                (_SBOX[w[1]] ^ _RCON[i // nk - 1], _SBOX[w[2]], _SBOX[w[3]], _SBOX[w[0]])
+            )
+        elif nk == 8 and i % nk == 4:
+            w = bytes(_SBOX[b] for b in w)
+        w = bytes(a ^ b for a, b in zip(w, words[-nk]))
+        words.append(w)
+        i += 1
+    return [b"".join(words[j:j + 4]) for j in range(0, 4 * (nr + 1), 4)]
 
 
 def _encrypt_block(block: bytes, rks: list[bytes]) -> bytes:
     s = bytearray(a ^ b for a, b in zip(block, rks[0]))
     m2, m3 = _MUL[2], _MUL[3]
-    for rnd in range(1, 10):
+    nr = len(rks) - 1
+    for rnd in range(1, nr):
         # SubBytes + ShiftRows
         t = bytes(
             _SBOX[s[(i + 4 * (i % 4)) % 16]] for i in range(16)
@@ -87,13 +94,14 @@ def _encrypt_block(block: bytes, rks: list[bytes]) -> bytes:
             s[4 * c + 2] = a0 ^ a1 ^ m2[a2] ^ m3[a3] ^ rk[4 * c + 2]
             s[4 * c + 3] = m3[a0] ^ a1 ^ a2 ^ m2[a3] ^ rk[4 * c + 3]
     t = bytes(_SBOX[s[(i + 4 * (i % 4)) % 16]] for i in range(16))
-    return bytes(a ^ b for a, b in zip(t, rks[10]))
+    return bytes(a ^ b for a, b in zip(t, rks[nr]))
 
 
 def _decrypt_block(block: bytes, rks: list[bytes]) -> bytes:
-    s = bytearray(a ^ b for a, b in zip(block, rks[10]))
+    nr = len(rks) - 1
+    s = bytearray(a ^ b for a, b in zip(block, rks[nr]))
     m9, m11, m13, m14 = _MUL[9], _MUL[11], _MUL[13], _MUL[14]
-    for rnd in range(9, 0, -1):
+    for rnd in range(nr - 1, 0, -1):
         # InvShiftRows + InvSubBytes
         t = bytes(_INV_SBOX[s[(i - 4 * (i % 4)) % 16]] for i in range(16))
         # AddRoundKey + InvMixColumns
@@ -122,6 +130,35 @@ def cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
         block = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
         prev = _encrypt_block(block, rks)
         out += prev
+    return bytes(out)
+
+
+def cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC without padding or IV prefix (data must be block-aligned) —
+    the shape the AES-256 password KDF and /UE //OE wrapping use."""
+
+    if len(data) % 16:
+        raise UserError("CBC-nopad requires block-aligned data.")
+    rks = expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = _encrypt_block(block, rks)
+        out += prev
+    return bytes(out)
+
+
+def cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    if len(data) % 16:
+        raise UserError("CBC-nopad requires block-aligned data.")
+    rks = expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = data[i:i + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block(block, rks), prev))
+        prev = block
     return bytes(out)
 
 

@@ -120,15 +120,81 @@ def object_key(file_key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
     return md.digest()[: min(len(file_key) + 5, 16)]
 
 
+def hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B: the iterated SHA-2 / AES-CBC password
+    hash used by the R6 (AES-256) security handler."""
+
+    from .aes import cbc_encrypt_nopad
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        digest = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3]
+        k = digest(e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def make_r6_entries(
+    user_pw: bytes, owner_pw: bytes, file_key: bytes, p: int,
+    salt_seed: bytes = b"pdf_toolkit_spark r6 salts",
+) -> dict[str, bytes]:
+    """Generate /U /UE /O /OE /Perms for an AES-256 file (Algorithms
+    8-10). Salts derive deterministically from salt_seed (fixtures)."""
+
+    from .aes import _encrypt_block, cbc_encrypt_nopad, expand_key
+
+    sl = hashlib.sha256(salt_seed).digest()
+    vs_u, ks_u, vs_o, ks_o = sl[0:8], sl[8:16], sl[16:24], sl[24:32]
+    u = hash_r6(user_pw, vs_u) + vs_u + ks_u
+    ue = cbc_encrypt_nopad(hash_r6(user_pw, ks_u), b"\x00" * 16, file_key)
+    o = hash_r6(owner_pw, vs_o, u[:48]) + vs_o + ks_o
+    oe = cbc_encrypt_nopad(hash_r6(owner_pw, ks_o, u[:48]), b"\x00" * 16, file_key)
+    block = (
+        struct.pack("<i", p if p < 2**31 else p - 2**32) + b"\xff\xff\xff\xff"
+        + b"T" + b"adb" + b"seed"
+    )
+    perms = _encrypt_block(block, expand_key(file_key))
+    return {"U": u, "UE": ue, "O": o, "OE": oe, "Perms": perms}
+
+
+def verify_r6_password(
+    pw: bytes, o: bytes, u: bytes, ue: bytes, oe: bytes
+) -> bytes | None:
+    """Algorithm 2.A password check: returns the 32-byte file key for a
+    matching user or owner password, else None."""
+
+    from .aes import cbc_decrypt_nopad
+
+    if len(u) < 48 or len(o) < 48:
+        return None
+    if hash_r6(pw, u[32:40]) == u[:32]:
+        return cbc_decrypt_nopad(hash_r6(pw, u[40:48]), b"\x00" * 16, ue)
+    if hash_r6(pw, o[32:40], u[:48]) == o[:32]:
+        return cbc_decrypt_nopad(hash_r6(pw, o[40:48], u[:48]), b"\x00" * 16, oe)
+    return None
+
+
 class StandardDecryptor:
     """Holds the verified file key; decrypts strings/streams per object
     (aes=True -> AESV2: CBC, IV-prefixed, padded; else RC4)."""
 
-    def __init__(self, file_key: bytes, aes: bool = False) -> None:
+    def __init__(self, file_key: bytes, aes: bool = False,
+                 aes256: bool = False) -> None:
         self.file_key = file_key
         self.aes = aes
+        self.aes256 = aes256
 
     def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
+        if self.aes256:
+            # V5: the FILE key encrypts every object directly (no
+            # per-object derivation, §7.6.3.3 in ISO 32000-2).
+            from .aes import cbc_decrypt
+
+            return cbc_decrypt(self.file_key, data)
         key = object_key(self.file_key, num, gen, aes=self.aes)
         if self.aes:
             from .aes import cbc_decrypt
@@ -146,6 +212,23 @@ def build_decryptor(enc: dict, id0: bytes, user_pw: bytes = b"") -> StandardDecr
     v = int(enc.get("V", 0))
     r = int(enc.get("R", 2))
     aes = False
+    if v == 5 and r == 6:
+        cf = enc.get("CF") or {}
+        cfm = str((cf.get("StdCF") or {}).get("CFM", ""))
+        stmf, strf = str(enc.get("StmF", "Identity")), str(enc.get("StrF", "Identity"))
+        if stmf != "StdCF" or strf != "StdCF" or cfm != "AESV3":
+            raise UserError(
+                f"Unsupported V5 crypt filters (CFM={cfm or '(none)'} "
+                f"StmF={stmf} StrF={strf})."
+            )
+        o5, u5 = enc.get("O"), enc.get("U")
+        ue, oe = enc.get("UE"), enc.get("OE")
+        if not all(isinstance(x, bytes) for x in (o5, u5, ue, oe)):
+            raise UserError("AES-256 encryption dictionary missing O/U/OE/UE.")
+        key = verify_r6_password(user_pw, o5, u5, ue, oe)
+        if key is None:
+            raise UserError("Encrypted PDF: password required (user password rejected).")
+        return StandardDecryptor(key, aes256=True)
     if v == 4 and r == 4:
         # Crypt filters: require the standard /StdCF applied to both
         # streams and strings (the layout every mainstream producer

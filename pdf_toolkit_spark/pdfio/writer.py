@@ -82,7 +82,8 @@ class _Builder:
             body = body or b"null"
             if encrypt is not None and num != encrypt[0]:
                 body = _encrypt_streams_in_body(
-                    body, num, encrypt[2], aes=len(encrypt) > 3 and encrypt[3]
+                    body, num, encrypt[2],
+                    aes=(encrypt[3] if len(encrypt) > 3 else False) or False,
                 )
             offsets.append(len(out))
             out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
@@ -131,7 +132,8 @@ class _Builder:
             body = self._objects[num] or b"null"
             if encrypt is not None and num != encrypt[0]:
                 body = _encrypt_streams_in_body(
-                    body, num, encrypt[2], aes=len(encrypt) > 3 and encrypt[3]
+                    body, num, encrypt[2],
+                    aes=(encrypt[3] if len(encrypt) > 3 else False) or False,
                 )
             entries[num] = (1, len(out), 0)
             out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
@@ -146,17 +148,16 @@ class _Builder:
             if encrypt is not None:
                 from .crypt import object_key, rc4
 
-                aes = len(encrypt) > 3 and encrypt[3]
+                aes = (encrypt[3] if len(encrypt) > 3 else False) or False
                 if aes:
                     import hashlib
 
                     from .aes import cbc_encrypt
 
                     iv = hashlib.md5(b"iv:%d" % objstm_num).digest()
-                    payload = cbc_encrypt(
-                        object_key(encrypt[2], objstm_num, 0, aes=True), iv,
-                        zlib.compress(packed, 6),
-                    )
+                    okey = (encrypt[2] if aes == "256"
+                            else object_key(encrypt[2], objstm_num, 0, aes=True))
+                    payload = cbc_encrypt(okey, iv, zlib.compress(packed, 6))
                 else:
                     payload = rc4(
                         object_key(encrypt[2], objstm_num, 0), zlib.compress(packed, 6)
@@ -191,7 +192,7 @@ class _Builder:
 
 
 def _encrypt_streams_in_body(
-    body: bytes, num: int, file_key: bytes, aes: bool = False
+    body: bytes, num: int, file_key: bytes, aes: "bool | str" = False
 ) -> bytes:
     """Encrypt the stream payload of an object body (strings in this
     writer's output live only inside content streams, so stream
@@ -212,7 +213,8 @@ def _encrypt_streams_in_body(
         from .aes import cbc_encrypt
 
         iv = hashlib.md5(b"iv:%d" % num).digest()  # deterministic fixture IV
-        payload = cbc_encrypt(object_key(file_key, num, 0, aes=True), iv, body[start:end])
+        key = file_key if aes == "256" else object_key(file_key, num, 0, aes=True)
+        payload = cbc_encrypt(key, iv, body[start:end])
         head = re.sub(
             rb"/Length \d+", b"/Length %d" % len(payload), body[:at], count=1
         )
@@ -270,8 +272,9 @@ def write_pdf(
 
     ``encrypt=True`` applies the standard security handler (RC4-40,
     R2, deterministic /ID) with ``user_password``; ``encrypt="aes"``
-    emits V4/R4 crypt filters with /AESV2 (AES-128-CBC) instead — the
-    encrypted-corpus fixture paths; classic layout only.
+    emits V4/R4 crypt filters with /AESV2 (AES-128-CBC);
+    ``encrypt="aes256"`` emits V5/R6 with /AESV3 (AES-256, the modern
+    default). All modes compose with both layouts (classic and 1.5).
     """
 
     b = _Builder()
@@ -340,7 +343,23 @@ def write_pdf(
 
         pw = user_password.encode("latin-1")
         id0 = hashlib.md5(b"pdf_toolkit_spark deterministic file id").digest()
-        if encrypt == "aes":
+        if encrypt == "aes256":
+            from .crypt import make_r6_entries
+
+            key = hashlib.sha256(b"pdf_toolkit_spark aes256 file key").digest()
+            ent = make_r6_entries(pw, pw if pw else b"owner", key, 0xFFFFFFFF)
+            enc_num = b.add(
+                (
+                    "<< /Filter /Standard /V 5 /R 6 /Length 256 /P -1 "
+                    "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                    "/StmF /StdCF /StrF /StdCF /EncryptMetadata true "
+                    f"/O <{ent['O'].hex()}> /U <{ent['U'].hex()}> "
+                    f"/OE <{ent['OE'].hex()}> /UE <{ent['UE'].hex()}> "
+                    f"/Perms <{ent['Perms'].hex()}> >>"
+                ).encode()
+            )
+            enc_info = (enc_num, id0, key, "256")
+        elif encrypt == "aes":
             o_entry = compute_o(pw, pw, r=4, key_len=16)
             key = compute_key(pw, o_entry, 0xFFFFFFFF, id0, r=4, key_len=16)
             u_entry = compute_u(key, id0, r=4)

@@ -61,10 +61,12 @@ def test_object_key_truncation():
     assert len(object_key(b"\x00" * 16, 1, 0)) == 16
 
 
-def test_build_decryptor_rejects_aes256_and_unknown_handler():
+def test_build_decryptor_rejects_unknown_variants():
     base = {"Filter": "Standard", "O": b"x" * 32, "U": b"y" * 32, "P": -1}
-    with pytest.raises(UserError, match="V=5"):
-        build_decryptor(dict(base, V=5, R=6), b"")
+    with pytest.raises(UserError, match="V5 crypt filters"):
+        build_decryptor(dict(base, V=5, R=6), b"")  # no /CF AESV3 mapping
+    with pytest.raises(UserError, match="V=5 R=5"):
+        build_decryptor(dict(base, V=5, R=5), b"")  # deprecated R5
     with pytest.raises(UserError, match="crypt filter method"):
         build_decryptor(
             dict(base, V=4, R=4, CF={"StdCF": {"CFM": "AESV3"}},
@@ -114,6 +116,40 @@ def test_aesv2_pdf_roundtrip_matches_plaintext_spans():
     enc = write_pdf(_pages(), encrypt="aes")
     assert b"/AESV2" in enc and b"secret page one" not in enc
     assert extract_document(enc, cfg)["spans"] == extract_document(plain, cfg)["spans"]
+
+
+def test_r6_entries_self_verify_and_roundtrip():
+    """AES-256 (V5/R6): Algorithm 2.B KDF + entry generation + both
+    password paths, then full span equality vs plaintext twins in
+    BOTH container layouts."""
+
+    import hashlib
+
+    from pdf_toolkit_spark.pdfio.crypt import (
+        hash_r6,
+        make_r6_entries,
+        verify_r6_password,
+    )
+
+    fk = hashlib.sha256(b"k").digest()
+    e = make_r6_entries(b"user", b"owner", fk, 0xFFFFFFFF)
+    assert verify_r6_password(b"user", e["O"], e["U"], e["UE"], e["OE"]) == fk
+    assert verify_r6_password(b"owner", e["O"], e["U"], e["UE"], e["OE"]) == fk
+    assert verify_r6_password(b"bad", e["O"], e["U"], e["UE"], e["OE"]) is None
+    # KDF is deterministic and salt-sensitive
+    assert hash_r6(b"pw", b"12345678") == hash_r6(b"pw", b"12345678")
+    assert hash_r6(b"pw", b"12345678") != hash_r6(b"pw", b"87654321")
+
+    cfg = corpus_config()
+    for pdf15 in (False, True):
+        plain = write_pdf(_pages(), pdf15=pdf15)
+        enc = write_pdf(_pages(), pdf15=pdf15, encrypt="aes256")
+        assert b"/AESV3" in enc and b"secret page one" not in enc
+        assert extract_document(enc, cfg)["spans"] == extract_document(plain, cfg)["spans"]
+        locked = write_pdf(_pages(), pdf15=pdf15, encrypt="aes256", user_password="pw")
+        with pytest.raises(UserError, match="password"):
+            PdfDocument(locked)
+        assert PdfDocument(locked, password="pw").page_count == 2
 
 
 def test_encrypted_pdf15_container_roundtrips():

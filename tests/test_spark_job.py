@@ -75,22 +75,24 @@ def test_span_sequence_equality_encrypted_corpus(spark):
     distributed decryption inside the pandas UDF must yield spans
     identical to each doc's serial extraction."""
 
-    n = 15
+    n = 21
     input_df = corpus_dataframe(spark, n, seed=42, mega_every=0, encrypt_every=3)
     spans_df, _ = build_pipeline(spark, input_df, CFG)
     rows = {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in spans_df.collect()}
-    saw_rc4 = saw_aes = saw_enc15 = False
+    seen = set()
     for doc_id in range(n):
         doc = make_document(doc_id, seed=42, mega_every=0, encrypt_every=3)
-        if b"/Encrypt" in doc["pdf_bytes"]:
-            if b"/AESV2" in doc["pdf_bytes"]:
-                saw_aes = True
-            else:
-                saw_rc4 = True
-            saw_enc15 = saw_enc15 or b"/ObjStm" in doc["pdf_bytes"]
+        if b"/AESV3" in doc["pdf_bytes"]:
+            seen.add("aes256")
+        elif b"/AESV2" in doc["pdf_bytes"]:
+            seen.add("aes")
+        elif b"/Encrypt" in doc["pdf_bytes"]:
+            seen.add("rc4")
+        if b"/Encrypt" in doc["pdf_bytes"] and b"/ObjStm" in doc["pdf_bytes"]:
+            seen.add("enc15")
         expected = extract_document(doc["pdf_bytes"], CFG)["spans"]
         assert rows[doc["doc_id"]] == expected, doc["doc_class"]
-    assert saw_rc4 and saw_aes and saw_enc15  # incl. encrypted 1.5 containers
+    assert seen == {"rc4", "aes", "aes256", "enc15"}
 
 
 def test_resume_skips_committed_docs(spark, tmp_path):
