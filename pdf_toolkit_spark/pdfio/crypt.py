@@ -107,6 +107,27 @@ def verify_user_password(
     return key if ok else None
 
 
+def recover_user_password(
+    owner_pw: bytes, o_entry: bytes, r: int, key_len: int
+) -> bytes:
+    """Algorithm 7 (decryption half): the /O entry decrypted with the
+    owner-password key yields the PADDED user password."""
+
+    digest = hashlib.md5(_pad_password(owner_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest).digest()
+    key = digest[:key_len]
+    data = o_entry[:32]
+    if r >= 3:
+        for i in range(19, 0, -1):
+            data = rc4(bytes(b ^ i for b in key), data)
+        data = rc4(key, data)
+    else:
+        data = rc4(key, data)
+    return data
+
+
 def object_key(file_key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
     """§7.6.2 Algorithm 1: the per-object key (AES appends the fixed
     'sAlT' bytes to the digest input)."""
@@ -266,6 +287,11 @@ def build_decryptor(enc: dict, id0: bytes, user_pw: bytes = b"") -> StandardDecr
     p = int(enc.get("P", -1)) & 0xFFFFFFFF
     em = bool(enc.get("EncryptMetadata", True))
     key = verify_user_password(user_pw, o_entry, u_entry, p, id0, r, key_len, em)
+    if key is None:
+        # Algorithm 7: maybe the supplied password is the OWNER one —
+        # recover the padded user password from /O and retry.
+        recovered = recover_user_password(user_pw, o_entry, r, key_len)
+        key = verify_user_password(recovered, o_entry, u_entry, p, id0, r, key_len, em)
     if key is None:
         raise UserError("Encrypted PDF: password required (user password rejected).")
     return StandardDecryptor(key, aes=aes)

@@ -61,6 +61,31 @@ def test_object_key_truncation():
     assert len(object_key(b"\x00" * 16, 1, 0)) == 16
 
 
+def test_owner_password_opens_rc4_documents():
+    """Algorithm 7: the owner password recovers the padded user
+    password from /O, so either password opens the document."""
+
+    import hashlib
+
+    from pdf_toolkit_spark.pdfio.crypt import (
+        _pad_password,
+        recover_user_password,
+    )
+
+    for r, key_len in ((2, 5), (3, 16)):
+        o = compute_o(b"ownerpw", b"userpw", r=r, key_len=key_len)
+        assert recover_user_password(b"ownerpw", o, r, key_len) == _pad_password(b"userpw")
+    id0 = hashlib.md5(b"x").digest()
+    o = compute_o(b"ownerpw", b"userpw", r=3, key_len=16)
+    key = compute_key(b"userpw", o, 0xFFFFFFFF, id0, 3, 16)
+    u = compute_u(key, id0, 3)
+    enc = {"Filter": "Standard", "V": 2, "R": 3, "Length": 128, "P": -1, "O": o, "U": u}
+    assert build_decryptor(enc, id0, b"userpw").file_key == \
+        build_decryptor(enc, id0, b"ownerpw").file_key
+    with pytest.raises(UserError, match="password"):
+        build_decryptor(enc, id0, b"wrong")
+
+
 def test_build_decryptor_rejects_unknown_variants():
     base = {"Filter": "Standard", "O": b"x" * 32, "U": b"y" * 32, "P": -1}
     with pytest.raises(UserError, match="V5 crypt filters"):
