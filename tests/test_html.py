@@ -171,6 +171,28 @@ def test_site_slogan_is_stripped_corpus_wide(spark):
 # Plan hygiene
 # ---------------------------------------------------------------------------
 
+def test_parse_stage_executes_once(spark):
+    """The records relation feeds four plan branches; the persist in
+    extract_html_spans must keep the DOM-parse UDF to ONE execution
+    (500 docs parsed exactly once, not once per branch)."""
+
+    from pyspark.sql import functions as F
+
+    from pdf_toolkit_spark.spark import html_job
+
+    # Consume the spans column: a bare count() lets Catalyst eliminate
+    # the left join (spans is distinct on doc_id), skipping the parse.
+    n_spans = (
+        extract_html_spans(spark, SF_DIR)
+        .agg(F.sum(F.size("spans")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert n_spans > 0
+    assert html_job.parse_docs_acc.value == 500
+    plan = explain_str(extract_html_spans(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan
+
+
 def test_strip_anti_join_is_broadcast_not_hinted(spark):
     plan = explain_str(extract_html_spans(spark, SF_DIR))
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
