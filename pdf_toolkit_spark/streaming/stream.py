@@ -179,9 +179,18 @@ def stream_html_extraction(
     which its count first reaches BOILER_MIN_DOCS and onward — earlier
     already-committed spans are not retro-edited (the standard
     streaming tradeoff; the batch job is the exact retrospective
-    form). State is (site, norm_text, n_docs) — chrome-string-sized,
-    NOT corpus-sized — so the merge is a broadcast-scale aggregate at
-    any corpus size.
+    form — `reconcile_html_spans` below closes the gap as a periodic
+    compaction). State is (site, norm_text, n_docs) — chrome-string-
+    sized, NOT corpus-sized — so the merge is a broadcast-scale
+    aggregate at any corpus size.
+
+    Restart safety: foreachBatch may REPLAY an epoch whose outputs were
+    already written (failure after write, before checkpoint commit).
+    Both writes are idempotent under replay: the state merge reads only
+    epochs STRICTLY BELOW the current epoch_id (a replayed epoch never
+    merges its own counts on top of themselves), and spans land in an
+    epoch-keyed directory with mode=overwrite (a replay rewrites, never
+    appends duplicates).
     """
 
     import glob as _glob
@@ -202,8 +211,11 @@ def stream_html_extraction(
     )
     state_root = f"{out_dir}/boiler_state"
 
-    def _latest_state() -> "DataFrame | None":
-        epochs = sorted(_glob.glob(f"{state_root}/epoch=*"))
+    def _prev_state(epoch_id: int) -> "DataFrame | None":
+        epochs = sorted(
+            e for e in _glob.glob(f"{state_root}/epoch=*")
+            if int(e.rsplit("=", 1)[1]) < epoch_id
+        )
         if not epochs:
             return None
         return spark.read.parquet(epochs[-1])
@@ -216,7 +228,7 @@ def stream_html_extraction(
                 .groupBy("site", "norm_text")
                 .agg(F.countDistinct("doc_id").alias("n_docs"))
             )
-            prev = _latest_state()
+            prev = _prev_state(epoch_id)
             merged = (
                 batch_counts if prev is None
                 else prev.unionByName(batch_counts)
@@ -235,7 +247,9 @@ def stream_html_extraction(
                 boiler, ["site", "norm_text"], "left_anti"
             )
             stripped = text.unionByName(records.filter(F.col("kind") != "text"))
-            assemble_spans(stripped).write.mode("append").parquet(f"{out_dir}/spans")
+            assemble_spans(stripped).write.mode("overwrite").parquet(
+                f"{out_dir}/spans/epoch={epoch_id:012d}"
+            )
         finally:
             records.unpersist()
 
@@ -246,3 +260,53 @@ def stream_html_extraction(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def reconcile_html_spans(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Retrospective compaction over a `stream_html_extraction` output:
+    re-strip spans that were committed BEFORE their site's chrome count
+    crossed BOILER_MIN_DOCS, using the FINAL cumulative state table.
+    The result equals the batch job (`extract_html_spans`) run over the
+    same corpus — pinned by tests/test_streaming.py.
+
+    Fully declarative: posexplode the committed span arrays back to
+    records (array position == the dense pos ordering), recover the
+    site from the doc_id and the strip key via the engine's canonical
+    `norm_text` built-in, anti-join against the final chrome relation
+    (tiny -> broadcast), and reassemble with dense offsets. One shuffle
+    (the assembly groupBy); intended as a periodic batch job over the
+    epoch-partitioned spans directory.
+    """
+
+    import glob as _glob
+
+    from ..htmlx import BOILER_MIN_DOCS, N_SITES
+    from ..ops.common import norm_text as sql_norm
+    from ..spark.html_job import assemble_spans
+
+    state_dirs = sorted(_glob.glob(f"{out_dir}/boiler_state/epoch=*"))
+    spans = spark.read.parquet(f"{out_dir}/spans")
+    records = spans.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        (F.substring("doc_id", 4, 6).cast("int") % N_SITES).alias("site"),
+    )
+    if state_dirs:
+        boiler = (
+            spark.read.parquet(state_dirs[-1])
+            .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+            .select("site", "norm_text")
+        )
+        text = (
+            records.filter(F.col("kind") == "text")
+            .withColumn("norm_text", sql_norm(F.col("text")))
+            .join(boiler, ["site", "norm_text"], "left_anti")
+            .drop("norm_text")
+        )
+        records = text.unionByName(records.filter(F.col("kind") != "text"))
+    return assemble_spans(records.drop("site"))

@@ -202,3 +202,90 @@ def test_stream_html_extraction_accumulates_boiler_state(spark, tmp_path):
     state = spark.read.parquet(latest)
     slog_rows = state.filter(F.col("n_docs") >= 4).count()
     assert slog_rows >= 1
+
+
+def test_stream_html_replay_is_idempotent(spark, tmp_path):
+    """Replay of an already-written epoch (fresh checkpoint, same
+    out_dir — the failure-after-write scenario) must not double-count
+    state or duplicate span rows."""
+
+    import glob
+
+    import pandas as pd
+
+    from pdf_toolkit_spark.streaming.stream import stream_html_extraction
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    os.makedirs(src, exist_ok=True)
+    text = " ".join(f"tok{i} alpha beta gamma delta" for i in range(30))
+    pd.DataFrame({"doc_id": [0, 13], "text": [text + " one", text + " two"]}).to_parquet(
+        f"{src}/b1.parquet"
+    )
+
+    q = stream_html_extraction(spark, src, out, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    # replay: a NEW checkpoint reprocesses the same files as epoch 0
+    # against an out_dir where epoch 0's state + spans already exist
+    q = stream_html_extraction(spark, src, out, str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+
+    latest = sorted(glob.glob(f"{out}/boiler_state/epoch=*"))[-1]
+    state = spark.read.parquet(latest)
+    assert state.agg(F.max("n_docs")).collect()[0][0] == 2  # not 4
+    spans = spark.read.parquet(f"{out}/spans")
+    assert spans.count() == 2  # one row per doc, not duplicated
+
+
+def test_reconcile_equals_batch_pipeline(spark, tmp_path):
+    """The retrospective compaction over streaming output must equal the
+    batch pipeline (which sees all docs at once) span-for-span —
+    including re-stripping chrome committed before the site crossed
+    BOILER_MIN_DOCS."""
+
+    import pandas as pd
+
+    from pdf_toolkit_spark.spark.html_job import (
+        assemble_spans,
+        html_records_df,
+        strip_site_boilerplate,
+    )
+    from pdf_toolkit_spark.streaming.stream import (
+        reconcile_html_spans,
+        stream_html_extraction,
+    )
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    text = " ".join(f"tok{i} alpha beta gamma delta" for i in range(30))
+
+    # site 0 crosses BOILER_MIN_DOCS only once batch 2 lands, so batch-1
+    # docs carry chrome the batch pipeline would strip
+    pd.DataFrame({"doc_id": [0, 13], "text": [text + " one", text + " two"]}).to_parquet(
+        f"{src}/b1.parquet"
+    )
+    q = stream_html_extraction(spark, src, out, ck)
+    q.awaitTermination(120)
+    pd.DataFrame({"doc_id": [26, 39], "text": [text + " three", text + " four"]}).to_parquet(
+        f"{src}/b2.parquet"
+    )
+    q = stream_html_extraction(spark, src, out, ck)
+    q.awaitTermination(120)
+
+    docs = spark.createDataFrame(
+        [(0, text + " one"), (13, text + " two"), (26, text + " three"), (39, text + " four")],
+        "doc_id long, text string",
+    )
+    batch = assemble_spans(strip_site_boilerplate(html_records_df(docs)))
+
+    def spanset(df):
+        return {
+            r["doc_id"]: [
+                (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+            ]
+            for r in df.collect()
+        }
+
+    assert spanset(reconcile_html_spans(spark, out)) == spanset(batch)
