@@ -317,7 +317,11 @@ def decode_ccitt_pdf(data: bytes, parms: dict) -> np.ndarray:
     columns = int(parms.get("Columns", 1728))
     rows = parms.get("Rows")
     bits = decode_g4(data, columns, int(rows) if rows is not None else None)
-    # The decoder yields semantic runs (1 = black pixel); /BlackIs1
-    # only changes the BIT representation of the unencoded bitmap, not
-    # which runs are black, so the gray mapping is polarity-free.
+    # The decoder yields semantic runs (1 = black run). With the default
+    # BlackIs1=false, black runs are 0 bits, which 1-bit DeviceGray
+    # renders as black -> gray 0. With BlackIs1=true, black runs are
+    # 1 bits -> DeviceGray 1 -> WHITE to a compliant consumer (absent a
+    # /Decode), so the gray raster must be inverted to match.
+    if parms.get("BlackIs1"):
+        return np.where(bits == 1, 255, 0).astype(np.uint8)
     return np.where(bits == 1, 0, 255).astype(np.uint8)

@@ -490,8 +490,15 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
 
     while pos < n:
         if data[pos] != 0xFF:
-            pos += 1  # tolerate fill bytes
+            pos += 1  # tolerate stray bytes
             continue
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip the run so the marker code is the byte AFTER
+        # the last 0xFF, not a second 0xFF read as a bogus code.
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= n:
+            break
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

@@ -568,7 +568,13 @@ def _read_inline_image(lex: "_Lexer", stream: bytes):
     )
     flist = [Name(_INLINE_FILTERS.get(str(f), str(f))) for f in flist]
 
+    unsupported = (
+        params.get("ImageMask") or bpc != 8 or cs not in ("DeviceGray", "DeviceRGB")
+    )
+
     if not flist:
+        # Unfiltered: the payload length is exactly computable, so the
+        # EI after it is unambiguous even if the data contains 'EI'.
         ncomp = 3 if cs == "DeviceRGB" else (4 if cs == "DeviceCMYK" else 1)
         nbytes = h * ((w * ncomp * bpc + 7) // 8)
         data = stream[pos : pos + nbytes]
@@ -577,39 +583,58 @@ def _read_inline_image(lex: "_Lexer", stream: bytes):
         if m is None:
             raise UserError("Inline image missing EI.")
         lex.pos = m.end()
-    else:
-        m = _EI_RE.search(stream, pos)
-        if m is None:
-            raise UserError("Inline image missing EI.")
-        data = stream[pos : m.start()]
-        lex.pos = m.end()
+        if unsupported or len(data) < h * w * ncomp:
+            return None
+        arr = np.frombuffer(data[: h * w * ncomp], dtype=np.uint8)
+        return arr.reshape(h, w, 3) if ncomp == 3 else arr.reshape(h, w)
 
-    if params.get("ImageMask") or bpc != 8 or cs not in ("DeviceGray", "DeviceRGB"):
+    # Filtered: binary payloads (notably DCTDecode) may legally contain
+    # whitespace+'EI', so the first match is only a CANDIDATE boundary.
+    # Try successive matches until one decodes; a truncated candidate
+    # fails its filter chain (zlib/huffman error, short raster) and the
+    # next match is tried, so binary 'EI' bytes no longer desynchronize
+    # the remaining token stream.
+    candidates: list = []
+    for m in _EI_RE.finditer(stream, pos):
+        candidates.append(m)
+        if len(candidates) >= 64:
+            break
+    if not candidates:
+        raise UserError("Inline image missing EI.")
+    if unsupported:
+        lex.pos = candidates[0].end()
         return None
-    if flist:
-        obj = {"Filter": flist if len(flist) > 1 else flist[0]}
-        if "DecodeParms" in params:
-            obj["DecodeParms"] = params["DecodeParms"]
+
+    obj = {"Filter": flist if len(flist) > 1 else flist[0]}
+    if "DecodeParms" in params:
+        obj["DecodeParms"] = params["DecodeParms"]
+    ncomp = 3 if cs == "DeviceRGB" else 1
+
+    def _try_decode(data: bytes):
         if str(flist[-1]) == "DCTDecode":
             from .jpeg import decode_jpeg
 
             sub = dict(obj)
             sub["Filter"] = flist[:-1] if len(flist) > 1 else None
             raw = _decode_stream_data(sub, data, lambda x: x) if sub["Filter"] else data
-            try:
-                arr = decode_jpeg(raw)
-            except UserError:
-                return None
+            arr = decode_jpeg(raw)
             return arr if arr.ndim in (2, 3) else None
-        try:
-            data = _decode_stream_data(obj, data, lambda x: x)
-        except UserError:
+        decoded = _decode_stream_data(obj, data, lambda x: x)
+        if len(decoded) < h * w * ncomp:
             return None
-    ncomp = 3 if cs == "DeviceRGB" else 1
-    if len(data) < h * w * ncomp:
-        return None
-    arr = np.frombuffer(data[: h * w * ncomp], dtype=np.uint8)
-    return arr.reshape(h, w, 3) if ncomp == 3 else arr.reshape(h, w)
+        arr = np.frombuffer(decoded[: h * w * ncomp], dtype=np.uint8)
+        return arr.reshape(h, w, 3) if ncomp == 3 else arr.reshape(h, w)
+
+    for m in candidates:
+        try:
+            arr = _try_decode(stream[pos : m.start()])
+        except Exception:  # truncated candidate: wrong boundary, try next
+            continue
+        if arr is not None:
+            lex.pos = m.end()
+            return arr
+    lex.pos = candidates[0].end()
+    return None
 
 
 @dataclass
@@ -1049,7 +1074,11 @@ class PdfDocument:
                 parms = parms[-1]
             parms = self.resolve(parms) or {}
             parms = {k: self.resolve(v) for k, v in dict(parms).items()}
-            parms.setdefault("Columns", w)
+            # spec default is 1728 (PDF 32000-1 Table 11), NOT the image
+            # /Width: a foreign PDF omitting Columns with Width != 1728
+            # must fail the shape guard below, not decode against a
+            # nonstandard row width.
+            parms.setdefault("Columns", 1728)
             parms.setdefault("Rows", h)
             try:
                 arr = decode_ccitt_pdf(raw, parms)

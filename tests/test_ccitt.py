@@ -216,3 +216,23 @@ def test_ccitt_xobject_honors_decode_inversion():
     items = [it for it in page.items if it[0] == "image"]
     assert len(items) == 1
     assert np.array_equal(items[0][1], np.where(img == 1, 255, 0).astype(np.uint8))
+
+
+def test_blackis1_inverts_gray_mapping():
+    """/BlackIs1 true means black runs are 1 bits, which 1-bit
+    DeviceGray renders as WHITE — the gray raster must invert."""
+
+    img = _cases()["structured"]
+    h, w = img.shape
+    parms = {"K": -1, "Columns": w, "Rows": h}
+    base = decode_ccitt_pdf(encode_g4(img), parms)
+    inv = decode_ccitt_pdf(encode_g4(img), dict(parms, BlackIs1=True))
+    assert np.array_equal(inv, 255 - base)
+
+
+def test_columns_defaults_to_1728_per_spec():
+    img = np.zeros((4, 1728), np.uint8)
+    img[:, 100:900] = 1
+    out = decode_ccitt_pdf(encode_g4(img), {"K": -1, "Rows": 4})
+    assert out.shape == (4, 1728)
+    assert np.array_equal(out, np.where(img == 1, 0, 255).astype(np.uint8))

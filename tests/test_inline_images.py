@@ -346,3 +346,19 @@ def test_utf16be_text_strings_decode():
     c = b"BT /F1 10 Tf 3 30 Td (" + esc + b") Tj ET"
     page = PdfDocument(_build_pdf(c)).load_page(0)
     assert [it[1] for it in page.items if it[0] == "text"] == [text]
+
+
+def test_filtered_ei_collision_retries_boundary():
+    """Filtered payload containing whitespace+'EI' must not truncate the
+    image or desynchronize the token stream: the parser retries
+    successive EI candidates until one decodes."""
+
+    raw = b"A EI B CD"  # 1x9 gray row; RL literal run embeds ' EI '
+    rle = b"\x08" + raw + b"\x80"
+    assert b" EI " in rle
+    c = (b"q 9 0 0 1 0 0 cm BI /W 9 /H 1 /BPC 8 /CS /G /F /RL ID "
+         + rle + b" EI Q BT 3 5 Td (after) Tj ET")
+    page = PdfDocument(_build_pdf(c)).load_page(0)
+    imgs = [it for it in page.items if it[0] == "image"]
+    assert len(imgs) == 1 and imgs[0][1].tobytes() == raw
+    assert [it[1] for it in page.items if it[0] == "text"] == ["after"]

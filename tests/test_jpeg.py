@@ -188,3 +188,17 @@ def test_progressive_pdf_xobject_extracts():
     assert page.scan is not None and page.scan.shape == ref.shape
     err = np.abs(page.scan.astype(int) - ref.astype(int))
     assert err.max() <= 1
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: markers may be preceded by runs of 0xFF fill
+    bytes; a padded file must decode identically to the unpadded one."""
+
+    a = np.tile(np.linspace(0, 255, 48).astype(np.uint8), (24, 1))
+    enc = encode_jpeg(a)
+    # pad every marker except the one inside entropy data: insert an
+    # extra 0xFF before DQT/SOF/DHT/SOS (all segments following SOI)
+    padded = bytearray(enc[:2])
+    padded += b"\xff" + enc[2:]
+    d0, d1 = decode_jpeg(enc), decode_jpeg(bytes(padded))
+    assert np.array_equal(d0, d1)
