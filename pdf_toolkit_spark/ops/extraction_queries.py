@@ -77,7 +77,9 @@ def extract_render_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..spark.render import render_pages
 
     raw = documents_as_pdfs(spark, sf_dir)
-    return render_pages(raw, dpi=36).select("doc_id", "page_no", "name", "status")
+    return render_pages(raw, dpi=36, with_png=False).select(
+        "doc_id", "page_no", "name", "status"
+    )
 
 
 QUERIES = {

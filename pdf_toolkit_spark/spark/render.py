@@ -32,17 +32,33 @@ RENDER_SCHEMA = T.StructType([
 ])
 
 
+#: Accumulator counting pages PNG-encoded by the most recent
+#: `render_pages` relation (tests pin that metadata-only mode never
+#: pays the encode bill — column pruning cannot reach inside
+#: mapInPandas, so the flag is the pruning mechanism).
+png_encode_acc = None
+
+
 def render_pages(
-    docs: DataFrame, dpi: int = 144, pages: str = "all", prefix: str = "page"
+    docs: DataFrame, dpi: int = 144, pages: str = "all", prefix: str = "page",
+    with_png: bool = True,
 ) -> DataFrame:
     """(doc_id, page_no, name, png, status, error): every selected page
     of every document rendered at ``dpi``. Input needs (doc_id,
-    pdf_bytes) or locator-mode (doc_id, pdf_locator)."""
+    pdf_bytes) or locator-mode (doc_id, pdf_locator).
+
+    ``with_png=False`` is the metadata-only mode: statuses/names are
+    computed identically but the PNG bytes are neither encoded nor
+    carried (callers projecting only metadata must set it — Spark's
+    column pruning stops at the mapInPandas boundary)."""
 
     from ..pagespec import validate_positive_int
 
+    global png_encode_acc
     validate_positive_int(int(dpi), "--dpi")
     zoom = float(dpi) / 72.0
+    acc = docs.sparkSession.sparkContext.accumulator(0)
+    png_encode_acc = acc
 
     def render_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .. import kernels as K
@@ -75,9 +91,14 @@ def render_pages(
                         # fitz renders the page as DISPLAYED: /Rotate
                         # applies before the zoom matrix.
                         raster = K.rotate_image_cw(raster, page.rotate % 360)
-                        out = K.resample_nearest(raster, zoom)
                         name = f"{prefix}_p{idx + 1:0{digits}d}.png"
-                        rows.append((doc_id, idx, name, encode_png(out), "written", None))
+                        if with_png:
+                            out = K.resample_nearest(raster, zoom)
+                            acc.add(1)
+                            png = encode_png(out)
+                        else:
+                            png = None
+                        rows.append((doc_id, idx, name, png, "written", None))
                 except Exception as exc:
                     rows.append((doc_id, None, None, None, "error",
                                  f"{type(exc).__name__}: {exc}"))

@@ -92,3 +92,28 @@ def test_render_job_cli_smoke(spark, tmp_path):
     assert tbl.filter("status = 'written'").count() >= 3
     one = tbl.filter("status = 'written'").first()
     assert decode_png(bytes(one["png"])).ndim in (2, 3)
+
+
+def test_metadata_only_mode_skips_png_encode(spark):
+    """with_png=False must produce identical metadata without paying the
+    encode bill (pinned via the encode accumulator — column pruning
+    cannot reach inside mapInPandas)."""
+
+    from pdf_toolkit_spark.spark import render as R
+
+    docs = corpus_dataframe(spark, 6, seed=42, mega_every=0)
+    meta = render_pages(docs, dpi=36, with_png=False)
+    rows = meta.collect()
+    assert R.png_encode_acc.value == 0
+    assert all(r["png"] is None for r in rows)
+    written_meta = sorted(
+        (r["doc_id"], r["page_no"], r["name"], r["status"]) for r in rows
+    )
+
+    full = render_pages(docs, dpi=36)
+    frows = full.collect()
+    n_written = sum(1 for r in frows if r["status"] == "written")
+    assert R.png_encode_acc.value == n_written > 0
+    assert written_meta == sorted(
+        (r["doc_id"], r["page_no"], r["name"], r["status"]) for r in frows
+    )
