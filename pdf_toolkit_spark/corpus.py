@@ -136,7 +136,7 @@ def _inverse_rotate_page(upright: PageSpec, rotate: int) -> PageSpec:
 
 def make_document(
     doc_id: int, seed: int = 42, mega_every: int = 50, profile: str = "scan",
-    jpeg_every: int = 0, encrypt_every: int = 0,
+    jpeg_every: int = 0, encrypt_every: int = 0, cid_every: int = 0,
 ) -> dict[str, Any]:
     """Build one document; returns {doc_id, pdf_bytes, n_pages, doc_class}.
 
@@ -149,6 +149,12 @@ def make_document(
     user password, cycling RC4-40 (R2), AESV2 (V4/R4), and AES-256
     (V5/R6) across both container layouts so every decryption path
     runs inside the distributed pipeline (spans are unaffected).
+
+    ``cid_every=k`` writes every k-th document's text through a Type0
+    /Identity-H composite font with a /ToUnicode CMap (the real-world
+    subsetted-font shape): show strings carry 2-byte glyph codes and
+    only the font-decoding layer recovers the original text, so span
+    equality proves CID decoding end-to-end.
     """
 
     prof = _PROFILE[profile]
@@ -260,9 +266,11 @@ def make_document(
         k = doc_id // encrypt_every
         encrypt = (True, "aes", "aes256")[k % 3]
         pdf15 = (k // 3) % 2 == 1
+    cid_font = bool(cid_every) and doc_id % cid_every == 0
     return {
         "doc_id": f"doc{doc_id:06d}",
-        "pdf_bytes": write_pdf(pages, pdf15=pdf15, encrypt=encrypt),
+        "pdf_bytes": write_pdf(pages, pdf15=pdf15, encrypt=encrypt,
+                               cid_font=cid_font),
         "n_pages": len(pages),
         "doc_class": doc_class,
     }
@@ -270,11 +278,12 @@ def make_document(
 
 def iter_corpus(
     n_docs: int, seed: int = 42, mega_every: int = 50, profile: str = "scan",
-    jpeg_every: int = 0, encrypt_every: int = 0,
+    jpeg_every: int = 0, encrypt_every: int = 0, cid_every: int = 0,
 ) -> Iterator[dict[str, Any]]:
     for doc_id in range(n_docs):
         yield make_document(doc_id, seed=seed, mega_every=mega_every, profile=profile,
-                            jpeg_every=jpeg_every, encrypt_every=encrypt_every)
+                            jpeg_every=jpeg_every, encrypt_every=encrypt_every,
+                            cid_every=cid_every)
 
 
 def document_from_text(doc_id: int, text: str) -> dict[str, Any]:
@@ -282,7 +291,10 @@ def document_from_text(doc_id: int, text: str) -> dict[str, Any]:
     the driver-contract flagship: testdata documents -> PDFs -> spans).
 
     Layout varies by doc_id so the whole kernel surface is exercised:
-    every 5th doc is a spread page, every 7th is stored rotated.
+    every 5th doc is a spread page, every 7th is stored rotated, and
+    every doc with doc_id % 6 == 2 ships its text through a Type0
+    /Identity-H font + /ToUnicode CMap (spans are unchanged — the
+    font-decoding layer recovers the exact original text).
     """
 
     rng = np.random.default_rng([97, doc_id])
@@ -313,6 +325,6 @@ def document_from_text(doc_id: int, text: str) -> dict[str, Any]:
         page_no += 1
     return {
         "doc_id": f"doc{doc_id:06d}",
-        "pdf_bytes": write_pdf(pages),
+        "pdf_bytes": write_pdf(pages, cid_font=doc_id % 6 == 2),
         "n_pages": len(pages),
     }

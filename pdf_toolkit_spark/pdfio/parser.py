@@ -666,6 +666,7 @@ class PdfDocument:
         self._raw_streams: dict[int, bytes] = {}
         self._decoded_streams: dict[int, bytes] = {}
         self._objstm_cache: dict[int, tuple[list[tuple[int, int]], bytes, int]] = {}
+        self._font_cache: dict[Any, Any] = {}
         self._gens: dict[int, int] = {}
         self._crypt = None
         self._encrypt_num: Optional[int] = None
@@ -1196,13 +1197,25 @@ class PdfDocument:
             for name, ref in (self.resolve(resources.get("XObject", {})) or {}).items()
             if isinstance(ref, Ref)
         }
+        font_refs: dict[str, Any] = dict(
+            self.resolve(resources.get("Font", {})) or {}
+        )
 
         stream = self._content_stream(page.get("Contents"))
 
         scan: Optional[np.ndarray] = None
         items: list[tuple] = []
-        tokens = self._expand_forms(stream, dict(xobject_refs), xobject_refs)
-        for kind, payload in self._run_content_ops(tokens, height):
+        tokens = self._expand_forms(
+            stream, dict(xobject_refs), xobject_refs, dict(font_refs), font_refs
+        )
+
+        def font_getter(name: str):
+            return (
+                self._font_decoder_for(font_refs[name])
+                if name in font_refs else None
+            )
+
+        for kind, payload in self._run_content_ops(tokens, height, fonts=font_getter):
             if kind == "inline":
                 arr, row, col, place_w, place_h = payload
                 if (
@@ -1231,6 +1244,28 @@ class PdfDocument:
                 text, row, col = payload
                 items.append(("text", text, row, col))
         return ParsedPage(index, width, height, rotate, scan, items)
+
+    def _font_decoder_for(self, ref_or_dict: Any):
+        """Per-document cached FontDecoder (or None: legacy text-string
+        decoding) for a /Font resource entry."""
+
+        from .fonts import build_font_decoder
+
+        key = (
+            (ref_or_dict.num, ref_or_dict.gen)
+            if isinstance(ref_or_dict, Ref) else id(ref_or_dict)
+        )
+        if key in self._font_cache:
+            return self._font_cache[key]
+        dec = None
+        try:
+            obj = self.resolve(ref_or_dict)
+            if isinstance(obj, dict):
+                dec = build_font_decoder(obj, self.resolve, self._stream_bytes)
+        except Exception:
+            dec = None  # freed/malformed font: fall back to legacy decoding
+        self._font_cache[key] = dec
+        return dec
 
     @staticmethod
     def _text_bytes_to_str(b: bytes) -> str:
@@ -1272,21 +1307,43 @@ class PdfDocument:
     _FORM_DEPTH_MAX = 8
 
     def _expand_forms(
-        self, stream: bytes, scope: dict, registry: dict, depth: int = 0
+        self, stream: bytes, scope: dict, registry: dict,
+        font_scope: "dict | None" = None, font_registry: "dict | None" = None,
+        depth: int = 0,
     ):
         """Token stream with /Subtype /Form XObject invocations spliced
         inline (§8.10): `name Do` becomes `q [Matrix] cm <form tokens> Q`
         so the form's content executes under the caller's CTM. Image
         XObjects referenced INSIDE a form are re-registered under unique
         aliases in `registry` (load_page's name->Ref map) — form-local
-        resource names cannot collide with the page's. Depth-capped
-        against recursive forms."""
+        resource names cannot collide with the page's; form-local FONT
+        resources get the same aliasing into `font_registry` so Tf
+        inside a form binds the form's font, not a same-named page
+        font. Depth-capped against recursive forms."""
 
+        font_scope = font_scope if font_scope is not None else {}
+        font_registry = font_registry if font_registry is not None else {}
         pending: list = []
         for kind, tok in PdfDocument._scan_tokens(stream):
             if kind == "val":
                 pending.append((kind, tok))
                 continue
+            if (
+                tok == "Tf"
+                and depth > 0
+                and len(pending) >= 2
+                and isinstance(pending[-2][1], Name)
+            ):
+                name = str(pending[-2][1])
+                fref = font_scope.get(name)
+                if fref is not None:
+                    alias = (
+                        f"__form{depth}_font_{fref.num}_{fref.gen}"
+                        if isinstance(fref, Ref)
+                        else f"__form{depth}_font_{id(fref)}"
+                    )
+                    font_registry[alias] = fref
+                    pending[-2] = ("val", Name(alias))
             if (
                 tok == "Do"
                 and pending
@@ -1310,13 +1367,18 @@ class PdfDocument:
                     sub_scope.update(
                         {n: r for n, r in sub_xo.items() if isinstance(r, Ref)}
                     )
+                    sub_fonts = dict(font_scope)
+                    sub_fonts.update(self.resolve(res.get("Font", {})) or {})
                     yield "op", "q"
                     matrix = self.resolve(obj.get("Matrix"))
                     if matrix and len(matrix) == 6:
                         for v in matrix:
                             yield "val", float(self.resolve(v))
                         yield "op", "cm"
-                    yield from self._expand_forms(body, sub_scope, registry, depth + 1)
+                    yield from self._expand_forms(
+                        body, sub_scope, registry, sub_fonts, font_registry,
+                        depth + 1,
+                    )
                     yield "op", "Q"
                     continue
                 if depth > 0 and isinstance(ref, Ref):
@@ -1331,21 +1393,34 @@ class PdfDocument:
         yield from pending
 
     @staticmethod
-    def _run_content_ops(tokens, page_height: int):
+    def _run_content_ops(tokens, page_height: int, fonts=None):
         operands: list[Any] = []
         ctm_stack: list[tuple] = []
         ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)  # a b c d e f
         tx = ty = 0.0
         leading = 0.0
+        cur_font = None  # FontDecoder of the Tf-selected font (or None)
+
+        def dec(bs: bytes) -> str:
+            # Tf-selected font decoding wins; fonts without an /Encoding
+            # dict / /ToUnicode resolve to None and use the legacy
+            # text-string path (fonts.py build_font_decoder).
+            if cur_font is not None:
+                return cur_font.decode(bs)
+            return PdfDocument._text_bytes_to_str(bs)
+
         for kind, tok in tokens:
             if kind == "val":
                 operands.append(tok)
                 continue
             op = tok
             if op == "q":
-                ctm_stack.append(ctm)
+                ctm_stack.append((ctm, cur_font))
             elif op == "Q":
-                ctm = ctm_stack.pop() if ctm_stack else (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+                ctm, cur_font = (
+                    ctm_stack.pop() if ctm_stack
+                    else ((1.0, 0.0, 0.0, 1.0, 0.0, 0.0), None)
+                )
             elif op == "cm" and len(operands) >= 6:
                 a, b_, c, d, e, f = (float(v) for v in operands[-6:])
                 pa, pb, pc, pd, pe, pf = ctm
@@ -1371,21 +1446,17 @@ class PdfDocument:
                 ty -= leading
             elif op == "'" and operands and isinstance(operands[-1], bytes):
                 ty -= leading  # ' = T* then Tj (§9.4.3)
-                text = PdfDocument._text_bytes_to_str(operands[-1])
-                yield "text", (text, int(page_height - ty), int(tx))
+                yield "text", (dec(operands[-1]), int(page_height - ty), int(tx))
             elif op == '"' and len(operands) >= 3 and isinstance(operands[-1], bytes):
                 ty -= leading  # " = aw ac set + T* + Tj; spacing ignored here
-                text = PdfDocument._text_bytes_to_str(operands[-1])
-                yield "text", (text, int(page_height - ty), int(tx))
+                yield "text", (dec(operands[-1]), int(page_height - ty), int(tx))
             elif op == "Tm" and len(operands) >= 6:
                 tx, ty = float(operands[-2]), float(operands[-1])
             elif op == "Tj" and operands and isinstance(operands[-1], bytes):
-                text = PdfDocument._text_bytes_to_str(operands[-1])
-                yield "text", (text, int(page_height - ty), int(tx))
+                yield "text", (dec(operands[-1]), int(page_height - ty), int(tx))
             elif op == "TJ" and operands and isinstance(operands[-1], list):
                 text = "".join(
-                    PdfDocument._text_bytes_to_str(part)
-                    for part in operands[-1] if isinstance(part, bytes)
+                    dec(part) for part in operands[-1] if isinstance(part, bytes)
                 )
                 yield "text", (text, int(page_height - ty), int(tx))
             elif op == "Do" and operands and isinstance(operands[-1], Name):
@@ -1401,7 +1472,11 @@ class PdfDocument:
                 col = int(e)
                 row = int(page_height - (f + place_h))
                 yield "inline", (operands[-1], row, col, place_w, place_h)
+            elif op == "Tf" and fonts is not None and len(operands) >= 2 and (
+                isinstance(operands[-2], Name)
+            ):
+                cur_font = fonts(str(operands[-2]))
             elif op == "BT":
                 tx = ty = 0.0
-            # ET, Tf, and anything else: state-neutral here
+            # ET and anything else: state-neutral here
             operands.clear()

@@ -51,6 +51,39 @@ def _escape_pdf_string(text: str) -> bytes:
     return bytes(out)
 
 
+def _tounicode_cmap(code_to_char: dict[int, str]) -> bytes:
+    """ToUnicode CMap stream body (Adobe CMap format, §9.10.3):
+    2-byte codespace + bfchar blocks of <=100 entries."""
+
+    lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def",
+        b"/CMapName /Adobe-Identity-UCS def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<0000> <FFFF>",
+        b"endcodespacerange",
+    ]
+    items = sorted(code_to_char.items())
+    for i in range(0, len(items), 100):
+        chunk = items[i : i + 100]
+        lines.append(b"%d beginbfchar" % len(chunk))
+        for code, ch in chunk:
+            lines.append(
+                b"<%04x> <%s>" % (code, ch.encode("utf-16-be").hex().encode())
+            )
+        lines.append(b"endbfchar")
+    lines += [
+        b"endcmap",
+        b"CMapName currentdict /CMap defineresource pop",
+        b"end",
+        b"end",
+    ]
+    return b"\n".join(lines)
+
+
 class _Builder:
     """Accumulates numbered objects and emits the xref + trailer."""
 
@@ -263,6 +296,7 @@ def _image_xobject(arr: np.ndarray, codec: str = "flate") -> bytes:
 def write_pdf(
     pages: list[PageSpec], *, pdf15: bool = False,
     encrypt: "bool | str" = False, user_password: str = "",
+    cid_font: bool = False,
 ) -> bytes:
     """Serialize pages into a complete PDF byte stream.
 
@@ -275,12 +309,40 @@ def write_pdf(
     emits V4/R4 crypt filters with /AESV2 (AES-128-CBC);
     ``encrypt="aes256"`` emits V5/R6 with /AESV3 (AES-256, the modern
     default). All modes compose with both layouts (classic and 1.5).
+
+    ``cid_font=True`` emits all text through a Type0 /Identity-H
+    composite font (CIDFontType2 descendant + /ToUnicode CMap, the
+    shape every real-world subsetting producer emits): show strings
+    become 2-byte glyph-code hex strings with codes assigned per
+    document, so the ONLY route back to the original text is the
+    font-decoding layer (pdfio/fonts.py).
     """
 
     b = _Builder()
     catalog_num = b.reserve()
     pages_num = b.reserve()
-    font_num = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    code_of: dict[str, int] = {}
+    if cid_font:
+        chars = sorted(
+            {c for page in pages for it in page.items if it[0] == "text" for c in it[1]}
+        )
+        code_of = {c: i + 1 for i, c in enumerate(chars)}  # 0 stays notdef
+        cmap = _tounicode_cmap({i + 1: c for i, c in enumerate(chars)})
+        tu_num = b.add(
+            b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+        )
+        desc_num = b.add(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> /CIDToGIDMap /Identity /DW 500 >>"
+        )
+        font_num = b.add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+            b"/ToUnicode %d 0 R >>" % (desc_num, tu_num)
+        )
+    else:
+        font_num = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
     kid_nums: list[int] = []
     for page in pages:
@@ -294,11 +356,19 @@ def write_pdf(
             if kind == "text":
                 _, text, row, col = item
                 x, y = col, h - row  # PDF y-up
+                if cid_font:
+                    show = (
+                        b"<"
+                        + "".join(f"{code_of[c]:04x}" for c in text).encode()
+                        + b"> Tj"
+                    )
+                else:
+                    show = b"(" + _escape_pdf_string(text) + b") Tj"
                 ops += [
                     b"BT",
                     b"/F1 12 Tf",
                     f"{x} {y} Td".encode(),
-                    b"(" + _escape_pdf_string(text) + b") Tj",
+                    show,
                     b"ET",
                 ]
             elif kind == "image":

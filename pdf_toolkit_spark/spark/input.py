@@ -25,6 +25,7 @@ def corpus_dataframe(
     profile: str = "scan",
     jpeg_every: int = 0,
     encrypt_every: int = 0,
+    cid_every: int = 0,
 ) -> DataFrame:
     """documents_raw (doc_id, pdf_bytes, n_pages) built distributed."""
 
@@ -36,7 +37,8 @@ def corpus_dataframe(
         for batch in batches:
             docs = [make_document(int(i), seed=seed, mega_every=mega_every,
                                   profile=profile, jpeg_every=jpeg_every,
-                                  encrypt_every=encrypt_every)
+                                  encrypt_every=encrypt_every,
+                                  cid_every=cid_every)
                     for i in batch["id"]]
             yield pd.DataFrame(
                 {

@@ -69,6 +69,32 @@ def test_span_sequence_equality_jpeg_corpus(spark):
     assert saw_jpeg and saw_ccitt
 
 
+def test_span_sequence_equality_cid_corpus(spark):
+    """The equality gate over a CID-font corpus: every 3rd doc writes
+    its text as Type0/Identity-H 2-byte glyph codes with a /ToUnicode
+    CMap — the distributed font-decoding path must recover the exact
+    original text (spans equal each doc's serial extraction, and the
+    CID docs' spans equal their simple-font twins')."""
+
+    n = 12
+    input_df = corpus_dataframe(spark, n, seed=42, mega_every=0, cid_every=3)
+    spans_df, _ = build_pipeline(spark, input_df, CFG)
+    rows = {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in spans_df.collect()}
+    saw_cid = False
+    for doc_id in range(n):
+        doc = make_document(doc_id, seed=42, mega_every=0, cid_every=3)
+        saw_cid = saw_cid or b"Identity-H" in doc["pdf_bytes"]
+        expected = extract_document(doc["pdf_bytes"], CFG)["spans"]
+        assert rows[doc["doc_id"]] == expected, doc["doc_class"]
+        if doc_id % 3 == 0:  # CID doc: text identical to simple-font twin
+            twin = make_document(doc_id, seed=42, mega_every=0)
+            twin_spans = extract_document(twin["pdf_bytes"], CFG)["spans"]
+            assert [(s["kind"], s["text"]) for s in rows[doc["doc_id"]]] == [
+                (s["kind"], s["text"]) for s in twin_spans
+            ]
+    assert saw_cid
+
+
 def test_span_sequence_equality_encrypted_corpus(spark):
     """The equality gate over an encrypted corpus: every 3rd doc is
     encrypted (alternating RC4-40 and AESV2, empty user password) —
