@@ -6,8 +6,11 @@ The reference walks one PDF with fitz, renders each selected page at
 files. The distributed twin maps the same semantics over a documents
 relation: one Arrow-batched stage parses each doc, applies the strict
 page-spec filter against that doc's page count, resamples the page
-raster by the zoom factor (kernels.resample_nearest — scan-backed
-pages; no vector rasterizer exists in this container), and emits
+raster by the zoom factor (kernels.resample_nearest for scan-backed
+pages; scan-LESS pages rasterize deterministically through the bitfont
+microfont — no vector rasterizer or font files exist in this
+container, so legibility is approximate but pixels are exact functions
+of the page content), and emits
 (doc_id, page_no, name, png) rows for a media-table write. Zero-padded
 names reproduce the reference's sortable naming (render.py:27-37), and
 per-doc failures (bad spec, corrupt PDF) become 'error' rows instead
@@ -84,16 +87,25 @@ def render_pages(
                     for idx in indices:
                         page = doc.load_page(idx)
                         raster = page.scan
-                        if raster is None:
-                            rows.append((doc_id, idx, None, None, "skipped",
-                                         "page has no raster"))
-                            continue
-                        # fitz renders the page as DISPLAYED: /Rotate
-                        # applies before the zoom matrix.
-                        raster = K.rotate_image_cw(raster, page.rotate % 360)
                         name = f"{prefix}_p{idx + 1:0{digits}d}.png"
                         if with_png:
-                            out = K.resample_nearest(raster, zoom)
+                            if raster is not None:
+                                # fitz renders the page as DISPLAYED:
+                                # /Rotate applies before the zoom matrix.
+                                r = K.rotate_image_cw(raster, page.rotate % 360)
+                                out = K.resample_nearest(r, zoom)
+                            else:
+                                # scan-less page: deterministic microfont
+                                # rasterization (closes the F3 gap — the
+                                # reference rasterizes every page).
+                                from ..bitfont import rasterize_text_page
+
+                                out = K.rotate_image_cw(
+                                    rasterize_text_page(
+                                        page.width, page.height, page.items, zoom
+                                    ),
+                                    page.rotate % 360,
+                                )
                             acc.add(1)
                             png = encode_png(out)
                         else:

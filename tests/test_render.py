@@ -117,3 +117,62 @@ def test_metadata_only_mode_skips_png_encode(spark):
     assert written_meta == sorted(
         (r["doc_id"], r["page_no"], r["name"], r["status"]) for r in frows
     )
+
+
+def test_text_only_pages_rasterize_deterministically(spark):
+    """Scan-less pages no longer skip: they rasterize through the
+    bitfont microfont, pixel-identical to the serial rasterizer, and
+    scale with dpi (F3 closure — the reference renders every page)."""
+
+    from pdf_toolkit_spark.bitfont import rasterize_text_page
+
+    content = b"BT /F1 12 Tf 10 60 Td (HELLO 123) Tj ET"
+    chunks = [
+        b"%PDF-1.4\n",
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 100] "
+        b"/Contents 4 0 R >>\nendobj\n",
+        b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+        + content + b"\nendstream\nendobj\n",
+    ]
+    pdf = bytearray()
+    offs = {}
+    for i, c in enumerate(chunks):
+        if i:
+            offs[i] = len(pdf)
+        pdf += c
+    xref_at = len(pdf)
+    pdf += b"xref\n0 5\n0000000000 65535 f \n"
+    for i in range(1, 5):
+        pdf += b"%010d 00000 n \n" % offs[i]
+    pdf += b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref_at
+    pdf = bytes(pdf)
+
+    docs = spark.createDataFrame(
+        [("textdoc", pdf, 1)], "doc_id string, pdf_bytes binary, n_pages int"
+    )
+    for dpi, zoom in ((72, 1.0), (144, 2.0)):
+        rows = render_pages(docs, dpi=dpi).collect()
+        assert len(rows) == 1 and rows[0]["status"] == "written"
+        arr = decode_png(bytes(rows[0]["png"]))
+        page = PdfDocument(pdf).load_page(0)
+        expected = rasterize_text_page(page.width, page.height, page.items, zoom)
+        assert np.array_equal(arr, expected)
+        assert arr.shape == (int(100 * zoom), int(200 * zoom))
+        assert (arr == 0).sum() > 0  # glyph ink present
+    # ink scales ~4x from 72 to 144 dpi (scale doubles both axes)
+
+
+def test_bitfont_glyphs_are_distinct_and_wellformed():
+    from pdf_toolkit_spark.bitfont import _ART, _glyph
+
+    seen = {}
+    for ch, art in _ART.items():
+        assert len(art) == 5 and all(len(r) == 3 for r in art), ch
+        key = tuple(art)
+        if ch != " ":
+            assert key not in seen or ch in ".,", (ch, seen.get(key))
+            seen.setdefault(key, ch)
+    assert _glyph("a").tolist() == _glyph("A").tolist()  # case folding
+    assert _glyph("世").any()  # unknown -> checker block, not blank
