@@ -314,12 +314,68 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Batch ANN query-set stride: every vec_id divisible by this is a
+#: query, so the set grows with the corpus (5 queries at sf0.01, 20 at
+#: sf0.1) the way a production query batch would.
+BATCH_QUERY_MOD = 101
+
+
+def ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-query IVF ANN: top-k for EVERY query in the set, one pass.
+
+    Production ANN answers query SETS, not single vectors. Shape: the
+    query relation is small -> broadcast everywhere; per-query probe
+    lists come from a window over the TINY (queries x cells) score
+    relation; the probe relation broadcasts into the cell-assignment
+    join, so candidate generation touches only probed cells' vectors
+    and the embeddings table is never fully shuffled. The final
+    per-query top-k is a window partitioned by qid over the candidate
+    relation only (bounded by N_PROBE/N_CELLS of the corpus per
+    query) — the standard distributed top-k-per-key."""
+
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    cents = _centroids(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") % BATCH_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = queries.crossJoin(F.broadcast(cents)).select(
+        "qid", "cell", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("sim")
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cell"))
+    probe = (
+        scored.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= N_PROBE)
+        .select("qid", "cell")
+    )
+    probed = _ivf_cells(spark, sf_dir).join(F.broadcast(probe), "cell").select(
+        "vec_id", "qid"
+    )
+    cand = (
+        e.join(probed, "vec_id")
+        .join(F.broadcast(queries), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "vec_id", "cos_sim")
+    )
+
+
 QUERIES = {
     "sim_knn_brute_force": knn_brute_force,
     "sim_ann_lsh_buckets": ann_lsh_buckets,
     "sim_ann_lsh_topk": ann_lsh_topk,
     "sim_ivf_cell_sizes": ivf_cell_sizes,
     "sim_ivf_topk": ivf_topk,
+    "sim_ivf_topk_batch": ivf_topk_batch,
 }
 
 _W = SQL_HASH32.format(e="p::VARCHAR || ':' || i::VARCHAR") + " / 2147483648.0 - 1.0"
@@ -407,6 +463,34 @@ ORACLES = {
         WHERE e.vec_id != {QUERY_VEC_ID}
         ORDER BY cos_sim DESC, e.vec_id ASC
         LIMIT {TOP_K}
+    """,
+    "sim_ivf_topk_batch": f"""
+        WITH {_SQL_IVF_CELLS},
+        qset AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id % {BATCH_QUERY_MOD} = 0),
+        probe AS (
+            SELECT qid, cell FROM (
+                SELECT q.qid, c.cell,
+                       row_number() OVER (PARTITION BY q.qid ORDER BY
+                           round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                           c.cell ASC) AS rk
+                FROM qset q, cents c)
+            WHERE rk <= {N_PROBE}),
+        cand AS (
+            SELECT q.qid, e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                       AS cos_sim
+            FROM embeddings e
+            JOIN cells ON cells.vec_id = e.vec_id
+            JOIN probe ON probe.cell = cells.cell
+            JOIN qset q ON q.qid = probe.qid
+            WHERE e.vec_id != q.qid)
+        SELECT qid, vec_id, cos_sim FROM (
+            SELECT qid, vec_id, cos_sim,
+                   row_number() OVER (PARTITION BY qid ORDER BY
+                       cos_sim DESC, vec_id ASC) AS rk
+            FROM cand)
+        WHERE rk <= {TOP_K}
     """,
     "sim_knn_brute_force": f"""
         SELECT e.vec_id,

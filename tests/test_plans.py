@@ -171,3 +171,13 @@ def test_span_branch_has_single_doc_id_exchange(spark):
     assert any("chunk_start" in k for k in keys)          # UDF spread
     assert any("norm_text" not in k and "doc_id" in k and "chunk_start" not in k
                for k in keys)                             # the fused doc_id shuffle
+
+
+def test_ivf_topk_batch_no_full_table_shuffle(spark):
+    """Batch ANN: probe relation broadcasts into the assignment join
+    and queries broadcast into the candidate join — no sort-merge join
+    (i.e. no full embeddings shuffle) anywhere in the plan."""
+
+    plan = explain_str(QUERIES["sim_ivf_topk_batch"](spark, SF_DIR), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
