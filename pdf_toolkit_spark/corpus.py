@@ -249,10 +249,11 @@ def make_document(
 
     if jpeg_every and doc_id % jpeg_every == 0:
         for page in pages:
-            # alternate the two real-world scan codecs: DCT (photo
-            # scans) and Group-4 fax (B/W scans; raster thresholded to
-            # 1-bit, so the serial oracle sees the same binarization)
-            page.codec = "jpeg" if (doc_id // jpeg_every) % 2 == 0 else "ccitt"
+            # cycle the three real-world scan codecs: DCT (photo
+            # scans), Group-4 fax and JBIG2 (B/W scans; rasters
+            # thresholded to 1-bit, so the serial oracle sees the same
+            # binarization)
+            page.codec = ("jpeg", "ccitt", "jbig2")[(doc_id // jpeg_every) % 3]
 
     # Every third doc ships in the PDF 1.5 container (object stream +
     # xref stream) so both parser paths are exercised end-to-end by the

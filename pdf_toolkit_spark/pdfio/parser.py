@@ -1091,6 +1091,42 @@ class PdfDocument:
             if decode and list(decode)[:2] == [1, 0]:
                 arr = (255 - arr).astype(np.uint8)
             return arr
+        if flist and str(self.resolve(flist[-1])) == "JBIG2Decode":
+            # JBIG2 bi-level scan: the engine-owned T.88 generic-region
+            # codec (pdfio/jbig2.py) decodes straight to 8-bit gray.
+            if channels != 1:
+                return None
+            from .jbig2 import decode_jbig2_pdf
+
+            self._load_object(ref.num)
+            raw = self._raw_streams.get(ref.num)
+            if raw is None:
+                return None
+            if self._crypt is not None and ref.num != self._encrypt_num:
+                raw = self._crypt.decrypt(raw, ref.num, self._gens.get(ref.num, 0))
+            parms = self.resolve(obj.get("DecodeParms", obj.get("DP")))
+            if isinstance(parms, list):
+                if len(flist) > 1:
+                    sub = dict(obj)
+                    sub["Filter"] = flist[:-1]
+                    sub["DecodeParms"] = parms[: len(flist) - 1]
+                    try:
+                        raw = _decode_stream_data(sub, raw, self.resolve)
+                    except UserError:
+                        return None
+                parms = parms[-1]
+            parms = self.resolve(parms) or {}
+            parms = {k: self.resolve(v) for k, v in dict(parms).items()}
+            try:
+                arr = decode_jbig2_pdf(raw, parms)
+            except UserError:
+                return None
+            if arr.shape != (h, w):
+                return None
+            decode = self.resolve(obj.get("Decode"))
+            if decode and list(decode)[:2] == [1, 0]:
+                arr = (255 - arr).astype(np.uint8)
+            return arr
         if bpc != 8 and not (bpc in (1, 2, 4, 16) and channels == 1 and not (
             flist and str(self.resolve(flist[-1])) in ("DCTDecode", "DCT")
         )):

@@ -37,8 +37,9 @@ class PageSpec:
     items: list[Item] = field(default_factory=list)
     #: image codec for this page's rasters: "flate" (lossless),
     #: "jpeg" (DCTDecode, baseline via pdfio/jpeg.py — what real
-    #: scanned PDFs ship), or "ccitt" (Group-4 fax via pdfio/ccitt.py;
-    #: gray rasters are thresholded to 1-bit at >127)
+    #: scanned PDFs ship), "ccitt" (Group-4 fax via pdfio/ccitt.py),
+    #: or "jbig2" (T.88 generic region via pdfio/jbig2.py); the 1-bit
+    #: codecs threshold gray rasters at >127
     codec: str = "flate"
 
 
@@ -267,6 +268,18 @@ def _image_xobject(arr: np.ndarray, codec: str = "flate") -> bytes:
             f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
             f"/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /CCITTFaxDecode "
             f"/DecodeParms << /K -1 /Columns {w} /Rows {h} >> "
+            f"/Length {len(data)} >>\nstream\n"
+        ).encode()
+        return head + data + b"\nendstream"
+    if codec == "jbig2" and arr.ndim == 2:
+        from .jbig2 import encode_jbig2_embedded
+
+        data = encode_jbig2_embedded(
+            (arr <= 127).astype(np.uint8), tpgdon=True  # dark pixels = black
+        )
+        head = (
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode "
             f"/Length {len(data)} >>\nstream\n"
         ).encode()
         return head + data + b"\nendstream"
