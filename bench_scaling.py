@@ -70,7 +70,7 @@ def generate(profile: str, corpus_dir: str, n_docs: int) -> None:
     spark.stop()
 
 
-def measure(cores: int, corpus_dir: str) -> dict:
+def measure(cores: int, corpus_dir: str, profile: str = "textual") -> dict:
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -78,7 +78,19 @@ def measure(cores: int, corpus_dir: str) -> dict:
     from pdf_toolkit_spark.spark.job import build_pipeline
     from pdf_toolkit_spark.spark.session import get_spark
 
-    spark = get_spark(app_name=f"scaling-{cores}", cores=cores)
+    cfg = corpus_config()
+    extra = {}
+    if profile == "scan":
+        # Byte-heavy profile: trust the scan's own splits (sized to ~4
+        # waves/core) instead of shuffling every PDF byte through the
+        # chunk-salt repartition — the operator config for scan-class
+        # corpora (chunk_spread="input"; 22% higher absolute throughput
+        # at BOTH cluster sizes in the round-4 A/B).
+        cfg = dict(cfg, chunk_spread="input")
+        total = sum(f.stat().st_size for f in Path(corpus_dir).glob("*.parquet"))
+        extra["spark.sql.files.maxPartitionBytes"] = str(
+            max(8 << 20, total // (cores * 4)))
+    spark = get_spark(app_name=f"scaling-{cores}", cores=cores, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
     def _warm(it):
@@ -92,7 +104,7 @@ def measure(cores: int, corpus_dir: str) -> dict:
     stats = raw.agg(F.count("*").alias("docs"), F.sum("n_pages").alias("pages")).collect()[0]
 
     t0 = time.monotonic()
-    spans, _ = build_pipeline(spark, raw, corpus_config())
+    spans, _ = build_pipeline(spark, raw, cfg)
     n_out = spans.count()
     elapsed = time.monotonic() - t0
     spark.stop()
@@ -109,7 +121,9 @@ def measure(cores: int, corpus_dir: str) -> dict:
 
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--measure":
-        print("MEASURE_JSON " + json.dumps(measure(int(sys.argv[2]), sys.argv[3])))
+        prof = sys.argv[4] if len(sys.argv) > 4 else "textual"
+        print("MEASURE_JSON " + json.dumps(
+            measure(int(sys.argv[2]), sys.argv[3], prof)))
         return
     if len(sys.argv) >= 4 and sys.argv[1] == "--generate":
         generate(sys.argv[2], sys.argv[3], int(sys.argv[4]))
@@ -127,7 +141,8 @@ def main() -> None:
         results = {}
         for cores in (n, n4):
             proc = subprocess.run(
-                [sys.executable, __file__, "--measure", str(cores), corpus_dir],
+                [sys.executable, __file__, "--measure", str(cores), corpus_dir,
+                 profile],
                 capture_output=True, text=True, timeout=1800)
             line = [l for l in proc.stdout.splitlines() if l.startswith("MEASURE_JSON ")]
             if not line:

@@ -67,6 +67,17 @@ DEFAULTS: dict[str, Any] = {
     "debug": False,                        # also emit per-page debug overlays
     # --- Spark topology ---
     "pages_per_chunk": 64,                 # mega-PDF salting chunk size
+    "chunk_spread": "shuffle",             # "shuffle": explicit repartition of
+                                           # salted chunks (4 waves/core; required
+                                           # for locator-mode megas and badly
+                                           # partitioned inputs). "input": trust
+                                           # the source partitioning — bytes-mode
+                                           # corpora with well-sized input splits
+                                           # skip an entire pass of the PDF bytes
+                                           # through the shuffle (the binding
+                                           # resource for byte-heavy profiles;
+                                           # pair with files.maxPartitionBytes
+                                           # sized to ~4 waves/core).
     "output_buckets": 32,                  # bucket(doc_id) partition count
     "arrow_batch_rows": 16,                # small batches: PDF payloads are MBs
     "dry_run": False,
@@ -123,6 +134,7 @@ _RULES: dict[str, tuple[Callable[[Any], bool], str]] = {
     "boilerplate_page_frac": (_between(0, 1, lo_open=True), "in (0, 1]"),
     "media_png_level": (_between(0, 9), "in [0, 9]"),
     "pages_per_chunk": (lambda v: v >= 1, "a positive integer"),
+    "chunk_spread": (lambda v: v in ("shuffle", "input"), "one of: shuffle, input"),
     "output_buckets": (lambda v: v >= 1, "a positive integer"),
     "arrow_batch_rows": (lambda v: v >= 1, "a positive integer"),
 }

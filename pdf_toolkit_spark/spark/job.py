@@ -236,14 +236,26 @@ def build_pipeline(
 
     cfg = validate_config(dict(DEFAULTS, **(cfg or {})))
     salted = salt_into_chunks(input_df, cfg["pages_per_chunk"])
-    # Spread chunks of the same fat doc across the cluster. The
-    # partition count is EXPLICIT (4 waves per core): extraction cost is
-    # per-page CPU, not bytes, so AQE's byte-based partition coalescing
-    # must not shrink this exchange (it collapsed UDF parallelism 4x
-    # when left implicit), and multiple waves absorb mega-PDF straggler
-    # chunks. AQE stays on for the downstream join/agg exchanges.
-    n_parts = spark.sparkContext.defaultParallelism * 4
-    salted = salted.repartition(n_parts, F.col("doc_id"), F.col("chunk_start"))
+    if cfg["chunk_spread"] == "shuffle":
+        # Spread chunks of the same fat doc across the cluster. The
+        # partition count is EXPLICIT (4 waves per core): extraction cost
+        # is per-page CPU, not bytes, so AQE's byte-based partition
+        # coalescing must not shrink this exchange (it collapsed UDF
+        # parallelism 4x when left implicit), and multiple waves absorb
+        # mega-PDF straggler chunks. AQE stays on for the downstream
+        # join/agg exchanges.
+        #
+        # chunk_spread="input" skips this exchange entirely: for
+        # bytes-mode corpora the repartition moves EVERY PDF byte
+        # through shuffle write+read once — for byte-heavy (scan-class)
+        # profiles that is the single largest avoidable byte pass in
+        # the whole job. When the source is parquet with
+        # files.maxPartitionBytes sized to ~4 waves/core, the scan's
+        # own splits already provide the load balance, and a mega doc's
+        # chunks (which stay within their input partition under the
+        # explode) are bounded stragglers absorbed by the wave count.
+        n_parts = spark.sparkContext.defaultParallelism * 4
+        salted = salted.repartition(n_parts, F.col("doc_id"), F.col("chunk_start"))
     records = salted.mapInPandas(make_extract_batch(cfg), schema=RECORDS_SCHEMA)
     # The spans branch shuffles twice (strip window, assembly groupBy) —
     # keep those exchanges narrow: media rows (and their PNG blobs)

@@ -253,3 +253,31 @@ def test_plan_has_single_python_stage(spark):
     # extraction UDF — crucially NOT duplicated by the strip stage
     assert plan.count("MapInPandas") == 2
     assert "Aggregate" in plan
+
+
+def test_chunk_spread_input_matches_shuffle(spark):
+    """chunk_spread='input' (no byte shuffle; source partitioning
+    provides the spread) must produce identical spans to the default
+    shuffle mode — including chunked mega docs — and its plan must
+    contain NO exchange before the Python stage."""
+
+    import re
+
+    from pdf_toolkit_spark.spark.session import explain_str
+
+    input_df = corpus_dataframe(spark, 13, seed=42, mega_every=12)
+    cfg_in = dict(CFG, chunk_spread="input")
+    spans_in, _ = build_pipeline(spark, input_df, cfg_in)
+    # explain BEFORE executing: the post-execution formatted plan
+    # repeats the tree (AQE final + initial) and double-counts nodes
+    plan = explain_str(spans_in, "formatted")
+    rows = {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in spans_in.collect()}
+    assert len(rows) == 13
+    for doc_id in (0, 5, 11):  # incl. the mega doc
+        doc = make_document(doc_id, seed=42, mega_every=12)
+        assert rows[doc["doc_id"]] == extract_document(doc["pdf_bytes"], CFG)["spans"]
+    # exactly ONE exchange: the fused doc_id shuffle of the span branch
+    # (the chunk-salt byte shuffle is gone)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert not any("chunk_start" in k for k in keys)
