@@ -250,7 +250,111 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Repetition-filter thresholds (Gopher-style rules re-calibrated to
+#: this corpus's distribution: top-2-gram p90 ~= 0.069, distinct-word
+#: p10 ~= 0.32 — thresholds sit at the tail so a realistic fraction of
+#: docs actually drops).
+TOP2_MAX = 0.06
+DISTINCT_MIN = 0.30
+
+#: log2 quantization grid for the trigram LM score: quantized integer
+#: terms sum EXACTLY in any partition order (same trick as the IVF
+#: centroid means), so Spark and DuckDB agree bit-for-bit even though
+#: their libm log2 implementations may differ in the last ulp (2^-12
+#: grid makes a boundary flip astronomically unlikely).
+_LM_SCALE = 4096
+
+
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: drop docs dominated by a single
+    word 2-gram (top_2gram) or with collapsed vocabulary
+    (low_diversity); first failing rule is the reason. Output:
+    (doc_id, top2_frac, distinct_ratio, keep, drop_reason).
+
+    Scale shape: explode to word/2-gram rows, two hash aggregates with
+    map-side combine keyed by (doc_id[, gram]) — no corpus-wide state,
+    no windows; the per-doc metrics join is doc_id-keyed."""
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", norm_text(F.col("text")).alias("norm")
+    )
+    toks = docs.select("doc_id", F.split("norm", " ").alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")
+        ).alias("g"),
+    )
+    top2 = (
+        grams.groupBy("doc_id", "g").count()
+        .groupBy("doc_id")
+        .agg((F.max("count") / F.sum("count")).alias("top2_frac"))
+    )
+    words = toks.select("doc_id", F.explode("w").alias("word"))
+    diversity = words.groupBy("doc_id").agg(
+        (F.countDistinct("word") / F.count("*")).alias("distinct_ratio")
+    )
+    m = top2.join(diversity, "doc_id")
+    reason = (
+        F.when(F.col("top2_frac") > TOP2_MAX, "top_2gram")
+        .when(F.col("distinct_ratio") < DISTINCT_MIN, "low_diversity")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return m.select(
+        "doc_id",
+        F.round("top2_frac", 6).alias("top2_frac"),
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
+def trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram LM fluency score (the CCNet/KenLM-perplexity
+    shape at corpus scale): train unigram-over-trigram stats on the
+    WHOLE corpus, score each doc as its average log2 relative trigram
+    frequency (higher = more typical text; gibberish scores low).
+    Output: (doc_id, n_trigrams, avg_logp).
+
+    Scale shape: trigram explode -> (doc_id, tri) hash agg with
+    map-side combine; the corpus model is the tri-keyed rollup of that
+    relation (vocabulary-bounded: |charset|^3 rows, broadcastable at
+    any corpus size); scoring is a broadcast join + one doc_id agg.
+    Per-term log2 values are quantized to the 2^-12 grid so the
+    per-doc sums are order-independent and engine-exact."""
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", norm_text(F.col("text")).alias("norm")
+    ).filter(F.length("norm") >= 3)
+    tri = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))")
+        ).alias("tri"),
+    )
+    doc_tri = tri.groupBy("doc_id", "tri").agg(F.count("*").alias("c_d"))
+    corpus = doc_tri.groupBy("tri").agg(F.sum("c_d").alias("c"))
+    total = corpus.agg(F.sum("c").alias("t"))
+    logp = F.log2(F.col("c") / F.col("t"))
+    q = F.signum(logp) * F.floor(F.abs(logp) * _LM_SCALE + F.lit(0.5))
+    scored = doc_tri.join(F.broadcast(corpus), "tri").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c_d") * q).alias("num"),
+            F.sum("c_d").cast("bigint").alias("n_trigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            F.round(F.col("num") / F.col("n_trigrams") / _LM_SCALE, 6).alias("avg_logp"),
+        )
+    )
+
+
 QUERIES = {
+    "text_repetition_filter": repetition_filter,
+    "text_trigram_lm_score": trigram_lm_score,
     "text_quality_filter": quality_filter,
     "text_pack_sequences": pack_sequences,
     "text_token_count": token_count,
@@ -280,6 +384,55 @@ _C_EN, _C_ES, _C_DE, _C_FR = (_occ_sql(w) for w in ("the", "la", "der", "le"))
 _BEST = f"greatest({_C_EN}, {_C_ES}, {_C_DE}, {_C_FR})"
 
 ORACLES = {
+    "text_repetition_filter": f"""
+        WITH d AS (SELECT doc_id, {_N} AS norm FROM documents),
+        toks AS (SELECT doc_id, string_split(norm, ' ') AS w FROM d),
+        grams AS (
+            SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS g
+            FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+                  FROM toks)
+        ),
+        g2 AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+        top2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top2_frac
+                 FROM g2 GROUP BY doc_id),
+        words AS (SELECT doc_id, unnest(w) AS word FROM toks),
+        div AS (SELECT doc_id,
+                       count(DISTINCT word)::DOUBLE / count(*) AS distinct_ratio
+                FROM words GROUP BY doc_id)
+        SELECT doc_id, round(top2_frac, 6) AS top2_frac,
+               round(distinct_ratio, 6) AS distinct_ratio,
+               reason IS NULL AS keep, reason AS drop_reason
+        FROM (
+            SELECT doc_id, top2_frac, distinct_ratio,
+                   CASE WHEN top2_frac > {TOP2_MAX} THEN 'top_2gram'
+                        WHEN distinct_ratio < {DISTINCT_MIN} THEN 'low_diversity'
+                   END AS reason
+            FROM top2 JOIN div USING (doc_id)
+        )
+    """,
+    "text_trigram_lm_score": f"""
+        WITH d AS (SELECT doc_id, {_N} AS norm FROM documents
+                   WHERE length({_N}) >= 3),
+        tris AS (
+            SELECT doc_id, substr(norm, CAST(i AS INT), 3) AS tri
+            FROM (SELECT doc_id, norm,
+                         unnest(generate_series(1, length(norm) - 2)) AS i
+                  FROM d)
+        ),
+        doc_tri AS (SELECT doc_id, tri, count(*) AS c_d
+                    FROM tris GROUP BY doc_id, tri),
+        corpus AS (SELECT tri, sum(c_d) AS c FROM doc_tri GROUP BY tri),
+        tot AS (SELECT sum(c) AS t FROM corpus),
+        scored AS (
+            SELECT dt.doc_id, dt.c_d,
+                   sign(log2(corpus.c / tot.t)) *
+                       floor(abs(log2(corpus.c / tot.t)) * {_LM_SCALE} + 0.5) AS q
+            FROM doc_tri dt JOIN corpus USING (tri) CROSS JOIN tot
+        )
+        SELECT doc_id, CAST(sum(c_d) AS BIGINT) AS n_trigrams,
+               round(sum(c_d * q) / sum(c_d) / {_LM_SCALE}, 6) AS avg_logp
+        FROM scored GROUP BY doc_id
+    """,
     "text_quality_filter": f"""
         SELECT doc_id, reason IS NULL AS keep, reason AS drop_reason FROM (
             SELECT doc_id,
