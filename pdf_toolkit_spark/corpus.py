@@ -248,12 +248,19 @@ def make_document(
         raise ValueError(doc_class)
 
     if jpeg_every and doc_id % jpeg_every == 0:
+        # cycle the four real-world scan codecs: DCT (photo scans),
+        # Group-4 fax and JBIG2 (B/W scans; rasters thresholded to
+        # 1-bit, so the serial oracle sees the same binarization), and
+        # lossless JPEG 2000 (archival scans). Mega docs fall back to
+        # DCT on the jpx slot: the pure-Python EBCOT coder at ~150-220
+        # noise pages per doc would dominate fixture generation for no
+        # extra coverage (jpx x chunked-path is covered by the portrait
+        # and spread classes).
+        codec = ("jpeg", "ccitt", "jbig2", "jpx")[(doc_id // jpeg_every) % 4]
+        if codec == "jpx" and doc_class == "mega_pdf":
+            codec = "jpeg"
         for page in pages:
-            # cycle the three real-world scan codecs: DCT (photo
-            # scans), Group-4 fax and JBIG2 (B/W scans; rasters
-            # thresholded to 1-bit, so the serial oracle sees the same
-            # binarization)
-            page.codec = ("jpeg", "ccitt", "jbig2")[(doc_id // jpeg_every) % 3]
+            page.codec = codec
 
     # Every third doc ships in the PDF 1.5 container (object stream +
     # xref stream) so both parser paths are exercised end-to-end by the

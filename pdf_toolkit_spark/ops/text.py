@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import SQL_HASH32, SQL_NORM, norm_text, table
+from .common import SQL_HASH32, SQL_NORM, hash32, norm_text, table
 
 # Language marker words: occurrences counted on the normalized text
 # with space padding so word boundaries are honest.
@@ -352,7 +352,153 @@ def trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Decontamination n-gram size (the published GPT-3 / PaLM eval-overlap
+#: number) and the deterministic benchmark membership rule: doc_id % 13
+#: == 0 plays the held-out eval set.  At production scale the benchmark
+#: side is a fixed, corpus-independent eval suite — a few MB of n-gram
+#: hashes — which is why the join below broadcasts it.
+DECON_N = 13
+DECON_MOD = 13
+
+#: OOV vocabulary size: the tokenizer-building rollout keeps the top-K
+#: corpus terms (count desc, term asc tie-break) as "in vocabulary".
+VOCAB_K = 16
+
+
+def _word_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, g): all word n-grams of the normalized text; docs with
+    fewer than n words contribute no rows (guard, because Spark's
+    sequence(1, stop) DESCENDS when stop < 1 while DuckDB's
+    generate_series is empty — the filter keeps both engines honest)."""
+
+    toks = docs.select("doc_id", F.split("norm", " ").alias("w"))
+    return toks.filter(F.size("w") >= n).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {n - 1}),"
+                f" i -> array_join(slice(w, i, {n}), ' '))"
+            )
+        ).alias("g"),
+    )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination (GPT-3 appendix-C shape): flag any
+    training document sharing a 13-word-gram with the benchmark set
+    (here the deterministic doc_id % 13 == 0 subset standing in for a
+    held-out eval suite). Output: (doc_id, n_grams, n_hits,
+    contaminated) over the TRAINING docs only.
+
+    Scale shape: benchmark n-gram hashes are eval-suite-sized (fixed,
+    tiny) -> distinct + broadcast; the training side is one explode +
+    one broadcast-join + one doc_id hash agg — no corpus-wide shuffle
+    of text, only 8-byte gram hashes move."""
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", norm_text(F.col("text")).alias("norm")
+    )
+    grams = _word_ngrams(docs, DECON_N).select(
+        "doc_id", hash32(F.col("g")).alias("h")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % DECON_MOD == 0).select("h").distinct()
+    )
+    train_grams = grams.filter(F.col("doc_id") % DECON_MOD != 0)
+    hits = (
+        train_grams.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = docs.filter(F.col("doc_id") % DECON_MOD != 0).select(
+        "doc_id",
+        F.greatest(
+            F.size(F.split("norm", " ")) - (DECON_N - 1), F.lit(0)
+        ).cast("bigint").alias("n_grams"),
+    )
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary OOV rate: build the top-K corpus vocabulary
+    (count desc, term asc) and score each doc by its fraction of
+    out-of-vocabulary tokens. Output: (doc_id, n_tokens, n_oov,
+    oov_rate).
+
+    Scale shape: the vocabulary rollup is vocabulary-bounded (distinct
+    terms, not corpus rows) -> top-K of a tiny relation, broadcast back;
+    per-doc scoring is one explode + broadcast join + doc_id agg."""
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", norm_text(F.col("text")).alias("norm")
+    )
+    words = docs.filter(F.col("norm") != "").select(
+        "doc_id", F.explode(F.split("norm", " ")).alias("word")
+    )
+    vocab = (
+        words.groupBy("word").count()
+        .orderBy(F.col("count").desc(), F.col("word"))
+        .limit(VOCAB_K)
+        .select("word")
+    )
+    in_vocab = (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_in"))
+    )
+    totals = words.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    return (
+        totals.join(in_vocab, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_in", F.lit(0))).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
+    )
+
+
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing weights (the DoReMi / The-Pile recipe
+    step): per source domain, its corpus share and the resampling
+    weight that would flatten the mixture to uniform. Output: (source,
+    n_docs, share, weight).
+
+    Scale shape: one hash agg keyed by source (domain-bounded) plus a
+    broadcast scalar total — nothing corpus-sized shuffles."""
+
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").alias("total"), F.count("*").alias("n_domains")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("total") / (F.col("n_domains") * F.col("n_docs")), 6
+            ).alias("weight"),
+        )
+    )
+
+
 QUERIES = {
+    "text_decontaminate": decontaminate,
+    "text_vocab_oov": vocab_oov,
+    "text_domain_mix": domain_mix,
     "text_repetition_filter": repetition_filter,
     "text_trigram_lm_score": trigram_lm_score,
     "text_quality_filter": quality_filter,
@@ -384,6 +530,65 @@ _C_EN, _C_ES, _C_DE, _C_FR = (_occ_sql(w) for w in ("the", "la", "der", "le"))
 _BEST = f"greatest({_C_EN}, {_C_ES}, {_C_DE}, {_C_FR})"
 
 ORACLES = {
+    "text_decontaminate": f"""
+        WITH d AS (SELECT doc_id, {_N} AS norm FROM documents),
+        toks AS (SELECT doc_id, string_split(norm, ' ') AS w FROM d),
+        grams AS (
+            SELECT doc_id,
+                   {SQL_HASH32.format(
+                       e="list_aggregate(w[CAST(i AS INT):CAST(i AS INT) + "
+                         f"{DECON_N - 1}], 'string_agg', ' ')")} AS h
+            FROM (SELECT doc_id, w,
+                         unnest(generate_series(1, len(w) - {DECON_N - 1})) AS i
+                  FROM toks WHERE len(w) >= {DECON_N})
+        ),
+        bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % {DECON_MOD} = 0),
+        hits AS (
+            SELECT doc_id, count(*) AS n_hits
+            FROM grams JOIN bench USING (h)
+            WHERE doc_id % {DECON_MOD} != 0
+            GROUP BY doc_id
+        ),
+        base AS (
+            SELECT doc_id,
+                   greatest(len(string_split(norm, ' ')) - {DECON_N - 1}, 0)
+                       ::BIGINT AS n_grams
+            FROM d WHERE doc_id % {DECON_MOD} != 0
+        )
+        SELECT doc_id, n_grams,
+               coalesce(n_hits, 0)::BIGINT AS n_hits,
+               coalesce(n_hits, 0) > 0 AS contaminated
+        FROM base LEFT JOIN hits USING (doc_id)
+    """,
+    "text_vocab_oov": f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split({_N}, ' ')) AS word
+            FROM documents WHERE {_N} != ''
+        ),
+        vocab AS (
+            SELECT word FROM (
+                SELECT word, count(*) AS c FROM words GROUP BY word
+            ) ORDER BY c DESC, word LIMIT {VOCAB_K}
+        ),
+        totals AS (SELECT doc_id, count(*) AS n_tokens
+                   FROM words GROUP BY doc_id),
+        iv AS (SELECT doc_id, count(*) AS n_in
+               FROM words JOIN vocab USING (word) GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+               n_tokens - coalesce(n_in, 0) AS n_oov,
+               round((n_tokens - coalesce(n_in, 0))::DOUBLE / n_tokens, 6)
+                   AS oov_rate
+        FROM totals LEFT JOIN iv USING (doc_id)
+    """,
+    "text_domain_mix": """
+        WITH per AS (SELECT source, count(*) AS n_docs
+                     FROM documents GROUP BY source),
+        tot AS (SELECT sum(n_docs) AS total, count(*) AS n_domains FROM per)
+        SELECT source, n_docs,
+               round(n_docs / total, 6) AS share,
+               round(total / (n_domains * n_docs), 6) AS weight
+        FROM per CROSS JOIN tot
+    """,
     "text_repetition_filter": f"""
         WITH d AS (SELECT doc_id, {_N} AS norm FROM documents),
         toks AS (SELECT doc_id, string_split(norm, ' ') AS w FROM d),

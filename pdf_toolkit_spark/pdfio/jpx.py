@@ -1,0 +1,1229 @@
+"""JPEG 2000 (ISO/IEC 15444-1 / ITU-T T.800) codec — decode AND encode.
+
+Scope (the lossless-scan subset a PDF /JPXDecode consumer meets):
+single-tile raw codestreams (and JP2 boxed files, unwrapped to the
+``jp2c`` box), one quality layer, whole-subband precincts, the
+reversible 5/3 wavelet (Annex F lifting, 0-5 decomposition levels),
+no-quantization QCD (Annex E pass-through), Tier-2 packet headers
+with tag trees and bit stuffing (Annex B), and the full Tier-1
+EBCOT bitplane coder (Annex D: significance-propagation, magnitude-
+refinement and cleanup passes with the run-length shortcut) driven by
+the MQ arithmetic coder shared with the JBIG2 codec (pdfio/jbig2.py —
+T.88 Annex E and T.800 Annex C publish the identical coder).
+Grayscale 8-bit only; multi-component, irreversible 9/7, quantized,
+multi-layer or precinct-partitioned streams raise UserError (missing
+raster upstream, never wrong pixels).
+
+Both directions are implemented from the public spec; correctness
+evidence is exhaustive encode->decode round-trips (bit-exact, the 5/3
+transform is reversible) across sizes, level counts and content
+classes — no JPEG 2000 reference codec exists in this container to
+cross-validate against (same disclosure as JBIG2; the shared MQ coder
+itself is stress-tested in test_jbig2).
+
+Reference parity: the reference pipeline inherits JPX support from
+PyMuPDF (reference render.py:89 ``fitz.open``); this engine owns the
+codec, same as its DCT/CCITT/JBIG2 siblings.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from ..errors import UserError
+from .jbig2 import MQDecoder, MQEncoder
+
+# ---------------------------------------------------------------------------
+# Tier-1 context assignment (T.800 Annex D)
+# ---------------------------------------------------------------------------
+
+#: context indices: 0-8 zero coding, 9-13 sign coding, 14-16 magnitude
+#: refinement, 17 run-length, 18 uniform
+_CX_RUN = 17
+_CX_UNI = 18
+
+#: T.800 Table D.7 initial MQ states: UNIFORM=46, RUN=3, ZC(0)=4
+_INIT_STATES = ((0, 4), (_CX_RUN, 3), (_CX_UNI, 46))
+
+#: band orientations
+_LL, _HL, _LH, _HH = 0, 1, 2, 3
+
+#: subband log2 nominal gain for the reversible path (T.800 E.1.1)
+_GAIN = {_LL: 0, _HL: 1, _LH: 1, _HH: 2}
+
+_GUARD_BITS = 2
+_CB_EXP = 6  # 64x64 code-blocks
+
+
+def _zc_ctx(orient: int, h: int, v: int, d: int) -> int:
+    """T.800 Table D.1: zero-coding context from clamped neighbor
+    significance counts (h, v in 0..2; d in 0..4)."""
+
+    if orient == _HL:  # vertically low-pass: swap H and V roles
+        h, v = v, h
+    if orient != _HH:
+        if h == 2:
+            return 8
+        if h == 1:
+            return 7 if v >= 1 else (6 if d >= 1 else 5)
+        if v == 2:
+            return 4
+        if v == 1:
+            return 3
+        return 2 if d >= 2 else d
+    if d >= 3:
+        return 8
+    hv = h + v
+    if d == 2:
+        return 7 if hv >= 1 else 6
+    if d == 1:
+        return 5 if hv >= 2 else (4 if hv == 1 else 3)
+    return 2 if hv >= 2 else hv
+
+
+#: T.800 Table D.2: (clamped H, clamped V) -> (sign context, XOR bit)
+_SC_TABLE = {
+    (1, 1): (13, 0), (1, 0): (12, 0), (1, -1): (11, 0),
+    (0, 1): (10, 0), (0, 0): (9, 0), (0, -1): (10, 1),
+    (-1, 1): (11, 1), (-1, 0): (12, 1), (-1, -1): (13, 1),
+}
+
+
+#: flat zero-coding LUTs per orientation: index h*15 + v*5 + d
+_ZC_LUTS = [
+    bytes(
+        _zc_ctx(orient, hh, vv, dd)
+        for hh in range(3) for vv in range(3) for dd in range(5)
+    )
+    for orient in range(4)
+]
+
+#: flat sign-coding LUTs: index (hc+1)*3 + (vc+1)
+_SC_CTXL = [0] * 9
+_SC_XORL = [0] * 9
+for (_hc, _vc), (_cx, _xr) in _SC_TABLE.items():
+    _SC_CTXL[(_hc + 1) * 3 + (_vc + 1)] = _cx
+    _SC_XORL[(_hc + 1) * 3 + (_vc + 1)] = _xr
+
+#: MQ state tables as flat lists (from the shared T.88/T.800 Table E.1)
+from .jbig2 import _QE as _QE_TBL  # noqa: E402
+
+_QE_Q = [q for q, _, _, _ in _QE_TBL]
+_QE_NMPS = [n for _, n, _, _ in _QE_TBL]
+_QE_NLPS = [n for _, _, n, _ in _QE_TBL]
+_QE_SW = [s for _, _, _, s in _QE_TBL]
+
+
+def _fresh_cx() -> tuple[list, list]:
+    """Tier-1 context state: 19 contexts at the T.800 Table D.7 initial
+    MQ states (UNIFORM=46, RUN=3, ZC(0)=4, rest 0)."""
+
+    cxi = [0] * 19
+    cxi[0], cxi[_CX_RUN], cxi[_CX_UNI] = 4, 3, 46
+    return cxi, [0] * 19
+
+
+def _set_sig(sig, sgn, nbr, j, stride, neg) -> None:
+    """Mark coefficient at padded index j significant and bump the
+    8-neighborhood significance counters (incremental eligibility)."""
+
+    sig[j] = 1
+    sgn[j] = -1 if neg else 1
+    nbr[j - 1] += 1
+    nbr[j + 1] += 1
+    nbr[j - stride] += 1
+    nbr[j + stride] += 1
+    nbr[j - stride - 1] += 1
+    nbr[j - stride + 1] += 1
+    nbr[j + stride - 1] += 1
+    nbr[j + stride + 1] += 1
+
+
+def _sc(sgn, j, stride) -> int:
+    """Flat sign-context LUT index from the four axial neighbors."""
+
+    hc = sgn[j - 1] + sgn[j + 1]
+    hc = -1 if hc < -1 else (1 if hc > 1 else hc)
+    vc = sgn[j - stride] + sgn[j + stride]
+    vc = -1 if vc < -1 else (1 if vc > 1 else vc)
+    return (hc + 1) * 3 + (vc + 1)
+
+
+# --- MQ driver: encoder batch loop and decoder fast path + helper ---
+
+def _mq_encode_all(decisions) -> bytes:
+    """Encode a (cx | d<<8) decision stream with the T.88/T.800 MQ
+    encoder (inlined hot loop; byteout/flush as in jbig2.MQEncoder,
+    cross-checked against it in tests). Returns the codeword segment
+    incl. the 0xFFAC terminator."""
+
+    a, c, ct = 0x8000, 0, 12
+    out = bytearray([0])  # dummy BPST-1 byte, stripped at the end
+    cxi, cxm = _fresh_cx()
+    qeq, nmps, nlps, sw = _QE_Q, _QE_NMPS, _QE_NLPS, _QE_SW
+
+    def byteout():
+        nonlocal c, ct
+        if out[-1] == 0xFF:
+            out.append((c >> 20) & 0xFF)
+            c &= 0xFFFFF
+            ct = 7
+        elif not (c & 0x8000000):
+            out.append((c >> 19) & 0xFF)
+            c &= 0x7FFFF
+            ct = 8
+        else:
+            out[-1] += 1
+            if out[-1] == 0xFF:
+                c &= 0x7FFFFFF
+                out.append((c >> 20) & 0xFF)
+                c &= 0xFFFFF
+                ct = 7
+            else:
+                out.append((c >> 19) & 0xFF)
+                c &= 0x7FFFF
+                ct = 8
+
+    for v in decisions:
+        cx = v & 0xFF
+        i = cxi[cx]
+        mps = cxm[cx]
+        qe = qeq[i]
+        a -= qe
+        if (v >> 8) == mps:
+            if a & 0x8000:
+                c += qe
+                continue
+            if a < qe:
+                a = qe
+            else:
+                c += qe
+            cxi[cx] = nmps[i]
+        else:
+            if a < qe:
+                c += qe
+            else:
+                a = qe
+            if sw[i]:
+                cxm[cx] = 1 - mps
+            cxi[cx] = nlps[i]
+        while True:
+            a = (a << 1) & 0xFFFF
+            c = (c << 1) & 0xFFFFFFFF
+            ct -= 1
+            if ct == 0:
+                byteout()
+            if a & 0x8000:
+                break
+    # flush (T.88 E.3.8, register convention of jbig2.MQEncoder)
+    tempc = c + a
+    c |= 0xFFFF
+    if c >= tempc:
+        c -= 0x8000
+    c = (c << ct) & 0xFFFFFFFF
+    byteout()
+    c = (c << ct) & 0xFFFFFFFF
+    byteout()
+    out += b"\xff\xac"
+    return bytes(out[1:])
+
+
+def _mqd_init(data: bytes) -> list:
+    """MQ decoder INITDEC -> mutable state [bp, c, ct, a]."""
+
+    n = len(data)
+    bp = 0
+    c = (data[0] if n else 0xFF) << 16
+    # first BYTEIN
+    b0 = data[bp] if bp < n else 0xFF
+    if b0 == 0xFF:
+        b1 = data[bp + 1] if bp + 1 < n else 0xFF
+        if b1 > 0x8F:
+            c += 0xFF00
+            ct = 8
+        else:
+            bp += 1
+            c += (data[bp] if bp < n else 0xFF) << 9
+            ct = 7
+    else:
+        bp += 1
+        c += (data[bp] if bp < n else 0xFF) << 8
+        ct = 8
+    c = (c << 7) & 0xFFFFFFFF
+    ct -= 7
+    return [bp, c, ct, 0x8000]
+
+
+def _mqd_slow(data, n, bp, c, ct, a, qe, i, cx, cxi, cxm, ch):
+    """Slow half of a decode step (LPS band or renormalisation); the
+    caller already subtracted qe from a. Mirrors jbig2.MQDecoder."""
+
+    if ch < qe:
+        if a < qe:  # LPS exchange: MPS decision
+            d = cxm[cx]
+            cxi[cx] = _QE_NMPS[i]
+        else:
+            d = 1 - cxm[cx]
+            if _QE_SW[i]:
+                cxm[cx] = 1 - cxm[cx]
+            cxi[cx] = _QE_NLPS[i]
+        a = qe
+    else:
+        c -= qe << 16
+        if a < qe:  # MPS exchange: LPS decision
+            d = 1 - cxm[cx]
+            if _QE_SW[i]:
+                cxm[cx] = 1 - cxm[cx]
+            cxi[cx] = _QE_NLPS[i]
+        else:
+            d = cxm[cx]
+            cxi[cx] = _QE_NMPS[i]
+    while True:  # RENORMD
+        if ct == 0:
+            b0 = data[bp] if bp < n else 0xFF
+            if b0 == 0xFF:
+                b1 = data[bp + 1] if bp + 1 < n else 0xFF
+                if b1 > 0x8F:
+                    c += 0xFF00
+                    ct = 8
+                else:
+                    bp += 1
+                    c += (data[bp] if bp < n else 0xFF) << 9
+                    ct = 7
+            else:
+                bp += 1
+                c += (data[bp] if bp < n else 0xFF) << 8
+                ct = 8
+        a = (a << 1) & 0xFFFF
+        c = (c << 1) & 0xFFFFFFFF
+        ct -= 1
+        if a & 0x8000:
+            break
+    return d, a, c, ct, bp
+
+
+# --- Tier-1 entry points -------------------------------------------------
+
+def t1_encode(coeffs: np.ndarray, orient: int) -> tuple[bytes, int, int]:
+    """EBCOT Tier-1 encode of one codeblock (signed int coefficients)
+    -> (codeword segment, number of coding passes, numbps). All passes
+    land in the single layer; numbps == 0 means an all-zero block
+    (caller signals it as not included).
+
+    The coding-pass walk is a pure state machine producing a (context,
+    decision) stream (flat bytearray state, incremental neighbor
+    counters); the MQ coder consumes that stream in one tight loop —
+    the encoder needs no feedback from the arithmetic coder, unlike
+    the decoder below."""
+
+    h, w = coeffs.shape
+    maxmag = int(np.abs(coeffs).max(initial=0))
+    if maxmag == 0:
+        return b"", 0, 0
+    numbps = maxmag.bit_length()
+    stride = w + 2
+    sig = bytearray((h + 2) * stride)
+    sgn = [0] * ((h + 2) * stride)
+    nbr = bytearray((h + 2) * stride)
+    refined = bytearray(h * w)
+    tmag = np.abs(coeffs).ravel().tolist()
+    tneg = (coeffs < 0).ravel().tolist()
+    zlut = _ZC_LUTS[orient]
+    dec: list[int] = []
+    push = dec.append
+    npasses = 0
+    for bp_i in range(numbps - 1, -1, -1):
+        bit = 1 << bp_i
+        visited = bytearray(h * w)
+        first = bp_i == numbps - 1
+        if not first:
+            # significance propagation
+            for y0 in range(0, h, 4):
+                y1 = min(y0 + 4, h)
+                for x in range(w):
+                    i0 = y0 * w + x
+                    j0 = (y0 + 1) * stride + x + 1
+                    for y in range(y0, y1):
+                        j = j0 + (y - y0) * stride
+                        if sig[j] or not nbr[j]:
+                            continue
+                        i = i0 + (y - y0) * w
+                        hn = sig[j - 1] + sig[j + 1]
+                        vn = sig[j - stride] + sig[j + stride]
+                        dn = nbr[j] - hn - vn
+                        d = 1 if tmag[i] & bit else 0
+                        push(zlut[hn * 15 + vn * 5 + dn] | (d << 8))
+                        if d:
+                            k = _sc(sgn, j, stride)
+                            push(_SC_CTXL[k] | ((tneg[i] ^ _SC_XORL[k]) << 8))
+                            _set_sig(sig, sgn, nbr, j, stride, tneg[i])
+                        visited[i] = 1
+            npasses += 1
+            # magnitude refinement
+            for y0 in range(0, h, 4):
+                y1 = min(y0 + 4, h)
+                for x in range(w):
+                    i0 = y0 * w + x
+                    j0 = (y0 + 1) * stride + x + 1
+                    for y in range(y0, y1):
+                        j = j0 + (y - y0) * stride
+                        i = i0 + (y - y0) * w
+                        if not sig[j] or visited[i]:
+                            continue
+                        if refined[i]:
+                            cx = 16
+                        else:
+                            cx = 15 if nbr[j] else 14
+                            refined[i] = 1
+                        push(cx | ((1 if tmag[i] & bit else 0) << 8))
+            npasses += 1
+        # cleanup
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                i0 = y0 * w + x
+                j0 = (y0 + 1) * stride + x + 1
+                y = y0
+                nrows = min(4, h - y0)
+                if nrows == 4:
+                    run_ok = True
+                    for k in range(4):
+                        j = j0 + k * stride
+                        if sig[j] or nbr[j] or visited[i0 + k * w]:
+                            run_ok = False
+                            break
+                    if run_ok:
+                        r = -1
+                        for k in range(4):
+                            if tmag[i0 + k * w] & bit:
+                                r = k
+                                break
+                        if r < 0:
+                            push(_CX_RUN)  # d=0
+                            continue
+                        push(_CX_RUN | (1 << 8))
+                        push(_CX_UNI | (((r >> 1) & 1) << 8))
+                        push(_CX_UNI | ((r & 1) << 8))
+                        i = i0 + r * w
+                        j = j0 + r * stride
+                        k = _sc(sgn, j, stride)
+                        push(_SC_CTXL[k] | ((tneg[i] ^ _SC_XORL[k]) << 8))
+                        _set_sig(sig, sgn, nbr, j, stride, tneg[i])
+                        y = y0 + r + 1
+                for yy in range(y, y0 + nrows):
+                    j = j0 + (yy - y0) * stride
+                    i = i0 + (yy - y0) * w
+                    if sig[j] or visited[i]:
+                        continue
+                    hn = sig[j - 1] + sig[j + 1]
+                    vn = sig[j - stride] + sig[j + stride]
+                    dn = nbr[j] - hn - vn
+                    d = 1 if tmag[i] & bit else 0
+                    push(zlut[hn * 15 + vn * 5 + dn] | (d << 8))
+                    if d:
+                        k = _sc(sgn, j, stride)
+                        push(_SC_CTXL[k] | ((tneg[i] ^ _SC_XORL[k]) << 8))
+                        _set_sig(sig, sgn, nbr, j, stride, tneg[i])
+        npasses += 1
+    return _mq_encode_all(dec), npasses, numbps
+
+
+def t1_decode(
+    data: bytes, h: int, w: int, orient: int, numbps: int, npasses: int
+) -> np.ndarray:
+    """EBCOT Tier-1 decode of one codeword segment -> signed int32
+    coefficients. MQ decode is inlined on the fast path (MPS without
+    renormalisation); everything else goes through _mqd_slow."""
+
+    stride = w + 2
+    sig = bytearray((h + 2) * stride)
+    sgn = [0] * ((h + 2) * stride)
+    nbr = bytearray((h + 2) * stride)
+    refined = bytearray(h * w)
+    mag = [0] * (h * w)
+    zlut = _ZC_LUTS[orient]
+    cxi, cxm = _fresh_cx()
+    n = len(data)
+    bp_, c, ct, a = _mqd_init(data)
+    qeq = _QE_Q
+
+    done = 0
+    plane = numbps - 1
+    passes = ("cup",)
+    while done < npasses and plane >= 0:
+        bit = 1 << plane
+        visited = bytearray(h * w)
+        for which in passes:
+            if done >= npasses:
+                break
+            if which == "spp":
+                for y0 in range(0, h, 4):
+                    y1 = min(y0 + 4, h)
+                    for x in range(w):
+                        i0 = y0 * w + x
+                        j0 = (y0 + 1) * stride + x + 1
+                        for y in range(y0, y1):
+                            j = j0 + (y - y0) * stride
+                            if sig[j] or not nbr[j]:
+                                continue
+                            i = i0 + (y - y0) * w
+                            hn = sig[j - 1] + sig[j + 1]
+                            vn = sig[j - stride] + sig[j + stride]
+                            dn = nbr[j] - hn - vn
+                            cx = zlut[hn * 15 + vn * 5 + dn]
+                            ii = cxi[cx]
+                            qe = qeq[ii]
+                            a -= qe
+                            ch = (c >> 16) & 0xFFFF
+                            if ch >= qe and a & 0x8000:
+                                c -= qe << 16
+                                d = cxm[cx]
+                            else:
+                                d, a, c, ct, bp_ = _mqd_slow(
+                                    data, n, bp_, c, ct, a, qe, ii, cx,
+                                    cxi, cxm, ch)
+                            if d:
+                                k = _sc(sgn, j, stride)
+                                cx = _SC_CTXL[k]
+                                ii = cxi[cx]
+                                qe = qeq[ii]
+                                a -= qe
+                                ch = (c >> 16) & 0xFFFF
+                                if ch >= qe and a & 0x8000:
+                                    c -= qe << 16
+                                    sb = cxm[cx]
+                                else:
+                                    sb, a, c, ct, bp_ = _mqd_slow(
+                                        data, n, bp_, c, ct, a, qe, ii, cx,
+                                        cxi, cxm, ch)
+                                neg = bool(sb ^ _SC_XORL[k])
+                                _set_sig(sig, sgn, nbr, j, stride, neg)
+                                mag[i] = bit
+                            visited[i] = 1
+            elif which == "mrp":
+                for y0 in range(0, h, 4):
+                    y1 = min(y0 + 4, h)
+                    for x in range(w):
+                        i0 = y0 * w + x
+                        j0 = (y0 + 1) * stride + x + 1
+                        for y in range(y0, y1):
+                            j = j0 + (y - y0) * stride
+                            i = i0 + (y - y0) * w
+                            if not sig[j] or visited[i]:
+                                continue
+                            if refined[i]:
+                                cx = 16
+                            else:
+                                cx = 15 if nbr[j] else 14
+                                refined[i] = 1
+                            ii = cxi[cx]
+                            qe = qeq[ii]
+                            a -= qe
+                            ch = (c >> 16) & 0xFFFF
+                            if ch >= qe and a & 0x8000:
+                                c -= qe << 16
+                                d = cxm[cx]
+                            else:
+                                d, a, c, ct, bp_ = _mqd_slow(
+                                    data, n, bp_, c, ct, a, qe, ii, cx,
+                                    cxi, cxm, ch)
+                            if d:
+                                mag[i] |= bit
+            else:  # cleanup
+                for y0 in range(0, h, 4):
+                    for x in range(w):
+                        i0 = y0 * w + x
+                        j0 = (y0 + 1) * stride + x + 1
+                        y = y0
+                        nrows = min(4, h - y0)
+                        if nrows == 4:
+                            run_ok = True
+                            for k in range(4):
+                                j = j0 + k * stride
+                                if sig[j] or nbr[j] or visited[i0 + k * w]:
+                                    run_ok = False
+                                    break
+                            if run_ok:
+                                cx = _CX_RUN
+                                ii = cxi[cx]
+                                qe = qeq[ii]
+                                a -= qe
+                                ch = (c >> 16) & 0xFFFF
+                                if ch >= qe and a & 0x8000:
+                                    c -= qe << 16
+                                    d = cxm[cx]
+                                else:
+                                    d, a, c, ct, bp_ = _mqd_slow(
+                                        data, n, bp_, c, ct, a, qe, ii, cx,
+                                        cxi, cxm, ch)
+                                if not d:
+                                    continue
+                                r = 0
+                                for _two in range(2):
+                                    cx = _CX_UNI
+                                    ii = cxi[cx]
+                                    qe = qeq[ii]
+                                    a -= qe
+                                    ch = (c >> 16) & 0xFFFF
+                                    if ch >= qe and a & 0x8000:
+                                        c -= qe << 16
+                                        d = cxm[cx]
+                                    else:
+                                        d, a, c, ct, bp_ = _mqd_slow(
+                                            data, n, bp_, c, ct, a, qe, ii,
+                                            cx, cxi, cxm, ch)
+                                    r = (r << 1) | d
+                                i = i0 + r * w
+                                j = j0 + r * stride
+                                k = _sc(sgn, j, stride)
+                                cx = _SC_CTXL[k]
+                                ii = cxi[cx]
+                                qe = qeq[ii]
+                                a -= qe
+                                ch = (c >> 16) & 0xFFFF
+                                if ch >= qe and a & 0x8000:
+                                    c -= qe << 16
+                                    sb = cxm[cx]
+                                else:
+                                    sb, a, c, ct, bp_ = _mqd_slow(
+                                        data, n, bp_, c, ct, a, qe, ii, cx,
+                                        cxi, cxm, ch)
+                                neg = bool(sb ^ _SC_XORL[k])
+                                _set_sig(sig, sgn, nbr, j, stride, neg)
+                                mag[i] = bit
+                                y = y0 + r + 1
+                        for yy in range(y, y0 + nrows):
+                            j = j0 + (yy - y0) * stride
+                            i = i0 + (yy - y0) * w
+                            if sig[j] or visited[i]:
+                                continue
+                            hn = sig[j - 1] + sig[j + 1]
+                            vn = sig[j - stride] + sig[j + stride]
+                            dn = nbr[j] - hn - vn
+                            cx = zlut[hn * 15 + vn * 5 + dn]
+                            ii = cxi[cx]
+                            qe = qeq[ii]
+                            a -= qe
+                            ch = (c >> 16) & 0xFFFF
+                            if ch >= qe and a & 0x8000:
+                                c -= qe << 16
+                                d = cxm[cx]
+                            else:
+                                d, a, c, ct, bp_ = _mqd_slow(
+                                    data, n, bp_, c, ct, a, qe, ii, cx,
+                                    cxi, cxm, ch)
+                            if d:
+                                k = _sc(sgn, j, stride)
+                                cx = _SC_CTXL[k]
+                                ii = cxi[cx]
+                                qe = qeq[ii]
+                                a -= qe
+                                ch = (c >> 16) & 0xFFFF
+                                if ch >= qe and a & 0x8000:
+                                    c -= qe << 16
+                                    sb = cxm[cx]
+                                else:
+                                    sb, a, c, ct, bp_ = _mqd_slow(
+                                        data, n, bp_, c, ct, a, qe, ii, cx,
+                                        cxi, cxm, ch)
+                                neg = bool(sb ^ _SC_XORL[k])
+                                _set_sig(sig, sgn, nbr, j, stride, neg)
+                                mag[i] = bit
+            done += 1
+        plane -= 1
+        passes = ("spp", "mrp", "cup")
+    out = np.array(mag, np.int64).reshape(h, w)
+    signs = np.array(
+        [sgn[(y + 1) * stride + 1 : (y + 1) * stride + 1 + w] for y in range(h)],
+        np.int64,
+    )
+    return (out * np.where(signs == 0, 1, signs)).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# 5/3 reversible DWT (T.800 Annex F lifting)
+# ---------------------------------------------------------------------------
+
+def _fwd_lift(x: np.ndarray) -> np.ndarray:
+    """1D forward 5/3 along the last axis, in place interleaved
+    (even = low, odd = high), symmetric extension at both ends."""
+
+    L = x.shape[-1]
+    if L == 1:
+        return x
+    even = x[..., 0::2]
+    odd = x[..., 1::2]
+    ne, no = even.shape[-1], odd.shape[-1]
+    er = even[..., np.minimum(np.arange(no) + 1, ne - 1)]
+    odd -= (even[..., :no] + er) >> 1
+    ol = odd[..., np.maximum(np.arange(ne) - 1, 0)]
+    orr = odd[..., np.minimum(np.arange(ne), no - 1)]
+    even += (ol + orr + 2) >> 2
+    return x
+
+
+def _inv_lift(x: np.ndarray) -> np.ndarray:
+    """1D inverse 5/3 along the last axis (interleaved input)."""
+
+    L = x.shape[-1]
+    if L == 1:
+        return x
+    even = x[..., 0::2]
+    odd = x[..., 1::2]
+    ne, no = even.shape[-1], odd.shape[-1]
+    ol = odd[..., np.maximum(np.arange(ne) - 1, 0)]
+    orr = odd[..., np.minimum(np.arange(ne), no - 1)]
+    even -= (ol + orr + 2) >> 2
+    er = even[..., np.minimum(np.arange(no) + 1, ne - 1)]
+    odd += (even[..., :no] + er) >> 1
+    return x
+
+
+def dwt53_forward(tile: np.ndarray, levels: int):
+    """(H, W) int array -> (LL_levels, [(HL, LH, HH) per level from
+    deepest to level 1]). Column transform first, then rows (the
+    inverse mirrors T.800 F.3.4: interleave, HOR_SR, VER_SR)."""
+
+    cur = tile.astype(np.int64)
+    bands = []
+    for _ in range(levels):
+        cur = np.ascontiguousarray(_fwd_lift(np.ascontiguousarray(cur.T)).T)
+        cur = _fwd_lift(np.ascontiguousarray(cur))
+        ll = cur[0::2, 0::2]
+        hl = cur[0::2, 1::2]
+        lh = cur[1::2, 0::2]
+        hh = cur[1::2, 1::2]
+        bands.append((hl.copy(), lh.copy(), hh.copy()))
+        cur = ll.copy()
+    bands.reverse()  # deepest level first
+    return cur, bands
+
+
+def dwt53_inverse(ll: np.ndarray, bands) -> np.ndarray:
+    """Inverse of dwt53_forward: bands ordered deepest level first."""
+
+    cur = ll.astype(np.int64)
+    for hl, lh, hh in bands:
+        h = cur.shape[0] + lh.shape[0]
+        w = cur.shape[1] + hl.shape[1]
+        full = np.zeros((h, w), np.int64)
+        full[0::2, 0::2] = cur
+        full[0::2, 1::2] = hl
+        full[1::2, 0::2] = lh
+        full[1::2, 1::2] = hh
+        full = _inv_lift(full)
+        full = np.ascontiguousarray(_inv_lift(np.ascontiguousarray(full.T)).T)
+        cur = full
+    return cur
+
+
+def _band_dims(size: int, nb: int, offset: int) -> int:
+    """T.800 B.5 band extent for a tile at the origin: number of band
+    samples along one dimension at decomposition level nb with band
+    offset 0 (low) or 1 (high)."""
+
+    if nb == 0:  # no decomposition: the LL band IS the tile
+        return size
+    num = size - offset * (1 << (nb - 1))
+    if num <= 0:
+        return 0
+    step = 1 << nb
+    return (num + step - 1) // step
+
+
+# ---------------------------------------------------------------------------
+# Tier-2: bit-stuffed header I/O and tag trees (T.800 Annex B)
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    """MSB-first writer with 0xFF bit stuffing: a byte following 0xFF
+    carries only 7 bits (MSB forced 0)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.cur = 0
+        self.nb = 0
+        self.limit = 8
+
+    def put(self, bit: int) -> None:
+        self.cur = (self.cur << 1) | (bit & 1)
+        self.nb += 1
+        if self.nb == self.limit:
+            self._emit()
+
+    def put_bits(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.put((value >> i) & 1)
+
+    def _emit(self) -> None:
+        self.buf.append(self.cur)
+        self.limit = 7 if self.cur == 0xFF else 8
+        self.cur = 0
+        self.nb = 0
+
+    def flush(self) -> bytes:
+        if self.nb:
+            self.cur <<= self.limit - self.nb
+            self._emit()
+        if self.limit == 7:  # trailing 0xFF needs a stuffing byte
+            self._emit()
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """Mirror of _BitWriter over a memoryview, tracking consumption so
+    the packet body can resume at the aligned position."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.nb = 0
+        self.limit = 8
+        self.last = 0
+
+    def get(self) -> int:
+        if self.nb == 0:
+            if self.pos >= len(self.data):
+                raise UserError("JPX: truncated packet header.")
+            self.limit = 7 if self.last == 0xFF else 8
+            self.cur = self.data[self.pos]
+            self.last = self.cur
+            self.pos += 1
+            self.nb = self.limit
+        self.nb -= 1
+        return (self.cur >> self.nb) & 1
+
+    def get_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get()
+        return v
+
+    def align(self) -> int:
+        """Drop partial bits, skip a stuffing byte after a trailing
+        0xFF, return the byte position where the body starts."""
+
+        self.nb = 0
+        if self.last == 0xFF:
+            self.pos += 1
+            self.last = 0
+        return self.pos
+
+
+class _TagTree:
+    """T.800 B.10.2 tag tree over a w x h leaf grid."""
+
+    def __init__(self, w: int, h: int) -> None:
+        self.w, self.h = w, h
+        self.levels = []
+        while True:
+            self.levels.append((w, h))
+            if w <= 1 and h <= 1:
+                break
+            w, h = (w + 1) // 2, (h + 1) // 2
+        # per level: value, low, known arrays
+        self.value = [np.full((lh, lw), 1 << 30, np.int64)
+                      for lw, lh in self.levels]
+        self.low = [np.zeros((lh, lw), np.int64) for lw, lh in self.levels]
+        self.known = [np.zeros((lh, lw), bool) for lw, lh in self.levels]
+
+    def set_values(self, vals: np.ndarray) -> None:
+        """Encoder side: leaf values -> min-rollup internal nodes."""
+
+        self.value[0][:, :] = vals
+        for lvl in range(1, len(self.levels)):
+            prev = self.value[lvl - 1]
+            lw, lh = self.levels[lvl]
+            cur = np.full((lh, lw), 1 << 30, np.int64)
+            ph, pw = prev.shape
+            for yy in range(lh):
+                for xx in range(lw):
+                    blk = prev[2 * yy : min(2 * yy + 2, ph),
+                               2 * xx : min(2 * xx + 2, pw)]
+                    cur[yy, xx] = blk.min()
+            self.value[lvl] = cur
+
+    def _path(self, x: int, y: int):
+        out = []
+        for lvl in range(len(self.levels) - 1, -1, -1):
+            out.append((lvl, y >> lvl, x >> lvl))
+        return out
+
+    def encode(self, bw: _BitWriter, x: int, y: int, threshold: int) -> None:
+        low = 0
+        for lvl, yy, xx in self._path(x, y):
+            if low > self.low[lvl][yy, xx]:
+                self.low[lvl][yy, xx] = low
+            else:
+                low = int(self.low[lvl][yy, xx])
+            v = int(self.value[lvl][yy, xx])
+            while low < threshold:
+                if low >= v:
+                    if not self.known[lvl][yy, xx]:
+                        bw.put(1)
+                        self.known[lvl][yy, xx] = True
+                    break
+                bw.put(0)
+                low += 1
+            self.low[lvl][yy, xx] = low
+
+    def decode(self, br: _BitReader, x: int, y: int, threshold: int) -> bool:
+        """Returns leaf value < threshold, consuming bits as needed."""
+
+        low = 0
+        for lvl, yy, xx in self._path(x, y):
+            if low > self.low[lvl][yy, xx]:
+                self.low[lvl][yy, xx] = low
+            else:
+                low = int(self.low[lvl][yy, xx])
+            while low < threshold:
+                if low >= self.value[lvl][yy, xx]:
+                    break
+                if br.get():
+                    self.value[lvl][yy, xx] = low
+                else:
+                    low += 1
+            self.low[lvl][yy, xx] = low
+        return bool(self.value[0][y, x] < threshold)
+
+
+def _encode_npasses(bw: _BitWriter, n: int) -> None:
+    """T.800 Table B.4."""
+
+    if n == 1:
+        bw.put(0)
+    elif n == 2:
+        bw.put_bits(0b10, 2)
+    elif n <= 6:
+        bw.put_bits(0b11, 2)
+        bw.put_bits(n - 3, 2)
+    elif n <= 36:
+        bw.put_bits(0b1111, 4)
+        bw.put_bits(n - 6, 5)
+    else:
+        bw.put_bits(0b1111, 4)
+        bw.put_bits(0b11111, 5)
+        bw.put_bits(n - 37, 7)
+
+
+def _decode_npasses(br: _BitReader) -> int:
+    if not br.get():
+        return 1
+    if not br.get():
+        return 2
+    v = br.get_bits(2)
+    if v < 3:
+        return 3 + v
+    v = br.get_bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + br.get_bits(7)
+
+
+# ---------------------------------------------------------------------------
+# Codestream assembly / parse
+# ---------------------------------------------------------------------------
+
+def _resolution_bands(levels: int):
+    """Packet band list per resolution r: r=0 -> LL at the deepest
+    level; r>=1 -> HL, LH, HH at level (levels - r + 1)."""
+
+    out = [[(_LL, levels)]] if levels else [[(_LL, 0)]]
+    for r in range(1, levels + 1):
+        nb = levels - r + 1
+        out.append([(_HL, nb), (_LH, nb), (_HH, nb)])
+    return out
+
+
+def _blocks_of(bh: int, bw_: int):
+    """Code-block grid (raster order) of a band anchored at 0."""
+
+    cb = 1 << _CB_EXP
+    nx = (bw_ + cb - 1) // cb
+    ny = (bh + cb - 1) // cb
+    out = []
+    for by in range(ny):
+        for bx in range(nx):
+            y0, x0 = by * cb, bx * cb
+            out.append((y0, x0, min(cb, bh - y0), min(cb, bw_ - x0)))
+    return nx, ny, out
+
+
+def encode_jpx(img: np.ndarray, levels: int = 2) -> bytes:
+    """8-bit gray (H, W) -> single-tile lossless JPEG 2000 codestream
+    (one layer, 5/3 reversible, 64x64 code-blocks, LRCP)."""
+
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise UserError("JPX encoder: 8-bit gray input required.")
+    h, w = img.shape
+    if not (0 <= levels <= 5):
+        raise UserError("JPX encoder: 0-5 decomposition levels.")
+    shifted = img.astype(np.int64) - 128  # DC level shift (B.1.1)
+    ll, lev_bands = dwt53_forward(shifted, levels)
+
+    def band_array(orient: int, nb: int) -> np.ndarray:
+        if orient == _LL:
+            return ll
+        hl, lh, hh = lev_bands[len(lev_bands) - nb]
+        return (hl, lh, hh)[orient - 1]
+
+    packets = []
+    for bands in _resolution_bands(levels):
+        bw = _BitWriter()
+        body = bytearray()
+        entries = []  # (tagtrees already folded into header bits)
+        any_included = False
+        per_band = []
+        for orient, nb in bands:
+            arr = band_array(orient, nb)
+            bh, bw_ = arr.shape
+            nx, ny, blocks = _blocks_of(bh, bw_)
+            mb = _GUARD_BITS + (8 + _GAIN[orient]) - 1
+            coded = []
+            for y0, x0, ch, cw in blocks:
+                seg, npasses, numbps = t1_encode(
+                    np.ascontiguousarray(arr[y0 : y0 + ch, x0 : x0 + cw])
+                    .astype(np.int32),
+                    orient,
+                )
+                if numbps > mb:
+                    raise UserError("JPX encoder: magnitude exceeds Mb.")
+                coded.append((seg, npasses, numbps))
+                if numbps:
+                    any_included = True
+            per_band.append((nx, ny, coded, mb))
+        if not any_included:
+            bw.put(0)
+            packets.append(bw.flush())
+            continue
+        bw.put(1)
+        for nx, ny, coded, mb in per_band:
+            if not coded:
+                continue
+            incl = _TagTree(nx, ny)
+            zbp = _TagTree(nx, ny)
+            incl.set_values(np.array(
+                [[0 if coded[yy * nx + xx][2] else 1 for xx in range(nx)]
+                 for yy in range(ny)], np.int64))
+            zbp.set_values(np.array(
+                [[mb - coded[yy * nx + xx][2] if coded[yy * nx + xx][2] else 0
+                  for xx in range(nx)] for yy in range(ny)], np.int64))
+            for yy in range(ny):
+                for xx in range(nx):
+                    seg, npasses, numbps = coded[yy * nx + xx]
+                    incl.encode(bw, xx, yy, 1)
+                    if not numbps:
+                        continue
+                    # zero-bitplane tag tree, coded to full depth
+                    t = 1
+                    while True:
+                        zbp.encode(bw, xx, yy, t)
+                        if mb - numbps < t:
+                            break
+                        t += 1
+                    _encode_npasses(bw, npasses)
+                    # length signalling: single segment, Lblock starts 3
+                    lblock = 3
+                    nbits = lblock + int(math.floor(math.log2(npasses)))
+                    need = max(1, len(seg)).bit_length()
+                    while need > nbits:
+                        bw.put(1)
+                        lblock += 1
+                        nbits += 1
+                    bw.put(0)
+                    bw.put_bits(len(seg), nbits)
+                    body += seg
+        packets.append(bw.flush() + bytes(body))
+
+    # --- markers ---
+    out = bytearray()
+    out += b"\xff\x4f"  # SOC
+    siz = struct.pack(
+        ">HHIIIIIIIIHBBB",
+        38 + 3, 0, w, h, 0, 0, w, h, 0, 0, 1, 7, 1, 1,
+    )
+    out += b"\xff\x51" + siz
+    spcod = bytes([levels, _CB_EXP - 2, _CB_EXP - 2, 0, 1])
+    cod = struct.pack(">HBBHB", 12, 0, 0, 1, 0) + spcod
+    out += b"\xff\x52" + cod
+    n_sub = 3 * levels + 1
+    exps = bytearray([0x40])  # Sqcd: no quantization, 2 guard bits
+    order = [( _LL, levels if levels else 0 )]
+    for r in range(1, levels + 1):
+        nb = levels - r + 1
+        order += [(_HL, nb), (_LH, nb), (_HH, nb)]
+    for orient, _nb in order[:n_sub]:
+        exps.append((8 + _GAIN[orient]) << 3)
+    out += b"\xff\x5c" + struct.pack(">H", 2 + len(exps)) + bytes(exps)
+    data = b"".join(packets)
+    psot = 12 + 2 + len(data)  # SOT seg + SOD marker + data
+    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+    out += b"\xff\x93" + data
+    out += b"\xff\xd9"  # EOC
+    return bytes(out)
+
+
+def decode_jpx(data: bytes) -> np.ndarray:
+    """Single-tile lossless JPEG 2000 codestream -> (H, W) uint8 gray."""
+
+    if data[:2] != b"\xff\x4f":
+        raise UserError("JPX: missing SOC marker.")
+    pos = 2
+    w = h = None
+    levels = None
+    cb_exp = None
+    tile_data = None
+    while pos + 2 <= len(data):
+        marker = data[pos : pos + 2]
+        pos += 2
+        if marker == b"\xff\xd9":  # EOC
+            break
+        if marker == b"\xff\x93":
+            raise UserError("JPX: SOD before SOT.")
+        if pos + 2 > len(data):
+            raise UserError("JPX: truncated marker segment.")
+        (ln,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + ln]
+        if marker == b"\xff\x51":  # SIZ
+            (_rsiz, xs, ys, xo, yo, xt, yt, xto, yto, ncomp) = struct.unpack(
+                ">HIIIIIIIIH", seg[:36]
+            )
+            if ncomp != 1:
+                raise UserError("JPX: only single-component (gray) streams.")
+            ssiz, xr, yr = seg[36], seg[37], seg[38]
+            if ssiz != 7 or xr != 1 or yr != 1:
+                raise UserError("JPX: only 8-bit unsigned, no subsampling.")
+            if xo or yo or xto or yto or xt < xs or yt < ys:
+                raise UserError("JPX: only single-tile streams at the origin.")
+            w, h = xs, ys
+            pos += ln
+        elif marker == b"\xff\x52":  # COD
+            scod = seg[0]
+            if scod & 0x01:
+                raise UserError("JPX: explicit precincts unsupported.")
+            _prog, layers, mct = seg[1], struct.unpack(">H", seg[2:4])[0], seg[4]
+            if layers != 1:
+                raise UserError("JPX: only single-layer streams.")
+            if mct:
+                raise UserError("JPX: component transform unsupported.")
+            levels = seg[5]
+            if levels > 5:
+                raise UserError("JPX: more than 5 decomposition levels.")
+            cb_exp = seg[6] + 2
+            if cb_exp != _CB_EXP or seg[7] + 2 != _CB_EXP:
+                raise UserError("JPX: only 64x64 code-blocks.")
+            if seg[8] != 0:
+                raise UserError("JPX: code-block style modes unsupported.")
+            if seg[9] != 1:
+                raise UserError("JPX: only the reversible 5/3 transform.")
+            pos += ln
+        elif marker == b"\xff\x5c":  # QCD
+            if seg[0] & 0x1F:
+                raise UserError("JPX: quantization unsupported (lossless only).")
+            pos += ln
+        elif marker == b"\xff\x90":  # SOT
+            _isot, psot, _tpsot, _tnsot = struct.unpack(">HIBB", seg[:8])
+            pos += ln
+            if data[pos : pos + 2] != b"\xff\x93":
+                raise UserError("JPX: SOT not followed by SOD.")
+            pos += 2
+            end = pos + (psot - 12 - 2) if psot else len(data) - 2
+            tile_data = data[pos:end]
+            pos = end
+        else:
+            pos += ln  # COM and friends: skip
+    if w is None or levels is None or tile_data is None:
+        raise UserError("JPX: missing SIZ/COD/tile data.")
+
+    # band containers
+    band_arrays: dict[tuple[int, int], np.ndarray] = {}
+    pos = 0
+    for bands in _resolution_bands(levels):
+        br = _BitReader(tile_data, pos)
+        blocks_to_read = []
+        if not br.get():  # empty packet
+            pos = br.align()
+            for orient, nb in bands:
+                bh = _band_dims(h, nb, 0 if orient in (_LL, _HL) else 1)
+                bw_ = _band_dims(w, nb, 0 if orient in (_LL, _LH) else 1)
+                band_arrays.setdefault((orient, nb), np.zeros((bh, bw_), np.int64))
+            continue
+        for orient, nb in bands:
+            bh = _band_dims(h, nb, 0 if orient in (_LL, _HL) else 1)
+            bw_ = _band_dims(w, nb, 0 if orient in (_LL, _LH) else 1)
+            arr = np.zeros((bh, bw_), np.int64)
+            band_arrays[(orient, nb)] = arr
+            if bh == 0 or bw_ == 0:
+                continue
+            nx, ny, blocks = _blocks_of(bh, bw_)
+            mb = _GUARD_BITS + (8 + _GAIN[orient]) - 1
+            incl = _TagTree(nx, ny)
+            zbp = _TagTree(nx, ny)
+            for yy in range(ny):
+                for xx in range(nx):
+                    y0, x0, ch, cw = blocks[yy * nx + xx]
+                    if not incl.decode(br, xx, yy, 1):
+                        continue
+                    t = 1
+                    while not zbp.decode(br, xx, yy, t):
+                        t += 1
+                    missing = t - 1
+                    numbps = mb - missing
+                    if numbps <= 0:
+                        raise UserError("JPX: invalid zero-bitplane count.")
+                    npasses = _decode_npasses(br)
+                    lblock = 3
+                    while br.get():
+                        lblock += 1
+                    nbits = lblock + int(math.floor(math.log2(npasses)))
+                    seg_len = br.get_bits(nbits)
+                    blocks_to_read.append(
+                        (arr, orient, y0, x0, ch, cw, numbps, npasses, seg_len)
+                    )
+        pos = br.align()
+        for arr, orient, y0, x0, ch, cw, numbps, npasses, seg_len in blocks_to_read:
+            seg = tile_data[pos : pos + seg_len]
+            pos += seg_len
+            coeffs = t1_decode(seg, ch, cw, orient, numbps, npasses)
+            arr[y0 : y0 + ch, x0 : x0 + cw] = coeffs
+
+    ll = band_arrays[(_LL, levels if levels else 0)]
+    lev_bands = []
+    for nb in range(levels, 0, -1):
+        lev_bands.append(
+            (band_arrays[(_HL, nb)], band_arrays[(_LH, nb)],
+             band_arrays[(_HH, nb)])
+        )
+    tile = dwt53_inverse(ll, lev_bands)
+    if tile.shape != (h, w):
+        raise UserError("JPX: reconstructed tile shape mismatch.")
+    return np.clip(tile + 128, 0, 255).astype(np.uint8)
+
+
+def decode_jpx_pdf(data: bytes) -> np.ndarray:
+    """PDF /JPXDecode payload -> (H, W) uint8 gray. Accepts a raw
+    codestream or a JP2 box container (unwraps the ``jp2c`` box, PDF
+    32000-1 7.4.9 allows either)."""
+
+    if data[:2] == b"\xff\x4f":
+        return decode_jpx(data)
+    if data[4:8] == b"jP  ":
+        pos = 0
+        while pos + 8 <= len(data):
+            (ln,) = struct.unpack(">I", data[pos : pos + 4])
+            btype = data[pos + 4 : pos + 8]
+            off = 8
+            if ln == 1:
+                (ln,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+                off = 16
+            if btype == b"jp2c":
+                end = len(data) if ln == 0 else pos + ln
+                return decode_jpx(data[pos + off : end])
+            if ln == 0:
+                break
+            pos += ln
+        raise UserError("JPX: JP2 container without a jp2c box.")
+    raise UserError("JPX: neither a raw codestream nor a JP2 container.")

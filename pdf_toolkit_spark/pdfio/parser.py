@@ -1000,6 +1000,15 @@ class PdfDocument:
             return b"\n".join(self._stream_bytes(r) for r in value)
         raise UserError("Unsupported /Contents value.")
 
+    def _last_filter_name(self, obj) -> Optional[str]:
+        """Name of the innermost /Filter entry, or None."""
+
+        filters = self.resolve(obj.get("Filter"))
+        flist = filters if isinstance(filters, list) else (
+            [filters] if filters is not None else []
+        )
+        return str(self.resolve(flist[-1])) if flist else None
+
     def _decode_image(self, ref: Ref) -> Optional[np.ndarray]:
         """Image XObject -> (h, w) gray or (h, w, 3) RGB uint8 array
         (the reference's PIL "L"/"RGB" modes, page_images.py:711-716);
@@ -1042,6 +1051,11 @@ class PdfDocument:
             channels = 3
         elif cs == Name("DeviceCMYK"):
             channels = 4
+        elif cs is None and self._last_filter_name(obj) == "JPXDecode":
+            # /ColorSpace is optional for JPXDecode (PDF 32000-1
+            # 7.4.9: the codestream carries its own); the engine's
+            # subset decodes gray only.
+            channels = 1
         else:
             return None
         bpc = int(self.resolve(obj.get("BitsPerComponent", 8)))
@@ -1121,6 +1135,39 @@ class PdfDocument:
                 arr = decode_jbig2_pdf(raw, parms)
             except UserError:
                 return None
+            if arr.shape != (h, w):
+                return None
+            decode = self.resolve(obj.get("Decode"))
+            if decode and list(decode)[:2] == [1, 0]:
+                arr = (255 - arr).astype(np.uint8)
+            return arr
+        if flist and str(self.resolve(flist[-1])) == "JPXDecode":
+            # JPEG 2000 scan: the engine-owned T.800 codec
+            # (pdfio/jpx.py) decodes the lossless-gray subset. Per PDF
+            # 32000-1 7.4.9 the codestream's own parameters override
+            # the image dict, so only the shape is cross-checked.
+            from .jpx import decode_jpx_pdf
+
+            self._load_object(ref.num)
+            raw = self._raw_streams.get(ref.num)
+            if raw is None:
+                return None
+            if self._crypt is not None and ref.num != self._encrypt_num:
+                raw = self._crypt.decrypt(raw, ref.num, self._gens.get(ref.num, 0))
+            if len(flist) > 1:
+                sub = dict(obj)
+                sub["Filter"] = flist[:-1]
+                parms = self.resolve(obj.get("DecodeParms", obj.get("DP")))
+                if isinstance(parms, list):
+                    sub["DecodeParms"] = parms[: len(flist) - 1]
+                try:
+                    raw = _decode_stream_data(sub, raw, self.resolve)
+                except UserError:
+                    return None
+            try:
+                arr = decode_jpx_pdf(raw)
+            except UserError:
+                return None  # multi-component/quantized — missing raster
             if arr.shape != (h, w):
                 return None
             decode = self.resolve(obj.get("Decode"))

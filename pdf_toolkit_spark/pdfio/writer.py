@@ -38,8 +38,9 @@ class PageSpec:
     #: image codec for this page's rasters: "flate" (lossless),
     #: "jpeg" (DCTDecode, baseline via pdfio/jpeg.py — what real
     #: scanned PDFs ship), "ccitt" (Group-4 fax via pdfio/ccitt.py),
-    #: or "jbig2" (T.88 generic region via pdfio/jbig2.py); the 1-bit
-    #: codecs threshold gray rasters at >127
+    #: "jbig2" (T.88 generic region via pdfio/jbig2.py), or "jpx"
+    #: (lossless JPEG 2000 via pdfio/jpx.py); the 1-bit codecs
+    #: threshold gray rasters at >127
     codec: str = "flate"
 
 
@@ -280,6 +281,16 @@ def _image_xobject(arr: np.ndarray, codec: str = "flate") -> bytes:
         head = (
             f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
             f"/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode "
+            f"/Length {len(data)} >>\nstream\n"
+        ).encode()
+        return head + data + b"\nendstream"
+    if codec == "jpx" and arr.ndim == 2:
+        from .jpx import encode_jpx
+
+        data = encode_jpx(np.ascontiguousarray(arr, dtype=np.uint8), levels=2)
+        head = (
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /JPXDecode "
             f"/Length {len(data)} >>\nstream\n"
         ).encode()
         return head + data + b"\nendstream"

@@ -1,0 +1,176 @@
+"""JPEG 2000 (T.800) codec: DWT reversibility, Tier-1 / Tier-2 /
+codestream round-trips across content classes, sizes and level counts,
+the JP2 container unwrap, the /JPXDecode XObject path end-to-end under
+the serial extractor, and graceful rejection of the unsupported
+profile corners (multi-component, quantized, 9/7)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from pdf_toolkit_spark.errors import UserError
+from pdf_toolkit_spark.pdfio.jpx import (
+    decode_jpx,
+    decode_jpx_pdf,
+    dwt53_forward,
+    dwt53_inverse,
+    encode_jpx,
+    t1_decode,
+    t1_encode,
+)
+from pdf_toolkit_spark.pdfio.parser import PdfDocument
+
+RNG = np.random.default_rng(7)
+
+
+def _cases() -> dict[str, np.ndarray]:
+    grad = (np.add.outer(np.arange(40), np.arange(33)) % 256).astype(np.uint8)
+    page = np.full((90, 120), 235, np.uint8)
+    page[10:14, 8:100] = 20
+    page[30:80:4, 15:105] = 35
+    page[70:85, 90:115] = 0
+    return {
+        "flat": np.full((16, 16), 200, np.uint8),
+        "gradient": grad,
+        "noise": RNG.integers(0, 256, (70, 65), dtype=np.uint8),
+        "text_page": page,
+        "bilevel": (RNG.random((100, 140)) > 0.5).astype(np.uint8) * 255,
+        "tiny": RNG.integers(0, 256, (3, 5), dtype=np.uint8),
+        "one_px": RNG.integers(0, 256, (1, 1), dtype=np.uint8),
+        "multi_block": RNG.integers(0, 256, (130, 200), dtype=np.uint8),
+        "wide": RNG.integers(0, 256, (5, 300), dtype=np.uint8),
+        "tall": RNG.integers(0, 256, (300, 5), dtype=np.uint8),
+    }
+
+
+@pytest.mark.parametrize("levels", [0, 1, 2, 3])
+def test_dwt53_reversible(levels):
+    for name, img in _cases().items():
+        x = img.astype(np.int64) - 128
+        lv = min(levels, 5)
+        ll, bands = dwt53_forward(x, lv)
+        back = dwt53_inverse(ll, bands)
+        assert np.array_equal(back, x), (name, levels)
+
+
+def test_dwt53_band_shapes():
+    """Band extents follow the ceil/floor halving of T.800 B.5."""
+
+    ll, bands = dwt53_forward(np.zeros((97, 131), np.int64), 2)
+    (hl2, lh2, hh2), (hl1, lh1, hh1) = bands
+    assert hl1.shape == (49, 65) and lh1.shape == (48, 66)
+    assert hh1.shape == (48, 65)
+    assert ll.shape == (25, 33) and hl2.shape == (25, 33)
+    assert lh2.shape == (24, 33) and hh2.shape == (24, 33)
+
+
+@pytest.mark.parametrize("orient", [0, 1, 2, 3])
+def test_tier1_roundtrip(orient):
+    rng = np.random.default_rng(13 + orient)
+    for shape in ((4, 4), (7, 3), (64, 64), (10, 64), (1, 1), (5, 1)):
+        coeffs = rng.integers(-500, 501, shape).astype(np.int32)
+        seg, npasses, numbps = t1_encode(coeffs, orient)
+        out = t1_decode(seg, *shape, orient, numbps, npasses)
+        assert np.array_equal(out, coeffs), (orient, shape)
+
+
+def test_tier1_all_zero_block():
+    seg, npasses, numbps = t1_encode(np.zeros((8, 8), np.int32), 0)
+    assert seg == b"" and npasses == 0 and numbps == 0
+
+
+def test_tier1_sparse_block():
+    """One hot coefficient exercises the run-length interrupt path."""
+
+    coeffs = np.zeros((64, 64), np.int32)
+    coeffs[37, 22] = -9
+    seg, npasses, numbps = t1_encode(coeffs, 3)
+    assert np.array_equal(t1_decode(seg, 64, 64, 3, numbps, npasses), coeffs)
+
+
+@pytest.mark.parametrize("levels", [0, 1, 2])
+def test_codestream_roundtrip(levels):
+    for name, img in _cases().items():
+        cs = encode_jpx(img, levels=levels)
+        assert cs[:2] == b"\xff\x4f" and cs[-2:] == b"\xff\xd9"
+        out = decode_jpx(cs)
+        assert out.dtype == np.uint8 and np.array_equal(out, img), (name, levels)
+
+
+@pytest.mark.parametrize("levels", [3, 5])
+def test_codestream_roundtrip_deep_levels(levels):
+    for name in ("gradient", "wide", "tall"):
+        img = _cases()[name]
+        out = decode_jpx(encode_jpx(img, levels=levels))
+        assert np.array_equal(out, img), (name, levels)
+
+
+def test_codestream_compresses_structure():
+    """Lossless, but still a codec: structured pages shrink."""
+
+    img = _cases()["text_page"]
+    assert len(encode_jpx(img, levels=2)) < img.size // 2
+
+
+def test_jp2_container_unwrap():
+    img = _cases()["gradient"]
+    cs = encode_jpx(img, levels=1)
+    boxes = (
+        struct.pack(">I4s", 12, b"jP  ") + b"\r\n\x87\n"
+        + struct.pack(">I4s", 8 + 4, b"ftyp") + b"jp2 "
+        + struct.pack(">I4s", 8 + len(cs), b"jp2c") + cs
+    )
+    assert np.array_equal(decode_jpx_pdf(boxes), img)
+    assert np.array_equal(decode_jpx_pdf(cs), img)  # raw codestream too
+    with pytest.raises(UserError):
+        decode_jpx_pdf(b"\x00\x00\x00\x0cjP  \r\n\x87\n")  # no jp2c
+
+
+def test_unsupported_profiles_raise():
+    cs = bytearray(encode_jpx(_cases()["flat"], levels=1))
+    # patch Csiz (2 components) inside SIZ: SOC(2) + marker(2)+len(2)
+    # + 34 bytes to Csiz
+    multi = bytes(cs[: 2 + 4 + 34]) + b"\x00\x02" + bytes(cs[2 + 4 + 36 :])
+    with pytest.raises(UserError):
+        decode_jpx(multi)
+    cod_at = bytes(cs).find(b"\xff\x52")
+    irrev = bytearray(cs)
+    irrev[cod_at + 2 + 2 + 9] = 0  # SPcod transform byte -> 9/7
+    with pytest.raises(UserError):
+        decode_jpx(bytes(irrev))
+    with pytest.raises(UserError):
+        decode_jpx(b"\x00\x00")  # no SOC
+    with pytest.raises(UserError):
+        decode_jpx_pdf(b"not a codestream at all")
+
+
+def test_jpx_xobject_extracts_end_to_end():
+    """A jpx-codec corpus doc decodes through the full parser path
+    bit-exact (the 5/3 transform is reversible, so unlike DCT the
+    decoded raster must EQUAL the page raster)."""
+
+    from pdf_toolkit_spark.corpus import make_document
+    from pdf_toolkit_spark.extract import extract_document
+
+    doc = make_document(9, seed=42, mega_every=0, jpeg_every=3)  # k=3 -> jpx
+    assert b"JPXDecode" in doc["pdf_bytes"]
+    spans = extract_document(doc["pdf_bytes"])["spans"]
+    assert len(spans) > 0
+
+    page = PdfDocument(doc["pdf_bytes"]).load_page(0)
+    assert page.scan is not None, "jpx raster did not decode"
+
+
+def test_jpx_raster_bit_exact_through_parser():
+    from pdf_toolkit_spark.pdfio.writer import PageSpec, write_pdf
+
+    raster = _cases()["text_page"]
+    page = PageSpec(raster=raster, codec="jpx")
+    pdf_bytes = write_pdf([page])
+    assert b"JPXDecode" in pdf_bytes
+    parsed = PdfDocument(pdf_bytes).load_page(0)
+    assert parsed.scan is not None
+    assert np.array_equal(parsed.scan, raster)

@@ -50,12 +50,12 @@ def test_mega_pdf_went_through_chunked_path(spans_by_doc):
 
 def test_span_sequence_equality_jpeg_corpus(spark):
     """The same equality gate over a scan-codec corpus: every 3rd
-    doc's rasters ship as baseline JPEG, Group-4 fax or JBIG2
-    (cycling) — the dominant real-world scan encodings. Distributed
-    decode must equal the serial oracle pixel-for-pixel (media_refs
-    hash decoded pixels)."""
+    doc's rasters ship as baseline JPEG, Group-4 fax, JBIG2 or
+    lossless JPEG 2000 (cycling) — the dominant real-world scan
+    encodings. Distributed decode must equal the serial oracle
+    pixel-for-pixel (media_refs hash decoded pixels)."""
 
-    n = 12  # coded docs 0,3,6,9 cycle all three codecs over 2-D rasters
+    n = 12  # coded docs 0,3,6,9 cycle all four codecs over 2-D rasters
     input_df = corpus_dataframe(spark, n, seed=42, mega_every=0, jpeg_every=3)
     spans_df, _ = build_pipeline(spark, input_df, CFG)
     rows = {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in spans_df.collect()}
@@ -63,12 +63,12 @@ def test_span_sequence_equality_jpeg_corpus(spark):
     for doc_id in range(n):
         doc = make_document(doc_id, seed=42, mega_every=0, jpeg_every=3)
         for marker, codec in ((b"DCTDecode", "jpeg"), (b"CCITTFaxDecode", "ccitt"),
-                              (b"JBIG2Decode", "jbig2")):
+                              (b"JBIG2Decode", "jbig2"), (b"JPXDecode", "jpx")):
             if marker in doc["pdf_bytes"]:
                 saw.add(codec)
         expected = extract_document(doc["pdf_bytes"], CFG)["spans"]
         assert rows[doc["doc_id"]] == expected, doc["doc_class"]
-    assert saw == {"jpeg", "ccitt", "jbig2"}
+    assert saw == {"jpeg", "ccitt", "jbig2", "jpx"}
 
 
 def test_span_sequence_equality_cid_corpus(spark):
