@@ -275,7 +275,128 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: funnel conversion window: a purchase only converts within 24 h of
+#: the user's first qualifying click
+FUNNEL_WINDOW_SEC = 86400
+
+#: Q18-shape threshold, sized so the large-order set is small but
+#: non-trivial at every sf (sum-quantity p99 at sf0.001 is ~271)
+LARGE_ORDER_QTY = 250
+
+
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the events stream (the product-
+    analytics staple): first view -> first later click -> purchase
+    within 24 h of that click. Output: (stage, n_users), 3 rows.
+
+    Scale shape: three user-keyed hash aggregates chained by user-keyed
+    equi-joins — every edge moves one row per user, never the event
+    log; the stage histogram is a 3-row rollup."""
+
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.unix_timestamp("ts") - F.unix_timestamp("t_click")
+               <= FUNNEL_WINDOW_SEC)
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    stages = (
+        v.select(F.lit(1).alias("stage"), "user_id")
+        .unionByName(c.select(F.lit(2).alias("stage"), "user_id"))
+        .unionByName(p.select(F.lit(3).alias("stage"), "user_id"))
+    )
+    return stages.groupBy("stage").agg(F.count("*").alias("n_users"))
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the date of their
+    first event; for each cohort, distinct active users per week
+    offset. Output: (cohort_day, week_offset, n_users).
+
+    Scale shape: one user-keyed first-touch aggregate, a user-keyed
+    join back (one row per user on the edge), then a cohort-keyed
+    distinct-count — standard two-level rollup, no event-log
+    self-join."""
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id", "cohort_day",
+            F.floor(F.datediff("day", "cohort_day") / 7)
+            .cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        # ISO-string cohort label: DATE surfaces as date vs timestamp
+        # across Arrow readers; the string is representation-stable
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "week_offset", "n_users",
+        )
+    )
+
+
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customers LEFT OUTER JOIN orders, orders per
+    customer including the zero bucket, then the distribution of those
+    counts. Output: (c_count, custdist)."""
+
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose lineitem quantity sum exceeds the
+    threshold (HAVING over a fact-table rollup), joined back to orders
+    and customers. Output one row per large order."""
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > LARGE_ORDER_QTY)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_total"), "total_qty",
+        )
+    )
+
+
 QUERIES = {
+    "rel_funnel": funnel,
+    "rel_retention_cohorts": retention_cohorts,
+    "rel_order_count_distribution": order_count_distribution,
+    "rel_large_orders": large_orders,
     "rel_sessionization": sessionize,
     "rel_stratified_sample": stratified_sample,
     "rel_top_customers_per_region": top_customers_per_region,
@@ -293,6 +414,60 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_funnel": f"""
+        WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(ts) AS t_click
+              FROM events e JOIN v USING (user_id)
+              WHERE event_type = 'click' AND ts > t_view
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(ts) AS t_purchase
+              FROM events e JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND ts > t_click
+                AND epoch(ts) - epoch(t_click) <= {FUNNEL_WINDOW_SEC}
+              GROUP BY e.user_id),
+        stages AS (
+            SELECT 1 AS stage, user_id FROM v
+            UNION ALL SELECT 2, user_id FROM c
+            UNION ALL SELECT 3, user_id FROM p
+        )
+        SELECT stage, count(*) AS n_users FROM stages GROUP BY stage
+    """,
+    "rel_retention_cohorts": """
+        WITH ev AS (SELECT user_id, ts::DATE AS day FROM events),
+        first AS (SELECT user_id, min(day) AS cohort_day
+                  FROM ev GROUP BY user_id)
+        SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+               week_offset, n_users
+        FROM (
+            SELECT cohort_day,
+                   CAST(floor(date_diff('day', cohort_day, day) / 7.0) AS INT)
+                       AS week_offset,
+                   count(DISTINCT user_id) AS n_users
+            FROM ev JOIN first USING (user_id)
+            GROUP BY cohort_day, week_offset
+        )
+    """,
+    "rel_order_count_distribution": """
+        WITH per AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        SELECT c_count, count(*) AS custdist FROM per GROUP BY c_count
+    """,
+    "rel_large_orders": f"""
+        WITH big AS (
+            SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING total_qty > {LARGE_ORDER_QTY}
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               round(o_totalprice, 2) AS o_total, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
     "rel_stratified_sample": f"""
         SELECT doc_id, lang, source, sample_rank FROM (
             SELECT doc_id, lang, source,

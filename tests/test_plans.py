@@ -181,3 +181,26 @@ def test_ivf_topk_batch_no_full_table_shuffle(spark):
     plan = explain_str(QUERIES["sim_ivf_topk_batch"](spark, SF_DIR), "simple")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_is_broadcast_equi_join(spark):
+    """The benchmark n-gram side is eval-suite-sized: its join against
+    the training grams must broadcast (no sort-merge = no full shuffle
+    of the gram relation), with zero Python in the plan."""
+
+    plan = explain_str(QUERIES["text_decontaminate"](spark, SF_DIR), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_vocab_oov_broadcasts_vocabulary(spark):
+    """The top-K vocabulary is vocabulary-bounded; the scoring join
+    must broadcast it rather than shuffle the exploded word relation
+    on the word key."""
+
+    plan = explain_str(QUERIES["text_vocab_oov"](spark, SF_DIR), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
