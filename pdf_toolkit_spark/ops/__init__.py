@@ -9,9 +9,21 @@ and the two must agree column-for-column and value-for-value — the
 driver's correctness harness (and tests/test_ops.py) enforce it.
 """
 
-from . import dedup, extraction_queries, html_queries, multimodal, relational, similarity, text
+from . import (
+    dedup,
+    extraction_queries,
+    html_queries,
+    multimodal,
+    relational,
+    similarity,
+    sketches,
+    text,
+)
 
-_MODULES = (relational, text, dedup, similarity, multimodal, extraction_queries, html_queries)
+_MODULES = (
+    relational, text, dedup, similarity, multimodal, sketches,
+    extraction_queries, html_queries,
+)
 
 
 def all_queries():

@@ -392,7 +392,93 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the user's latest
+    click at-or-before it (the time-series join Spark lacks as a
+    primitive). Output: (event_id, user_id, purchase_ts, click_id,
+    click_ts, gap_sec).
+
+    Spark-first formulation: union clicks and purchases into ONE
+    relation, a single user-keyed window ordered by (ts, kind) carries
+    the running last-click struct forward — one shuffle on user_id,
+    no range join, no per-row Python. The DuckDB oracle uses the
+    native ASOF JOIN, which pins the semantics exactly."""
+
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        # one click per (user, ts): ties would make the as-of match
+        # engine-dependent
+        .groupBy("user_id", "ts").agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", "click_id", F.lit(0).alias("kind"),
+                F.lit(None).cast("bigint").alias("event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("bigint").alias("click_id"),
+        F.lit(1).alias("kind"), "event_id",
+    )
+    both = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(F.col("kind") == 0, F.struct("ts", "click_id")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        both.withColumn("lc", last_click)
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("lc.click_id").alias("click_id"),
+            F.col("lc.ts").alias("click_ts"),
+            (F.unix_timestamp("ts") - F.unix_timestamp("lc.ts"))
+            .alias("gap_sec"),
+        )
+    )
+
+
+def session_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment (range join): per session from
+    rel_sessionization, the number of error events inside its
+    [start, end] window. Output: (user_id, session_id, n_events,
+    n_errors).
+
+    Scale shape: the range predicate rides a user_id EQUI-join — the
+    standard way to make a range join scale on Spark (key the interval
+    table and the point table on a shared equi-key so the non-equi
+    predicate only filters within matched groups, never a
+    BroadcastNestedLoopJoin over the full tables)."""
+
+    sessions = sessionize(spark, sf_dir).alias("s")
+    errors = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ets"))
+        .alias("e")
+    )
+    # range predicate INSIDE the left join: sessions with only
+    # out-of-range errors must keep their row (n_errors = 0)
+    joined = sessions.join(
+        errors,
+        (F.col("s.user_id") == F.col("e.user_id"))
+        & (F.col("e.ets") >= F.col("s.session_start"))
+        & (F.col("e.ets") <= F.col("s.session_end")),
+        "left",
+    )
+    return (
+        joined.groupBy("s.user_id", "s.session_id", "s.n_events")
+        .agg(F.count("e.ets").alias("n_errors"))
+    )
+
+
 QUERIES = {
+    "rel_asof_join": asof_join,
+    "rel_session_range_join": session_range_join,
     "rel_funnel": funnel,
     "rel_retention_cohorts": retention_cohorts,
     "rel_order_count_distribution": order_count_distribution,
@@ -412,6 +498,37 @@ QUERIES = {
     "rel_broadcast_join_agg": broadcast_join_agg,
     "rel_part_supplier_profit": part_supplier_profit,
 }
+
+#: the sessionization query as a reusable SQL body (also the base
+#: relation of the rel_session_range_join oracle)
+_SESSIONIZE_SQL = f"""
+        WITH marked AS (
+            SELECT user_id, ts::TIMESTAMP AS ts, event_id, value,
+                   CASE WHEN epoch(ts::TIMESTAMP)
+                             - epoch(lag(ts::TIMESTAMP) OVER
+                                     (PARTITION BY user_id ORDER BY ts, event_id))
+                             > {SESSION_GAP_SEC}
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        ids AS (
+            SELECT user_id, ts, value,
+                   -- BIGINT cast: DuckDB's sum() yields HUGEINT -> float in
+                   -- Arrow output; Spark emits bigint. Values are identical,
+                   -- the cast keeps the driver's value-hash in agreement.
+                   CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM marked
+        )
+        SELECT user_id, session_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, round(sum(value), 2) AS value_sum
+        FROM ids GROUP BY user_id, session_id
+"""
+
 
 ORACLES = {
     "rel_funnel": f"""
@@ -477,33 +594,31 @@ ORACLES = {
             FROM documents
         ) WHERE sample_rank <= {SAMPLE_PER_STRATUM}
     """,
-    "rel_sessionization": f"""
-        WITH marked AS (
-            SELECT user_id, ts::TIMESTAMP AS ts, event_id, value,
-                   CASE WHEN epoch(ts::TIMESTAMP)
-                             - epoch(lag(ts::TIMESTAMP) OVER
-                                     (PARTITION BY user_id ORDER BY ts, event_id))
-                             > {SESSION_GAP_SEC}
-                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                           IS NULL
-                        THEN 1 ELSE 0 END AS new_session
-            FROM events
-        ),
-        ids AS (
-            SELECT user_id, ts, value,
-                   -- BIGINT cast: DuckDB's sum() yields HUGEINT -> float in
-                   -- Arrow output; Spark emits bigint. Values are identical,
-                   -- the cast keeps the driver's value-hash in agreement.
-                   CAST(sum(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-            FROM marked
-        )
-        SELECT user_id, session_id,
-               min(ts) AS session_start, max(ts) AS session_end,
-               count(*) AS n_events, round(sum(value), 2) AS value_sum
-        FROM ids GROUP BY user_id, session_id
+    "rel_sessionization": _SESSIONIZE_SQL,
+    "rel_asof_join": f"""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts, max(event_id) AS click_id
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id, ts)
+        SELECT p.event_id, p.user_id,
+               p.ts AS purchase_ts, c.click_id, c.ts AS click_ts,
+               CAST(floor(epoch(p.ts)) AS BIGINT)
+               - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_sec
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
+    "rel_session_range_join": f"""
+        WITH sessions AS ({{sess}}),
+        errors AS (SELECT user_id, ts::TIMESTAMP AS ets FROM events
+                   WHERE event_type = 'error')
+        SELECT s.user_id, s.session_id, s.n_events,
+               count(e.ets) AS n_errors
+        FROM sessions s LEFT JOIN errors e
+          ON s.user_id = e.user_id
+         AND e.ets >= s.session_start AND e.ets <= s.session_end
+        GROUP BY s.user_id, s.session_id, s.n_events
+    """.format(sess=_SESSIONIZE_SQL),
     "rel_top_customers_per_region": """
         WITH rev AS (
             SELECT r_name, c_custkey, round(sum(o_totalprice), 2) AS revenue

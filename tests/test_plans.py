@@ -204,3 +204,24 @@ def test_vocab_oov_broadcasts_vocabulary(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_asof_and_range_join_have_no_nested_loop(spark):
+    """The as-of join is a single user-keyed window (no join at all in
+    the plan beyond the union) and the session range join must ride a
+    user_id equi-join with the range predicate as a filter — never a
+    BroadcastNestedLoopJoin/CartesianProduct over the full tables."""
+
+    for name in ("rel_asof_join", "rel_session_range_join"):
+        plan = explain_str(QUERIES[name](spark, SF_DIR), "simple")
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_kmv_min_k_is_take_ordered(spark):
+    """KMV's K smallest hashes must come from TakeOrdered (map-side
+    per-partition top-K), not a global Sort."""
+
+    plan = explain_str(QUERIES["sketch_kmv_distinct"](spark, SF_DIR), "simple")
+    assert "TakeOrdered" in plan
