@@ -495,7 +495,40 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: feature-hashing dimensionality (the "hashing trick" vectorizer)
+FEATHASH_D = 64
+
+
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text vectorizer (Weinberger et al. 2009 — the
+    vocabulary-free featurizer production pipelines use before
+    training): bucket = hash32(word) mod D, sign from an independent
+    hash bit, value = signed term-count sum. Output in long form
+    (doc_id, bucket, value), nonzero entries only — exactly the sparse
+    vector a trainer consumes.
+
+    Scale shape: explode + one (doc_id, bucket)-keyed hash aggregate
+    with map-side combine; output width is bucket-bounded. All
+    md5-derived, so DuckDB agrees bit-for-bit."""
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", norm_text(F.col("text")).alias("norm")
+    )
+    words = docs.filter(F.col("norm") != "").select(
+        "doc_id", F.explode(F.split("norm", " ")).alias("word")
+    )
+    bucket = (hash32(F.col("word")) % FEATHASH_D).alias("bucket")
+    sign = (1 - 2 * (hash32(F.concat(F.lit("sgn:"), F.col("word"))) % 2))
+    return (
+        words.select("doc_id", bucket, sign.alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").alias("value"))
+        .filter(F.col("value") != 0)
+    )
+
+
 QUERIES = {
+    "text_feature_hashing": feature_hashing,
     "text_decontaminate": decontaminate,
     "text_vocab_oov": vocab_oov,
     "text_domain_mix": domain_mix,
@@ -530,6 +563,22 @@ _C_EN, _C_ES, _C_DE, _C_FR = (_occ_sql(w) for w in ("the", "la", "der", "le"))
 _BEST = f"greatest({_C_EN}, {_C_ES}, {_C_DE}, {_C_FR})"
 
 ORACLES = {
+    "text_feature_hashing": f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split({_N}, ' ')) AS word
+            FROM documents WHERE {_N} != ''
+        ),
+        signed AS (
+            SELECT doc_id,
+                   {SQL_HASH32.format(e="word")} % {FEATHASH_D} AS bucket,
+                   1 - 2 * ({SQL_HASH32.format(e="'sgn:' || word")} % 2)
+                       AS sign
+            FROM words
+        )
+        SELECT doc_id, bucket, sum(sign)::BIGINT AS value
+        FROM signed GROUP BY doc_id, bucket
+        HAVING sum(sign) != 0
+    """,
     "text_decontaminate": f"""
         WITH d AS (SELECT doc_id, {_N} AS norm FROM documents),
         toks AS (SELECT doc_id, string_split(norm, ' ') AS w FROM d),

@@ -7,6 +7,20 @@ batch pipeline and its anti-join resume), and watermarked event-window
 aggregation for the pipeline's operational metrics stream.
 """
 
-from .stream import sessionize_stream, stream_extraction, windowed_event_counts
+from .stream import (
+    dedup_process_batch,
+    read_deduped,
+    sessionize_stream,
+    stream_dedup_documents,
+    stream_extraction,
+    windowed_event_counts,
+)
 
-__all__ = ["sessionize_stream", "stream_extraction", "windowed_event_counts"]
+__all__ = [
+    "dedup_process_batch",
+    "read_deduped",
+    "sessionize_stream",
+    "stream_dedup_documents",
+    "stream_extraction",
+    "windowed_event_counts",
+]

@@ -310,3 +310,104 @@ def reconcile_html_spans(spark: SparkSession, out_dir: str) -> DataFrame:
         )
         records = text.unionByName(records.filter(F.col("kind") != "text"))
     return assemble_spans(records.drop("site"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_process_batch(spark: SparkSession, out_dir: str):
+    """The foreachBatch body of ``stream_dedup_documents``, exposed so
+    replay semantics are directly testable (call it twice with the same
+    epoch_id: the second call must change nothing).
+
+    Per epoch: canonicalize within the batch (smallest doc_id per
+    content hash), anti-join against the hashes committed by STRICTLY
+    EARLIER epochs, then write both survivors and their hashes into
+    epoch-keyed directories with mode=overwrite — the same
+    epoch-versioned idempotence pattern as the HTML stream state.
+
+    Scale shape: the cross-batch "seen" state is the committed hash
+    column on disk (16 bytes/doc), not executor-memory streaming state
+    — a billion-doc history is a few GB of parquet riding an anti-join
+    that AQE keeps broadcast-or-sort-merge as appropriate."""
+
+    import glob as _glob
+
+    docs_root = f"{out_dir}/docs"
+    hash_root = f"{out_dir}/hashes"
+
+    def _seen_before(epoch_id: int):
+        dirs = [
+            e for e in _glob.glob(f"{hash_root}/epoch=*")
+            if int(e.rsplit("=", 1)[1]) < epoch_id
+        ]
+        return spark.read.parquet(*dirs).select("h") if dirs else None
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        b = batch_df.withColumn("h", F.md5(F.col("text")))
+        w = Window.partitionBy("h").orderBy("doc_id")
+        first = (
+            b.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        seen = _seen_before(epoch_id)
+        fresh = first if seen is None else first.join(seen, "h", "left_anti")
+        fresh = fresh.persist()
+        try:
+            fresh.drop("h").write.mode("overwrite").parquet(
+                f"{docs_root}/epoch={epoch_id:012d}"
+            )
+            fresh.select("h").write.mode("overwrite").parquet(
+                f"{hash_root}/epoch={epoch_id:012d}"
+            )
+        finally:
+            fresh.unpersist()
+
+    return process
+
+
+def stream_dedup_documents(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming exact deduplication of a documents feed: keep the
+    FIRST occurrence of every content hash across micro-batches,
+    restarts, and replays. Returns the StreamingQuery."""
+
+    from pyspark.sql import types as T
+
+    in_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ])
+    stream = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(input_dir)
+    )
+    writer = (
+        stream.writeStream
+        .foreachBatch(dedup_process_batch(spark, out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_deduped(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All surviving documents across epochs."""
+
+    return spark.read.option("basePath", f"{out_dir}/docs").parquet(
+        f"{out_dir}/docs/epoch=*"
+    ).drop("epoch")

@@ -289,3 +289,58 @@ def test_reconcile_equals_batch_pipeline(spark, tmp_path):
         }
 
     assert spanset(reconcile_html_spans(spark, out)) == spanset(batch)
+
+
+def test_stream_dedup_keeps_first_occurrence_across_batches(spark, tmp_path):
+    from pdf_toolkit_spark.streaming import read_deduped, stream_dedup_documents
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows1 = [(0, "alpha beta", "en", "s1", 10), (1, "gamma", "en", "s1", 5),
+             (2, "alpha beta", "en", "s2", 10)]  # in-batch dup of doc 0
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    spark.createDataFrame(rows1, cols).coalesce(1).write.mode("append").parquet(landing)
+    q = stream_dedup_documents(spark, landing, out, ckpt)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got1 = {r["doc_id"] for r in read_deduped(spark, out).collect()}
+    assert got1 == {0, 1}  # doc 2 is an in-batch duplicate of doc 0
+
+    # second landing: cross-batch dup (doc 3) + genuinely new (doc 4)
+    rows2 = [(3, "gamma", "en", "s3", 5), (4, "delta", "en", "s3", 5)]
+    spark.createDataFrame(rows2, cols).coalesce(1).write.mode("append").parquet(landing)
+    q = stream_dedup_documents(spark, landing, out, ckpt)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    final = read_deduped(spark, out)
+    got = {r["doc_id"]: r["text"] for r in final.collect()}
+    assert got == {0: "alpha beta", 1: "gamma", 4: "delta"}
+    # every surviving text is unique
+    assert final.count() == final.select("text").distinct().count()
+
+
+def test_stream_dedup_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch may replay a committed epoch after a crash: calling
+    the batch body twice with the SAME epoch_id (and then the next
+    epoch) must produce exactly the once-only output."""
+
+    from pdf_toolkit_spark.streaming import dedup_process_batch, read_deduped
+
+    out = str(tmp_path / "out")
+    process = dedup_process_batch(spark, out)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    b0 = spark.createDataFrame(
+        [(0, "alpha", "en", "s", 5), (1, "beta", "en", "s", 4)], cols)
+    process(b0, 0)
+    process(b0, 0)  # replay of epoch 0
+    b1 = spark.createDataFrame(
+        [(2, "alpha", "en", "s", 5), (3, "kappa", "en", "s", 5)], cols)
+    process(b1, 1)
+    process(b1, 1)  # replay of epoch 1
+
+    got = {r["doc_id"]: r["text"] for r in read_deduped(spark, out).collect()}
+    assert got == {0: "alpha", 1: "beta", 3: "kappa"}
