@@ -10,8 +10,9 @@ EBCOT bitplane coder (Annex D: significance-propagation, magnitude-
 refinement and cleanup passes with the run-length shortcut) driven by
 the MQ arithmetic coder shared with the JBIG2 codec (pdfio/jbig2.py —
 T.88 Annex E and T.800 Annex C publish the identical coder).
-Grayscale 8-bit only; multi-component, irreversible 9/7, quantized,
-multi-layer or precinct-partitioned streams raise UserError (missing
+Grayscale and RGB 8-bit (3 components with or without the reversible
+color transform of Annex G); irreversible 9/7, quantized, multi-layer,
+subsampled or precinct-partitioned streams raise UserError (missing
 raster upstream, never wrong pixels).
 
 Both directions are implemented from the public spec; correctness
@@ -952,102 +953,131 @@ def _blocks_of(bh: int, bw_: int):
     return nx, ny, out
 
 
-def encode_jpx(img: np.ndarray, levels: int = 2) -> bytes:
-    """8-bit gray (H, W) -> single-tile lossless JPEG 2000 codestream
-    (one layer, 5/3 reversible, 64x64 code-blocks, LRCP)."""
+def _rct_forward(shifted: np.ndarray) -> list:
+    """Reversible color transform (T.800 G.2) on level-shifted RGB:
+    Y = floor((R + 2G + B)/4), U = B - G, V = R - G."""
 
-    if img.ndim != 2 or img.dtype != np.uint8:
-        raise UserError("JPX encoder: 8-bit gray input required.")
-    h, w = img.shape
+    r = shifted[..., 0]
+    g = shifted[..., 1]
+    b = shifted[..., 2]
+    return [(r + 2 * g + b) >> 2, b - g, r - g]
+
+
+def _rct_inverse(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    g = y - ((u + v) >> 2)
+    return np.stack([v + g, g, u + g], axis=-1)
+
+
+def encode_jpx(img: np.ndarray, levels: int = 2) -> bytes:
+    """8-bit gray (H, W) or RGB (H, W, 3) -> single-tile lossless
+    JPEG 2000 codestream (one layer, 5/3 reversible, RCT for RGB,
+    64x64 code-blocks, LRCP)."""
+
+    if img.dtype != np.uint8 or img.ndim not in (2, 3) or (
+        img.ndim == 3 and img.shape[2] != 3
+    ):
+        raise UserError("JPX encoder: 8-bit gray or RGB input required.")
     if not (0 <= levels <= 5):
         raise UserError("JPX encoder: 0-5 decomposition levels.")
+    h, w = img.shape[:2]
     shifted = img.astype(np.int64) - 128  # DC level shift (B.1.1)
-    ll, lev_bands = dwt53_forward(shifted, levels)
+    if img.ndim == 2:
+        comps, mct, eps_base = [shifted], 0, 8
+    else:
+        # chrominance components span 9 bits after the RCT -> one
+        # extra exponent bit for every component (single QCD)
+        comps, mct, eps_base = _rct_forward(shifted), 1, 9
+    ncomp = len(comps)
 
-    def band_array(orient: int, nb: int) -> np.ndarray:
+    decomposed = [dwt53_forward(c, levels) for c in comps]
+
+    def band_array(ci: int, orient: int, nb: int) -> np.ndarray:
+        ll, lev_bands = decomposed[ci]
         if orient == _LL:
             return ll
         hl, lh, hh = lev_bands[len(lev_bands) - nb]
         return (hl, lh, hh)[orient - 1]
 
     packets = []
+    # LRCP with 1 layer and whole-band precincts: resolution-major,
+    # one packet per component within each resolution
     for bands in _resolution_bands(levels):
-        bw = _BitWriter()
-        body = bytearray()
-        entries = []  # (tagtrees already folded into header bits)
-        any_included = False
-        per_band = []
-        for orient, nb in bands:
-            arr = band_array(orient, nb)
-            bh, bw_ = arr.shape
-            nx, ny, blocks = _blocks_of(bh, bw_)
-            mb = _GUARD_BITS + (8 + _GAIN[orient]) - 1
-            coded = []
-            for y0, x0, ch, cw in blocks:
-                seg, npasses, numbps = t1_encode(
-                    np.ascontiguousarray(arr[y0 : y0 + ch, x0 : x0 + cw])
-                    .astype(np.int32),
-                    orient,
-                )
-                if numbps > mb:
-                    raise UserError("JPX encoder: magnitude exceeds Mb.")
-                coded.append((seg, npasses, numbps))
-                if numbps:
-                    any_included = True
-            per_band.append((nx, ny, coded, mb))
-        if not any_included:
-            bw.put(0)
-            packets.append(bw.flush())
-            continue
-        bw.put(1)
-        for nx, ny, coded, mb in per_band:
-            if not coded:
+        for ci in range(ncomp):
+            bw = _BitWriter()
+            body = bytearray()
+            any_included = False
+            per_band = []
+            for orient, nb in bands:
+                arr = band_array(ci, orient, nb)
+                bh, bw_ = arr.shape
+                nx, ny, blocks = _blocks_of(bh, bw_)
+                mb = _GUARD_BITS + (eps_base + _GAIN[orient]) - 1
+                coded = []
+                for y0, x0, ch, cw in blocks:
+                    seg, npasses, numbps = t1_encode(
+                        np.ascontiguousarray(arr[y0 : y0 + ch, x0 : x0 + cw])
+                        .astype(np.int32),
+                        orient,
+                    )
+                    if numbps > mb:
+                        raise UserError("JPX encoder: magnitude exceeds Mb.")
+                    coded.append((seg, npasses, numbps))
+                    if numbps:
+                        any_included = True
+                per_band.append((nx, ny, coded, mb))
+            if not any_included:
+                bw.put(0)
+                packets.append(bw.flush())
                 continue
-            incl = _TagTree(nx, ny)
-            zbp = _TagTree(nx, ny)
-            incl.set_values(np.array(
-                [[0 if coded[yy * nx + xx][2] else 1 for xx in range(nx)]
-                 for yy in range(ny)], np.int64))
-            zbp.set_values(np.array(
-                [[mb - coded[yy * nx + xx][2] if coded[yy * nx + xx][2] else 0
-                  for xx in range(nx)] for yy in range(ny)], np.int64))
-            for yy in range(ny):
-                for xx in range(nx):
-                    seg, npasses, numbps = coded[yy * nx + xx]
-                    incl.encode(bw, xx, yy, 1)
-                    if not numbps:
-                        continue
-                    # zero-bitplane tag tree, coded to full depth
-                    t = 1
-                    while True:
-                        zbp.encode(bw, xx, yy, t)
-                        if mb - numbps < t:
-                            break
-                        t += 1
-                    _encode_npasses(bw, npasses)
-                    # length signalling: single segment, Lblock starts 3
-                    lblock = 3
-                    nbits = lblock + int(math.floor(math.log2(npasses)))
-                    need = max(1, len(seg)).bit_length()
-                    while need > nbits:
-                        bw.put(1)
-                        lblock += 1
-                        nbits += 1
-                    bw.put(0)
-                    bw.put_bits(len(seg), nbits)
-                    body += seg
-        packets.append(bw.flush() + bytes(body))
+            bw.put(1)
+            for nx, ny, coded, mb in per_band:
+                if not coded:
+                    continue
+                incl = _TagTree(nx, ny)
+                zbp = _TagTree(nx, ny)
+                incl.set_values(np.array(
+                    [[0 if coded[yy * nx + xx][2] else 1 for xx in range(nx)]
+                     for yy in range(ny)], np.int64))
+                zbp.set_values(np.array(
+                    [[mb - coded[yy * nx + xx][2] if coded[yy * nx + xx][2] else 0
+                      for xx in range(nx)] for yy in range(ny)], np.int64))
+                for yy in range(ny):
+                    for xx in range(nx):
+                        seg, npasses, numbps = coded[yy * nx + xx]
+                        incl.encode(bw, xx, yy, 1)
+                        if not numbps:
+                            continue
+                        # zero-bitplane tag tree, coded to full depth
+                        t = 1
+                        while True:
+                            zbp.encode(bw, xx, yy, t)
+                            if mb - numbps < t:
+                                break
+                            t += 1
+                        _encode_npasses(bw, npasses)
+                        # length signalling: single segment, Lblock starts 3
+                        lblock = 3
+                        nbits = lblock + int(math.floor(math.log2(npasses)))
+                        need = max(1, len(seg)).bit_length()
+                        while need > nbits:
+                            bw.put(1)
+                            lblock += 1
+                            nbits += 1
+                        bw.put(0)
+                        bw.put_bits(len(seg), nbits)
+                        body += seg
+            packets.append(bw.flush() + bytes(body))
 
     # --- markers ---
     out = bytearray()
     out += b"\xff\x4f"  # SOC
     siz = struct.pack(
-        ">HHIIIIIIIIHBBB",
-        38 + 3, 0, w, h, 0, 0, w, h, 0, 0, 1, 7, 1, 1,
-    )
+        ">HHIIIIIIIIH",
+        38 + 3 * ncomp, 0, w, h, 0, 0, w, h, 0, 0, ncomp,
+    ) + bytes([7, 1, 1] * ncomp)
     out += b"\xff\x51" + siz
     spcod = bytes([levels, _CB_EXP - 2, _CB_EXP - 2, 0, 1])
-    cod = struct.pack(">HBBHB", 12, 0, 0, 1, 0) + spcod
+    cod = struct.pack(">HBBHB", 12, 0, 0, 1, mct) + spcod
     out += b"\xff\x52" + cod
     n_sub = 3 * levels + 1
     exps = bytearray([0x40])  # Sqcd: no quantization, 2 guard bits
@@ -1056,7 +1086,7 @@ def encode_jpx(img: np.ndarray, levels: int = 2) -> bytes:
         nb = levels - r + 1
         order += [(_HL, nb), (_LH, nb), (_HH, nb)]
     for orient, _nb in order[:n_sub]:
-        exps.append((8 + _GAIN[orient]) << 3)
+        exps.append((eps_base + _GAIN[orient]) << 3)
     out += b"\xff\x5c" + struct.pack(">H", 2 + len(exps)) + bytes(exps)
     data = b"".join(packets)
     psot = 12 + 2 + len(data)  # SOT seg + SOD marker + data
@@ -1067,14 +1097,19 @@ def encode_jpx(img: np.ndarray, levels: int = 2) -> bytes:
 
 
 def decode_jpx(data: bytes) -> np.ndarray:
-    """Single-tile lossless JPEG 2000 codestream -> (H, W) uint8 gray."""
+    """Single-tile lossless JPEG 2000 codestream -> (H, W) uint8 gray
+    or (H, W, 3) uint8 RGB (3 components; inverse RCT when the COD
+    multiple-component-transform flag is set)."""
 
     if data[:2] != b"\xff\x4f":
         raise UserError("JPX: missing SOC marker.")
     pos = 2
     w = h = None
+    ncomp = None
     levels = None
-    cb_exp = None
+    mct = 0
+    guard = _GUARD_BITS
+    qcd_exps: list[int] = []
     tile_data = None
     while pos + 2 <= len(data):
         marker = data[pos : pos + 2]
@@ -1091,11 +1126,12 @@ def decode_jpx(data: bytes) -> np.ndarray:
             (_rsiz, xs, ys, xo, yo, xt, yt, xto, yto, ncomp) = struct.unpack(
                 ">HIIIIIIIIH", seg[:36]
             )
-            if ncomp != 1:
-                raise UserError("JPX: only single-component (gray) streams.")
-            ssiz, xr, yr = seg[36], seg[37], seg[38]
-            if ssiz != 7 or xr != 1 or yr != 1:
-                raise UserError("JPX: only 8-bit unsigned, no subsampling.")
+            if ncomp not in (1, 3):
+                raise UserError("JPX: only 1- or 3-component streams.")
+            for ci in range(ncomp):
+                ssiz, xr, yr = seg[36 + 3 * ci : 39 + 3 * ci]
+                if ssiz != 7 or xr != 1 or yr != 1:
+                    raise UserError("JPX: only 8-bit unsigned, no subsampling.")
             if xo or yo or xto or yto or xt < xs or yt < ys:
                 raise UserError("JPX: only single-tile streams at the origin.")
             w, h = xs, ys
@@ -1107,13 +1143,12 @@ def decode_jpx(data: bytes) -> np.ndarray:
             _prog, layers, mct = seg[1], struct.unpack(">H", seg[2:4])[0], seg[4]
             if layers != 1:
                 raise UserError("JPX: only single-layer streams.")
-            if mct:
-                raise UserError("JPX: component transform unsupported.")
+            if mct not in (0, 1):
+                raise UserError("JPX: unknown component transform.")
             levels = seg[5]
             if levels > 5:
                 raise UserError("JPX: more than 5 decomposition levels.")
-            cb_exp = seg[6] + 2
-            if cb_exp != _CB_EXP or seg[7] + 2 != _CB_EXP:
+            if seg[6] + 2 != _CB_EXP or seg[7] + 2 != _CB_EXP:
                 raise UserError("JPX: only 64x64 code-blocks.")
             if seg[8] != 0:
                 raise UserError("JPX: code-block style modes unsupported.")
@@ -1123,6 +1158,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
         elif marker == b"\xff\x5c":  # QCD
             if seg[0] & 0x1F:
                 raise UserError("JPX: quantization unsupported (lossless only).")
+            guard = seg[0] >> 5
+            qcd_exps = [b_ >> 3 for b_ in seg[1:]]
             pos += ln
         elif marker == b"\xff\x90":  # SOT
             _isot, psot, _tpsot, _tnsot = struct.unpack(">HIBB", seg[:8])
@@ -1137,74 +1174,102 @@ def decode_jpx(data: bytes) -> np.ndarray:
             pos += ln  # COM and friends: skip
     if w is None or levels is None or tile_data is None:
         raise UserError("JPX: missing SIZ/COD/tile data.")
+    if mct and ncomp != 3:
+        raise UserError("JPX: component transform requires 3 components.")
 
-    # band containers
-    band_arrays: dict[tuple[int, int], np.ndarray] = {}
+    # per-band Mb from the parsed QCD exponents (band order: LL, then
+    # HL/LH/HH per resolution)
+    band_order = [(_LL, levels if levels else 0)]
+    for r in range(1, levels + 1):
+        nb = levels - r + 1
+        band_order += [(_HL, nb), (_LH, nb), (_HH, nb)]
+    if len(qcd_exps) < len(band_order):
+        raise UserError("JPX: QCD exponent list too short.")
+    mb_of = {
+        key: guard + qcd_exps[i] - 1 for i, key in enumerate(band_order)
+    }
+
+    # band containers, keyed (component, orient, level)
+    band_arrays: dict[tuple[int, int, int], np.ndarray] = {}
     pos = 0
     for bands in _resolution_bands(levels):
-        br = _BitReader(tile_data, pos)
-        blocks_to_read = []
-        if not br.get():  # empty packet
-            pos = br.align()
+        for ci in range(ncomp):
+            br = _BitReader(tile_data, pos)
+            blocks_to_read = []
+            if not br.get():  # empty packet
+                pos = br.align()
+                for orient, nb in bands:
+                    bh = _band_dims(h, nb, 0 if orient in (_LL, _HL) else 1)
+                    bw_ = _band_dims(w, nb, 0 if orient in (_LL, _LH) else 1)
+                    band_arrays.setdefault(
+                        (ci, orient, nb), np.zeros((bh, bw_), np.int64)
+                    )
+                continue
             for orient, nb in bands:
                 bh = _band_dims(h, nb, 0 if orient in (_LL, _HL) else 1)
                 bw_ = _band_dims(w, nb, 0 if orient in (_LL, _LH) else 1)
-                band_arrays.setdefault((orient, nb), np.zeros((bh, bw_), np.int64))
-            continue
-        for orient, nb in bands:
-            bh = _band_dims(h, nb, 0 if orient in (_LL, _HL) else 1)
-            bw_ = _band_dims(w, nb, 0 if orient in (_LL, _LH) else 1)
-            arr = np.zeros((bh, bw_), np.int64)
-            band_arrays[(orient, nb)] = arr
-            if bh == 0 or bw_ == 0:
-                continue
-            nx, ny, blocks = _blocks_of(bh, bw_)
-            mb = _GUARD_BITS + (8 + _GAIN[orient]) - 1
-            incl = _TagTree(nx, ny)
-            zbp = _TagTree(nx, ny)
-            for yy in range(ny):
-                for xx in range(nx):
-                    y0, x0, ch, cw = blocks[yy * nx + xx]
-                    if not incl.decode(br, xx, yy, 1):
-                        continue
-                    t = 1
-                    while not zbp.decode(br, xx, yy, t):
-                        t += 1
-                    missing = t - 1
-                    numbps = mb - missing
-                    if numbps <= 0:
-                        raise UserError("JPX: invalid zero-bitplane count.")
-                    npasses = _decode_npasses(br)
-                    lblock = 3
-                    while br.get():
-                        lblock += 1
-                    nbits = lblock + int(math.floor(math.log2(npasses)))
-                    seg_len = br.get_bits(nbits)
-                    blocks_to_read.append(
-                        (arr, orient, y0, x0, ch, cw, numbps, npasses, seg_len)
-                    )
-        pos = br.align()
-        for arr, orient, y0, x0, ch, cw, numbps, npasses, seg_len in blocks_to_read:
-            seg = tile_data[pos : pos + seg_len]
-            pos += seg_len
-            coeffs = t1_decode(seg, ch, cw, orient, numbps, npasses)
-            arr[y0 : y0 + ch, x0 : x0 + cw] = coeffs
+                arr = np.zeros((bh, bw_), np.int64)
+                band_arrays[(ci, orient, nb)] = arr
+                if bh == 0 or bw_ == 0:
+                    continue
+                nx, ny, blocks = _blocks_of(bh, bw_)
+                mb = mb_of[(orient, nb)]
+                incl = _TagTree(nx, ny)
+                zbp = _TagTree(nx, ny)
+                for yy in range(ny):
+                    for xx in range(nx):
+                        y0, x0, ch, cw = blocks[yy * nx + xx]
+                        if not incl.decode(br, xx, yy, 1):
+                            continue
+                        t = 1
+                        while not zbp.decode(br, xx, yy, t):
+                            t += 1
+                        missing = t - 1
+                        numbps = mb - missing
+                        if numbps <= 0:
+                            raise UserError("JPX: invalid zero-bitplane count.")
+                        npasses = _decode_npasses(br)
+                        lblock = 3
+                        while br.get():
+                            lblock += 1
+                        nbits = lblock + int(math.floor(math.log2(npasses)))
+                        seg_len = br.get_bits(nbits)
+                        blocks_to_read.append(
+                            (arr, orient, y0, x0, ch, cw, numbps, npasses, seg_len)
+                        )
+            pos = br.align()
+            for (arr, orient, y0, x0, ch, cw, numbps, npasses,
+                 seg_len) in blocks_to_read:
+                seg = tile_data[pos : pos + seg_len]
+                pos += seg_len
+                coeffs = t1_decode(seg, ch, cw, orient, numbps, npasses)
+                arr[y0 : y0 + ch, x0 : x0 + cw] = coeffs
 
-    ll = band_arrays[(_LL, levels if levels else 0)]
-    lev_bands = []
-    for nb in range(levels, 0, -1):
-        lev_bands.append(
-            (band_arrays[(_HL, nb)], band_arrays[(_LH, nb)],
-             band_arrays[(_HH, nb)])
-        )
-    tile = dwt53_inverse(ll, lev_bands)
-    if tile.shape != (h, w):
-        raise UserError("JPX: reconstructed tile shape mismatch.")
-    return np.clip(tile + 128, 0, 255).astype(np.uint8)
+    planes = []
+    for ci in range(ncomp):
+        ll = band_arrays[(ci, _LL, levels if levels else 0)]
+        lev_bands = []
+        for nb in range(levels, 0, -1):
+            lev_bands.append(
+                (band_arrays[(ci, _HL, nb)], band_arrays[(ci, _LH, nb)],
+                 band_arrays[(ci, _HH, nb)])
+            )
+        tile = dwt53_inverse(ll, lev_bands)
+        if tile.shape != (h, w):
+            raise UserError("JPX: reconstructed tile shape mismatch.")
+        planes.append(tile)
+    if ncomp == 1:
+        out = planes[0]
+    elif mct:
+        out = _rct_inverse(*planes)
+    else:
+        out = np.stack(planes, axis=-1)
+    return np.clip(out + 128, 0, 255).astype(np.uint8)
 
 
 def decode_jpx_pdf(data: bytes) -> np.ndarray:
-    """PDF /JPXDecode payload -> (H, W) uint8 gray. Accepts a raw
+    """PDF /JPXDecode payload -> (H, W) gray or (H, W, 3) RGB uint8.
+    Accepts a raw
     codestream or a JP2 box container (unwraps the ``jp2c`` box, PDF
     32000-1 7.4.9 allows either)."""
 

@@ -1167,9 +1167,13 @@ class PdfDocument:
             try:
                 arr = decode_jpx_pdf(raw)
             except UserError:
-                return None  # multi-component/quantized — missing raster
-            if arr.shape != (h, w):
+                return None  # quantized/9-7/multi-tile — missing raster
+            if arr.shape[:2] != (h, w):
                 return None
+            if channels == 1 and arr.ndim == 3:
+                return None  # colorspace/stream mismatch
+            if channels == 3 and arr.ndim == 2:
+                arr = np.stack([arr] * 3, axis=-1)
             decode = self.resolve(obj.get("Decode"))
             if decode and list(decode)[:2] == [1, 0]:
                 arr = (255 - arr).astype(np.uint8)

