@@ -542,7 +542,90 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PageRank over the near-dup graph: damping, fixed iteration count
+#: (unrolled in the oracle), and the 2^-30 quantization grid that makes
+#: per-node contribution sums integer-exact in any partition order.
+PR_DAMPING = 0.85
+PR_ITERS = 3
+PR_SCALE = 1 << 30
+
+
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of the MinHash-LSH near-dup graph (the
+    "which duplicate is the hub" signal a curation pipeline uses to
+    pick canonical docs or spot template farms). Fixed PR_ITERS
+    iterations at damping PR_DAMPING over the symmetrized strong-pair
+    edges; per-edge contributions are quantized to the 2^-30 grid so
+    the per-node sums are exact integers — partition-order-independent
+    and engine-exact against the unrolled-CTE DuckDB oracle. Output:
+    (doc_id, degree, pagerank) for graph nodes only.
+
+    Scale shape: the classic iterative join+agg (one doc_id-keyed
+    shuffle per iteration over the EDGE relation, which is
+    near-dup-sized, not corpus-sized); edges persist across
+    iterations."""
+
+    edges_ab = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .filter(F.col("sim_est") >= COMPONENT_MIN_SIM)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        edges_ab.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges_ab.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    try:
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        nodes = deg.select(F.col("src").alias("doc_id"), "deg").persist()
+        n = nodes.count()  # graph-node count: a tiny driver scalar
+        if n == 0:
+            return nodes.select(
+                "doc_id", F.col("deg").alias("degree"),
+                F.lit(0.0).alias("pagerank"),
+            )
+        base = (1.0 - PR_DAMPING) / n
+        ranks = nodes.select("doc_id", F.lit(1.0 / n).alias("rank"))
+        for _ in range(PR_ITERS):
+            shares = (
+                ranks.join(nodes, "doc_id")
+                .select(
+                    F.col("doc_id").alias("src"),
+                    (F.col("rank") / F.col("deg")).alias("share"),
+                )
+            )
+            terms = edges.join(shares, "src").select(
+                "dst", F.floor(F.col("share") * PR_SCALE + 0.5).alias("t")
+            )
+            sums = terms.groupBy(F.col("dst").alias("doc_id")).agg(
+                F.sum("t").alias("ts")
+            )
+            ranks = (
+                nodes.join(sums, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    (F.lit(base)
+                     + PR_DAMPING * (F.coalesce("ts", F.lit(0)) / F.lit(float(PR_SCALE)))
+                     ).alias("rank"),
+                )
+            )
+        out = (
+            nodes.join(ranks, "doc_id")
+            .select(
+                "doc_id",
+                F.col("deg").alias("degree"),
+                F.round("rank", 8).alias("pagerank"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+        nodes.unpersist()
+        return out
+    finally:
+        edges.unpersist()
+
+
 QUERIES = {
+    "dedup_pagerank": dedup_pagerank,
     "dedup_exact": exact_dedup,
     "dedup_minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
@@ -729,6 +812,82 @@ ORACLES["dedup_components"] = (
            CAST(COALESCE(LEAST(c.min_reach, doc.doc_id), doc.doc_id) AS BIGINT)
                AS canonical_id
     FROM documents doc LEFT JOIN comp c ON c.doc_id = doc.doc_id
+"""
+)
+
+ORACLES["dedup_pagerank"] = (
+    _SQL_SIGS
+    + f""",
+    cbands AS (
+        SELECT doc_id, CAST(floor(h_idx / {BAND_ROWS}) AS INT) AS band,
+               md5(string_agg(sig::VARCHAR, ',' ORDER BY h_idx)) AS band_key
+        FROM sigs GROUP BY doc_id, band
+    ),
+    cpairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cbands a JOIN cbands b USING (band, band_key)
+        WHERE a.doc_id < b.doc_id
+    ),
+    strong AS (
+        SELECT p.doc_a, p.doc_b
+        FROM cpairs p
+        JOIN sigs sa ON sa.doc_id = p.doc_a
+        JOIN sigs sb ON sb.doc_id = p.doc_b AND sb.h_idx = sa.h_idx
+        GROUP BY p.doc_a, p.doc_b
+        HAVING round(avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END), 6)
+               >= {COMPONENT_MIN_SIM}
+    ),
+    cedges AS (
+        SELECT doc_a AS s, doc_b AS d FROM strong
+        UNION SELECT doc_b, doc_a FROM strong
+    ),
+    nodes AS (SELECT s AS doc_id, count(*) AS deg FROM cedges GROUP BY s),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    r0 AS (SELECT doc_id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+    t1 AS (
+        SELECT e.d AS doc_id,
+               sum(floor(r0.rank / nd.deg * {PR_SCALE} + 0.5)) AS ts
+        FROM cedges e
+        JOIN r0 ON r0.doc_id = e.s
+        JOIN nodes nd ON nd.doc_id = e.s
+        GROUP BY e.d
+    ),
+    r1 AS (
+        SELECT n0.doc_id,
+               (1.0 - {PR_DAMPING}) / nn.n
+               + {PR_DAMPING} * (coalesce(t1.ts, 0) / {PR_SCALE}.0) AS rank
+        FROM nodes n0 CROSS JOIN nn LEFT JOIN t1 USING (doc_id)
+    ),
+    t2 AS (
+        SELECT e.d AS doc_id,
+               sum(floor(r1.rank / nd.deg * {PR_SCALE} + 0.5)) AS ts
+        FROM cedges e
+        JOIN r1 ON r1.doc_id = e.s
+        JOIN nodes nd ON nd.doc_id = e.s
+        GROUP BY e.d
+    ),
+    r2 AS (
+        SELECT n0.doc_id,
+               (1.0 - {PR_DAMPING}) / nn.n
+               + {PR_DAMPING} * (coalesce(t2.ts, 0) / {PR_SCALE}.0) AS rank
+        FROM nodes n0 CROSS JOIN nn LEFT JOIN t2 USING (doc_id)
+    ),
+    t3 AS (
+        SELECT e.d AS doc_id,
+               sum(floor(r2.rank / nd.deg * {PR_SCALE} + 0.5)) AS ts
+        FROM cedges e
+        JOIN r2 ON r2.doc_id = e.s
+        JOIN nodes nd ON nd.doc_id = e.s
+        GROUP BY e.d
+    ),
+    r3 AS (
+        SELECT n0.doc_id,
+               (1.0 - {PR_DAMPING}) / nn.n
+               + {PR_DAMPING} * (coalesce(t3.ts, 0) / {PR_SCALE}.0) AS rank
+        FROM nodes n0 CROSS JOIN nn LEFT JOIN t3 USING (doc_id)
+    )
+    SELECT n0.doc_id, n0.deg AS degree, round(r3.rank, 8) AS pagerank
+    FROM nodes n0 JOIN r3 USING (doc_id)
 """
 )
 

@@ -476,7 +476,44 @@ def session_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-style LEFT SEMI join — orders having at
+    least one lineitem shipped more than 90 days after the order date,
+    counted per priority. Output: (o_orderpriority, n_orders)."""
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.date_add(F.to_date("o_orderdate"), 90)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery decorrelated into an
+    aggregate + join — revenue from lineitems whose quantity is below
+    20% of their part's average quantity. Output: one row
+    (avg_yearly_revenue, n_items)."""
+
+    li = table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    small = li.join(part_avg, "l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_cut")
+    )
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly_revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 QUERIES = {
+    "rel_late_order_priority": late_order_priority,
+    "rel_small_quantity_revenue": small_quantity_revenue,
     "rel_asof_join": asof_join,
     "rel_session_range_join": session_range_join,
     "rel_funnel": funnel,
@@ -531,6 +568,26 @@ _SESSIONIZE_SQL = f"""
 
 
 ORACLES = {
+    "rel_late_order_priority": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate::DATE > o.o_orderdate::DATE + INTERVAL 90 DAY
+        )
+        GROUP BY o_orderpriority
+    """,
+    "rel_small_quantity_revenue": """
+        WITH pa AS (
+            SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly_revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN pa USING (l_partkey)
+        WHERE l_quantity < qty_cut
+    """,
     "rel_funnel": f"""
         WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
                    WHERE event_type = 'view' GROUP BY user_id),
