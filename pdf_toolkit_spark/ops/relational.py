@@ -511,7 +511,30 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family in one pass: per-nation account-balance
+    quartile (ntile), percent_rank and cume_dist for every customer.
+    Deterministic under ties via the (c_acctbal, c_custkey) ordering.
+    Output: (c_custkey, n_name, quartile, pct_rank, cume).
+
+    Scale shape: one window over the nation-keyed exchange — the same
+    single-shuffle shape as the engine's positional enumeration."""
+
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    j = cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    w = Window.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
+    return j.select(
+        "c_custkey",
+        "n_name",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 QUERIES = {
+    "rel_customer_quartiles": customer_quartiles,
     "rel_late_order_priority": late_order_priority,
     "rel_small_quantity_revenue": small_quantity_revenue,
     "rel_asof_join": asof_join,
@@ -568,6 +591,14 @@ _SESSIONIZE_SQL = f"""
 
 
 ORACLES = {
+    "rel_customer_quartiles": """
+        SELECT c_custkey, n_name,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal, c_custkey)
+    """,
     "rel_late_order_priority": """
         SELECT o_orderpriority, count(*) AS n_orders
         FROM orders o
