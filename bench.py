@@ -82,6 +82,14 @@ def main() -> None:
         "rel_sessionization",
         "html_extract_spans",
         "mm_media_format_histogram",
+        # round-4 additions
+        "text_trigram_lm_score",
+        "text_decontaminate",
+        "sketch_hll_distinct",
+        "rel_asof_join",
+        "rel_funnel",
+        "dedup_pagerank",
+        "sim_ivf_topk_batch",
     ]
     for name in headliners:
         t0 = time.monotonic()

@@ -9,6 +9,7 @@ aggregation for the pipeline's operational metrics stream.
 
 from .stream import (
     dedup_process_batch,
+    purchase_attribution_stream,
     read_deduped,
     sessionize_stream,
     stream_dedup_documents,
@@ -18,6 +19,7 @@ from .stream import (
 
 __all__ = [
     "dedup_process_batch",
+    "purchase_attribution_stream",
     "read_deduped",
     "sessionize_stream",
     "stream_dedup_documents",

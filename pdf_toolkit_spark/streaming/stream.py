@@ -411,3 +411,52 @@ def read_deduped(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.option("basePath", f"{out_dir}/docs").parquet(
         f"{out_dir}/docs/epoch=*"
     ).drop("epoch")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join
+# ---------------------------------------------------------------------------
+
+def purchase_attribution_stream(
+    events: DataFrame, window_sec: int = 86400, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join (the streaming attribution
+    primitive): every purchase matched to the same user's clicks in the
+    preceding ``window_sec``. Both sides carry event-time watermarks,
+    which is what lets Spark BOUND the join state: click state older
+    than (watermark + window) is dropped, so state is
+    click-rate x window sized, not unbounded.
+
+    Works identically on a static DataFrame (watermarks are no-ops in
+    batch), which is the test's equality gate. Timestamps are cast to
+    TIMESTAMP first — watermarks reject TIMESTAMP_NTZ."""
+
+    ev = events.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", "event_id",
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user AND purchase_ts > click_ts "
+            f"AND purchase_ts <= click_ts + interval {window_sec} seconds"
+        ),
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")

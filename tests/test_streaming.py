@@ -344,3 +344,44 @@ def test_stream_dedup_replay_is_idempotent(spark, tmp_path):
 
     got = {r["doc_id"]: r["text"] for r in read_deduped(spark, out).collect()}
     assert got == {0: "alpha", 1: "beta", 3: "kappa"}
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """The purchase-attribution stream-stream join (watermarked on both
+    sides) must produce exactly the static join's pairs once drained —
+    inner interval joins emit eagerly; watermarks only bound state."""
+
+    from pdf_toolkit_spark.streaming import purchase_attribution_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    expected = {
+        tuple(r) for r in purchase_attribution_stream(events)
+        .select("purchase_id", "click_id").collect()
+    }
+    assert expected, "static join found no pairs — fixture changed?"
+
+    landing = str(tmp_path / "events")
+    # two files so the stream sees multiple input splits
+    events.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(landing)
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(landing)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        purchase_attribution_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    got = {
+        tuple(r) for r in spark.read.parquet(out)
+        .select("purchase_id", "click_id").collect()
+    }
+    assert got == expected
