@@ -533,7 +533,48 @@ def customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: salt fan-out for the skew-join demonstration
+SKEW_SALTS = 8
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join, made explicit: the events fact table has a
+    tiny, hot user_id key space (every key is a straggler at scale), so
+    the user dimension is replicated across SKEW_SALTS salt values and
+    the fact side picks a deterministic salt — each hot key's rows
+    spread over 8 reducers instead of one. Result is IDENTICAL to the
+    plain join (the oracle is the unsalted SQL); what changes is the
+    shuffle key cardinality. This is the manual form of what AQE skew
+    handling does for sort-merge joins — spelled out because broadcast
+    is not always available (a fleet-scale user dim does not fit) and
+    AQE only splits SMJ partitions, not hash-agg hotspots.
+    Output: (user_id, event_type, n_events, value_sum, user_rank)."""
+
+    ev = table(spark, sf_dir, "events")
+    dim = (
+        ev.groupBy("user_id")
+        .agg(F.min("event_id").alias("first_event"))
+        .withColumn("user_rank", F.dense_rank().over(
+            Window.orderBy("first_event")))
+        .select("user_id", "user_rank")
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SKEW_SALTS - 1)))
+    )
+    salted_fact = ev.withColumn("salt", (F.col("event_id") % SKEW_SALTS).cast("int"))
+    return (
+        salted_fact.join(salted_dim, ["user_id", "salt"])
+        .groupBy("user_id", "event_type", "user_rank")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select("user_id", "event_type", "n_events", "value_sum", "user_rank")
+    )
+
+
 QUERIES = {
+    "rel_skew_salted_join": skew_salted_join,
     "rel_customer_quartiles": customer_quartiles,
     "rel_late_order_priority": late_order_priority,
     "rel_small_quantity_revenue": small_quantity_revenue,
@@ -591,6 +632,21 @@ _SESSIONIZE_SQL = f"""
 
 
 ORACLES = {
+    "rel_skew_salted_join": """
+        WITH dim AS (
+            SELECT user_id,
+                   CAST(dense_rank() OVER (ORDER BY first_event) AS INT)
+                       AS user_rank
+            FROM (SELECT user_id, min(event_id) AS first_event
+                  FROM events GROUP BY user_id)
+        )
+        SELECT e.user_id, e.event_type,
+               count(*) AS n_events,
+               round(sum(e.value), 2) AS value_sum,
+               d.user_rank
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+        GROUP BY e.user_id, e.event_type, d.user_rank
+    """,
     "rel_customer_quartiles": """
         SELECT c_custkey, n_name,
                CAST(ntile(4) OVER w AS INT) AS quartile,

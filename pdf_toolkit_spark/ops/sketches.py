@@ -129,9 +129,66 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_K = 1024
+_QPS = (0.5, 0.9, 0.99)
+
+
+def sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a deterministic uniform sample: the
+    SAMPLE_K orders with the smallest md5-derived key hashes (hash
+    order IS a uniform random order, and both engines agree on it)
+    estimate the o_totalprice quantiles; the exact discrete quantiles
+    (rank ceil(p*n) under a total order — no float interpolation, so
+    engine-exact) ride along for the accuracy check. Output: one row
+    (sample_k, q50_est, q90_est, q99_est, q50_exact, q90_exact,
+    q99_exact).
+
+    Scale shape: the sample is a TakeOrdered over hash32 (map-side
+    top-K); its quantiles sort SAMPLE_K rows. The exact branch is a
+    full global sort — the cost the sketch avoids; drop it in
+    production use."""
+
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("v")
+    )
+
+    def disc_quantiles(df, prefix):
+        w = Window.orderBy("v", "o_orderkey")
+        ranked = df.select(
+            "v",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).alias("n"),
+        )
+        aggs = [
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("v"))
+            ).alias(f"{prefix}{int(p * 100)}")
+            for p in _QPS
+        ]
+        return ranked.agg(*aggs)
+
+    sample = (
+        orders.withColumn("h", hash32(F.col("o_orderkey").cast("string")))
+        .orderBy("h")
+        .limit(SAMPLE_K)
+        .select("o_orderkey", "v")
+    )
+    est = disc_quantiles(sample, "q_est_")
+    exact = disc_quantiles(orders, "q_exact_")
+    return (
+        est.crossJoin(exact)
+        .select(F.lit(SAMPLE_K).alias("sample_k"), "*")
+    )
+
+
 QUERIES = {
     "sketch_kmv_distinct": kmv_distinct,
     "sketch_hll_distinct": hll_distinct,
+    "sketch_sample_quantiles": sample_quantiles,
 }
 
 _H = SQL_HASH32.format(e=_KEY)
@@ -184,3 +241,36 @@ ORACLES = {
         FROM agg CROSS JOIN ex
     """,
 }
+
+_HQ = SQL_HASH32.format(e="o_orderkey::VARCHAR")
+
+ORACLES["sketch_sample_quantiles"] = f"""
+    WITH o AS (SELECT o_orderkey, round(o_totalprice, 2) AS v FROM orders),
+    sample AS (
+        SELECT o_orderkey, v
+        FROM (SELECT o_orderkey, v, {_HQ} AS h FROM o ORDER BY h LIMIT {SAMPLE_K})
+    ),
+    rs AS (
+        SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS rn,
+               count(*) OVER () AS n
+        FROM sample
+    ),
+    re AS (
+        SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS rn,
+               count(*) OVER () AS n
+        FROM o
+    ),
+    qe AS (
+        SELECT max(CASE WHEN rn = ceil(0.5 * n) THEN v END) AS q_est_50,
+               max(CASE WHEN rn = ceil(0.9 * n) THEN v END) AS q_est_90,
+               max(CASE WHEN rn = ceil(0.99 * n) THEN v END) AS q_est_99
+        FROM rs
+    ),
+    qx AS (
+        SELECT max(CASE WHEN rn = ceil(0.5 * n) THEN v END) AS q_exact_50,
+               max(CASE WHEN rn = ceil(0.9 * n) THEN v END) AS q_exact_90,
+               max(CASE WHEN rn = ceil(0.99 * n) THEN v END) AS q_exact_99
+        FROM re
+    )
+    SELECT {SAMPLE_K} AS sample_k, qe.*, qx.* FROM qe CROSS JOIN qx
+"""
