@@ -206,11 +206,73 @@ def jpeg_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(roundtrip, schema=PNG_META_SCHEMA)
 
 
+THUMB = 8  # thumbnail edge (the feature-extract stage's output dims)
+
+THUMB_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("thumb_sum", T.LongType(), False),
+    T.StructField("thumb_hex", T.StringType(), False),
+])
+
+
+def image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extract stage over the real-codec media path: a
+    deterministic GRADIENT PNG per doc (structure, not flat fill — the
+    resize must actually sample) is decoded with the engine's PNG codec
+    and reduced to an 8x8 nearest-neighbor thumbnail using the render
+    kernel's pixel-center mapping (kernels.resample_nearest:502-503,
+    applied per axis for the non-uniform aspect). Output: (doc_id,
+    width, height, thumb_sum, thumb_hex).
+
+    The gradient and the mapping are integer/dyadic arithmetic, so the
+    64 thumbnail bytes have an exact DuckDB oracle even though the
+    Spark side round-trips real PNG encode->decode to produce them."""
+
+    import numpy as np
+
+    from ..pdfio.png import decode_png, encode_png
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "thumb_sum", "thumb_hex")}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                d = hashlib.sha256(bytes(payload)).digest()
+                a, b, c = d[0], 1 + d[1] % 7, 1 + d[2] % 7
+                w, h = 24 + d[3] % 40, 24 + d[4] % 40
+                grad = (
+                    a + b * np.arange(w)[None, :] + c * np.arange(h)[:, None]
+                ) % 256
+                png = encode_png(grad.astype(np.uint8))
+                arr = decode_png(png)  # the REAL decode
+                rows = np.clip(
+                    ((np.arange(THUMB) + 0.5) * h / THUMB).astype(np.int64), 0, h - 1
+                )
+                cols = np.clip(
+                    ((np.arange(THUMB) + 0.5) * w / THUMB).astype(np.int64), 0, w - 1
+                )
+                tiny = arr[rows][:, cols]
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["thumb_sum"].append(int(tiny.sum()))
+                out["thumb_hex"].append(tiny.tobytes().hex())
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(thumb, schema=THUMB_SCHEMA)
+
+
 QUERIES = {
     "mm_media_metadata": media_metadata,
     "mm_media_format_histogram": media_format_histogram,
     "mm_png_decode": png_decode_metadata,
     "mm_jpeg_decode": jpeg_decode_metadata,
+    "mm_image_thumbnail": image_thumbnail,
 }
 
 #: Exact DuckDB oracles: the stub decoder is sha256-derived, and DuckDB
@@ -256,5 +318,35 @@ ORACLES: dict[str, str] = {
                CAST(16 + ('0x' || substr(sha256(text), 5, 2))::INT % 32 AS INT) AS height,
                CAST(('0x' || substr(sha256(text), 7, 2))::INT AS INT) AS mean_px
         FROM documents
+    """,
+    # The 8x8 thumbnail recomputed in pure arithmetic: gradient pixel
+    # (a + b*x + c*y) % 256 sampled at the kernel's pixel-center
+    # indices floor((i + 0.5) * dim / 8) — byte-for-byte against the
+    # Spark side's real PNG encode->decode->resample.
+    "mm_image_thumbnail": f"""
+        WITH p AS (
+            SELECT doc_id,
+                   ('0x' || substr(sha256(text), 1, 2))::INT AS a,
+                   1 + ('0x' || substr(sha256(text), 3, 2))::INT % 7 AS b,
+                   1 + ('0x' || substr(sha256(text), 5, 2))::INT % 7 AS c,
+                   24 + ('0x' || substr(sha256(text), 7, 2))::INT % 40 AS w,
+                   24 + ('0x' || substr(sha256(text), 9, 2))::INT % 40 AS h
+            FROM documents
+        ),
+        cells AS (
+            SELECT doc_id, w, h, i, j,
+                   (a + b * least(CAST(floor((j + 0.5) * w / {THUMB}) AS INT), w - 1)
+                      + c * least(CAST(floor((i + 0.5) * h / {THUMB}) AS INT), h - 1)
+                   ) % 256 AS px
+            FROM p,
+                 (SELECT unnest(generate_series(0, {THUMB - 1})) AS i),
+                 (SELECT unnest(generate_series(0, {THUMB - 1})) AS j)
+        )
+        SELECT doc_id,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(sum(px) AS BIGINT) AS thumb_sum,
+               string_agg(lpad(lower(to_hex(px)), 2, '0'), ''
+                          ORDER BY i * {THUMB} + j) AS thumb_hex
+        FROM cells GROUP BY doc_id, w, h
     """,
 }
