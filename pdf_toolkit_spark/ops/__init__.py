@@ -10,6 +10,7 @@ driver's correctness harness (and tests/test_ops.py) enforce it.
 """
 
 from . import (
+    curation,
     dedup,
     extraction_queries,
     html_queries,
@@ -21,7 +22,7 @@ from . import (
 )
 
 _MODULES = (
-    relational, text, dedup, similarity, multimodal, sketches,
+    relational, text, dedup, similarity, multimodal, sketches, curation,
     extraction_queries, html_queries,
 )
 

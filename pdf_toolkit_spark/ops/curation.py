@@ -1,0 +1,81 @@
+"""The end-to-end curation pipeline: the composite query a training-data
+run actually executes, chaining the per-signal operators this package
+provides — C4 quality rules, Gopher repetition rules, GPT-3-style
+benchmark decontamination, exact dedup (canonical doc per content
+hash), and token accounting — into one survivors relation.
+
+Composition IS the point: every stage is the same doc_id-keyed relation,
+so the whole pipeline is a chain of doc_id equi-joins over one scan
+lineage — Catalyst fuses the filter columns into the reads, and the
+only shuffles are the aggregates the individual operators already pay
+for. The DuckDB oracle composes the SAME per-stage oracle SQL texts as
+subqueries, so the composite stays value-exact by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dedup as _dedup
+from . import text as _text
+from .common import table
+
+
+def curate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents that pass ALL curation gates, with their token counts:
+    quality keep AND repetition keep AND not benchmark-contaminated
+    (benchmark docs themselves are excluded — eval data never trains)
+    AND canonical for their exact-content hash. Output: (doc_id,
+    n_tokens)."""
+
+    q = _text.quality_filter(spark, sf_dir).filter("keep").select("doc_id")
+    r = _text.repetition_filter(spark, sf_dir).filter("keep").select("doc_id")
+    dq = (
+        _text.decontaminate(spark, sf_dir)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    dd = (
+        docs.join(_dedup.exact_dedup(spark, sf_dir), "fp")
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+    )
+    tok = _text.token_count(spark, sf_dir)
+    return (
+        q.join(r, "doc_id")
+        .join(dq, "doc_id")
+        .join(dd, "doc_id")
+        .join(tok, "doc_id")
+        .select("doc_id", "n_tokens")
+    )
+
+
+QUERIES = {"curate_survivors": curate_survivors}
+
+ORACLES = {
+    "curate_survivors": f"""
+        WITH q AS (SELECT doc_id FROM ({_text.ORACLES["text_quality_filter"]}) x
+                   WHERE keep),
+        r AS (SELECT doc_id FROM ({_text.ORACLES["text_repetition_filter"]}) x
+              WHERE keep),
+        dq AS (SELECT doc_id FROM ({_text.ORACLES["text_decontaminate"]}) x
+               WHERE NOT contaminated),
+        dd AS (
+            SELECT d.doc_id
+            FROM documents d
+            JOIN ({_dedup.ORACLES["dedup_exact"]}) e
+              ON md5(d.text) = e.fp AND d.doc_id = e.canonical_id
+        ),
+        tok AS (SELECT * FROM ({_text.ORACLES["text_token_count"]}) x)
+        SELECT q.doc_id, tok.n_tokens
+        FROM q
+        JOIN r USING (doc_id)
+        JOIN dq USING (doc_id)
+        JOIN dd USING (doc_id)
+        JOIN tok USING (doc_id)
+    """,
+}
