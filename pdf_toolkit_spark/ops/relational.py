@@ -573,7 +573,28 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (completes the family next to rel_rollup_
+    sales): order totals by every subset of {region, priority}."""
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        joined.cube("r_name", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"),
+             F.count("*").alias("n_orders"))
+    )
+
+
 QUERIES = {
+    "rel_cube_sales": cube_sales,
     "rel_skew_salted_join": skew_salted_join,
     "rel_customer_quartiles": customer_quartiles,
     "rel_late_order_priority": late_order_priority,
@@ -632,6 +653,16 @@ _SESSIONIZE_SQL = f"""
 
 
 ORACLES = {
+    "rel_cube_sales": """
+        SELECT r_name, o_orderpriority,
+               round(sum(o_totalprice), 2) AS total,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY CUBE (r_name, o_orderpriority)
+    """,
     "rel_skew_salted_join": """
         WITH dim AS (
             SELECT user_id,
