@@ -156,8 +156,21 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     INSIDE the band equi-join and a final group-by dedupes pairs that
     collide in several bands. The round-1/2 formulation re-joined the
     distinct pairs against the wide signature relation twice; this one
-    is band-join + one aggregate, no rerank joins at all."""
+    is band-join + one aggregate, no rerank joins at all.
 
+    The pair relation feeds THREE consumers (this query, the
+    connected-components canonicalization, and PageRank), so it rides
+    the module cache like shingles/signatures do — without it the band
+    join re-executes per consumer (Spark has no cross-branch subplan
+    sharing)."""
+
+    def build() -> DataFrame:
+        return _lsh_pairs_plan(spark, sf_dir)
+
+    return _cached(("lsh_pairs", sf_dir), build)
+
+
+def _lsh_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = _signatures_wide(spark, sf_dir)
     band_keys = [
         F.md5(
