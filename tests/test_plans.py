@@ -225,3 +225,23 @@ def test_kmv_min_k_is_take_ordered(spark):
 
     plan = explain_str(QUERIES["sketch_kmv_distinct"](spark, SF_DIR), "simple")
     assert "TakeOrdered" in plan
+
+
+def test_column_pruning_reaches_parquet_scan(spark):
+    """Column pruning must reach the scan: token_count touches only
+    (doc_id, text) of the 5-column documents table, and the pruned
+    ReadSchema is visible on the parquet scan node."""
+
+    plan = explain_str(QUERIES["text_token_count"](spark, SF_DIR), "formatted")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "doc_id:bigint,text:string" in read[0]
+    assert "lang" not in read[0] and "source" not in read[0]
+
+
+def test_predicate_pushdown_reaches_parquet_scan(spark):
+    """The pricing-summary date filter must push into the lineitem
+    scan as a parquet PushedFilter, not evaluate post-scan only."""
+
+    plan = explain_str(QUERIES["rel_pricing_summary"](spark, SF_DIR), "formatted")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "LessThanOrEqual(l_shipdate" in pushed[0]
