@@ -25,11 +25,36 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
+def _calibrate() -> dict:
+    """Fixed single-thread workloads timed at bench start, shipped in
+    the JSON so a reader can normalize for ambient co-tenant load on
+    this shared box (timings here swing up to ~6x run-to-run; see
+    BENCH/BASELINE.md). cpu_ms: ~1e7 python-int ops; md5_ms: 64 MB of
+    hashing (memory-bandwidth-sensitive). Quiet-host references:
+    cpu_ms ~= 300, md5_ms ~= 95."""
+
+    import hashlib
+
+    t0 = time.monotonic()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    cpu_ms = (time.monotonic() - t0) * 1000
+    blk = b"\x00" * (1 << 20)
+    t0 = time.monotonic()
+    h = hashlib.md5()
+    for _ in range(64):
+        h.update(blk)
+    md5_ms = (time.monotonic() - t0) * 1000
+    return {"cpu_ms": round(cpu_ms, 1), "md5_ms": round(md5_ms, 1)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    calibration = _calibrate()
 
     from pyspark.sql import functions as F
 
@@ -113,6 +138,7 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf,
         "parallelism": f"local[{cores}]",
+        "calibration": calibration,
         "extraction": {
             "docs": int(stats["docs"]),
             "pages": int(stats["pages"]),
