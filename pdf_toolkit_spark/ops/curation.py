@@ -4,12 +4,17 @@ provides — C4 quality rules, Gopher repetition rules, GPT-3-style
 benchmark decontamination, exact dedup (canonical doc per content
 hash), and token accounting — into one survivors relation.
 
-Composition IS the point: every stage is the same doc_id-keyed relation,
-so the whole pipeline is a chain of doc_id equi-joins over one scan
-lineage — Catalyst fuses the filter columns into the reads, and the
-only shuffles are the aggregates the individual operators already pay
-for. The DuckDB oracle composes the SAME per-stage oracle SQL texts as
-subqueries, so the composite stays value-exact by construction.
+Composition IS the point: every stage is the same doc_id-keyed
+relation, so the whole pipeline is a chain of doc_id equi-joins and
+the only shuffles are the aggregates the individual operators already
+pay for. Each signal pays its own parquet scan, pruned to
+(doc_id[, text]) — at extreme scale the scan-count reduction is to
+fuse the quality and repetition flag computations into the shared
+token-explode pass (they read the same exploded words), trading
+operator independence for one fewer read; the decontamination and
+dedup signals need their own aggregates either way. The DuckDB oracle
+composes the SAME per-stage oracle SQL texts as subqueries, so the
+composite stays value-exact by construction.
 """
 
 from __future__ import annotations
