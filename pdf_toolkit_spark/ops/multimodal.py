@@ -1,13 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed with Arrow-batched ``mapInPandas``.
 
-The decode kernels are STUBS (this container has no image/audio codecs)
-— ``_fake_decode_header`` derives deterministic metadata from the bytes
-instead of a real pixel decode, and raising paths are marked. The
-Spark-side plumbing is real and what matters at scale: binary column
+The decode dispatch is REAL for every format the engine owns a codec
+for — PNG and JPEG (pdfio/), PCM WAV and YUV4MPEG2 (media_codecs.py) —
+and a deterministic sha256 STUB only for payloads with no recognizable
+container (disclosed; ``fake_decode_header``). Non-WAVE RIFF (AVI)
+raises. The Spark-side plumbing is what matters at scale: binary column
 through Arrow batches, explicit output schema, small batch sizes,
-content-addressed output refs. Swap ``_fake_decode_header`` for a PIL /
-ffmpeg call and nothing else changes.
+content-addressed output refs — swapping in an ffmpeg call changes
+nothing structurally.
 
 Because the stub is sha256-derived it IS SQL-expressible: both queries
 carry exact DuckDB oracles (sha256(VARCHAR) hashes the same UTF-8
@@ -53,9 +54,10 @@ def fake_decode_header(payload: bytes) -> dict:
 
 def decode_header(payload: bytes) -> dict:
     """Media header dispatch: REAL decodes for the formats the engine
-    owns codecs for (PNG via pdfio.png, JPEG via pdfio.jpeg), the
-    deterministic stub for everything else, NotImplementedError for
-    recognized-but-unsupported containers (RIFF audio/video)."""
+    owns codecs for (PNG/JPEG via pdfio, PCM WAV / YUV4MPEG2 via
+    media_codecs), the deterministic stub for unrecognizable payloads,
+    NotImplementedError for recognized-but-unsupported containers
+    (non-WAVE RIFF, i.e. AVI)."""
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from ..pdfio.png import decode_png
@@ -79,8 +81,28 @@ def decode_header(payload: bytes) -> dict:
             "height": int(h),
             "thumb_ref": "sha256:" + hashlib.sha256(payload).hexdigest()[:16],
         }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from ..media_codecs import decode_wav
+
+        rate, arr = decode_wav(payload)
+        return {
+            "format": "wav-pcm",
+            "width": int(rate),            # rate/sample-count ride the
+            "height": int(arr.shape[0]),   # generic metadata columns
+            "thumb_ref": "sha256:" + hashlib.sha256(payload).hexdigest()[:16],
+        }
+    if payload[:9] == b"YUV4MPEG2":
+        from ..media_codecs import decode_y4m
+
+        fps, frames = decode_y4m(payload)
+        return {
+            "format": "y4m",
+            "width": int(frames.shape[2] if len(frames) else 0),
+            "height": int(frames.shape[1] if len(frames) else 0),
+            "thumb_ref": "sha256:" + hashlib.sha256(payload).hexdigest()[:16],
+        }
     if payload[:4] == b"RIFF":
-        raise NotImplementedError("no RIFF audio/video codec in this build")
+        raise NotImplementedError("no codec for non-WAVE RIFF (AVI) in this build")
     return fake_decode_header(payload)
 
 
@@ -267,12 +289,121 @@ def image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(thumb, schema=THUMB_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), False),
+    T.StructField("n_samples", T.IntegerType(), False),
+    T.StructField("duration_ms", T.LongType(), False),
+    T.StructField("peak", T.IntegerType(), False),
+    T.StructField("sum_sq", T.LongType(), False),
+])
+
+_RATES = (8000, 16000, 22050, 44100)
+
+
+def audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio path: a deterministic integer waveform per doc is
+    encoded to PCM WAV and parsed back with the engine's RIFF parser
+    (media_codecs.decode_wav); the decoded samples reduce to rate /
+    duration / peak / energy columns. The waveform is
+    ((a + b*i) % 2003) - 1001 — pure integer arithmetic, so DuckDB
+    recomputes every stat without an audio stack. Output: (doc_id,
+    sample_rate, n_samples, duration_ms, peak, sum_sq)."""
+
+    import numpy as np
+
+    from ..media_codecs import decode_wav, encode_wav
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "duration_ms", "peak", "sum_sq")}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                d = hashlib.sha256(bytes(payload)).digest()
+                rate = _RATES[d[0] % 4]
+                n = 500 + d[1] * 7
+                a, b = d[2], 1 + d[3]
+                wave = ((a + b * np.arange(n, dtype=np.int64)) % 2003 - 1001
+                        ).astype(np.int16)
+                got_rate, arr = decode_wav(encode_wav(wave, rate))  # REAL parse
+                s = arr[:, 0].astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(int(got_rate))
+                out["n_samples"].append(int(len(s)))
+                out["duration_ms"].append(int(len(s) * 1000 // got_rate))
+                out["peak"].append(int(np.abs(s).max()))
+                out["sum_sq"].append(int((s * s).sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(stats, schema=AUDIO_SCHEMA)
+
+
+VIDEO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("frame_no", T.IntegerType(), False),
+    T.StructField("fps", T.IntegerType(), False),
+    T.StructField("frame_sum", T.LongType(), False),
+])
+
+FRAME_EVERY = 3  # frame-sampling stride
+
+
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path: a deterministic gradient y4m clip per doc
+    (Cmono Y planes, pixel (a + b*x + c*y + e*f) % 256) round-trips
+    through the engine's YUV4MPEG2 parser; every FRAME_EVERY-th frame
+    is sampled and reduced to its pixel sum — the frame-sampling stage
+    of a video-training pipeline, with an exact arithmetic oracle.
+    Output: (doc_id, frame_no, fps, frame_sum), one row per sampled
+    frame."""
+
+    import numpy as np
+
+    from ..media_codecs import decode_y4m, encode_y4m
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k: [] for k in ("doc_id", "frame_no", "fps", "frame_sum")}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                d = hashlib.sha256(bytes(payload)).digest()
+                w, h = 8 + d[0] % 17, 8 + d[1] % 17
+                nf = 4 + d[2] % 9
+                a, b, c, e = d[3], 1 + d[4] % 7, 1 + d[5] % 7, 1 + d[6] % 11
+                grid = (
+                    a
+                    + b * np.arange(w)[None, None, :]
+                    + c * np.arange(h)[None, :, None]
+                    + e * np.arange(nf)[:, None, None]
+                ) % 256
+                fps, frames = decode_y4m(
+                    encode_y4m(grid.astype(np.uint8), fps=24)
+                )  # REAL parse
+                for f in range(0, len(frames), FRAME_EVERY):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_no"].append(f)
+                    out["fps"].append(int(fps))
+                    out["frame_sum"].append(int(frames[f].astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(sample, schema=VIDEO_SCHEMA)
+
+
 QUERIES = {
     "mm_media_metadata": media_metadata,
     "mm_media_format_histogram": media_format_histogram,
     "mm_png_decode": png_decode_metadata,
     "mm_jpeg_decode": jpeg_decode_metadata,
     "mm_image_thumbnail": image_thumbnail,
+    "mm_audio_stats": audio_stats,
+    "mm_video_frame_sample": video_frame_sample,
 }
 
 #: Exact DuckDB oracles: the stub decoder is sha256-derived, and DuckDB
@@ -318,6 +449,63 @@ ORACLES: dict[str, str] = {
                CAST(16 + ('0x' || substr(sha256(text), 5, 2))::INT % 32 AS INT) AS height,
                CAST(('0x' || substr(sha256(text), 7, 2))::INT AS INT) AS mean_px
         FROM documents
+    """,
+    # The WAV path's waveform is integer arithmetic: every stat
+    # recomputed without an audio stack. duration is floor integer ms.
+    "mm_audio_stats": """
+        WITH p AS (
+            SELECT doc_id,
+                   CASE (('0x' || substr(sha256(text), 1, 2))::INT % 4)
+                        WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+                   500 + ('0x' || substr(sha256(text), 3, 2))::INT * 7 AS n,
+                   ('0x' || substr(sha256(text), 5, 2))::INT AS a,
+                   1 + ('0x' || substr(sha256(text), 7, 2))::INT AS b
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, rate, n,
+                   ((a + b * i) % 2003) - 1001 AS s
+            FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i)
+        )
+        SELECT doc_id,
+               CAST(rate AS INT) AS sample_rate,
+               CAST(n AS INT) AS n_samples,
+               CAST((n * 1000) // rate AS BIGINT) AS duration_ms,
+               CAST(max(abs(s)) AS INT) AS peak,
+               CAST(sum(s * s) AS BIGINT) AS sum_sq
+        FROM w GROUP BY doc_id, rate, n
+    """,
+    # The y4m path's gradient frames recomputed cell-by-cell for the
+    # SAMPLED frame numbers only.
+    "mm_video_frame_sample": f"""
+        WITH p AS (
+            SELECT doc_id,
+                   8 + ('0x' || substr(sha256(text), 1, 2))::INT % 17 AS w,
+                   8 + ('0x' || substr(sha256(text), 3, 2))::INT % 17 AS h,
+                   4 + ('0x' || substr(sha256(text), 5, 2))::INT % 9 AS nf,
+                   ('0x' || substr(sha256(text), 7, 2))::INT AS a,
+                   1 + ('0x' || substr(sha256(text), 9, 2))::INT % 7 AS b,
+                   1 + ('0x' || substr(sha256(text), 11, 2))::INT % 7 AS c,
+                   1 + ('0x' || substr(sha256(text), 13, 2))::INT % 11 AS e
+            FROM documents
+        ),
+        fr AS (
+            SELECT doc_id, w, h, a, b, c, e, CAST(f AS INT) AS f
+            FROM p, LATERAL (
+                SELECT unnest(generate_series(0, nf - 1, {FRAME_EVERY})) AS f
+            )
+        ),
+        cells AS (
+            SELECT doc_id, f,
+                   (a + b * x + c * y + e * f) % 256 AS px
+            FROM fr,
+                 LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x),
+                 LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y)
+        )
+        SELECT doc_id, f AS frame_no, 24 AS fps,
+               CAST(sum(px) AS BIGINT) AS frame_sum
+        FROM cells GROUP BY doc_id, f
     """,
     # The 8x8 thumbnail recomputed in pure arithmetic: gradient pixel
     # (a + b*x + c*y) % 256 sampled at the kernel's pixel-center
