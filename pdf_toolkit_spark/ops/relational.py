@@ -593,7 +593,28 @@ def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions (semi-structured payload columns, the one
+    function family the inventory lacked): extract props.k from the
+    events JSON column, bucket it, and aggregate. Output: (event_type,
+    k_bucket, n_events, k_sum). The extraction stays in whole-stage
+    codegen (get_json_object), no UDF."""
+
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.col("k") / 10).cast("int").alias("k_bucket"),
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("k").alias("k_sum"))
+    )
+
+
 QUERIES = {
+    "rel_json_props_rollup": json_props_rollup,
     "rel_cube_sales": cube_sales,
     "rel_skew_salted_join": skew_salted_join,
     "rel_customer_quartiles": customer_quartiles,
@@ -653,6 +674,17 @@ _SESSIONIZE_SQL = f"""
 
 
 ORACLES = {
+    "rel_json_props_rollup": """
+        SELECT event_type,
+               CAST(CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS INT)
+                   AS k_bucket,
+               count(*) AS n_events,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS k_sum
+        FROM events
+        WHERE json_extract(props, '$.k') IS NOT NULL
+        GROUP BY event_type, k_bucket
+    """,
     "rel_cube_sales": """
         SELECT r_name, o_orderpriority,
                round(sum(o_totalprice), 2) AS total,
