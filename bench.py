@@ -30,8 +30,10 @@ def _calibrate() -> dict:
     the JSON so a reader can normalize for ambient co-tenant load on
     this shared box (timings here swing up to ~6x run-to-run; see
     BENCH/BASELINE.md). cpu_ms: ~1e7 python-int ops; md5_ms: 64 MB of
-    hashing (memory-bandwidth-sensitive). Quiet-host references:
-    cpu_ms ~= 300, md5_ms ~= 95."""
+    hashing (memory-bandwidth-sensitive). Interpret RATIOS between
+    runs, not absolutes — observed cpu_ms spans ~490-1000 on this box
+    and does not track loadavg monotonically (frequency scaling /
+    cgroup quotas)."""
 
     import hashlib
 
