@@ -369,7 +369,68 @@ def ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids + cohesion (the label-quality QA a
+    classification corpus gets before training): per label, the
+    quantized-exact mean embedding's norm and the mean cosine of the
+    label's vectors to that centroid. Output: (label, n_vecs,
+    centroid_norm, mean_cos).
+
+    Determinism: per-dimension components quantize to the 2^-20 grid
+    BEFORE summation (integer sums are partition-order-exact — the IVF
+    centroid trick); per-vector cosines round to 6 dp and sum as
+    micro-unit integers, so the label mean is exact too. Scale shape:
+    one explode + (label, dim) hash agg (label-count x dim bounded),
+    centroids broadcast back for the cohesion pass."""
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dims = e.select(
+        "label", F.posexplode("v").alias("dim", "x")
+    ).select(
+        "label", "dim",
+        F.floor(F.col("x") * _KM_SCALE + 0.5).cast("bigint").alias("q"),
+    )
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.sum("q").alias("sq"), F.count("*").alias("n"))
+        .select(
+            "label", "dim",
+            (F.col("sq") / F.col("n") / _KM_SCALE).alias("m"),
+        )
+    )
+    cent_arr = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select(
+            "label",
+            F.transform("dm", lambda s: s["m"]).alias("cv"),
+        )
+    )
+    cos = F.round(_cosine(F.col("v"), F.col("cv")), 6)
+    scored = e.join(F.broadcast(cent_arr), "label").select(
+        "label",
+        F.round(cos * 1e6).cast("bigint").alias("cq"),
+    )
+    norm = F.sqrt(
+        F.aggregate(F.col("cv"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    norms = cent_arr.select("label", F.round(norm, 6).alias("centroid_norm"))
+    return (
+        scored.groupBy("label")
+        .agg(F.count("*").alias("n_vecs"), F.sum("cq").alias("sc"))
+        .join(norms, "label")
+        .select(
+            "label", "n_vecs", "centroid_norm",
+            F.round(F.col("sc") / F.col("n_vecs") / 1e6, 6).alias("mean_cos"),
+        )
+    )
+
+
 QUERIES = {
+    "sim_label_centroids": label_centroids,
     "sim_knn_brute_force": knn_brute_force,
     "sim_ann_lsh_buckets": ann_lsh_buckets,
     "sim_ann_lsh_topk": ann_lsh_topk,
@@ -442,6 +503,40 @@ def _sql_kmeans_cells() -> str:
 _SQL_IVF_CELLS = _sql_kmeans_cells()
 
 ORACLES = {
+    "sim_label_centroids": f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        dims AS (
+            SELECT label, i - 1 AS dim,
+                   CAST(floor(v[CAST(i AS INT)] * {_KM_SCALE} + 0.5) AS BIGINT) AS q
+            FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+        ),
+        cent AS (
+            SELECT label, dim, sum(q) / count(*) / {_KM_SCALE} AS m
+            FROM dims GROUP BY label, dim
+        ),
+        cv AS (SELECT label, list(m ORDER BY dim) AS cv
+               FROM cent GROUP BY label),
+        norms AS (
+            SELECT label,
+                   round(sqrt(list_aggregate(
+                       list_transform(cv, x -> x * x), 'sum')), 6)
+                       AS centroid_norm
+            FROM cv
+        ),
+        sc AS (
+            SELECT e.label,
+                   CAST(round(round(list_cosine_similarity(e.v, cv.cv), 6)
+                              * 1000000.0) AS BIGINT) AS cq
+            FROM e JOIN cv USING (label)
+        ),
+        agg AS (SELECT label, count(*) AS n_vecs, sum(cq) AS sc
+                FROM sc GROUP BY label)
+        SELECT a.label, a.n_vecs, n.centroid_norm,
+               round(a.sc / a.n_vecs / 1000000.0, 6) AS mean_cos
+        FROM agg a JOIN norms n USING (label)
+    """,
+
     "sim_ivf_cell_sizes": f"""
         WITH {_SQL_IVF_CELLS}
         SELECT cell, count(*) AS n_vecs FROM cells GROUP BY cell
