@@ -9,6 +9,7 @@ aggregation for the pipeline's operational metrics stream.
 
 from .stream import (
     dedup_process_batch,
+    funnel_stream,
     purchase_attribution_stream,
     read_deduped,
     sessionize_stream,
@@ -19,6 +20,7 @@ from .stream import (
 
 __all__ = [
     "dedup_process_batch",
+    "funnel_stream",
     "purchase_attribution_stream",
     "read_deduped",
     "sessionize_stream",

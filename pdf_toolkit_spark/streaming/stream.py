@@ -460,3 +460,77 @@ def purchase_attribution_stream(
             f"AND purchase_ts <= click_ts + interval {window_sec} seconds"
         ),
     ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_SCHEMA = "user_id long, stage int, stage_ts timestamp"
+_FUNNEL_STATE_SCHEMA = "t_view long, t_click long, t_purchase long"
+
+
+def funnel_stream(
+    events: DataFrame, window_sec: int = 86400, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stateful streaming funnel (the live twin of ops/relational
+    ``rel_funnel``): per user, monotone stage progression first-view ->
+    first-later-click -> purchase within ``window_sec`` of that click,
+    via ``applyInPandasWithState``. Emits a row whenever a user's stage
+    advances; stages are monotone, so the max stage per user is the
+    funnel position.
+
+    State is THREE timestamps per user — bounded regardless of event
+    volume (the scale property the batch formulation's joins don't
+    need but a live pipeline does). Semantics note, disclosed like the
+    HTML stream's: transitions consider events in event-time order
+    WITHIN each micro-batch and arrival order across batches, so a
+    drained in-order feed reproduces the batch funnel exactly; late
+    cross-batch views do not retroactively re-qualify earlier clicks
+    (the batch job is the exact retrospective form)."""
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    window_us = window_sec * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        ts_us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        kinds = rows["event_type"].tolist()
+        tv, tc, tp = state.get if state.exists else (None, None, None)
+        out_stage, out_ts = [], []
+        for t, kind in zip(ts_us, kinds):
+            t = int(t)
+            if kind == "view" and tv is None:
+                tv = t
+                out_stage.append(1)
+                out_ts.append(t)
+            elif kind == "click" and tv is not None and tc is None and t > tv:
+                tc = t
+                out_stage.append(2)
+                out_ts.append(t)
+            elif (kind == "purchase" and tc is not None and tp is None
+                  and t > tc and t - tc <= window_us):
+                tp = t
+                out_stage.append(3)
+                out_ts.append(t)
+        state.update((tv, tc, tp))
+        if out_stage:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(out_stage),
+                "stage": out_stage,
+                "stage_ts": [pd.Timestamp(t, unit="us") for t in out_ts],
+            })
+
+    src = events.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    ).withWatermark("ts", watermark)
+    # append mode: every emitted stage row is FINAL (stages advance
+    # monotonically and are emitted exactly once), so the operator is
+    # append-compatible and works with file sinks.
+    return src.groupBy("user_id").applyInPandasWithState(
+        update, FUNNEL_SCHEMA, _FUNNEL_STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout,
+    )

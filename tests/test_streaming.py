@@ -385,3 +385,53 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
         .select("purchase_id", "click_id").collect()
     }
     assert got == expected
+
+
+def test_stateful_funnel_stream_matches_batch_funnel(spark, tmp_path):
+    """The stateful streaming funnel drained over an in-event-order
+    feed must land every user on the same stage as the batch funnel
+    (stages are monotone, so max(stage) per user is the position)."""
+
+    from pdf_toolkit_spark.ops.relational import funnel as batch_funnel
+    from pdf_toolkit_spark.streaming import funnel_stream
+
+    expected = {
+        r["stage"]: r["n_users"]
+        for r in batch_funnel(spark, "/root/testdata/sf0.001").collect()
+    }
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    landing = str(tmp_path / "events")
+    # two time-ordered files: in-order arrival across micro-batches
+    mid = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    events.filter(F.col("event_id") <= mid).orderBy("ts").coalesce(1)\
+        .write.mode("append").parquet(landing)
+    events.filter(F.col("event_id") > mid).orderBy("ts").coalesce(1)\
+        .write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    got_rows = spark.read.parquet(out)
+    per_user = {
+        r["user_id"]: r["mx"]
+        for r in got_rows.groupBy("user_id").agg(F.max("stage").alias("mx")).collect()
+    }
+    got = {}
+    for stage in (1, 2, 3):
+        got[stage] = sum(1 for v in per_user.values() if v >= stage)
+    assert got == expected
