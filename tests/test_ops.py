@@ -119,3 +119,27 @@ def test_every_query_has_unique_aliased_columns(spark):
         cols = df.columns
         assert len(cols) == len(set(cols)), f"{name}: duplicate columns {cols}"
         assert all("(" not in c for c in cols), f"{name}: unaliased column in {cols}"
+
+
+def test_curate_job_cli_smoke(spark, tmp_path):
+    """The curation CLI writes survivors + per-gate metrics; survivor
+    count matches the library query (same session injection pattern as
+    the other jobs CLIs)."""
+
+    import importlib.util
+    from pathlib import Path as _P
+
+    spec = importlib.util.spec_from_file_location(
+        "curate_job", _P(__file__).resolve().parents[1] / "jobs" / "curate_job.py")
+    curate_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(curate_job)
+
+    out = str(tmp_path / "cur")
+    rc = curate_job.main(
+        ["--input", SF_DIR, "--output", out], _spark=spark)
+    assert rc == 0
+    survivors = spark.read.parquet(f"{out}/survivors")
+    assert survivors.count() == QUERIES["curate_survivors"](spark, SF_DIR).count()
+    m = spark.read.parquet(f"{out}/metrics").collect()[0].asDict()
+    assert m["docs_in"] == 500 and m["survivors"] == survivors.count()
+    assert m["survivors"] + m["quality_dropped"] <= m["docs_in"]
