@@ -613,7 +613,29 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: pivot columns are DECLARED, not discovered: at fleet scale an
+#: undeclared pivot triggers a distinct-scan of the pivot key before
+#: the real aggregation
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_events_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational transposition (the pivot family): per user, one
+    column per event type with its count — the wide feature matrix a
+    downstream model join consumes. Output: (user_id, click, error,
+    purchase, signup, view)."""
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(PIVOT_TYPES))
+    )
+
+
 QUERIES = {
+    "rel_pivot_events_by_user": pivot_events_by_user,
     "rel_json_props_rollup": json_props_rollup,
     "rel_cube_sales": cube_sales,
     "rel_skew_salted_join": skew_salted_join,
@@ -674,6 +696,20 @@ _SESSIONIZE_SQL = f"""
 
 
 ORACLES = {
+    "rel_pivot_events_by_user": """
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   ::BIGINT AS click,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   ::BIGINT AS error,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   ::BIGINT AS purchase,
+               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   ::BIGINT AS signup,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   ::BIGINT AS view
+        FROM events GROUP BY user_id
+    """,
     "rel_json_props_rollup": """
         SELECT event_type,
                CAST(CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS INT)
