@@ -783,8 +783,13 @@ ORACLES = {
               GROUP BY e.user_id),
         p AS (SELECT e.user_id, min(ts) AS t_purchase
               FROM events e JOIN c USING (user_id)
+              -- floor(epoch()) on BOTH ends: the Spark side uses
+              -- unix_timestamp() (whole-second floor), so a purchase in
+              -- the boundary second of the window must classify the
+              -- same way in both engines (same trick as rel_asof_join)
               WHERE event_type = 'purchase' AND ts > t_click
-                AND epoch(ts) - epoch(t_click) <= {FUNNEL_WINDOW_SEC}
+                AND floor(epoch(ts)) - floor(epoch(t_click))
+                    <= {FUNNEL_WINDOW_SEC}
               GROUP BY e.user_id),
         stages AS (
             SELECT 1 AS stage, user_id FROM v

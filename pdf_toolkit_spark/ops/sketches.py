@@ -130,23 +130,33 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SAMPLE_K = 1024
-_QPS = (0.5, 0.9, 0.99)
+#: quantiles as EXACT rationals (num, den): the discrete rank is
+#: ceil(p*n) computed in pure integer arithmetic — (num*n + den-1) div
+#: den — because float ceil(0.9 * n) differs between Spark (double) and
+#: DuckDB (DECIMAL) exactly when p*n is integral (n=10, p=0.9 -> 10.0
+#: vs DECIMAL 9.0's ceil 9).
+_QPS = ((50, 1, 2), (90, 9, 10), (99, 99, 100))
 
 
-def sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sample_quantiles(
+    spark: SparkSession, sf_dir: str, include_exact: bool = False
+) -> DataFrame:
     """Quantile estimation from a deterministic uniform sample: the
     SAMPLE_K orders with the smallest md5-derived key hashes (hash
     order IS a uniform random order, and both engines agree on it)
-    estimate the o_totalprice quantiles; the exact discrete quantiles
-    (rank ceil(p*n) under a total order — no float interpolation, so
-    engine-exact) ride along for the accuracy check. Output: one row
-    (sample_k, q50_est, q90_est, q99_est, q50_exact, q90_exact,
-    q99_exact).
+    estimate the o_totalprice quantiles. Ties in the 32-bit hash are
+    broken by o_orderkey in BOTH engines — collisions among ~hundreds
+    of thousands of keys are birthday-expected, and an untied LIMIT
+    straddling a tie would make the sample run-nondeterministic.
+    Output: one row (sample_k, q_est_50, q_est_90, q_est_99).
 
-    Scale shape: the sample is a TakeOrdered over hash32 (map-side
-    top-K); its quantiles sort SAMPLE_K rows. The exact branch is a
-    full global sort — the cost the sketch avoids; drop it in
-    production use."""
+    Scale shape: the sample is a TakeOrdered over (hash32, key)
+    (map-side top-K); its quantiles sort SAMPLE_K rows. No full-table
+    sort anywhere — that is the cost the sketch avoids at 100 TB.
+
+    ``include_exact=True`` (tests/accuracy harness only — NOT the
+    shipped query) appends q_exact_* columns computed by a full global
+    sort of orders."""
 
     from pyspark.sql import Window
 
@@ -165,19 +175,25 @@ def sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         aggs = [
             F.max(
-                F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("v"))
-            ).alias(f"{prefix}{int(p * 100)}")
-            for p in _QPS
+                F.when(
+                    F.col("rn")
+                    == F.expr(f"({num} * n + {den - 1}) div {den}"),
+                    F.col("v"),
+                )
+            ).alias(f"{prefix}{pct}")
+            for pct, num, den in _QPS
         ]
         return ranked.agg(*aggs)
 
     sample = (
         orders.withColumn("h", hash32(F.col("o_orderkey").cast("string")))
-        .orderBy("h")
+        .orderBy("h", "o_orderkey")
         .limit(SAMPLE_K)
         .select("o_orderkey", "v")
     )
     est = disc_quantiles(sample, "q_est_")
+    if not include_exact:
+        return est.select(F.lit(SAMPLE_K).alias("sample_k"), "*")
     exact = disc_quantiles(orders, "q_exact_")
     return (
         est.crossJoin(exact)
@@ -244,11 +260,50 @@ ORACLES = {
 
 _HQ = SQL_HASH32.format(e="o_orderkey::VARCHAR")
 
+def _rank(num: int, den: int) -> str:
+    """ceil(num/den * n) in pure integer arithmetic — identical in
+    both engines (float ceil diverges when p*n is integral)."""
+
+    return f"(({num} * n + {den - 1}) // {den})"
+
+
+_Q_EST = ",\n               ".join(
+    f"max(CASE WHEN rn = {_rank(num, den)} THEN v END) AS q_est_{pct}"
+    for pct, num, den in _QPS
+)
+_Q_EXACT = ",\n               ".join(
+    f"max(CASE WHEN rn = {_rank(num, den)} THEN v END) AS q_exact_{pct}"
+    for pct, num, den in _QPS
+)
+
 ORACLES["sketch_sample_quantiles"] = f"""
     WITH o AS (SELECT o_orderkey, round(o_totalprice, 2) AS v FROM orders),
     sample AS (
         SELECT o_orderkey, v
-        FROM (SELECT o_orderkey, v, {_HQ} AS h FROM o ORDER BY h LIMIT {SAMPLE_K})
+        FROM (SELECT o_orderkey, v, {_HQ} AS h FROM o
+              ORDER BY h, o_orderkey LIMIT {SAMPLE_K})
+    ),
+    rs AS (
+        SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS rn,
+               count(*) OVER () AS n
+        FROM sample
+    ),
+    qe AS (
+        SELECT {_Q_EST}
+        FROM rs
+    )
+    SELECT {SAMPLE_K} AS sample_k, qe.* FROM qe
+"""
+
+#: exact-quantile twin for sample_quantiles(include_exact=True) — used
+#: only by tests/the accuracy harness (the full sort of orders is the
+#: cost the shipped sketch avoids).
+SAMPLE_QUANTILES_EXACT_SQL = f"""
+    WITH o AS (SELECT o_orderkey, round(o_totalprice, 2) AS v FROM orders),
+    sample AS (
+        SELECT o_orderkey, v
+        FROM (SELECT o_orderkey, v, {_HQ} AS h FROM o
+              ORDER BY h, o_orderkey LIMIT {SAMPLE_K})
     ),
     rs AS (
         SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS rn,
@@ -261,15 +316,11 @@ ORACLES["sketch_sample_quantiles"] = f"""
         FROM o
     ),
     qe AS (
-        SELECT max(CASE WHEN rn = ceil(0.5 * n) THEN v END) AS q_est_50,
-               max(CASE WHEN rn = ceil(0.9 * n) THEN v END) AS q_est_90,
-               max(CASE WHEN rn = ceil(0.99 * n) THEN v END) AS q_est_99
+        SELECT {_Q_EST}
         FROM rs
     ),
     qx AS (
-        SELECT max(CASE WHEN rn = ceil(0.5 * n) THEN v END) AS q_exact_50,
-               max(CASE WHEN rn = ceil(0.9 * n) THEN v END) AS q_exact_90,
-               max(CASE WHEN rn = ceil(0.99 * n) THEN v END) AS q_exact_99
+        SELECT {_Q_EXACT}
         FROM re
     )
     SELECT {SAMPLE_K} AS sample_k, qe.*, qx.* FROM qe CROSS JOIN qx

@@ -898,7 +898,10 @@ def _encode_npasses(bw: _BitWriter, n: int) -> None:
         bw.put(0)
     elif n == 2:
         bw.put_bits(0b10, 2)
-    elif n <= 6:
+    elif n <= 5:
+        # the 2-bit branch covers 3..5 only: n=6 belongs to the
+        # '1111'+5-bit branch (value n-6=0) per Table B.4 — encoding it
+        # as '11'+'11' would desync _decode_npasses
         bw.put_bits(0b11, 2)
         bw.put_bits(n - 3, 2)
     elif n <= 36:

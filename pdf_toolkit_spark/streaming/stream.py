@@ -492,7 +492,6 @@ def funnel_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    window_us = window_sec * 1_000_000
 
     def update(key, pdfs, state: GroupState):
         (user_id,) = key
@@ -511,8 +510,12 @@ def funnel_stream(
                 tc = t
                 out_stage.append(2)
                 out_ts.append(t)
+            # window test on floored whole seconds, matching the batch
+            # funnel's unix_timestamp() semantics (and its oracle's
+            # floor(epoch())) for purchases in the boundary second
             elif (kind == "purchase" and tc is not None and tp is None
-                  and t > tc and t - tc <= window_us):
+                  and t > tc
+                  and t // 1_000_000 - tc // 1_000_000 <= window_sec):
                 tp = t
                 out_stage.append(3)
                 out_ts.append(t)

@@ -239,3 +239,23 @@ def test_corrupt_streams_fail_closed():
         decode_jpx(bytes(flipped))
     except Exception as e:
         assert not isinstance(e, (MemoryError, RecursionError))
+
+
+def test_npasses_codec_roundtrip_all_branches():
+    """T.800 Table B.4 pass-count codec: every value 1..80 round-trips
+    through encode/decode — in particular n=6, which belongs to the
+    '1111'+5-bit branch, not the 2-bit one (a '11'+'11' encoding would
+    desync the packet header if pass layering ever changes)."""
+
+    from pdf_toolkit_spark.pdfio.jpx import (
+        _BitReader,
+        _BitWriter,
+        _decode_npasses,
+        _encode_npasses,
+    )
+
+    for n in range(1, 81):
+        bw = _BitWriter()
+        _encode_npasses(bw, n)
+        bw.put_bits(0, 16)
+        assert _decode_npasses(_BitReader(bytes(bw.buf))) == n

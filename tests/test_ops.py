@@ -143,3 +143,37 @@ def test_curate_job_cli_smoke(spark, tmp_path):
     m = spark.read.parquet(f"{out}/metrics").collect()[0].asDict()
     assert m["docs_in"] == 500 and m["survivors"] == survivors.count()
     assert m["survivors"] + m["quality_dropped"] <= m["docs_in"]
+
+
+def test_sample_quantiles_exact_branch_matches_oracle(spark):
+    """The gated include_exact=True branch (accuracy harness only — the
+    shipped query is sample-only) still matches its DuckDB twin
+    value-for-value, exercising the integer ceil-rank arithmetic on the
+    full orders sort."""
+
+    from pdf_toolkit_spark.ops.sketches import (
+        SAMPLE_QUANTILES_EXACT_SQL,
+        sample_quantiles,
+    )
+
+    spark_df = sample_quantiles(spark, SF_DIR, include_exact=True).toPandas()
+    duck_df = _duck(SAMPLE_QUANTILES_EXACT_SQL)
+    s_cols, s_rows = _canon(spark_df)
+    d_cols, d_rows = _canon(duck_df)
+    assert s_cols == d_cols and s_rows == d_rows
+
+
+def test_sample_quantiles_shipped_plan_has_no_full_sort(spark):
+    """The shipped sketch scans orders ONCE (the TakeOrdered sample
+    path); the exact branch's second scan + global sort of orders is
+    the cost the sketch exists to avoid at 100 TB."""
+
+    from pdf_toolkit_spark.ops.sketches import sample_quantiles
+    from pdf_toolkit_spark.spark.session import explain_str
+
+    plan = explain_str(QUERIES["sketch_sample_quantiles"](spark, SF_DIR), "formatted")
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "TakeOrdered" in plan
+    exact_plan = explain_str(
+        sample_quantiles(spark, SF_DIR, include_exact=True), "formatted")
+    assert exact_plan.count("Location: InMemoryFileIndex") == 2
