@@ -51,3 +51,59 @@ def norm_text(col: Column) -> Column:
 SQL_HASH32 = "(('0x' || substr(md5({e}),1,8))::BIGINT)"
 SQL_HASH60 = "(('0x' || substr(md5({e}),1,15))::BIGINT)"
 SQL_NORM = "trim(regexp_replace(lower({e}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def prefix_scan(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    num_parts: int = 32,
+) -> DataFrame:
+    """Global EXCLUSIVE prefix sum of ``value_col`` under the total
+    order ``order_cols`` — the fleet-scale replacement for a
+    ``Window.orderBy(...)`` with no partitionBy (which serializes the
+    whole corpus through ONE task).
+
+    Classic two-pass formulation:
+
+    1. range-repartition on the order key (contiguous key ranges per
+       partition, so partition id order == key order), then a window
+       PARTITIONED by partition id computes local exclusive sums — all
+       partitions in parallel, no single-reducer exchange;
+    2. per-partition totals (one row per partition) collect to the
+       driver for a tiny exclusive scan, broadcast back, and each
+       row's offset is ``partition_base + local_sum``.
+
+    The intermediate relation is persisted: the range partitioner
+    samples its boundaries, so the pid→base map from pass 2 is only
+    valid for the exact partitioning pass 1 produced — a recompute
+    could re-sample different boundaries. Persisting pins it (same
+    reason spark/job.py persists its shared relations).
+    """
+
+    from pyspark.sql import Window
+
+    parts = df.repartitionByRange(num_parts, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parts.withColumn(
+        "__local",
+        F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("bigint"),
+    ).persist()
+    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__tot")).collect()
+    acc, rows = 0, []
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        rows.append((r["__pid"], acc))
+        acc += r["__tot"]
+    base = df.sparkSession.createDataFrame(rows, schema="__pid int, __base bigint")
+    return (
+        local.join(F.broadcast(base), "__pid")
+        .withColumn(out_col, (F.col("__base") + F.col("__local")).cast("bigint"))
+        .drop("__pid", "__local", "__base")
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import table
+from .common import prefix_scan, table
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,14 +548,25 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     handling does for sort-merge joins — spelled out because broadcast
     is not always available (a fleet-scale user dim does not fit) and
     AQE only splits SMJ partitions, not hash-agg hotspots.
-    Output: (user_id, event_type, n_events, value_sum, user_rank)."""
+    Output: (user_id, event_type, n_events, value_sum, user_rank).
+
+    user_rank (seniority rank by first event) is computed with the
+    two-pass prefix scan (common.prefix_scan) — a global
+    ``dense_rank().over(Window.orderBy(...))`` would funnel the same
+    too-big-to-broadcast dim this query exists to protect through ONE
+    reducer. first_event = min(event_id) is unique per user, so
+    row_number == dense_rank; the exclusive count of preceding rows
+    + 1 IS the rank. Plan pinned SinglePartition-free in test_plans."""
 
     ev = table(spark, sf_dir, "events")
     dim = (
         ev.groupBy("user_id")
         .agg(F.min("event_id").alias("first_event"))
-        .withColumn("user_rank", F.dense_rank().over(
-            Window.orderBy("first_event")))
+        .withColumn("__one", F.lit(1))
+    )
+    dim = (
+        prefix_scan(dim, ["first_event"], "__one", "rank0")
+        .withColumn("user_rank", (F.col("rank0") + 1).cast("int"))
         .select("user_id", "user_rank")
     )
     salted_dim = dim.withColumn(

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import SQL_HASH32, SQL_NORM, hash32, norm_text, table
+from .common import SQL_HASH32, SQL_NORM, hash32, norm_text, prefix_scan, table
 
 # Language marker words: occurrences counted on the normalized text
 # with space padding so word boundaries are honest.
@@ -229,21 +229,21 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     each doc reports its global start offset and the training window
     it starts in. Output: (doc_id, n_tokens, start_offset, window_id).
 
-    Implemented as one running-sum window. The single global ordering
-    makes this a one-partition window here; at fleet scale the same
-    result comes from the standard two-pass prefix sum (per-partition
-    partial sums + a tiny driver-side exclusive scan of partition
-    totals broadcast back) — the OUTPUT contract is identical, which
-    is what the oracle pins."""
+    Implemented as the standard two-pass distributed prefix sum
+    (common.prefix_scan): range-repartition on doc_id, per-partition
+    exclusive sums via a pid-partitioned window (all partitions in
+    parallel), partition totals exclusive-scanned on the driver (one
+    row per partition) and broadcast back. NO single-partition window
+    anywhere — at 100 TB a ``Window.orderBy`` with no partitionBy
+    would serialize every token count through one task. The plan is
+    pinned SinglePartition-free in test_plans."""
 
     docs = table(spark, sf_dir, "documents")
     norm = norm_text(F.col("text"))
     n_tokens = F.when(norm == "", 0).otherwise(F.size(F.split(norm, " ")))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     toks = docs.select("doc_id", n_tokens.alias("n_tokens"))
-    return toks.select(
-        "doc_id", "n_tokens",
-        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_offset"),
+    return prefix_scan(
+        toks, ["doc_id"], "n_tokens", "start_offset"
     ).select(
         "doc_id", "n_tokens", "start_offset",
         F.floor(F.col("start_offset") / PACK_BUDGET).cast("bigint").alias("window_id"),

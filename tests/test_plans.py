@@ -245,3 +245,17 @@ def test_predicate_pushdown_reaches_parquet_scan(spark):
     plan = explain_str(QUERIES["rel_pricing_summary"](spark, SF_DIR), "formatted")
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and "LessThanOrEqual(l_shipdate" in pushed[0]
+
+
+def test_prefix_scan_queries_have_no_single_partition_exchange(spark):
+    """pack_sequences and the skew-join user_rank rank globally via the
+    two-pass prefix scan: range exchange + pid-partitioned window +
+    broadcast base join. A global unpartitioned window would show up as
+    Exchange SinglePartition — the one-task funnel this formulation
+    exists to avoid at 100 TB."""
+
+    for name in ("text_pack_sequences", "rel_skew_salted_join"):
+        plan = explain_str(QUERIES[name](spark, SF_DIR), "formatted")
+        assert "SinglePartition" not in plan, (name, plan)
+        assert "rangepartitioning" in plan, name
+        assert "BroadcastHashJoin" in plan, name
