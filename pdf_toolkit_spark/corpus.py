@@ -248,16 +248,19 @@ def make_document(
         raise ValueError(doc_class)
 
     if jpeg_every and doc_id % jpeg_every == 0:
-        # cycle the four real-world scan codecs: DCT (photo scans),
+        # cycle the five real-world scan codecs: DCT (photo scans),
         # Group-4 fax and JBIG2 (B/W scans; rasters thresholded to
-        # 1-bit, so the serial oracle sees the same binarization), and
-        # lossless JPEG 2000 (archival scans). Mega docs fall back to
-        # DCT on the jpx slot: the pure-Python EBCOT coder at ~150-220
-        # noise pages per doc would dominate fixture generation for no
-        # extra coverage (jpx x chunked-path is covered by the portrait
-        # and spread classes).
-        codec = ("jpeg", "ccitt", "jbig2", "jpx")[(doc_id // jpeg_every) % 4]
-        if codec == "jpx" and doc_class == "mega_pdf":
+        # 1-bit, so the serial oracle sees the same binarization),
+        # lossless JPEG 2000 (archival masters), and lossy 9/7
+        # JPEG 2000 (the dominant archival-scan profile). Mega docs
+        # fall back to DCT on the jpx slots: the pure-Python EBCOT
+        # coder at ~150-220 noise pages per doc would dominate fixture
+        # generation for no extra coverage (jpx x chunked-path is
+        # covered by the portrait and spread classes).
+        codec = ("jpeg", "ccitt", "jbig2", "jpx", "jpx97")[
+            (doc_id // jpeg_every) % 5
+        ]
+        if codec in ("jpx", "jpx97") and doc_class == "mega_pdf":
             codec = "jpeg"
         for page in pages:
             page.codec = codec

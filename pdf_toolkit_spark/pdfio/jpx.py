@@ -1,26 +1,29 @@
 """JPEG 2000 (ISO/IEC 15444-1 / ITU-T T.800) codec — decode AND encode.
 
-Scope (the lossless-scan subset a PDF /JPXDecode consumer meets):
-single-tile raw codestreams (and JP2 boxed files, unwrapped to the
-``jp2c`` box), one quality layer, whole-subband precincts, the
-reversible 5/3 wavelet (Annex F lifting, 0-5 decomposition levels),
-no-quantization QCD (Annex E pass-through), Tier-2 packet headers
-with tag trees and bit stuffing (Annex B), and the full Tier-1
-EBCOT bitplane coder (Annex D: significance-propagation, magnitude-
-refinement and cleanup passes with the run-length shortcut) driven by
-the MQ arithmetic coder shared with the JBIG2 codec (pdfio/jbig2.py —
-T.88 Annex E and T.800 Annex C publish the identical coder).
-Grayscale and RGB 8-bit (3 components with or without the reversible
-color transform of Annex G); irreversible 9/7, quantized, multi-layer,
+Scope (the scan subset a PDF /JPXDecode consumer meets): single-tile
+raw codestreams (and JP2 boxed files, unwrapped to the ``jp2c`` box),
+one quality layer, whole-subband precincts, BOTH wavelet paths — the
+reversible 5/3 (Annex F lifting, no-quantization QCD) and the
+irreversible 9/7 (Annex F.4 float lifting, Annex E scalar
+quantization, derived and expounded QCD styles — the path real-world
+lossy JPEG 2000 scans use) — at 0-5 decomposition levels, Tier-2
+packet headers with tag trees and bit stuffing (Annex B), and the
+full Tier-1 EBCOT bitplane coder (Annex D: significance-propagation,
+magnitude-refinement and cleanup passes with the run-length shortcut)
+driven by the MQ arithmetic coder shared with the JBIG2 codec
+(pdfio/jbig2.py — T.88 Annex E and T.800 Annex C publish the
+identical coder). Grayscale and RGB 8-bit (3 components with the
+reversible RCT or irreversible ICT of Annex G, or none); multi-layer,
 subsampled or precinct-partitioned streams raise UserError (missing
 raster upstream, never wrong pixels).
 
 Both directions are implemented from the public spec; correctness
-evidence is exhaustive encode->decode round-trips (bit-exact, the 5/3
-transform is reversible) across sizes, level counts and content
-classes — no JPEG 2000 reference codec exists in this container to
-cross-validate against (same disclosure as JBIG2; the shared MQ coder
-itself is stress-tested in test_jbig2).
+evidence is exhaustive encode->decode round-trips (bit-exact on the
+reversible path; quantization-bounded error on the 9/7 path) across
+sizes, level counts and content classes — no JPEG 2000 reference
+codec exists in this container to cross-validate against (same
+disclosure as JBIG2; the shared MQ coder itself is stress-tested in
+test_jbig2).
 
 Reference parity: the reference pipeline inherits JPX support from
 PyMuPDF (reference render.py:89 ``fitz.open``); this engine owns the
@@ -720,6 +723,140 @@ def dwt53_inverse(ll: np.ndarray, bands) -> np.ndarray:
     return cur
 
 
+# ---------------------------------------------------------------------------
+# 9/7 irreversible DWT (T.800 Annex F.4, Table F.4 constants) and
+# scalar quantization (Annex E)
+# ---------------------------------------------------------------------------
+
+#: T.800 Table F.4 lifting constants for the CDF 9/7 filter
+_ALPHA = -1.586134342059924
+_BETA = -0.052980118572961
+_GAMMA = 0.882911075530934
+_DELTA = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _fwd_lift97(x: np.ndarray) -> np.ndarray:
+    """1D forward 9/7 along the last axis, in place interleaved
+    (even = low, odd = high), whole-sample symmetric extension — the
+    float twin of _fwd_lift. Final scaling low*(1/K), high*K yields
+    the Table E.1 nominal gains (DC gain 1 on the low band, Nyquist
+    gain 2 per high-pass), so the reversible Mb bookkeeping applies
+    unchanged."""
+
+    L = x.shape[-1]
+    if L == 1:
+        return x
+    even = x[..., 0::2]
+    odd = x[..., 1::2]
+    ne, no = even.shape[-1], odd.shape[-1]
+    e_r = np.minimum(np.arange(no) + 1, ne - 1)
+    o_l = np.maximum(np.arange(ne) - 1, 0)
+    o_r = np.minimum(np.arange(ne), no - 1)
+    odd += _ALPHA * (even[..., :no] + even[..., e_r])
+    even += _BETA * (odd[..., o_l] + odd[..., o_r])
+    odd += _GAMMA * (even[..., :no] + even[..., e_r])
+    even += _DELTA * (odd[..., o_l] + odd[..., o_r])
+    even *= 1.0 / _K97
+    odd *= _K97
+    return x
+
+
+def _inv_lift97(x: np.ndarray) -> np.ndarray:
+    """1D inverse 9/7 along the last axis (interleaved input) — exact
+    mirror of _fwd_lift97."""
+
+    L = x.shape[-1]
+    if L == 1:
+        return x
+    even = x[..., 0::2]
+    odd = x[..., 1::2]
+    ne, no = even.shape[-1], odd.shape[-1]
+    e_r = np.minimum(np.arange(no) + 1, ne - 1)
+    o_l = np.maximum(np.arange(ne) - 1, 0)
+    o_r = np.minimum(np.arange(ne), no - 1)
+    even *= _K97
+    odd *= 1.0 / _K97
+    even -= _DELTA * (odd[..., o_l] + odd[..., o_r])
+    odd -= _GAMMA * (even[..., :no] + even[..., e_r])
+    even -= _BETA * (odd[..., o_l] + odd[..., o_r])
+    odd -= _ALPHA * (even[..., :no] + even[..., e_r])
+    return x
+
+
+def dwt97_forward(tile: np.ndarray, levels: int):
+    """Float twin of dwt53_forward (columns first, then rows)."""
+
+    cur = tile.astype(np.float64)
+    bands = []
+    for _ in range(levels):
+        cur = np.ascontiguousarray(_fwd_lift97(np.ascontiguousarray(cur.T)).T)
+        cur = _fwd_lift97(np.ascontiguousarray(cur))
+        bands.append(
+            (cur[0::2, 1::2].copy(), cur[1::2, 0::2].copy(),
+             cur[1::2, 1::2].copy())
+        )
+        cur = cur[0::2, 0::2].copy()
+    bands.reverse()
+    return cur, bands
+
+
+def dwt97_inverse(ll: np.ndarray, bands) -> np.ndarray:
+    """Inverse of dwt97_forward: bands ordered deepest level first."""
+
+    cur = ll.astype(np.float64)
+    for hl, lh, hh in bands:
+        h = cur.shape[0] + lh.shape[0]
+        w = cur.shape[1] + hl.shape[1]
+        full = np.zeros((h, w), np.float64)
+        full[0::2, 0::2] = cur
+        full[0::2, 1::2] = hl
+        full[1::2, 0::2] = lh
+        full[1::2, 1::2] = hh
+        full = _inv_lift97(full)
+        full = np.ascontiguousarray(_inv_lift97(np.ascontiguousarray(full.T)).T)
+        cur = full
+    return cur
+
+
+def _ict_forward(shifted: np.ndarray) -> list:
+    """Irreversible color transform (T.800 G.3, the float YCbCr pair of
+    _rct_forward) on level-shifted RGB."""
+
+    r = shifted[..., 0].astype(np.float64)
+    g = shifted[..., 1].astype(np.float64)
+    b = shifted[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    return [y, cb, cr]
+
+
+def _ict_inverse(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+def _step_to_eps_mu(step: float, rb: int) -> tuple[int, int]:
+    """Invert T.800 E-3: the (exponent, mantissa) pair whose signalled
+    step size 2^(rb-eps) * (1 + mu/2^11) best matches ``step`` for a
+    band of nominal dynamic range ``rb`` bits."""
+
+    eps = rb - math.floor(math.log2(step))
+    if not (0 <= eps <= 31):
+        raise UserError("JPX encoder: quantization step out of range.")
+    mu = round((step / 2.0 ** (rb - eps) - 1.0) * 2048)
+    return eps, min(max(mu, 0), 2047)
+
+
+def _eps_mu_to_step(eps: int, mu: int, rb: int) -> float:
+    """T.800 Equation E-3."""
+
+    return 2.0 ** (rb - eps) * (1.0 + mu / 2048.0)
+
+
 def _band_dims(size: int, nb: int, offset: int) -> int:
     """T.800 B.5 band extent for a tile at the origin: number of band
     samples along one dimension at decomposition level nb with band
@@ -971,10 +1108,20 @@ def _rct_inverse(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
     return np.stack([v + g, g, u + g], axis=-1)
 
 
-def encode_jpx(img: np.ndarray, levels: int = 2) -> bytes:
-    """8-bit gray (H, W) or RGB (H, W, 3) -> single-tile lossless
-    JPEG 2000 codestream (one layer, 5/3 reversible, RCT for RGB,
-    64x64 code-blocks, LRCP)."""
+def encode_jpx(
+    img: np.ndarray,
+    levels: int = 2,
+    *,
+    irreversible: bool = False,
+    qstep: float = 1.0 / 64,
+    qcd_style: str = "expounded",
+) -> bytes:
+    """8-bit gray (H, W) or RGB (H, W, 3) -> single-tile JPEG 2000
+    codestream (one layer, 64x64 code-blocks, LRCP). Default is the
+    lossless path (5/3 reversible, RCT for RGB, no quantization);
+    ``irreversible=True`` emits the lossy 9/7 path (ICT for RGB,
+    scalar-expounded QCD with a uniform base step ``qstep`` — Annex E
+    deadzone quantizer, reconstruction bounded by the step size)."""
 
     if img.dtype != np.uint8 or img.ndim not in (2, 3) or (
         img.ndim == 3 and img.shape[2] != 3
@@ -984,22 +1131,64 @@ def encode_jpx(img: np.ndarray, levels: int = 2) -> bytes:
         raise UserError("JPX encoder: 0-5 decomposition levels.")
     h, w = img.shape[:2]
     shifted = img.astype(np.int64) - 128  # DC level shift (B.1.1)
-    if img.ndim == 2:
-        comps, mct, eps_base = [shifted], 0, 8
+    if irreversible:
+        # ICT keeps every component inside the 8-bit nominal range
+        if img.ndim == 2:
+            comps, mct, eps_base = [shifted.astype(np.float64)], 0, 8
+        else:
+            comps, mct, eps_base = _ict_forward(shifted), 1, 8
+        ncomp = len(comps)
+        decomposed = [dwt97_forward(c, levels) for c in comps]
+        #: per-band (eps, mu, step) keyed (orient, nb): rb = 8 + gain.
+        #: The signalled step is the QUANTIZER's step too, so encoder
+        #: and decoder divide/multiply the identical double.
+        band_keys = [k for bands in _resolution_bands(levels) for k in bands]
+        quant_of = {}
+        if qcd_style == "derived":
+            # style 1 (E-5): one signalled pair for the LL band; every
+            # band at decomposition level nb derives eps0 - levels + nb
+            eps0, mu0 = _step_to_eps_mu(qstep, eps_base)
+            if eps0 - levels < 1:
+                raise UserError(
+                    "JPX encoder: derived QCD step too coarse for levels."
+                )
+            for orient, nb in band_keys:
+                rb = eps_base + _GAIN[orient]
+                eps = eps0 - levels + nb if levels else eps0
+                quant_of[(orient, nb)] = (
+                    eps, mu0, _eps_mu_to_step(eps, mu0, rb)
+                )
+        elif qcd_style == "expounded":
+            for orient, nb in band_keys:
+                rb = eps_base + _GAIN[orient]
+                eps, mu = _step_to_eps_mu(qstep, rb)
+                quant_of[(orient, nb)] = (
+                    eps, mu, _eps_mu_to_step(eps, mu, rb)
+                )
+        else:
+            raise UserError("JPX encoder: qcd_style derived|expounded.")
     else:
-        # chrominance components span 9 bits after the RCT -> one
-        # extra exponent bit for every component (single QCD)
-        comps, mct, eps_base = _rct_forward(shifted), 1, 9
-    ncomp = len(comps)
-
-    decomposed = [dwt53_forward(c, levels) for c in comps]
+        if img.ndim == 2:
+            comps, mct, eps_base = [shifted], 0, 8
+        else:
+            # chrominance components span 9 bits after the RCT -> one
+            # extra exponent bit for every component (single QCD)
+            comps, mct, eps_base = _rct_forward(shifted), 1, 9
+        ncomp = len(comps)
+        decomposed = [dwt53_forward(c, levels) for c in comps]
+        quant_of = None
 
     def band_array(ci: int, orient: int, nb: int) -> np.ndarray:
         ll, lev_bands = decomposed[ci]
         if orient == _LL:
-            return ll
-        hl, lh, hh = lev_bands[len(lev_bands) - nb]
-        return (hl, lh, hh)[orient - 1]
+            arr = ll
+        else:
+            hl, lh, hh = lev_bands[len(lev_bands) - nb]
+            arr = (hl, lh, hh)[orient - 1]
+        if not irreversible:
+            return arr
+        step = quant_of[(orient, nb)][2]
+        return (np.sign(arr) * np.floor(np.abs(arr) / step)).astype(np.int64)
 
     packets = []
     # LRCP with 1 layer and whole-band precincts: resolution-major,
@@ -1014,7 +1203,10 @@ def encode_jpx(img: np.ndarray, levels: int = 2) -> bytes:
                 arr = band_array(ci, orient, nb)
                 bh, bw_ = arr.shape
                 nx, ny, blocks = _blocks_of(bh, bw_)
-                mb = _GUARD_BITS + (eps_base + _GAIN[orient]) - 1
+                if irreversible:
+                    mb = _GUARD_BITS + quant_of[(orient, nb)][0] - 1
+                else:
+                    mb = _GUARD_BITS + (eps_base + _GAIN[orient]) - 1
                 coded = []
                 for y0, x0, ch, cw in blocks:
                     seg, npasses, numbps = t1_encode(
@@ -1079,17 +1271,32 @@ def encode_jpx(img: np.ndarray, levels: int = 2) -> bytes:
         38 + 3 * ncomp, 0, w, h, 0, 0, w, h, 0, 0, ncomp,
     ) + bytes([7, 1, 1] * ncomp)
     out += b"\xff\x51" + siz
-    spcod = bytes([levels, _CB_EXP - 2, _CB_EXP - 2, 0, 1])
+    spcod = bytes([levels, _CB_EXP - 2, _CB_EXP - 2, 0,
+                   0 if irreversible else 1])
     cod = struct.pack(">HBBHB", 12, 0, 0, 1, mct) + spcod
     out += b"\xff\x52" + cod
     n_sub = 3 * levels + 1
-    exps = bytearray([0x40])  # Sqcd: no quantization, 2 guard bits
     order = [( _LL, levels if levels else 0 )]
     for r in range(1, levels + 1):
         nb = levels - r + 1
         order += [(_HL, nb), (_LH, nb), (_HH, nb)]
-    for orient, _nb in order[:n_sub]:
-        exps.append((eps_base + _GAIN[orient]) << 3)
+    if irreversible and qcd_style == "derived":
+        # Sqcd: scalar derived (style 1), 2 guard bits; the single
+        # signalled pair is the LL band's (exponent << 11 | mantissa)
+        eps, mu, _step = quant_of[(_LL, levels if levels else 0)]
+        exps = bytearray([(_GUARD_BITS << 5) | 0x01])
+        exps += struct.pack(">H", (eps << 11) | mu)
+    elif irreversible:
+        # Sqcd: scalar expounded (style 2), 2 guard bits; 16-bit
+        # (exponent << 11 | mantissa) per band
+        exps = bytearray([(_GUARD_BITS << 5) | 0x02])
+        for key in order[:n_sub]:
+            eps, mu, _step = quant_of[key]
+            exps += struct.pack(">H", (eps << 11) | mu)
+    else:
+        exps = bytearray([0x40])  # Sqcd: no quantization, 2 guard bits
+        for orient, _nb in order[:n_sub]:
+            exps.append((eps_base + _GAIN[orient]) << 3)
     out += b"\xff\x5c" + struct.pack(">H", 2 + len(exps)) + bytes(exps)
     data = b"".join(packets)
     psot = 12 + 2 + len(data)  # SOT seg + SOD marker + data
@@ -1111,8 +1318,11 @@ def decode_jpx(data: bytes) -> np.ndarray:
     ncomp = None
     levels = None
     mct = 0
+    reversible = True
     guard = _GUARD_BITS
+    qcd_style = 0
     qcd_exps: list[int] = []
+    qcd_pairs: list[tuple[int, int]] = []
     tile_data = None
     while pos + 2 <= len(data):
         marker = data[pos : pos + 2]
@@ -1155,14 +1365,21 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 raise UserError("JPX: only 64x64 code-blocks.")
             if seg[8] != 0:
                 raise UserError("JPX: code-block style modes unsupported.")
-            if seg[9] != 1:
-                raise UserError("JPX: only the reversible 5/3 transform.")
+            if seg[9] not in (0, 1):
+                raise UserError("JPX: unknown wavelet transform.")
+            reversible = seg[9] == 1
             pos += ln
         elif marker == b"\xff\x5c":  # QCD
-            if seg[0] & 0x1F:
-                raise UserError("JPX: quantization unsupported (lossless only).")
+            qcd_style = seg[0] & 0x1F
             guard = seg[0] >> 5
-            qcd_exps = [b_ >> 3 for b_ in seg[1:]]
+            if qcd_style == 0:  # no quantization: 8-bit exponents
+                qcd_exps = [b_ >> 3 for b_ in seg[1:]]
+            elif qcd_style in (1, 2):  # scalar derived / expounded
+                n16 = (len(seg) - 1) // 2
+                vals = struct.unpack(f">{n16}H", seg[1 : 1 + 2 * n16])
+                qcd_pairs = [(v >> 11, v & 0x7FF) for v in vals]
+            else:
+                raise UserError("JPX: unknown quantization style.")
             pos += ln
         elif marker == b"\xff\x90":  # SOT
             _isot, psot, _tpsot, _tnsot = struct.unpack(">HIBB", seg[:8])
@@ -1180,17 +1397,43 @@ def decode_jpx(data: bytes) -> np.ndarray:
     if mct and ncomp != 3:
         raise UserError("JPX: component transform requires 3 components.")
 
-    # per-band Mb from the parsed QCD exponents (band order: LL, then
-    # HL/LH/HH per resolution)
+    # per-band Mb from the parsed QCD (band order: LL, then HL/LH/HH
+    # per resolution); for the quantized styles also the Annex E step
+    # size per band (E-3, with E-5's exponent derivation for style 1)
     band_order = [(_LL, levels if levels else 0)]
     for r in range(1, levels + 1):
         nb = levels - r + 1
         band_order += [(_HL, nb), (_LH, nb), (_HH, nb)]
-    if len(qcd_exps) < len(band_order):
-        raise UserError("JPX: QCD exponent list too short.")
-    mb_of = {
-        key: guard + qcd_exps[i] - 1 for i, key in enumerate(band_order)
-    }
+    step_of: dict[tuple[int, int], float] = {}
+    if qcd_style == 0:
+        if not reversible:
+            raise UserError("JPX: 9/7 stream without quantization signalling.")
+        if len(qcd_exps) < len(band_order):
+            raise UserError("JPX: QCD exponent list too short.")
+        mb_of = {
+            key: guard + qcd_exps[i] - 1 for i, key in enumerate(band_order)
+        }
+    else:
+        if reversible:
+            raise UserError("JPX: quantized QCD with the reversible 5/3.")
+        mb_of = {}
+        if qcd_style == 1:  # derived: one pair, exponents scale by level
+            if not qcd_pairs:
+                raise UserError("JPX: empty derived QCD.")
+            eps0, mu0 = qcd_pairs[0]
+            pair_of = {
+                (orient, nb): (eps0 - levels + nb, mu0)
+                for orient, nb in band_order
+            }
+        else:  # expounded: one pair per band
+            if len(qcd_pairs) < len(band_order):
+                raise UserError("JPX: QCD step list too short.")
+            pair_of = dict(zip(band_order, qcd_pairs))
+        for key, (eps, mu) in pair_of.items():
+            if eps < 1:
+                raise UserError("JPX: invalid derived QCD exponent.")
+            mb_of[key] = guard + eps - 1
+            step_of[key] = _eps_mu_to_step(eps, mu, 8 + _GAIN[key[0]])
 
     # band containers, keyed (component, orient, level)
     band_arrays: dict[tuple[int, int, int], np.ndarray] = {}
@@ -1248,25 +1491,37 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 coeffs = t1_decode(seg, ch, cw, orient, numbps, npasses)
                 arr[y0 : y0 + ch, x0 : x0 + cw] = coeffs
 
+    def band(ci: int, orient: int, nb: int) -> np.ndarray:
+        q = band_arrays[(ci, orient, nb)]
+        if reversible:
+            return q
+        # Annex E dequantization with the midpoint reconstruction
+        # parameter r=0.5 (the floor quantizer's expectation)
+        step = step_of[(orient, nb)]
+        return np.where(
+            q == 0, 0.0, np.sign(q) * (np.abs(q) + 0.5) * step
+        )
+
     planes = []
     for ci in range(ncomp):
-        ll = band_arrays[(ci, _LL, levels if levels else 0)]
+        ll = band(ci, _LL, levels if levels else 0)
         lev_bands = []
         for nb in range(levels, 0, -1):
             lev_bands.append(
-                (band_arrays[(ci, _HL, nb)], band_arrays[(ci, _LH, nb)],
-                 band_arrays[(ci, _HH, nb)])
+                (band(ci, _HL, nb), band(ci, _LH, nb), band(ci, _HH, nb))
             )
-        tile = dwt53_inverse(ll, lev_bands)
+        tile = (dwt53_inverse if reversible else dwt97_inverse)(ll, lev_bands)
         if tile.shape != (h, w):
             raise UserError("JPX: reconstructed tile shape mismatch.")
         planes.append(tile)
     if ncomp == 1:
         out = planes[0]
     elif mct:
-        out = _rct_inverse(*planes)
+        out = (_rct_inverse if reversible else _ict_inverse)(*planes)
     else:
         out = np.stack(planes, axis=-1)
+    if not reversible:
+        out = np.rint(out)
     return np.clip(out + 128, 0, 255).astype(np.uint8)
 
 

@@ -38,9 +38,10 @@ class PageSpec:
     #: image codec for this page's rasters: "flate" (lossless),
     #: "jpeg" (DCTDecode, baseline via pdfio/jpeg.py — what real
     #: scanned PDFs ship), "ccitt" (Group-4 fax via pdfio/ccitt.py),
-    #: "jbig2" (T.88 generic region via pdfio/jbig2.py), or "jpx"
-    #: (lossless JPEG 2000 via pdfio/jpx.py); the 1-bit codecs
-    #: threshold gray rasters at >127
+    #: "jbig2" (T.88 generic region via pdfio/jbig2.py), "jpx"
+    #: (lossless JPEG 2000 via pdfio/jpx.py), or "jpx97" (lossy 9/7
+    #: JPEG 2000, derived QCD); the 1-bit codecs threshold gray
+    #: rasters at >127
     codec: str = "flate"
 
 
@@ -284,10 +285,21 @@ def _image_xobject(arr: np.ndarray, codec: str = "flate") -> bytes:
             f"/Length {len(data)} >>\nstream\n"
         ).encode()
         return head + data + b"\nendstream"
-    if codec == "jpx":
+    if codec in ("jpx", "jpx97"):
         from .jpx import encode_jpx
 
-        data = encode_jpx(np.ascontiguousarray(arr, dtype=np.uint8), levels=2)
+        if codec == "jpx97":
+            # lossy archival-scan profile: 9/7 irreversible wavelet
+            # with a derived-style QCD (the common OpenJPEG default),
+            # exercising the quantized decode path end-to-end
+            data = encode_jpx(
+                np.ascontiguousarray(arr, dtype=np.uint8), levels=2,
+                irreversible=True, qstep=1.0 / 16, qcd_style="derived",
+            )
+        else:
+            data = encode_jpx(
+                np.ascontiguousarray(arr, dtype=np.uint8), levels=2
+            )
         head = (
             f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
             f"/ColorSpace /{cs} /BitsPerComponent 8 /Filter /JPXDecode "

@@ -1,8 +1,11 @@
-"""JPEG 2000 (T.800) codec: DWT reversibility, Tier-1 / Tier-2 /
-codestream round-trips across content classes, sizes and level counts,
-the JP2 container unwrap, the /JPXDecode XObject path end-to-end under
-the serial extractor, and graceful rejection of the unsupported
-profile corners (multi-component, quantized, 9/7)."""
+"""JPEG 2000 (T.800) codec: DWT reversibility (5/3 exact, 9/7
+numeric), Tier-1 / Tier-2 / codestream round-trips across content
+classes, sizes and level counts (lossless bit-exact; lossy 9/7
+bounded by the quantization step, both derived and expounded QCD),
+the JP2 container unwrap, the /JPXDecode XObject path end-to-end
+under the serial extractor, and graceful rejection of the remaining
+unsupported corners (multi-component N!=1,3, inconsistent
+transform/QCD signalling)."""
 
 from __future__ import annotations
 
@@ -239,6 +242,102 @@ def test_corrupt_streams_fail_closed():
         decode_jpx(bytes(flipped))
     except Exception as e:
         assert not isinstance(e, (MemoryError, RecursionError))
+
+
+@pytest.mark.parametrize("levels", [0, 1, 2, 3])
+def test_dwt97_numerically_invertible(levels):
+    from pdf_toolkit_spark.pdfio.jpx import dwt97_forward, dwt97_inverse
+
+    for name, img in _cases().items():
+        x = img.astype(np.float64) - 128
+        ll, bands = dwt97_forward(x, levels)
+        back = dwt97_inverse(ll, bands)
+        assert np.abs(back - x).max() < 1e-9, (name, levels)
+
+
+@pytest.mark.parametrize("style", ["expounded", "derived"])
+@pytest.mark.parametrize("levels", [0, 1, 2, 3])
+def test_97_codestream_roundtrip_bounded(style, levels):
+    """Lossy 9/7 path: reconstruction error is bounded by the
+    quantization step (Annex E midpoint reconstruction; the wavelet
+    itself contributes <1e-9). At qstep=1/64 the coarsest band step is
+    2^(8-14)*... ~ a few LSBs of headroom -> pixel error <= 2."""
+
+    for name in ("flat", "gradient", "text_page", "noise", "tiny",
+                 "one_px", "wide", "tall"):
+        img = _cases()[name]
+        cs = encode_jpx(img, levels=levels, irreversible=True,
+                        qstep=1.0 / 64, qcd_style=style)
+        out = decode_jpx(cs)
+        assert out.shape == img.shape and out.dtype == np.uint8
+        err = np.abs(out.astype(int) - img.astype(int)).max()
+        assert err <= 2, (name, levels, style, err)
+
+
+@pytest.mark.parametrize("style", ["expounded", "derived"])
+def test_97_rgb_roundtrip_with_ict(style):
+    rgb = RGB_RNG.integers(0, 256, (50, 60, 3), dtype=np.uint8)
+    cs = encode_jpx(rgb, levels=2, irreversible=True,
+                    qstep=1.0 / 64, qcd_style=style)
+    out = decode_jpx(cs)
+    assert out.shape == rgb.shape
+    # ICT is float and the chroma quantization spreads across channels
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 3, style
+
+
+def test_97_coarser_step_degrades_gracefully():
+    """A coarser step still reconstructs within its own bound and
+    produces a smaller codestream than the fine step."""
+
+    img = _cases()["noise"]
+    fine = encode_jpx(img, levels=2, irreversible=True, qstep=1.0 / 64)
+    coarse = encode_jpx(img, levels=2, irreversible=True, qstep=1.0 / 4)
+    assert len(coarse) < len(fine)
+    out = decode_jpx(coarse)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 32
+
+
+def test_97_inconsistent_signalling_raises():
+    """9/7 with a no-quantization QCD (and 5/3 with a quantized QCD)
+    are inconsistent codestreams: fail closed, never wrong pixels."""
+
+    img = _cases()["flat"]
+    lossless = bytearray(encode_jpx(img, levels=1))
+    cod_at = bytes(lossless).find(b"\xff\x52")
+    lossless[cod_at + 2 + 2 + 9] = 0  # transform byte -> 9/7
+    with pytest.raises(UserError):
+        decode_jpx(bytes(lossless))
+    lossy = bytearray(encode_jpx(img, levels=1, irreversible=True))
+    cod_at = bytes(lossy).find(b"\xff\x52")
+    lossy[cod_at + 2 + 2 + 9] = 1  # transform byte -> 5/3
+    with pytest.raises(UserError):
+        decode_jpx(bytes(lossy))
+
+
+def test_jpx97_raster_through_parser_bounded():
+    from pdf_toolkit_spark.pdfio.writer import PageSpec, write_pdf
+
+    raster = _cases()["text_page"]
+    pdf_bytes = write_pdf([PageSpec(raster=raster, codec="jpx97")])
+    assert b"JPXDecode" in pdf_bytes
+    parsed = PdfDocument(pdf_bytes).load_page(0)
+    assert parsed.scan is not None
+    assert np.abs(parsed.scan.astype(int) - raster.astype(int)).max() <= 4
+
+
+def test_jpx97_corpus_doc_extracts_end_to_end():
+    """A lossy-9/7 corpus doc (codec-cycle slot 4) runs the whole
+    serial pipeline; the decoded raster drives the same kernels."""
+
+    from pdf_toolkit_spark.corpus import make_document
+    from pdf_toolkit_spark.extract import extract_document
+
+    doc = make_document(12, seed=42, mega_every=0, jpeg_every=3)
+    assert b"JPXDecode" in doc["pdf_bytes"]
+    spans = extract_document(doc["pdf_bytes"])["spans"]
+    assert len(spans) > 0
+    page = PdfDocument(doc["pdf_bytes"]).load_page(0)
+    assert page.scan is not None, "lossy jpx raster did not decode"
 
 
 def test_npasses_codec_roundtrip_all_branches():
