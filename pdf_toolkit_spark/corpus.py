@@ -248,19 +248,22 @@ def make_document(
         raise ValueError(doc_class)
 
     if jpeg_every and doc_id % jpeg_every == 0:
-        # cycle the five real-world scan codecs: DCT (photo scans),
-        # Group-4 fax and JBIG2 (B/W scans; rasters thresholded to
-        # 1-bit, so the serial oracle sees the same binarization),
-        # lossless JPEG 2000 (archival masters), and lossy 9/7
-        # JPEG 2000 (the dominant archival-scan profile). Mega docs
-        # fall back to DCT on the jpx slots: the pure-Python EBCOT
-        # coder at ~150-220 noise pages per doc would dominate fixture
-        # generation for no extra coverage (jpx x chunked-path is
-        # covered by the portrait and spread classes).
-        codec = ("jpeg", "ccitt", "jbig2", "jpx", "jpx97")[
-            (doc_id // jpeg_every) % 5
+        # cycle the six real-world scan codecs: DCT (photo scans),
+        # Group-4 fax and generic-region JBIG2 (B/W scans; rasters
+        # thresholded to 1-bit, so the serial oracle sees the same
+        # binarization), lossless JPEG 2000 (archival masters), lossy
+        # 9/7 JPEG 2000 (the dominant archival-scan profile), and
+        # symbol/text-region JBIG2 with a /JBIG2Globals dictionary
+        # (what production scanned-text encoders emit). Mega docs fall
+        # back to DCT on the jpx/jbig2s slots: the pure-Python EBCOT /
+        # component coders at ~150-220 noise pages per doc would
+        # dominate fixture generation for no extra coverage (the
+        # chunked path x codecs is covered by the portrait and spread
+        # classes).
+        codec = ("jpeg", "ccitt", "jbig2", "jpx", "jpx97", "jbig2s")[
+            (doc_id // jpeg_every) % 6
         ]
-        if codec in ("jpx", "jpx97") and doc_class == "mega_pdf":
+        if codec in ("jpx", "jpx97", "jbig2s") and doc_class == "mega_pdf":
             codec = "jpeg"
         for page in pages:
             page.codec = codec

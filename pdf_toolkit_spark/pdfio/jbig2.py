@@ -1,20 +1,28 @@
-"""JBIG2 (ITU-T T.88) generic-region codec — decode AND encode.
+"""JBIG2 (ITU-T T.88) codec — decode AND encode.
 
 Scope (the scanned-book subset): embedded-organization segment streams
-as PDF /JBIG2Decode carries them (segment headers per T.88 §7.2, page
-info + immediate generic region + end-of-page), generic region coding
-with GB template 0 at the NOMINAL adaptive-pixel positions, optional
-TPGDON typical-prediction rows, and the MQ arithmetic coder of T.88
-Annex E (the same coder JPEG 2000 uses; the Qe state table is the
-published Table E.1). Symbol-dictionary / text-region / refinement
-segments and /JBIG2Globals are out of scope and surface as missing
+as PDF /JBIG2Decode carries them (segment headers per T.88 §7.2 with
+referred-segment lists, page info + region segments + end-of-page),
+generic region coding with GB template 0 at the NOMINAL adaptive-pixel
+positions and optional TPGDON typical-prediction rows, SYMBOL
+DICTIONARY segments (T.88 §6.5/§7.4.3: arithmetic-coded height
+classes, shared GB contexts across symbol bitmaps, export-run flags)
+with /JBIG2Globals threading, TEXT REGION segments (T.88 §6.4/§7.4.4:
+strip decoding with the Annex A integer arithmetic procedures IADT /
+IAFS / IADS / IAIT / IAEX / IADH / IADW and the IAID symbol-ID tree)
+— the segment mix production scanned-text encoders actually emit —
+and the MQ arithmetic coder of T.88 Annex E (the same coder JPEG 2000
+uses; the Qe state table is the published Table E.1). Huffman-coded
+variants, refinement/aggregate coding, halftone segments and
+non-nominal AT positions are out of scope and surface as missing
 rasters (UserError), never wrong pixels.
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (including MQ-coder
-stress with random bit/context sequences) — no JBIG2 reference codec
-exists in this container to cross-validate against (unlike CCITT's
-JDK ImageIO check), which is disclosed here.
+stress with random bit/context sequences, symbol/text round-trips
+over glyph-like corpora, and globals-split streams) — no JBIG2
+reference codec exists in this container to cross-validate against
+(unlike CCITT's JDK ImageIO check), which is disclosed here.
 """
 
 from __future__ import annotations
@@ -124,6 +132,49 @@ class MQDecoder:
                 break
         return d
 
+    def decode_ctx(self, ctx: "ArithCtx", idx: int) -> int:
+        """decode() against an EXTERNAL context table (the Annex A
+        integer procedures each own one, chronologically interleaved
+        with the GB contexts on the same MQ bitstream). Deliberate
+        duplicate of decode()'s body: decode() is the per-pixel hot
+        loop and must not pay an indirection for the rare IA bits."""
+
+        i = ctx.i[idx]
+        mps = ctx.mps[idx]
+        qe, nmps, nlps, switch = _QE[i]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            if self.a < qe:
+                d = mps
+                ctx.i[idx] = nmps
+            else:
+                d = 1 - mps
+                if switch:
+                    ctx.mps[idx] = 1 - mps
+                ctx.i[idx] = nlps
+            self.a = qe
+        else:
+            self.c -= qe << 16
+            if self.a & 0x8000:
+                return mps
+            if self.a < qe:
+                d = 1 - mps
+                if switch:
+                    ctx.mps[idx] = 1 - mps
+                ctx.i[idx] = nlps
+            else:
+                d = mps
+                ctx.i[idx] = nmps
+        while True:  # RENORMD
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
+
 
 class MQEncoder:
     """T.88 Annex E arithmetic encoder (dummy leading byte absorbs the
@@ -191,6 +242,41 @@ class MQEncoder:
             if self.a & 0x8000:
                 break
 
+    def encode_ctx(self, d: int, ctx: "ArithCtx", idx: int) -> None:
+        """encode() against an external context table — the encoder
+        twin of MQDecoder.decode_ctx (same hot-loop rationale)."""
+
+        i = ctx.i[idx]
+        mps = ctx.mps[idx]
+        qe, nmps, nlps, switch = _QE[i]
+        if d == mps:  # CODEMPS
+            self.a -= qe
+            if self.a & 0x8000:
+                self.c += qe
+                return
+            if self.a < qe:
+                self.a = qe
+            else:
+                self.c += qe
+            ctx.i[idx] = nmps
+        else:  # CODELPS
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                ctx.mps[idx] = 1 - mps
+            ctx.i[idx] = nlps
+        while True:  # RENORME
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
     def flush(self) -> bytes:
         # SETBITS + two byteouts, in the same register convention as
         # _byteout (integer window at bits 19-26, carry at bit 27)
@@ -207,13 +293,121 @@ class MQEncoder:
 
 
 # ---------------------------------------------------------------------------
+# Annex A integer arithmetic decoding procedures (IADH/IADW/IAEX/IAAI/
+# IADT/IAFS/IADS/IAIT and the IAID symbol-ID variant)
+# ---------------------------------------------------------------------------
+
+class ArithCtx:
+    """One IAx procedure's adaptive context table (512 states for the
+    integer procedures; 2^(SBSYMCODELEN+1) for IAID)."""
+
+    __slots__ = ("i", "mps")
+
+    def __init__(self, n: int = 512) -> None:
+        self.i = bytearray(n)
+        self.mps = bytearray(n)
+
+
+#: (range-selector prefix length, value-bit count, offset) per Annex
+#: A.2's decision tree: 0 -> 2 bits+0, 10 -> 4+4, 110 -> 6+20,
+#: 1110 -> 8+84, 11110 -> 12+340, 11111 -> 32+4436
+_INT_RANGES = ((2, 0), (4, 4), (6, 20), (8, 84), (12, 340), (32, 4436))
+
+
+def decode_int(mq: MQDecoder, ctx: ArithCtx) -> "int | None":
+    """T.88 Annex A.2 IAx integer decode. Returns None for OOB."""
+
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        b = mq.decode_ctx(ctx, prev)
+        prev = ((prev << 1) | b) if prev < 256 else (
+            (((prev << 1) | b) & 511) | 256
+        )
+        return b
+
+    s = bit()
+    sel = 0
+    while sel < 5 and bit():
+        sel += 1
+    nbits, off = _INT_RANGES[sel]
+    v = 0
+    for _ in range(nbits):
+        v = (v << 1) | bit()
+    v += off
+    if s and v == 0:
+        return None  # OOB
+    return -v if s else v
+
+
+def encode_int(mq: MQEncoder, ctx: ArithCtx, value: "int | None") -> None:
+    """Annex A.2 inverse: encode ``value`` (None = OOB, coded as
+    S=1, V=0 in the first range)."""
+
+    prev = 1
+
+    def bit(b: int) -> None:
+        nonlocal prev
+        mq.encode_ctx(b, ctx, prev)
+        prev = ((prev << 1) | b) if prev < 256 else (
+            (((prev << 1) | b) & 511) | 256
+        )
+
+    if value is None:
+        for b in (1, 0, 0, 0):
+            bit(b)
+        return
+    s = 1 if value < 0 else 0
+    v = -value if s else value
+    bit(s)
+    for sel, (nbits, off) in enumerate(_INT_RANGES):
+        top = off + (1 << nbits)
+        if v < top or sel == 5:
+            for _ in range(sel):
+                bit(1)
+            if sel < 5:
+                bit(0)
+            rem = v - off
+            for i in range(nbits - 1, -1, -1):
+                bit((rem >> i) & 1)
+            return
+    raise UserError("JBIG2: integer out of Annex A range.")  # pragma: no cover
+
+
+def decode_iaid(mq: MQDecoder, ctx: ArithCtx, symcodelen: int) -> int:
+    """Annex A.3 IAID symbol-ID decode (fixed-depth context tree)."""
+
+    prev = 1
+    for _ in range(symcodelen):
+        prev = (prev << 1) | mq.decode_ctx(ctx, prev)
+    return prev - (1 << symcodelen)
+
+
+def encode_iaid(mq: MQEncoder, ctx: ArithCtx, value: int, symcodelen: int) -> None:
+    prev = 1
+    for i in range(symcodelen - 1, -1, -1):
+        b = (value >> i) & 1
+        mq.encode_ctx(b, ctx, prev)
+        prev = (prev << 1) | b
+
+
+# ---------------------------------------------------------------------------
 # Generic region (GB template 0, nominal AT)
 # ---------------------------------------------------------------------------
 
-def decode_generic(data: bytes, w: int, h: int, tpgdon: bool = False) -> np.ndarray:
-    """MQ-coded generic region -> (h, w) uint8 bits (1 = black)."""
+def decode_generic(
+    data: bytes, w: int, h: int, tpgdon: bool = False,
+    mq: "MQDecoder | None" = None,
+) -> np.ndarray:
+    """MQ-coded generic region -> (h, w) uint8 bits (1 = black).
 
-    mq = MQDecoder(data)
+    Pass an existing ``mq`` to continue a shared bitstream (symbol
+    dictionaries decode every symbol bitmap with ONE decoder whose GB
+    contexts persist across symbols — T.88 §6.5.8.2.1)."""
+
+    if mq is None:
+        mq = MQDecoder(data)
     rows: list[list[int]] = []
     zeros = [0] * (w + 4)
     ltp = 0
@@ -239,11 +433,19 @@ def decode_generic(data: bytes, w: int, h: int, tpgdon: bool = False) -> np.ndar
     return np.array([r[:w] for r in rows], dtype=np.uint8)
 
 
-def encode_generic(img: np.ndarray, tpgdon: bool = False) -> bytes:
-    """(h, w) 0/1 bits (1 = black) -> MQ-coded generic region data."""
+def encode_generic(
+    img: np.ndarray, tpgdon: bool = False,
+    mq: "MQEncoder | None" = None,
+) -> "bytes | None":
+    """(h, w) 0/1 bits (1 = black) -> MQ-coded generic region data.
 
+    Pass an existing ``mq`` to append into a shared bitstream (symbol
+    dictionary coding); the caller flushes, and None is returned."""
+
+    shared = mq is not None
     h, w = img.shape
-    mq = MQEncoder()
+    if mq is None:
+        mq = MQEncoder()
     pad = np.zeros((h, 4), np.uint8)
     padded = np.concatenate([img, pad], axis=1).tolist()
     zeros = [0] * (w + 4)
@@ -267,18 +469,304 @@ def encode_generic(img: np.ndarray, tpgdon: bool = False) -> bytes:
             w0 = ((w0 << 1) | bit) & 0xF
             w1 = ((w1 << 1) | up1[x + 4]) & 0x7F
             w2 = ((w2 << 1) | up2[x + 3]) & 0x1F
-    return mq.flush()
+    return None if shared else mq.flush()
+
+
+# ---------------------------------------------------------------------------
+# Symbol dictionary (T.88 §6.5 decode / §7.4.3 segment layout)
+# ---------------------------------------------------------------------------
+
+def decode_symbol_dict(
+    payload: bytes, input_syms: "list[np.ndarray]"
+) -> "list[np.ndarray]":
+    """Symbol dictionary segment data -> exported symbol bitmaps
+    (decode order). Arithmetic coding only (SDHUFF=0), no refinement/
+    aggregate (SDREFAGG=0), GB template 0 at nominal AT — the subset
+    this engine's encoder emits; everything else fails closed."""
+
+    if len(payload) < 18:
+        raise UserError("JBIG2: truncated symbol dictionary.")
+    flags = int.from_bytes(payload[0:2], "big")
+    if flags & 0x01:
+        raise UserError("JBIG2: Huffman symbol dictionaries unsupported.")
+    if flags & 0x02:
+        raise UserError("JBIG2: refinement/aggregate symbol coding unsupported.")
+    if (flags >> 8) & 0x03:
+        raise UserError("JBIG2: retained coding contexts unsupported.")
+    if (flags >> 10) & 0x03:
+        raise UserError("JBIG2: only GB template 0 symbol bitmaps.")
+    if payload[2:10] != _NOMINAL_AT:
+        raise UserError("JBIG2: non-nominal AT pixels unsupported.")
+    numex, numnew = struct.unpack(">II", payload[10:18])
+    if numnew > 1 << 20 or numex > 1 << 20:
+        raise UserError("JBIG2: implausible symbol count.")
+
+    mq = MQDecoder(payload[18:])
+    iadh, iadw, iaex = ArithCtx(), ArithCtx(), ArithCtx()
+    newsyms: list[np.ndarray] = []
+    hcheight = 0
+    while len(newsyms) < numnew:
+        dh = decode_int(mq, iadh)
+        if dh is None:
+            raise UserError("JBIG2: OOB height-class delta.")
+        hcheight += dh
+        symwidth = 0
+        while True:
+            dw = decode_int(mq, iadw)
+            if dw is None:
+                break  # height class done
+            symwidth += dw
+            if not (0 < symwidth <= 1 << 15 and 0 < hcheight <= 1 << 15):
+                raise UserError("JBIG2: invalid symbol dimensions.")
+            if len(newsyms) >= numnew:
+                raise UserError("JBIG2: more symbols than declared.")
+            newsyms.append(decode_generic(b"", symwidth, hcheight, mq=mq))
+
+    # export flags: alternating non-export/export run lengths (§6.5.10)
+    allsyms = list(input_syms) + newsyms
+    exported: list[np.ndarray] = []
+    curex, i = 0, 0
+    while i < len(allsyms):
+        run = decode_int(mq, iaex)
+        if run is None or run < 0 or i + run > len(allsyms):
+            raise UserError("JBIG2: bad export run length.")
+        if curex:
+            exported.extend(allsyms[i : i + run])
+        i += run
+        curex ^= 1
+    if len(exported) != numex:
+        raise UserError("JBIG2: export count mismatch.")
+    return exported
+
+
+def encode_symbol_dict(syms: "list[np.ndarray]") -> bytes:
+    """Symbol bitmaps (already sorted by (height, width)) -> symbol
+    dictionary segment data exporting all of them in order."""
+
+    mq = MQEncoder()
+    iadh, iadw, iaex = ArithCtx(), ArithCtx(), ArithCtx()
+    n = len(syms)
+    hc = 0
+    i = 0
+    while i < n:
+        hgt = syms[i].shape[0]
+        encode_int(mq, iadh, hgt - hc)
+        hc = hgt
+        sw = 0
+        while i < n and syms[i].shape[0] == hc:
+            wdt = syms[i].shape[1]
+            encode_int(mq, iadw, wdt - sw)
+            sw = wdt
+            encode_generic(syms[i], mq=mq)
+            i += 1
+        encode_int(mq, iadw, None)  # OOB closes the height class
+    encode_int(mq, iaex, 0)  # initial non-export run
+    encode_int(mq, iaex, n)  # export everything
+    return (
+        struct.pack(">H", 0)  # SDHUFF=0 SDREFAGG=0 template 0
+        + _NOMINAL_AT
+        + struct.pack(">II", n, n)
+        + mq.flush()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text region (T.88 §6.4 decode / §7.4.4 segment layout)
+# ---------------------------------------------------------------------------
+
+def _symcodelen(numsyms: int) -> int:
+    """SBSYMCODELEN for arithmetic coding: ceil(log2(SBNUMSYMS)), min
+    1 (both ends of this engine agree; a 0-bit ID would also decode
+    consistently, but min-1 matches common producers)."""
+
+    return max(1, (max(numsyms, 1) - 1).bit_length())
+
+
+def decode_text_region(
+    payload: bytes, syms: "list[np.ndarray]"
+) -> "tuple[np.ndarray, int, int]":
+    """Text region segment data + symbol table -> (bitmap, x, y).
+    Arithmetic coding only, no refinement, TRANSPOSED=0, OR composition
+    — the production scanned-text profile; else fails closed."""
+
+    if len(payload) < 23:
+        raise UserError("JBIG2: truncated text region.")
+    w, h, x, y = struct.unpack(">IIII", payload[:16])
+    tflags = int.from_bytes(payload[17:19], "big")
+    if tflags & 0x01:
+        raise UserError("JBIG2: Huffman text regions unsupported.")
+    if (tflags >> 1) & 0x01:
+        raise UserError("JBIG2: refinement text coding unsupported.")
+    logstrips = (tflags >> 2) & 0x03
+    refcorner = (tflags >> 4) & 0x03
+    if (tflags >> 6) & 0x01:
+        raise UserError("JBIG2: transposed text regions unsupported.")
+    if (tflags >> 7) & 0x03:
+        raise UserError("JBIG2: only OR text composition supported.")
+    defpixel = (tflags >> 9) & 0x01
+    dsoffset = (tflags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32
+    (numinstances,) = struct.unpack(">I", payload[19:23])
+    if w * h > 1 << 28 or numinstances > 1 << 24:
+        raise UserError("JBIG2: implausible text region size.")
+
+    sbstrips = 1 << logstrips
+    symlen = _symcodelen(len(syms))
+    mq = MQDecoder(payload[23:])
+    iadt, iafs, iads, iait = ArithCtx(), ArithCtx(), ArithCtx(), ArithCtx()
+    iaid = ArithCtx(1 << (symlen + 1))
+
+    region = np.full((h, w), defpixel, np.uint8)
+    dt0 = decode_int(mq, iadt)
+    if dt0 is None:
+        raise UserError("JBIG2: OOB initial strip delta.")
+    stript = -dt0 * sbstrips
+    firsts = 0
+    ninst = 0
+    while ninst < numinstances:
+        dt = decode_int(mq, iadt)
+        if dt is None:
+            raise UserError("JBIG2: OOB strip delta.")
+        stript += dt * sbstrips
+        first = True
+        curs = 0
+        while ninst < numinstances:
+            if first:
+                dfs = decode_int(mq, iafs)
+                if dfs is None:
+                    raise UserError("JBIG2: OOB first-S delta.")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = decode_int(mq, iads)
+                if ids is None:
+                    break  # strip done
+                curs += ids + dsoffset
+            curt = decode_int(mq, iait) if sbstrips > 1 else 0
+            if curt is None:
+                raise UserError("JBIG2: OOB T offset.")
+            tcoord = stript + curt
+            sid = decode_iaid(mq, iaid, symlen)
+            if sid >= len(syms):
+                raise UserError("JBIG2: symbol ID out of range.")
+            bm = syms[sid]
+            hi, wi = bm.shape
+            # TRANSPOSED=0: the left edge sits at CURS for every
+            # REFCORNER; TOP corners anchor T at the top row
+            y0 = tcoord if refcorner in (1, 3) else tcoord - hi + 1
+            x0 = curs
+            ys, xs = max(y0, 0), max(x0, 0)
+            ye, xe = min(y0 + hi, h), min(x0 + wi, w)
+            if ye > ys and xe > xs:
+                region[ys:ye, xs:xe] |= bm[ys - y0 : ye - y0, xs - x0 : xe - x0]
+            curs += wi - 1
+            ninst += 1
+    return region, x, y
+
+
+def encode_text_region(
+    w: int, h: int,
+    instances: "list[tuple[int, int, int]]",
+    syms: "list[np.ndarray]",
+) -> bytes:
+    """(y, x, symbol_id) instances -> text region segment data at
+    region origin (0,0): one strip per distinct row (SBSTRIPS=1),
+    REFCORNER=TOPLEFT, OR composition."""
+
+    symlen = _symcodelen(len(syms))
+    mq = MQEncoder()
+    iadt, iafs, iads = ArithCtx(), ArithCtx(), ArithCtx()
+    iaid = ArithCtx(1 << (symlen + 1))
+
+    inst = sorted(instances)
+    encode_int(mq, iadt, 0)  # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    i = 0
+    n = len(inst)
+    while i < n:
+        yrow = inst[i][0]
+        encode_int(mq, iadt, yrow - stript)
+        stript = yrow
+        curs = 0
+        first = True
+        while i < n and inst[i][0] == yrow:
+            _, xcol, sid = inst[i]
+            if first:
+                encode_int(mq, iafs, xcol - firsts)
+                firsts = xcol
+                first = False
+            else:
+                encode_int(mq, iads, xcol - curs)
+            curs = xcol
+            encode_iaid(mq, iaid, sid, symlen)
+            curs += syms[sid].shape[1] - 1
+            i += 1
+        encode_int(mq, iads, None)  # strip terminator
+    tflags = 1 << 4  # REFCORNER = TOPLEFT; everything else 0
+    return (
+        struct.pack(">IIII", w, h, 0, 0)
+        + b"\x00"  # external combination operator: OR
+        + struct.pack(">H", tflags)
+        + struct.pack(">I", n)
+        + mq.flush()
+    )
+
+
+def _connected_components(
+    img: np.ndarray,
+) -> "list[tuple[int, int, np.ndarray]]":
+    """8-connected components of a 0/1 bitmap -> (y0, x0, bitmap)
+    per component, scan order. Plain BFS — pages are bounded and this
+    runs at fixture-generation time, not in the extraction hot path."""
+
+    h, w = img.shape
+    visited = np.zeros((h, w), bool)
+    comps: list[tuple[int, int, np.ndarray]] = []
+    ys_all, xs_all = np.nonzero(img)
+    for sy, sx in zip(ys_all.tolist(), xs_all.tolist()):
+        if visited[sy, sx]:
+            continue
+        stack = [(sy, sx)]
+        visited[sy, sx] = True
+        pts = []
+        while stack:
+            cy, cx = stack.pop()
+            pts.append((cy, cx))
+            for ny in range(max(cy - 1, 0), min(cy + 2, h)):
+                for nx in range(max(cx - 1, 0), min(cx + 2, w)):
+                    if img[ny, nx] and not visited[ny, nx]:
+                        visited[ny, nx] = True
+                        stack.append((ny, nx))
+        ys = [p[0] for p in pts]
+        xs = [p[1] for p in pts]
+        y0, y1 = min(ys), max(ys)
+        x0, x1 = min(xs), max(xs)
+        bm = np.zeros((y1 - y0 + 1, x1 - x0 + 1), np.uint8)
+        for py, px in pts:
+            bm[py - y0, px - x0] = 1
+        comps.append((y0, x0, bm))
+    return comps
 
 
 # ---------------------------------------------------------------------------
 # Embedded-organization segment stream (PDF /JBIG2Decode payload)
 # ---------------------------------------------------------------------------
 
-def _segment(num: int, seg_type: int, payload: bytes, page: int = 1) -> bytes:
-    # short header: no referred segments, 1-byte page association
+def _segment(
+    num: int, seg_type: int, payload: bytes, page: int = 1,
+    refs: "tuple[int, ...]" = (),
+) -> bytes:
+    # short header: 1-byte page association; referred segment numbers
+    # are 1-byte (this encoder never exceeds segment number 256)
+    if len(refs) > 4 or any(r > 255 for r in refs):
+        raise UserError("JBIG2 encoder: referred-segment list too long.")
     return (
         struct.pack(">IB", num, seg_type)
-        + b"\x00"
+        + bytes([len(refs) << 5])
+        + bytes(refs)
         + bytes([page])
         + struct.pack(">I", len(payload))
         + payload
@@ -305,17 +793,69 @@ def encode_jbig2_embedded(img: np.ndarray, tpgdon: bool = False) -> bytes:
     )
 
 
-def decode_jbig2_embedded(data: bytes) -> np.ndarray:
-    """Embedded JBIG2 stream -> (h, w) uint8 bits (1 = black).
+def encode_jbig2_symbol_text(
+    img: np.ndarray, split_globals: bool = False
+) -> "bytes | tuple[bytes, bytes]":
+    """0/1 bitmap -> embedded JBIG2 stream coded the way production
+    scanned-text encoders work: connected components become a symbol
+    dictionary (deduplicated, sorted by (height, width) into height
+    classes) and ONE immediate text region places every instance.
 
-    Supports the generic-region subset; symbol/text/refinement/pattern
-    segments raise UserError (missing raster upstream, never wrong
-    pixels). Unknown non-region segment types are skipped."""
+    ``split_globals=True`` returns (globals_stream, page_stream): the
+    symbol dictionary moves to the page-0 globals stream (the PDF
+    /JBIG2Globals organization), the page stream's text region refers
+    to it across the boundary."""
+
+    img = img.astype(np.uint8)
+    h, w = img.shape
+    comps = _connected_components(img)
+    if not comps:
+        # blank page: a generic stream is the degenerate encoding
+        empty = encode_jbig2_embedded(img)
+        return (b"", empty) if split_globals else empty
+
+    table: dict[tuple, int] = {}
+    syms: list[np.ndarray] = []
+    inst: list[tuple[int, int, int]] = []
+    for y0, x0, bm in comps:
+        key = (bm.shape, bm.tobytes())
+        sid = table.get(key)
+        if sid is None:
+            sid = len(syms)
+            table[key] = sid
+            syms.append(bm)
+        inst.append((y0, x0, sid))
+    order = sorted(range(len(syms)),
+                   key=lambda i: (syms[i].shape[0], syms[i].shape[1]))
+    remap = {old: new for new, old in enumerate(order)}
+    syms = [syms[i] for i in order]
+    inst = [(y, x, remap[s]) for (y, x, s) in inst]
+
+    sd_payload = encode_symbol_dict(syms)
+    tr_payload = encode_text_region(w, h, inst, syms)
+    page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00" + b"\x00\x00"
+    sd_seg = _segment(1, 0, sd_payload, page=0 if split_globals else 1)
+    page_stream = (
+        _segment(0, 48, page_info)
+        + (b"" if split_globals else sd_seg)
+        + _segment(2, 6, tr_payload, refs=(1,))  # immediate text region
+        + _segment(3, 49, b"")                   # end of page
+    )
+    if split_globals:
+        return sd_seg, page_stream
+    return page_stream
+
+
+def _walk_segments(
+    data: bytes,
+    sym_dicts: "dict[int, list[np.ndarray]]",
+    page: "np.ndarray | None",
+) -> "np.ndarray | None":
+    """Walk one embedded-organization segment stream, updating the
+    shared symbol-dictionary table and compositing onto ``page``."""
 
     pos = 0
     n = len(data)
-    page_wh = None
-    page: np.ndarray | None = None
     while pos + 11 <= n:
         num, flags = struct.unpack(">IB", data[pos : pos + 5])
         pos += 5
@@ -326,6 +866,11 @@ def decode_jbig2_embedded(data: bytes) -> np.ndarray:
             raise UserError("JBIG2: long-form referred-segment lists unsupported.")
         pos += 1
         ref_size = 1 if num <= 256 else (2 if num <= 65536 else 4)
+        refs = [
+            int.from_bytes(data[pos + i * ref_size : pos + (i + 1) * ref_size],
+                           "big")
+            for i in range(ref_count)
+        ]
         pos += ref_count * ref_size
         pos += 4 if flags & 0x40 else 1  # page association
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -338,9 +883,29 @@ def decode_jbig2_embedded(data: bytes) -> np.ndarray:
             w, h = struct.unpack(">II", payload[:8])
             if h == 0xFFFFFFFF:
                 raise UserError("JBIG2: unknown page height unsupported.")
-            page_wh = (w, h)
             default = (payload[16] >> 2) & 1 if len(payload) > 16 else 0
             page = np.full((h, w), default, np.uint8)
+        elif seg_type == 0:  # symbol dictionary
+            input_syms: list[np.ndarray] = []
+            for r in refs:
+                input_syms.extend(sym_dicts.get(r, []))
+            sym_dicts[num] = decode_symbol_dict(payload, input_syms)
+        elif seg_type in (4, 6, 7):  # text region
+            if seg_type == 4:
+                raise UserError("JBIG2: intermediate text regions unsupported.")
+            syms: list[np.ndarray] = []
+            for r in refs:
+                syms.extend(sym_dicts.get(r, []))
+            if not syms:
+                raise UserError("JBIG2: text region with no symbol dictionary.")
+            bits, rx, ry = decode_text_region(payload, syms)
+            rh, rw = bits.shape
+            if page is None:
+                page = np.zeros((rh, rw), np.uint8)
+            ph, pw = page.shape
+            y1, x1 = min(ph, ry + rh), min(pw, rx + rw)
+            if y1 > ry and x1 > rx:
+                page[ry:y1, rx:x1] |= bits[: y1 - ry, : x1 - rx]
         elif seg_type in (36, 38, 39):  # generic region
             rw, rh, rx, ry = struct.unpack(">IIII", payload[:16])
             genflags = payload[17]
@@ -355,18 +920,34 @@ def decode_jbig2_embedded(data: bytes) -> np.ndarray:
                 raise UserError("JBIG2: non-nominal AT pixels unsupported.")
             bits = decode_generic(payload[26:], rw, rh, tpgdon=tpgdon)
             if page is None:
-                page_wh = (rw, rh)
                 page = np.zeros((rh, rw), np.uint8)
             ph, pw = page.shape
             y1, x1 = min(ph, ry + rh), min(pw, rx + rw)
             if y1 > ry and x1 > rx:
                 page[ry:y1, rx:x1] |= bits[: y1 - ry, : x1 - rx]
-        elif seg_type in (4, 6, 7, 0, 16, 20, 22, 23, 40, 42, 43):
+        elif seg_type in (16, 20, 22, 23, 40, 42, 43):
             raise UserError(
-                f"JBIG2: segment type {seg_type} (symbol/text/halftone/"
-                "refinement) unsupported."
+                f"JBIG2: segment type {seg_type} (halftone/refinement) "
+                "unsupported."
             )
         # 49/50/51/62: end-of-page/stripe/file, extension — skip
+    return page
+
+
+def decode_jbig2_embedded(
+    data: bytes, globals_data: bytes = b""
+) -> np.ndarray:
+    """Embedded JBIG2 stream -> (h, w) uint8 bits (1 = black).
+
+    Supports generic regions, symbol dictionaries and text regions
+    (arithmetic coding); ``globals_data`` is the /JBIG2Globals stream
+    whose segments (symbol dictionaries) are walked first and shared.
+    Halftone/refinement/Huffman variants raise UserError (missing
+    raster upstream, never wrong pixels)."""
+
+    sym_dicts: dict[int, list[np.ndarray]] = {}
+    page = _walk_segments(globals_data, sym_dicts, None) if globals_data else None
+    page = _walk_segments(data, sym_dicts, page)
     if page is None:
         raise UserError("JBIG2: no page in stream.")
     return page
@@ -374,10 +955,12 @@ def decode_jbig2_embedded(data: bytes) -> np.ndarray:
 
 def decode_jbig2_pdf(data: bytes, parms: dict) -> np.ndarray:
     """PDF /JBIG2Decode -> (h, w) uint8 GRAY (0/255). JBIG2 1 bits are
-    black by definition -> gray 0. /JBIG2Globals streams carry symbol
-    dictionaries, which are out of scope."""
+    black by definition -> gray 0. /JBIG2Globals (the parser threads
+    the referenced stream's BYTES here) carries page-0 symbol
+    dictionaries shared by the page stream's text regions."""
 
-    if parms.get("JBIG2Globals") is not None:
-        raise UserError("JBIG2: /JBIG2Globals (symbol dictionaries) unsupported.")
-    bits = decode_jbig2_embedded(data)
+    g = parms.get("JBIG2Globals")
+    if g is not None and not isinstance(g, (bytes, bytearray)):
+        raise UserError("JBIG2: /JBIG2Globals must be a stream.")
+    bits = decode_jbig2_embedded(data, globals_data=bytes(g) if g else b"")
     return np.where(bits == 1, 0, 255).astype(np.uint8)

@@ -1130,7 +1130,20 @@ class PdfDocument:
                         return None
                 parms = parms[-1]
             parms = self.resolve(parms) or {}
-            parms = {k: self.resolve(v) for k, v in dict(parms).items()}
+            parms = dict(parms)
+            if parms.get("JBIG2Globals") is not None:
+                # globals hold page-0 symbol dictionaries: the codec
+                # needs the decoded stream BYTES, not the stream dict
+                try:
+                    parms["JBIG2Globals"] = self._stream_bytes(
+                        parms["JBIG2Globals"]
+                    )
+                except UserError:
+                    return None
+            parms = {
+                k: (v if k == "JBIG2Globals" else self.resolve(v))
+                for k, v in parms.items()
+            }
             try:
                 arr = decode_jbig2_pdf(raw, parms)
             except UserError:

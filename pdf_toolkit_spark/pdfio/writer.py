@@ -38,10 +38,11 @@ class PageSpec:
     #: image codec for this page's rasters: "flate" (lossless),
     #: "jpeg" (DCTDecode, baseline via pdfio/jpeg.py — what real
     #: scanned PDFs ship), "ccitt" (Group-4 fax via pdfio/ccitt.py),
-    #: "jbig2" (T.88 generic region via pdfio/jbig2.py), "jpx"
-    #: (lossless JPEG 2000 via pdfio/jpx.py), or "jpx97" (lossy 9/7
-    #: JPEG 2000, derived QCD); the 1-bit codecs threshold gray
-    #: rasters at >127
+    #: "jbig2" (T.88 generic region via pdfio/jbig2.py), "jbig2s"
+    #: (T.88 symbol dictionary + text region with a /JBIG2Globals
+    #: stream), "jpx" (lossless JPEG 2000 via pdfio/jpx.py), or
+    #: "jpx97" (lossy 9/7 JPEG 2000, derived QCD); the 1-bit codecs
+    #: threshold gray rasters at >127
     codec: str = "flate"
 
 
@@ -259,9 +260,34 @@ def _encrypt_streams_in_body(
     return body[:start] + payload + body[end:]
 
 
-def _image_xobject(arr: np.ndarray, codec: str = "flate") -> bytes:
+def _image_xobject(
+    arr: np.ndarray, codec: str = "flate", builder: "_Builder | None" = None,
+) -> bytes:
     h, w = arr.shape[:2]
     cs = "DeviceRGB" if arr.ndim == 3 else "DeviceGray"
+    if codec == "jbig2s" and arr.ndim == 2:
+        from .jbig2 import encode_jbig2_symbol_text
+
+        bits = (arr <= 127).astype(np.uint8)  # dark pixels = black
+        g, data = encode_jbig2_symbol_text(bits, split_globals=True)
+        parms = ""
+        if g and builder is not None:
+            # symbol dictionary rides in a /JBIG2Globals stream — the
+            # organization real scanned-text PDFs use for shared dicts
+            gnum = builder.add(
+                f"<< /Length {len(g)} >>\nstream\n".encode()
+                + g + b"\nendstream"
+            )
+            parms = f"/DecodeParms << /JBIG2Globals {gnum} 0 R >> "
+        elif g:  # no builder to host the globals object: inline dict
+            data = encode_jbig2_symbol_text(bits)
+        head = (
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+            f"/Filter /JBIG2Decode {parms}"
+            f"/Length {len(data)} >>\nstream\n"
+        ).encode()
+        return head + data + b"\nendstream"
     if codec == "ccitt" and arr.ndim == 2:
         from .ccitt import encode_g4
 
@@ -383,7 +409,9 @@ def write_pdf(
     kid_nums: list[int] = []
     for page in pages:
         h, w = page.raster.shape[:2]
-        xobjects: dict[str, int] = {"Im0": b.add(_image_xobject(page.raster, page.codec))}
+        xobjects: dict[str, int] = {
+            "Im0": b.add(_image_xobject(page.raster, page.codec, b))
+        }
 
         ops = [b"q", f"{w} 0 0 {h} 0 0 cm".encode(), b"/Im0 Do", b"Q"]
         img_idx = 1
@@ -411,7 +439,7 @@ def write_pdf(
                 _, arr, row, col = item
                 name = f"Im{img_idx}"
                 img_idx += 1
-                xobjects[name] = b.add(_image_xobject(arr, page.codec))
+                xobjects[name] = b.add(_image_xobject(arr, page.codec, b))
                 ih, iw = arr.shape[:2]
                 y_bottom = h - (row + ih)
                 ops += [

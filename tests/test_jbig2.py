@@ -1,7 +1,9 @@
-"""JBIG2 (T.88) generic-region codec: MQ-coder stress round-trips,
-generic region round-trips (with and without TPGDON), embedded segment
-streams, the /JBIG2Decode XObject path, and graceful rejection of the
-unsupported symbol-coding subset."""
+"""JBIG2 (T.88) codec: MQ-coder stress round-trips, generic region
+round-trips (with and without TPGDON), symbol-dictionary + text-region
+round-trips (Annex A integer codecs, height classes, export runs,
+/JBIG2Globals split), embedded segment streams, the /JBIG2Decode
+XObject path, and graceful rejection of the unsupported
+Huffman/refinement/halftone subset."""
 
 from __future__ import annotations
 
@@ -86,13 +88,127 @@ def test_decode_pdf_gray_mapping_and_globals_rejection():
         decode_jbig2_pdf(b"", {"JBIG2Globals": object()})
 
 
-def test_symbol_segments_rejected_not_mangled():
+def test_malformed_symbol_segments_fail_closed():
     import struct
 
-    # a symbol-dictionary segment (type 0) header with empty payload
+    # a symbol-dictionary segment (type 0) with an empty payload is
+    # truncated, never mangled into pixels
     seg = struct.pack(">IB", 0, 0) + b"\x00" + b"\x01" + struct.pack(">I", 0)
-    with pytest.raises(UserError, match="unsupported"):
+    with pytest.raises(UserError, match="truncated"):
         decode_jbig2_embedded(seg)
+    # Huffman-coded dictionaries (SDHUFF=1) stay out of scope
+    payload = b"\x00\x01" + b"\x00" * 16
+    seg = (struct.pack(">IB", 0, 0) + b"\x00" + b"\x01"
+           + struct.pack(">I", len(payload)) + payload)
+    with pytest.raises(UserError, match="Huffman"):
+        decode_jbig2_embedded(seg)
+
+
+# ---------------------------------------------------------------------------
+# Symbol dictionary + text region (T.88 §6.4/§6.5)
+# ---------------------------------------------------------------------------
+
+def _glyph_page(h: int, w: int, seed: int) -> np.ndarray:
+    """Text-like page: a small glyph alphabet stamped in rows — the
+    content class symbol coding exists for (heavy symbol reuse)."""
+
+    r = np.random.default_rng(seed)
+    page = np.zeros((h, w), np.uint8)
+    glyphs = [
+        (r.integers(0, 2, (9, 7)).astype(np.uint8)
+         | np.eye(9, 7, dtype=np.uint8))
+        for _ in range(6)
+    ]
+    for row in range(5, h - 12, 14):
+        x = 4
+        while x < w - 10:
+            page[row : row + 9, x : x + 7] |= glyphs[int(r.integers(0, 6))]
+            x += 7 + int(r.integers(1, 5))
+    return page
+
+
+def test_int_arith_codec_roundtrip():
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        ArithCtx, decode_int, encode_int, decode_iaid, encode_iaid,
+    )
+
+    values = ([None, 0, 1, -1, 3, 4, -4, 19, 20, -20, 83, 84, 339, 340,
+               -340, 4435, 4436, -4436, 100000, -262144]
+              + np.random.default_rng(5).integers(
+                  -(1 << 20), 1 << 20, 200).tolist())
+    enc = MQEncoder()
+    ctx = ArithCtx()
+    for v in values:
+        encode_int(enc, ctx, v)
+    dec = MQDecoder(enc.flush())
+    dctx = ArithCtx()
+    assert [decode_int(dec, dctx) for _ in values] == values
+
+    for symlen in (1, 2, 5, 9):
+        ids = np.random.default_rng(symlen).integers(
+            0, 1 << symlen, 100).tolist()
+        enc = MQEncoder()
+        ctx = ArithCtx(1 << (symlen + 1))
+        for i in ids:
+            encode_iaid(enc, ctx, int(i), symlen)
+        dec = MQDecoder(enc.flush())
+        dctx = ArithCtx(1 << (symlen + 1))
+        assert [decode_iaid(dec, dctx, symlen) for _ in ids] == ids
+
+
+@pytest.mark.parametrize("name", ["structured", "noise", "white", "thin"])
+def test_symbol_text_roundtrip_cases(name):
+    from pdf_toolkit_spark.pdfio.jbig2 import encode_jbig2_symbol_text
+
+    img = _cases()[name]
+    assert np.array_equal(
+        decode_jbig2_embedded(encode_jbig2_symbol_text(img)), img
+    )
+
+
+def test_symbol_text_roundtrip_glyph_page_and_compresses():
+    from pdf_toolkit_spark.pdfio.jbig2 import encode_jbig2_symbol_text
+
+    img = _glyph_page(120, 200, 5)
+    sym = encode_jbig2_symbol_text(img)
+    assert np.array_equal(decode_jbig2_embedded(sym), img)
+    # symbol reuse must beat generic coding on glyph-heavy pages
+    assert len(sym) < len(encode_jbig2_embedded(img))
+
+
+def test_symbol_text_globals_split_roundtrip():
+    from pdf_toolkit_spark.pdfio.jbig2 import encode_jbig2_symbol_text
+
+    img = _glyph_page(80, 150, 9)
+    g, pg = encode_jbig2_symbol_text(img, split_globals=True)
+    assert g  # the dictionary really moved out of the page stream
+    assert np.array_equal(decode_jbig2_embedded(pg, globals_data=g), img)
+    # without the globals the text region has no dictionary: fail closed
+    with pytest.raises(UserError, match="no symbol dictionary"):
+        decode_jbig2_embedded(pg)
+    # the gray PDF entry point threads the globals bytes
+    gray = decode_jbig2_pdf(pg, {"JBIG2Globals": g})
+    assert np.array_equal(gray, np.where(img == 1, 0, 255).astype(np.uint8))
+
+
+def test_symbol_dict_export_and_height_classes():
+    """Multiple height classes and deduped symbols survive the
+    dictionary round-trip in decode order."""
+
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        decode_symbol_dict, encode_symbol_dict,
+    )
+
+    r = np.random.default_rng(3)
+    syms = []
+    for h, w in [(3, 2), (3, 5), (5, 4), (5, 4), (9, 3)]:
+        syms.append((r.integers(0, 2, (h, w)).astype(np.uint8)
+                     | np.eye(h, w, dtype=np.uint8)))
+    payload = encode_symbol_dict(syms)
+    out = decode_symbol_dict(payload, [])
+    assert len(out) == len(syms)
+    for a, b in zip(out, syms):
+        assert np.array_equal(a, b)
 
 
 # ---------------------------------------------------------------------------

@@ -50,14 +50,15 @@ def test_mega_pdf_went_through_chunked_path(spans_by_doc):
 
 def test_span_sequence_equality_jpeg_corpus(spark):
     """The same equality gate over a scan-codec corpus: every 3rd
-    doc's rasters ship as baseline JPEG, Group-4 fax, JBIG2,
-    lossless JPEG 2000 or lossy 9/7 JPEG 2000 (cycling) — the
-    dominant real-world scan encodings. Distributed decode must equal
-    the serial oracle pixel-for-pixel (media_refs hash decoded
-    pixels; for the lossy codecs both engines decode the SAME bytes,
-    so equality is exact even though the codec is not)."""
+    doc's rasters ship as baseline JPEG, Group-4 fax, generic-region
+    JBIG2, lossless JPEG 2000, lossy 9/7 JPEG 2000 or symbol/text
+    JBIG2 with /JBIG2Globals (cycling) — the dominant real-world scan
+    encodings. Distributed decode must equal the serial oracle
+    pixel-for-pixel (media_refs hash decoded pixels; for the lossy
+    codecs both engines decode the SAME bytes, so equality is exact
+    even though the codec is not)."""
 
-    n = 15  # coded docs 0,3,6,9,12 cycle all five codecs over 2-D rasters
+    n = 18  # coded docs 0,3,...,15 cycle all six codecs over 2-D rasters
     input_df = corpus_dataframe(spark, n, seed=42, mega_every=0, jpeg_every=3)
     spans_df, _ = build_pipeline(spark, input_df, CFG)
     rows = {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in spans_df.collect()}
@@ -65,12 +66,13 @@ def test_span_sequence_equality_jpeg_corpus(spark):
     for doc_id in range(n):
         doc = make_document(doc_id, seed=42, mega_every=0, jpeg_every=3)
         for marker, codec in ((b"DCTDecode", "jpeg"), (b"CCITTFaxDecode", "ccitt"),
-                              (b"JBIG2Decode", "jbig2"), (b"JPXDecode", "jpx")):
+                              (b"JBIG2Decode", "jbig2"), (b"JPXDecode", "jpx"),
+                              (b"JBIG2Globals", "jbig2s")):
             if marker in doc["pdf_bytes"]:
                 saw.add(codec)
         expected = extract_document(doc["pdf_bytes"], CFG)["spans"]
         assert rows[doc["doc_id"]] == expected, doc["doc_class"]
-    assert saw == {"jpeg", "ccitt", "jbig2", "jpx"}
+    assert saw == {"jpeg", "ccitt", "jbig2", "jpx", "jbig2s"}
     # the jpx97 doc (slot 4) is covered: doc 12 carries JPXDecode with
     # an irreversible SPcod transform byte
     doc12 = make_document(12, seed=42, mega_every=0, jpeg_every=3)
