@@ -280,7 +280,13 @@ def make_document(
         k = doc_id // encrypt_every
         encrypt = (True, "aes", "aes256")[k % 3]
         pdf15 = (k // 3) % 2 == 1
-    cid_font = bool(cid_every) and doc_id % cid_every == 0
+    # cycle the three Type0 shapes (Identity-H + /ToUnicode, embedded
+    # CMap stream with a mixed 1/2-byte codespace, predefined
+    # /UniJIS-UCS2-H with NO /ToUnicode) so every font-decoding branch
+    # is exercised end-to-end under span equality
+    cid_font: "bool | str" = False
+    if cid_every and doc_id % cid_every == 0:
+        cid_font = (True, "embedded", "ucs2")[(doc_id // cid_every) % 3]
     return {
         "doc_id": f"doc{doc_id:06d}",
         "pdf_bytes": write_pdf(pages, pdf15=pdf15, encrypt=encrypt,

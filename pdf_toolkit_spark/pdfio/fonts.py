@@ -13,7 +13,17 @@ Covers the three mechanisms real-world PDFs use (PDF 32000-1 §9.6.6,
 - composite Type0 fonts with /Identity-H or /Identity-V encodings:
   2-byte big-endian glyph codes mapped through /ToUnicode (the
   universal shape emitted for subsetted CID fonts), falling back to
-  the identity CID->codepoint map when no /ToUnicode is present.
+  the identity CID->codepoint map when no /ToUnicode is present;
+- composite Type0 fonts whose /Encoding is an EMBEDDED CMap stream:
+  codespacerange-driven variable-width code segmentation (mixed 1-
+  and 2-byte codespaces, matched byte-wise per PDF 32000-1 §9.7.6.2)
+  plus the cidrange/cidchar code->CID table;
+- the predefined Unicode CJK CMap names (UniJIS-UCS2-H/V, UniGB-,
+  UniKS-, UniCNS-, and their -UTF16 forms): per the public Adobe CMap
+  resources' structure their code space IS Unicode (UCS-2 / UTF-16BE),
+  so without any /ToUnicode the show-string codes decode directly —
+  chr(code) for UCS2, surrogate-pairing for UTF16 — which is exactly
+  the text a full CMap-registry consumer recovers.
 
 Reference parity: the reference delegates all of this to PyMuPDF
 (reference render.py:89 `fitz.open`); here it is implemented from the
@@ -228,6 +238,66 @@ def parse_tounicode(data: bytes) -> dict[int, str]:
 
 
 # ---------------------------------------------------------------------------
+# Embedded CMap streams (/Encoding as a stream: PDF 32000-1 §9.7.5.3)
+# ---------------------------------------------------------------------------
+
+_CSR_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
+_CIDR_RE = re.compile(rb"begincidrange(.*?)endcidrange", re.S)
+_CIDC_RE = re.compile(rb"begincidchar(.*?)endcidchar", re.S)
+_HEX_OR_INT = re.compile(rb"<([0-9A-Fa-f\s]*)>|(\d+)")
+
+#: predefined Unicode CJK CMap names: the code space is UCS-2 / UTF-16
+_PREDEF_UCS2_RE = re.compile(r"^Uni(JIS|JIS2004|JISX0213|GB|KS|CNS)-UCS2-(HW-)?[HV]$")
+_PREDEF_UTF16_RE = re.compile(r"^Uni(JIS|JIS2004|JISX0213|GB|KS|CNS)-UTF16-[HV]$")
+
+
+def parse_cmap_stream(
+    data: bytes,
+) -> "tuple[list[tuple[bytes, bytes]], dict[int, int]]":
+    """Embedded CMap program -> (codespace ranges, code->CID map).
+
+    Codespace ranges are (lo_bytes, hi_bytes) pairs of equal length;
+    a show-string code matches a range when every byte sits inside the
+    corresponding [lo, hi] byte interval (§9.7.6.2's byte-wise rule,
+    NOT an integer compare). cidrange destinations are decimal CIDs
+    that increment across the range; cidchar maps single codes."""
+
+    spaces: list[tuple[bytes, bytes]] = []
+    for m in _CSR_RE.finditer(data):
+        toks = [
+            _hex_bytes(t.group(1))
+            for t in _HEX_OR_INT.finditer(m.group(1))
+            if t.group(1) is not None
+        ]
+        for i in range(0, len(toks) - 1, 2):
+            lo, hi = toks[i], toks[i + 1]
+            if lo and len(lo) == len(hi):
+                spaces.append((lo, hi))
+    cid_map: dict[int, int] = {}
+    for m in _CIDR_RE.finditer(data):
+        toks = list(_HEX_OR_INT.finditer(m.group(1)))
+        for i in range(0, len(toks) - 2, 3):
+            if (toks[i].group(1) is None or toks[i + 1].group(1) is None
+                    or toks[i + 2].group(2) is None):
+                continue
+            lo = int.from_bytes(_hex_bytes(toks[i].group(1)), "big")
+            hi = int.from_bytes(_hex_bytes(toks[i + 1].group(1)), "big")
+            dst = int(toks[i + 2].group(2))
+            if hi - lo > 1 << 20:
+                continue  # implausible range: skip, never OOM
+            for off in range(hi - lo + 1):
+                cid_map[lo + off] = dst + off
+    for m in _CIDC_RE.finditer(data):
+        toks = list(_HEX_OR_INT.finditer(m.group(1)))
+        for i in range(0, len(toks) - 1, 2):
+            if toks[i].group(1) is None or toks[i + 1].group(2) is None:
+                continue
+            code = int.from_bytes(_hex_bytes(toks[i].group(1)), "big")
+            cid_map[code] = int(toks[i + 1].group(2))
+    return spaces, cid_map
+
+
+# ---------------------------------------------------------------------------
 # FontDecoder
 # ---------------------------------------------------------------------------
 
@@ -235,26 +305,69 @@ class FontDecoder:
     """code-bytes -> str for one font.
 
     ``width`` is the code byte-width (1 for simple fonts, 2 for
-    Identity-H/V composites). Per-code precedence: /ToUnicode CMap,
-    then the encoding table (base + Differences), then identity."""
+    Identity-H/V and predefined-Unicode composites); ``codespaces``
+    (embedded CMaps) switches to byte-wise variable-width
+    segmentation instead; ``utf16`` pairs surrogates (the
+    UniXXX-UTF16 predefined CMaps). Per-code precedence: /ToUnicode
+    CMap, then the encoding table (base + Differences), then
+    identity."""
 
-    __slots__ = ("width", "cmap", "table")
+    __slots__ = ("width", "cmap", "table", "codespaces", "cid_map", "utf16")
 
     def __init__(
         self,
         width: int,
         cmap: Optional[dict[int, str]] = None,
         table: Optional[list[str]] = None,
+        codespaces: "Optional[list[tuple[bytes, bytes]]]" = None,
+        cid_map: Optional[dict[int, int]] = None,
+        utf16: bool = False,
     ) -> None:
         self.width = width
         self.cmap = cmap
         self.table = table
+        self.codespaces = codespaces
+        self.cid_map = cid_map
+        self.utf16 = utf16
+
+    def cid_of(self, code: int) -> int:
+        """code -> CID through the embedded CMap (identity without
+        one) — the glyph-selection layer; text never depends on it."""
+
+        if self.cid_map is not None and code in self.cid_map:
+            return self.cid_map[code]
+        return code
+
+    def _codes(self, b: bytes) -> "list[int]":
+        spaces = self.codespaces
+        if not spaces:
+            n = len(b) - (len(b) % 2)
+            return [
+                int.from_bytes(b[i : i + 2], "big") for i in range(0, n, 2)
+            ]
+        codes: list[int] = []
+        i = 0
+        L = len(b)
+        while i < L:
+            nbytes = 1
+            for lo, hi in spaces:
+                k = len(lo)
+                if i + k <= L and all(
+                    lo[j] <= b[i + j] <= hi[j] for j in range(k)
+                ):
+                    nbytes = k
+                    break
+            codes.append(int.from_bytes(b[i : i + nbytes], "big"))
+            i += nbytes
+        return codes
 
     def decode(self, b: bytes) -> str:
         cmap, table = self.cmap, self.table
         if self.width == 2:
-            n = len(b) - (len(b) % 2)
-            codes = (int.from_bytes(b[i : i + 2], "big") for i in range(0, n, 2))
+            if self.utf16 and cmap is None:
+                n = len(b) - (len(b) % 2)
+                return b[:n].decode("utf-16-be", errors="replace")
+            codes = self._codes(b)
             if cmap is None:
                 return "".join(chr(c) for c in codes)
             return "".join(cmap.get(c) or chr(c) for c in codes)
@@ -289,9 +402,27 @@ def build_font_decoder(
             cmap = None
 
     if subtype == "Type0":
-        # Identity-H / Identity-V: 2-byte codes. Non-identity predefined
-        # CMaps would need the full CMap registry; /ToUnicode still
-        # yields correct text for them when present (the common case).
+        enc_raw = font.get("Encoding")
+        enc = resolve(enc_raw)
+        if isinstance(enc, dict):
+            # embedded CMap stream: codespace-driven segmentation +
+            # code->CID ranges; /ToUnicode still supplies the text
+            try:
+                spaces, cid_map = parse_cmap_stream(stream_bytes(enc_raw))
+            except Exception:
+                spaces, cid_map = [], {}
+            return FontDecoder(
+                2, cmap=cmap, codespaces=spaces or None,
+                cid_map=cid_map or None,
+            )
+        name = str(enc) if enc is not None else ""
+        if _PREDEF_UTF16_RE.match(name):
+            return FontDecoder(2, cmap=cmap, utf16=True)
+        # Identity-H / Identity-V and the UniXXX-UCS2 names: 2-byte
+        # codes; for UCS2 the code IS the BMP code point, so the
+        # chr(code) fallback is the registry-correct text. Other
+        # predefined names without /ToUnicode keep the disclosed
+        # identity fallback.
         return FontDecoder(2, cmap=cmap)
 
     enc = resolve(font.get("Encoding"))

@@ -372,19 +372,28 @@ def write_pdf(
     ``encrypt="aes256"`` emits V5/R6 with /AESV3 (AES-256, the modern
     default). All modes compose with both layouts (classic and 1.5).
 
-    ``cid_font=True`` emits all text through a Type0 /Identity-H
-    composite font (CIDFontType2 descendant + /ToUnicode CMap, the
-    shape every real-world subsetting producer emits): show strings
-    become 2-byte glyph-code hex strings with codes assigned per
-    document, so the ONLY route back to the original text is the
-    font-decoding layer (pdfio/fonts.py).
+    ``cid_font`` routes all text through a Type0 composite font so the
+    ONLY way back to the original text is the font-decoding layer
+    (pdfio/fonts.py). ``True`` (== "identity"): /Identity-H with a
+    /ToUnicode CMap and per-document glyph codes — the shape every
+    real-world subsetting producer emits. ``"embedded"``: /Encoding is
+    an embedded CMap STREAM with a mixed 1-byte (ASCII) + 2-byte
+    codespace and cidranges, exercising codespacerange-driven
+    variable-width segmentation. ``"ucs2"``: /Encoding is the
+    predefined /UniJIS-UCS2-H name with NO /ToUnicode — show strings
+    carry raw UCS-2 code points (the CJK-PDF shape that used to emit
+    mojibake under identity fallback).
     """
 
     b = _Builder()
     catalog_num = b.reserve()
     pages_num = b.reserve()
-    code_of: dict[str, int] = {}
-    if cid_font:
+    cid_mode = (
+        "" if not cid_font
+        else ("identity" if cid_font is True else str(cid_font))
+    )
+    encode_show: "Callable[[str], bytes] | None" = None
+    if cid_mode == "identity":
         chars = sorted(
             {c for page in pages for it in page.items if it[0] == "text" for c in it[1]}
         )
@@ -403,6 +412,73 @@ def write_pdf(
             b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
             b"/ToUnicode %d 0 R >>" % (desc_num, tu_num)
         )
+        encode_show = lambda text: "".join(  # noqa: E731
+            f"{code_of[c]:04x}" for c in text
+        ).encode()
+    elif cid_mode == "embedded":
+        chars = sorted(
+            {c for page in pages for it in page.items if it[0] == "text" for c in it[1]}
+        )
+        # ASCII rides 1-byte codes (its own value); everything else
+        # gets 2-byte codes from 0x8000 up, so the two int keyspaces
+        # never collide in the /ToUnicode map
+        wide = [c for c in chars if ord(c) >= 0x80]
+        code_of = {c: (ord(c) if ord(c) < 0x80 else 0x8000 + wide.index(c))
+                   for c in chars}
+        cmap = _tounicode_cmap(
+            {code: c for c, code in code_of.items() if code >= 0x8000}
+        )
+        tu_num = b.add(
+            b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+        )
+        enc_body = (
+            b"%!PS-Adobe-3.0 Resource-CMap\n"
+            b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+            b"/CIDSystemInfo << /Registry (Synth) /Ordering (Mixed) "
+            b"/Supplement 0 >> def\n"
+            b"/CMapName /Synth-Mixed-H def\n/CMapType 1 def\n/WMode 0 def\n"
+            b"2 begincodespacerange\n<00> <7f>\n<8000> <ffff>\n"
+            b"endcodespacerange\n"
+            b"2 begincidrange\n<00> <7f> 0\n"
+            + (b"<8000> <%04x> 128\n" % (0x8000 + max(len(wide) - 1, 0)))
+            + b"endcidrange\nendcmap\n"
+            b"CMapName currentdict /CMap defineresource pop\nend\nend"
+        )
+        enc_num = b.add(
+            b"<< /Type /CMap /CMapName /Synth-Mixed-H /CIDSystemInfo "
+            b"<< /Registry (Synth) /Ordering (Mixed) /Supplement 0 >> "
+            b"/Length %d >>\nstream\n" % len(enc_body)
+            + enc_body + b"\nendstream"
+        )
+        desc_num = b.add(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID "
+            b"/CIDSystemInfo << /Registry (Synth) /Ordering (Mixed) "
+            b"/Supplement 0 >> /CIDToGIDMap /Identity /DW 500 >>"
+        )
+        font_num = b.add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+            b"/Encoding %d 0 R /DescendantFonts [%d 0 R] "
+            b"/ToUnicode %d 0 R >>" % (enc_num, desc_num, tu_num)
+        )
+        encode_show = lambda text: "".join(  # noqa: E731
+            f"{code_of[c]:02x}" if code_of[c] < 0x80 else f"{code_of[c]:04x}"
+            for c in text
+        ).encode()
+    elif cid_mode == "ucs2":
+        font_num = b.add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCJK "
+            b"/Encoding /UniJIS-UCS2-H /DescendantFonts [%d 0 R] >>"
+            % b.add(
+                b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /SynthCJK "
+                b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) "
+                b"/Supplement 7 >> /DW 1000 >>"
+            )
+        )
+        encode_show = lambda text: "".join(  # noqa: E731
+            f"{ord(c):04x}" for c in text
+        ).encode()
+    elif cid_mode:
+        raise UserError(f"write_pdf: unknown cid_font mode {cid_mode!r}.")
     else:
         font_num = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
@@ -420,12 +496,8 @@ def write_pdf(
             if kind == "text":
                 _, text, row, col = item
                 x, y = col, h - row  # PDF y-up
-                if cid_font:
-                    show = (
-                        b"<"
-                        + "".join(f"{code_of[c]:04x}" for c in text).encode()
-                        + b"> Tj"
-                    )
+                if encode_show is not None:
+                    show = b"<" + encode_show(text) + b"> Tj"
                 else:
                     show = b"(" + _escape_pdf_string(text) + b") Tj"
                 ops += [

@@ -20,6 +20,7 @@ from pdf_toolkit_spark.pdfio.fonts import (
     FontDecoder,
     build_font_decoder,
     glyph_to_unicode,
+    parse_cmap_stream,
     parse_tounicode,
 )
 from pdf_toolkit_spark.pdfio.parser import PdfDocument
@@ -245,6 +246,87 @@ def test_cid_writer_roundtrips_nonlatin_text():
 
 @pytest.mark.parametrize("doc_id", [0, 1, 4])  # classic + pdf15 + spread class
 def test_cid_corpus_doc_spans_equal_simple_font_twin(doc_id):
+    plain = make_document(doc_id, seed=42, mega_every=0)
+    cid = make_document(doc_id, seed=42, mega_every=0, cid_every=1)
+    assert plain["pdf_bytes"] != cid["pdf_bytes"]
+    s_plain = extract_document(plain["pdf_bytes"])["spans"]
+    s_cid = extract_document(cid["pdf_bytes"])["spans"]
+    assert [
+        (s["kind"], s["text"], s["offset"]) for s in s_plain
+    ] == [(s["kind"], s["text"], s["offset"]) for s in s_cid]
+
+
+# ---------------------------------------------------------------------------
+# Embedded CMap streams + predefined Unicode CMaps (PDF 32000-1 §9.7.5)
+# ---------------------------------------------------------------------------
+
+def test_parse_cmap_stream_codespaces_and_cidranges():
+    data = (b"2 begincodespacerange\n<00> <7f>\n<8000> <ffff>\n"
+            b"endcodespacerange\n"
+            b"1 begincidrange\n<8000> <8002> 100\nendcidrange\n"
+            b"1 begincidchar\n<41> 7\nendcidchar\n")
+    spaces, cid_map = parse_cmap_stream(data)
+    assert spaces == [(b"\x00", b"\x7f"), (b"\x80\x00", b"\xff\xff")]
+    assert cid_map[0x8000] == 100 and cid_map[0x8002] == 102
+    assert cid_map[0x41] == 7
+
+
+def test_parse_cmap_stream_skips_implausible_range():
+    data = b"1 begincidrange\n<00000000> <7fffffff> 0\nendcidrange\n"
+    _, cid_map = parse_cmap_stream(data)
+    assert cid_map == {}
+
+
+def test_codespace_segmentation_is_bytewise():
+    # <81> sits inside [0x80,0xff] for byte 0 of the 2-byte space, so
+    # 81 40 is ONE 2-byte code even though 0x40 alone is 1-byte-legal
+    dec = FontDecoder(
+        2,
+        cmap={0x8140: "丁", 0x41: "A"},
+        codespaces=[(b"\x00", b"\x7f"), (b"\x80\x00", b"\xff\xff")],
+    )
+    assert dec.decode(b"\x41\x81\x40\x41") == "A丁A"
+
+
+def test_predefined_utf16_cmap_decodes_surrogate_pairs():
+    font = {"Subtype": "Type0", "Encoding": "UniJIS-UTF16-H"}
+    dec = build_font_decoder(font, lambda x: x, lambda x: b"")
+    assert dec is not None
+    b = "a😀".encode("utf-16-be")
+    assert dec.decode(b) == "a😀"
+
+
+def test_predefined_ucs2_cmap_is_bmp_identity():
+    font = {"Subtype": "Type0", "Encoding": "UniGB-UCS2-H"}
+    dec = build_font_decoder(font, lambda x: x, lambda x: b"")
+    assert dec is not None
+    assert dec.decode("世界".encode("utf-16-be")) == "世界"
+
+
+def test_embedded_cmap_writer_roundtrips_mixed_width_text():
+    raster = np.full((100, 80), 220, np.uint8)
+    text = "mix: Grüße 世界!"
+    pdf = write_pdf(
+        [PageSpec(raster=raster, items=[("text", text, 20, 10)])],
+        cid_font="embedded",
+    )
+    assert b"begincodespacerange" in pdf
+    assert _texts(pdf) == [text]
+
+
+def test_ucs2_writer_roundtrips_cjk_without_tounicode():
+    raster = np.full((100, 80), 220, np.uint8)
+    text = "日本語テスト ok"
+    pdf = write_pdf(
+        [PageSpec(raster=raster, items=[("text", text, 20, 10)])],
+        cid_font="ucs2",
+    )
+    assert b"/UniJIS-UCS2-H" in pdf and b"/ToUnicode" not in pdf
+    assert _texts(pdf) == [text]
+
+
+@pytest.mark.parametrize("doc_id", [1, 2])  # embedded + ucs2 corpus strides
+def test_cmap_corpus_doc_spans_equal_simple_font_twin(doc_id):
     plain = make_document(doc_id, seed=42, mega_every=0)
     cid = make_document(doc_id, seed=42, mega_every=0, cid_every=1)
     assert plain["pdf_bytes"] != cid["pdf_bytes"]
