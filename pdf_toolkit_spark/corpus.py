@@ -274,12 +274,12 @@ def make_document(
     encrypt: "bool | str" = False
     pdf15 = doc_id % 3 == 1
     if encrypt_every and doc_id % encrypt_every == 0:
-        # cycle cipher x container so all six combinations appear
+        # cycle handler x container so all eight combinations appear
         # (encrypted doc_ids are multiples of encrypt_every, which can
         # never hit the doc_id % 3 == 1 stride above)
         k = doc_id // encrypt_every
-        encrypt = (True, "aes", "aes256")[k % 3]
-        pdf15 = (k // 3) % 2 == 1
+        encrypt = (True, "aes", "aes256", "pubkey")[k % 4]
+        pdf15 = (k // 4) % 2 == 1
     # cycle the three Type0 shapes (Identity-H + /ToUnicode, embedded
     # CMap stream with a mixed 1/2-byte codespace, predefined
     # /UniJIS-UCS2-H with NO /ToUnicode) so every font-decoding branch

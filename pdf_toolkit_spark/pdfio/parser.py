@@ -706,6 +706,18 @@ class PdfDocument:
         if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
             id0 = ids[0]
         enc_direct = {k: self.resolve(v) for k, v in enc_dict.items()}
+        cf = enc_direct.get("CF")
+        if isinstance(cf, dict):
+            enc_direct["CF"] = {
+                k: self.resolve(v) if not isinstance(v, dict)
+                else {kk: self.resolve(vv) for kk, vv in v.items()}
+                for k, v in cf.items()
+            }
+        if str(enc_direct.get("Filter")) == "Adobe.PubSec":
+            from .pubsec import build_pubsec_decryptor
+
+            self._crypt = build_pubsec_decryptor(enc_direct)
+            return
         self._crypt = build_decryptor(
             enc_direct, id0, password.encode("latin-1")
         )

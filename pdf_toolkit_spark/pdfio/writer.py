@@ -370,7 +370,11 @@ def write_pdf(
     R2, deterministic /ID) with ``user_password``; ``encrypt="aes"``
     emits V4/R4 crypt filters with /AESV2 (AES-128-CBC);
     ``encrypt="aes256"`` emits V5/R6 with /AESV3 (AES-256, the modern
-    default). All modes compose with both layouts (classic and 1.5).
+    default); ``encrypt="pubkey"`` emits the certificate security
+    handler (/Adobe.PubSec, /adbe.pkcs7.s5) with an AESV2 crypt filter
+    and a CMS EnvelopedData /Recipients blob for the engine's fixture
+    RSA key (pdfio/pubsec.py). All modes compose with both layouts
+    (classic and 1.5).
 
     ``cid_font`` routes all text through a Type0 composite font so the
     ONLY way back to the original text is the font-decoding layer
@@ -565,6 +569,30 @@ def write_pdf(
                 ).encode()
             )
             enc_info = (enc_num, id0, key, "256")
+        elif encrypt == "pubkey":
+            from .pubsec import (
+                fixture_keypair,
+                make_recipient_blob,
+                pubsec_file_key,
+            )
+
+            n, e, _ = fixture_keypair()
+            seed = hashlib.sha1(b"pdf_toolkit_spark pubsec seed").digest()
+            blob = make_recipient_blob(
+                n, e, seed, 0xFFFFFFFC, entropy=b"pdf_toolkit_spark pubsec cek"
+            )
+            key = pubsec_file_key(seed, [blob], 16)
+            enc_num = b.add(
+                (
+                    "<< /Filter /Adobe.PubSec /SubFilter /adbe.pkcs7.s5 "
+                    "/V 4 /Length 128 "
+                    "/CF << /DefaultCryptFilter << /Type /CryptFilter "
+                    "/CFM /AESV2 /Length 16 "
+                    f"/Recipients [<{blob.hex()}>] >> >> "
+                    "/StmF /DefaultCryptFilter /StrF /DefaultCryptFilter >>"
+                ).encode()
+            )
+            enc_info = (enc_num, id0, key, True)
         elif encrypt == "aes":
             o_entry = compute_o(pw, pw, r=4, key_len=16)
             key = compute_key(pw, o_entry, 0xFFFFFFFF, id0, r=4, key_len=16)

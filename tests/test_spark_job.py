@@ -107,9 +107,9 @@ def test_span_sequence_equality_cid_corpus(spark):
 
 def test_span_sequence_equality_encrypted_corpus(spark):
     """The equality gate over an encrypted corpus: every 3rd doc is
-    encrypted (alternating RC4-40 and AESV2, empty user password) —
-    distributed decryption inside the pandas UDF must yield spans
-    identical to each doc's serial extraction."""
+    encrypted (cycling RC4-40, AESV2, AES-256, and the /Adobe.PubSec
+    certificate handler) — distributed decryption inside the pandas UDF
+    must yield spans identical to each doc's serial extraction."""
 
     n = 21
     input_df = corpus_dataframe(spark, n, seed=42, mega_every=0, encrypt_every=3)
@@ -118,7 +118,9 @@ def test_span_sequence_equality_encrypted_corpus(spark):
     seen = set()
     for doc_id in range(n):
         doc = make_document(doc_id, seed=42, mega_every=0, encrypt_every=3)
-        if b"/AESV3" in doc["pdf_bytes"]:
+        if b"Adobe.PubSec" in doc["pdf_bytes"]:
+            seen.add("pubkey")
+        elif b"/AESV3" in doc["pdf_bytes"]:
             seen.add("aes256")
         elif b"/AESV2" in doc["pdf_bytes"]:
             seen.add("aes")
@@ -128,7 +130,7 @@ def test_span_sequence_equality_encrypted_corpus(spark):
             seen.add("enc15")
         expected = extract_document(doc["pdf_bytes"], CFG)["spans"]
         assert rows[doc["doc_id"]] == expected, doc["doc_class"]
-    assert seen == {"rc4", "aes", "aes256", "enc15"}
+    assert seen == {"rc4", "aes", "aes256", "pubkey", "enc15"}
 
 
 def test_resume_skips_committed_docs(spark, tmp_path):
