@@ -325,3 +325,232 @@ SAMPLE_QUANTILES_EXACT_SQL = f"""
     )
     SELECT {SAMPLE_K} AS sample_k, qe.*, qx.* FROM qe CROSS JOIN qx
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join (the 100-TB pattern behind runtime row-group
+# skipping / semi-join pushdown) and Count-Min heavy hitters
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 14   #: filter bits
+BLOOM_K = 3         #: hash functions
+_BLOOM_WORD = 32    #: bits packed per word (sign bit never touched)
+
+CMS_W = 128         #: count-min width (cells per row)
+CMS_D = 3           #: count-min depth (independent hash rows)
+CMS_TOP = 10
+
+
+def bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join: BUILDING-segment customers build a
+    word-packed Bloom filter (BLOOM_M bits as <=M/32 bigint words, a
+    bit_or aggregate); every order then probes WITHOUT shuffling the
+    fact table — the probe is BLOOM_K broadcast hash joins on the word
+    index plus bit arithmetic, all inside codegen. Output: one row
+    (n_build_keys, n_bits_set, n_probe, n_pass_bloom, n_true_match,
+    n_false_pos) — pure integers, so the DuckDB twin is exact.
+
+    Scale shape: the filter relation is M/32 rows regardless of build
+    cardinality; at 100 TB the fact side is scanned once with zero
+    exchanges before the final scalar aggregate (the exact semi-join
+    flag rides the same broadcast of build keys). md5-derived positions
+    keep both engines bit-identical."""
+
+    cust = table(spark, sf_dir, "customer")
+    build = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey").distinct()
+    )
+    js = F.explode(F.array(*[F.lit(j) for j in range(BLOOM_K)])).alias("j")
+    pos = hash32(F.expr("concat('bloom', j, ':', key)")) % BLOOM_M
+    positions = (
+        build.select(F.col("c_custkey").alias("key"), js)
+        .select((pos).alias("pos"))
+        .distinct()
+    )
+    words = (
+        positions.select(
+            F.expr(f"pos div {_BLOOM_WORD}").alias("word"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast(pos % {_BLOOM_WORD} as int))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    probe = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("key")
+    )
+    for j in range(BLOOM_K):
+        pj = hash32(F.expr(f"concat('bloom', {j}, ':', key)")) % BLOOM_M
+        probe = probe.withColumn(f"pos{j}", pj)
+        wj = F.broadcast(
+            words.select(
+                F.col("word").alias(f"word{j}"), F.col("bits").alias(f"bits{j}")
+            )
+        )
+        probe = probe.join(
+            wj, F.expr(f"pos{j} div {_BLOOM_WORD}") == F.col(f"word{j}"), "left"
+        )
+        probe = probe.withColumn(
+            f"hit{j}",
+            F.expr(
+                f"shiftright(coalesce(bits{j}, cast(0 as bigint)),"
+                f" cast(pos{j} % {_BLOOM_WORD} as int)) & 1"
+            ),
+        )
+    passed = sum(F.col(f"hit{j}") for j in range(BLOOM_K)) == BLOOM_K
+    flagged = probe.join(
+        F.broadcast(build.select(F.col("c_custkey").alias("key"),
+                                 F.lit(1).alias("in_build"))),
+        "key", "left",
+    ).select(
+        passed.cast("int").alias("pass_bloom"),
+        F.coalesce(F.col("in_build"), F.lit(0)).alias("truth"),
+    )
+    probe_agg = flagged.agg(
+        F.count("*").alias("n_probe"),
+        F.sum("pass_bloom").alias("n_pass_bloom"),
+        F.sum("truth").alias("n_true_match"),
+        F.sum(F.expr("pass_bloom * (1 - truth)")).alias("n_false_pos"),
+    )
+    build_agg = build.agg(F.count("*").alias("n_build_keys"))
+    bits_agg = words.agg(
+        F.sum(F.expr("bit_count(bits)")).alias("n_bits_set")
+    )
+    return (
+        probe_agg.crossJoin(F.broadcast(build_agg))
+        .crossJoin(F.broadcast(bits_agg))
+        .select(
+            "n_build_keys", "n_bits_set", "n_probe",
+            "n_pass_bloom", "n_true_match", "n_false_pos",
+        )
+    )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters [Cormode & Muthukrishnan 2005]
+    over event user activity: CMS_D md5-derived hash rows x CMS_W
+    cells count every event; a user's frequency estimate is the MIN of
+    its CMS_D cells, which NEVER undercounts. The exact top-CMS_TOP
+    users (count desc, user_id asc) ride along to expose the
+    overestimate each collision causes. Output: CMS_TOP rows
+    (user_id, exact_cnt, est_cnt, overest), est_cnt >= exact_cnt
+    always.
+
+    Scale shape: the sketch is one explode(x D) + map-side-combined
+    count into <= D*W cells; the exact branch is the demo/accuracy
+    ride-along (at 100 TB you keep the sketch and drop the exact
+    groupBy — the point of CMS is that the D*W relation is the whole
+    state). Probe = top rows x D joined against the tiny cell
+    relation, broadcast both ways."""
+
+    ev = table(spark, sf_dir, "events").select("user_id")
+    js = F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j")
+    cell = hash32(F.expr("concat('cms', j, ':', user_id)")) % CMS_W
+    cells = (
+        ev.select("user_id", js)
+        .select("j", cell.alias("cell"))
+        .groupBy("j", "cell")
+        .agg(F.count("*").alias("cell_cnt"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(CMS_TOP)
+    )
+    probe = top.select("user_id", "exact_cnt", js).withColumn(
+        "cell", cell
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["j", "cell"])
+        .groupBy("user_id")
+        .agg(
+            F.max("exact_cnt").alias("exact_cnt"),
+            F.min("cell_cnt").alias("est_cnt"),
+        )
+        .select(
+            "user_id", "exact_cnt", "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overest"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+    )
+    return est
+
+
+QUERIES["sketch_bloom_semijoin"] = bloom_semijoin
+QUERIES["sketch_cms_heavy_hitters"] = cms_heavy_hitters
+
+_BPOS = SQL_HASH32.format(
+    e="'bloom' || j::VARCHAR || ':' || key::VARCHAR"
+) + f" % {BLOOM_M}"
+
+ORACLES["sketch_bloom_semijoin"] = f"""
+    WITH build AS (
+        SELECT DISTINCT c_custkey AS key FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+    ),
+    jmap AS (SELECT unnest(range({BLOOM_K})) AS j),
+    positions AS (
+        SELECT DISTINCT {_BPOS} AS pos FROM build CROSS JOIN jmap
+    ),
+    words AS (
+        SELECT pos // {_BLOOM_WORD} AS word,
+               bit_or(1::BIGINT << CAST(pos % {_BLOOM_WORD} AS INT)) AS bits
+        FROM positions GROUP BY 1
+    ),
+    probe AS (
+        SELECT o_orderkey, o_custkey AS key, {_BPOS} AS pos, j
+        FROM orders CROSS JOIN jmap
+    ),
+    hits AS (
+        SELECT p.o_orderkey, p.key,
+               CASE WHEN (COALESCE(w.bits, 0) >> CAST(p.pos % {_BLOOM_WORD} AS INT)) & 1 = 1
+                    THEN 1 ELSE 0 END AS hit
+        FROM probe p LEFT JOIN words w ON p.pos // {_BLOOM_WORD} = w.word
+    ),
+    perorder AS (
+        SELECT o_orderkey, key,
+               CASE WHEN sum(hit) = {BLOOM_K} THEN 1 ELSE 0 END AS pass_bloom
+        FROM hits GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT p.pass_bloom,
+               CASE WHEN b.key IS NULL THEN 0 ELSE 1 END AS truth
+        FROM perorder p LEFT JOIN build b USING (key)
+    )
+    SELECT (SELECT count(*) FROM build) AS n_build_keys,
+           (SELECT CAST(sum(bit_count(bits)) AS BIGINT) FROM words) AS n_bits_set,
+           count(*) AS n_probe,
+           CAST(sum(pass_bloom) AS BIGINT) AS n_pass_bloom,
+           CAST(sum(truth) AS BIGINT) AS n_true_match,
+           CAST(sum(pass_bloom * (1 - truth)) AS BIGINT) AS n_false_pos
+    FROM flagged
+"""
+
+_CCELL = SQL_HASH32.format(
+    e="'cms' || j::VARCHAR || ':' || user_id::VARCHAR"
+) + f" % {CMS_W}"
+
+ORACLES["sketch_cms_heavy_hitters"] = f"""
+    WITH jmap AS (SELECT unnest(range({CMS_D})) AS j),
+    cells AS (
+        SELECT j, {_CCELL} AS cell, count(*) AS cell_cnt
+        FROM events CROSS JOIN jmap GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT user_id, count(*) AS exact_cnt FROM events
+        GROUP BY 1 ORDER BY exact_cnt DESC, user_id ASC LIMIT {CMS_TOP}
+    ),
+    probe AS (
+        SELECT t.user_id, t.exact_cnt, j, {_CCELL} AS cell
+        FROM top t CROSS JOIN jmap
+    )
+    SELECT p.user_id, max(p.exact_cnt) AS exact_cnt,
+           min(c.cell_cnt) AS est_cnt,
+           min(c.cell_cnt) - max(p.exact_cnt) AS overest
+    FROM probe p JOIN cells c USING (j, cell)
+    GROUP BY p.user_id
+    ORDER BY exact_cnt DESC, user_id ASC
+"""

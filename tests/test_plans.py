@@ -259,3 +259,28 @@ def test_prefix_scan_queries_have_no_single_partition_exchange(spark):
         assert "SinglePartition" not in plan, (name, plan)
         assert "rangepartitioning" in plan, name
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_bloom_probe_has_no_fact_shuffle(spark):
+    """The Bloom probe must not exchange the fact table: membership is
+    BLOOM_K broadcast hash joins on the word index plus bit arithmetic
+    — no hash-partition exchange, sort-merge join, or cartesian product
+    anywhere in the plan (the only nested-loop joins are the scalar
+    1-row aggregate crossJoins)."""
+
+    plan = explain_str(QUERIES["sketch_bloom_semijoin"](spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # 3 word joins + truth join
+
+
+def test_cms_sketch_aggregates_map_side(spark):
+    """CMS cells must reach the final shuffle as partial counts (map-
+    side combine bounds the exchange at D*W rows per partition), and
+    the probe joins must broadcast the tiny cell relation."""
+
+    plan = explain_str(QUERIES["sketch_cms_heavy_hitters"](spark, SF_DIR))
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
