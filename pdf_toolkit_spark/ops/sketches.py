@@ -357,9 +357,15 @@ def bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep both engines bit-identical."""
 
     cust = table(spark, sf_dir, "customer")
+    # persisted: the plan references build 4x and words 4x (K word
+    # joins + the truth join + the two stat aggregates), and Spark has
+    # no cross-branch subplan sharing — without the pin the customer
+    # scan + filter would run once per reference. Both relations are
+    # KB-sized (distinct keys / <=M/32 words).
     build = (
         cust.filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey").distinct()
+        .persist()
     )
     js = F.explode(F.array(*[F.lit(j) for j in range(BLOOM_K)])).alias("j")
     pos = hash32(F.expr("concat('bloom', j, ':', key)")) % BLOOM_M
@@ -377,6 +383,7 @@ def bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("word")
         .agg(F.expr("bit_or(mask)").alias("bits"))
+        .persist()
     )
     probe = table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_custkey").alias("key")
