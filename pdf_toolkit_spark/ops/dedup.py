@@ -80,47 +80,58 @@ def _cached(key: tuple[str, str], build) -> DataFrame:
     return df
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle): distinct word 3-grams of the normalized text;
-    docs with fewer than 3 tokens contribute the whole text."""
+def shingle_relation(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) from any (doc_id, text) relation: distinct
+    word 3-grams of the normalized text; docs with fewer than 3 tokens
+    contribute the whole text. Shared by the batch dedup family and the
+    streaming near-dup operator (identical shingling by construction)."""
 
+    # Materialize norm/toks as projected columns FIRST: expressions
+    # referenced inside transform() lambdas are re-evaluated per array
+    # element, so an inline split() would be recomputed 3x per gram.
+    toked = docs.select(
+        "doc_id", norm_text(F.col("text")).alias("norm")
+    ).select(
+        "doc_id", "norm", F.split("norm", " ").alias("toks")
+    )
+    toks = F.col("toks")
+    n = F.when(F.col("norm") == "", 0).otherwise(F.size(toks))
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    shingles = F.when(n >= 3, F.array_distinct(grams)).otherwise(F.array(F.col("norm")))
+    return toked.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
-        docs = table(spark, sf_dir, "documents")
-        # Materialize norm/toks as projected columns FIRST: expressions
-        # referenced inside transform() lambdas are re-evaluated per array
-        # element, so an inline split() would be recomputed 3x per gram.
-        toked = docs.select(
-            "doc_id", norm_text(F.col("text")).alias("norm")
-        ).select(
-            "doc_id", "norm", F.split("norm", " ").alias("toks")
-        )
-        toks = F.col("toks")
-        n = F.when(F.col("norm") == "", 0).otherwise(F.size(toks))
-        grams = F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        )
-        shingles = F.when(n >= 3, F.array_distinct(grams)).otherwise(F.array(F.col("norm")))
-        return toked.select("doc_id", F.explode(shingles).alias("shingle"))
+        return shingle_relation(table(spark, sf_dir, "documents"))
 
     return _cached(("shingles", sf_dir), build)
 
 
-def _signatures_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sig_0..sig_{H-1}): MinHash signatures as ONE hash
-    aggregate with H min() expressions — map-side partial aggregation,
-    no H-fold row explosion (an explode-then-group formulation would
-    shuffle H x the shingle count; this shuffles one row per doc)."""
+def signature_wide_relation(shingles: DataFrame) -> DataFrame:
+    """(doc_id, sig_0..sig_{H-1}) from a (doc_id, shingle) relation:
+    MinHash signatures as ONE hash aggregate with H min() expressions —
+    map-side partial aggregation, no H-fold row explosion (an
+    explode-then-group formulation would shuffle H x the shingle count;
+    this shuffles one row per doc). Shared by the batch dedup family
+    and the streaming near-dup operator."""
 
+    sh = shingles.select("doc_id", hash32(F.col("shingle")).alias("h"))
+    aggs = [
+        F.min(F.col("h").bitwiseXOR(F.lit(MINHASH_SALTS[j]))).alias(f"sig_{j}")
+        for j in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _signatures_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
-        sh = _shingles(spark, sf_dir).select("doc_id", hash32(F.col("shingle")).alias("h"))
-        aggs = [
-            F.min(F.col("h").bitwiseXOR(F.lit(MINHASH_SALTS[j]))).alias(f"sig_{j}")
-            for j in range(N_HASHES)
-        ]
-        return sh.groupBy("doc_id").agg(*aggs)
+        return signature_wide_relation(_shingles(spark, sf_dir))
 
     return _cached(("minhash_wide", sf_dir), build)
 
@@ -170,8 +181,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached(("lsh_pairs", sf_dir), build)
 
 
-def _lsh_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wide = _signatures_wide(spark, sf_dir)
+def band_relation(wide: DataFrame, with_sigs: bool = False) -> DataFrame:
+    """(doc_id[, sigs], band, band_key) from a wide signature relation:
+    each doc contributes one row per LSH band, keyed by the md5 of its
+    band's signature slice. ``with_sigs`` carries the full signature as
+    an array column so agreement estimates can compute inside a band
+    join without a rerank join."""
+
     band_keys = [
         F.md5(
             F.concat_ws(",", *[
@@ -180,12 +196,21 @@ def _lsh_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"bk_{b}")
         for b in range(N_HASHES // BAND_ROWS)
     ]
-    sig_arr = F.array(*[F.col(f"sig_{j}") for j in range(N_HASHES)])
-    keyed = wide.select("doc_id", sig_arr.alias("sigs"), *band_keys)
+    carried = ["doc_id"]
+    if with_sigs:
+        sig_arr = F.array(*[F.col(f"sig_{j}") for j in range(N_HASHES)])
+        keyed = wide.select("doc_id", sig_arr.alias("sigs"), *band_keys)
+        carried.append("sigs")
+    else:
+        keyed = wide.select("doc_id", *band_keys)
     stack = ", ".join(f"{b}, bk_{b}" for b in range(N_HASHES // BAND_ROWS))
-    bands = keyed.selectExpr(
-        "doc_id", "sigs", f"stack({N_HASHES // BAND_ROWS}, {stack}) AS (band, band_key)"
+    return keyed.selectExpr(
+        *carried, f"stack({N_HASHES // BAND_ROWS}, {stack}) AS (band, band_key)"
     )
+
+
+def _lsh_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = band_relation(_signatures_wide(spark, sf_dir), with_sigs=True)
     # The LSH bucket equi-join: candidates co-locate on (band, band_key)
     # — the primitive that keeps near-dup detection non-quadratic at
     # fleet scale.
@@ -206,6 +231,41 @@ def _lsh_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.groupBy("doc_a", "doc_b").agg(F.min("sim_est").alias("sim_est"))
+
+
+def minhash_survivor_relation(bands: DataFrame) -> DataFrame:
+    """(doc_id, n_buckets) of documents that survive greedy MinHash
+    near-dup suppression: a document survives iff NO smaller doc_id
+    shares any LSH band bucket with it.
+
+    Two hash aggregates and one equi-join back — no windows, no pair
+    materialization: per-bucket min(doc_id), then per-doc min over its
+    buckets; the doc survives iff that global min is itself. At fleet
+    scale this is strictly cheaper than the pair query (the bucket-min
+    aggregate collapses a k-doc bucket to ONE row instead of k^2/2
+    candidate pairs), so it is the right primitive when the caller
+    wants the kept set rather than the duplicate graph."""
+
+    bmin = bands.groupBy("band", "band_key").agg(F.min("doc_id").alias("bucket_min"))
+    return (
+        bands.join(bmin, ["band", "band_key"])
+        .groupBy("doc_id")
+        .agg(
+            F.min("bucket_min").alias("m"),
+            F.count("*").alias("n_buckets"),
+        )
+        .filter(F.col("m") == F.col("doc_id"))
+        .select("doc_id", "n_buckets")
+    )
+
+
+def minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy near-dup suppression over ``documents`` (see
+    :func:`minhash_survivor_relation`). The streaming twin
+    (streaming/stream.py stream_neardup_documents) reproduces exactly
+    this kept set when the feed arrives in doc_id order."""
+
+    return minhash_survivor_relation(band_relation(_signatures_wide(spark, sf_dir)))
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,6 +714,7 @@ QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
+    "dedup_minhash_survivors": minhash_survivors,
     "dedup_components": dedup_components,
     "dedup_ngram_jaccard_pairs": ngram_jaccard_pairs,
 }
@@ -730,6 +791,20 @@ ORACLES = {
         JOIN sigs sa ON sa.doc_id = p.doc_a
         JOIN sigs sb ON sb.doc_id = p.doc_b AND sb.h_idx = sa.h_idx
         GROUP BY p.doc_a, p.doc_b
+    """,
+    "dedup_minhash_survivors": _SQL_SIGS + f""",
+        bands AS (
+            SELECT doc_id, CAST(floor(h_idx / {BAND_ROWS}) AS INT) AS band,
+                   md5(string_agg(sig::VARCHAR, ',' ORDER BY h_idx)) AS band_key
+            FROM sigs GROUP BY doc_id, band
+        ),
+        bmin AS (
+            SELECT band, band_key, min(doc_id) AS bucket_min
+            FROM bands GROUP BY band, band_key
+        )
+        SELECT b.doc_id, count(*) AS n_buckets
+        FROM bands b JOIN bmin USING (band, band_key)
+        GROUP BY b.doc_id HAVING min(bucket_min) = b.doc_id
     """,
     "dedup_ngram_jaccard_pairs": f"""
         WITH {_SQL_SHINGLES},

@@ -10,21 +10,27 @@ aggregation for the pipeline's operational metrics stream.
 from .stream import (
     dedup_process_batch,
     funnel_stream,
+    neardup_process_batch,
     purchase_attribution_stream,
     read_deduped,
+    read_neardup_survivors,
     sessionize_stream,
     stream_dedup_documents,
     stream_extraction,
+    stream_neardup_documents,
     windowed_event_counts,
 )
 
 __all__ = [
     "dedup_process_batch",
     "funnel_stream",
+    "neardup_process_batch",
     "purchase_attribution_stream",
     "read_deduped",
+    "read_neardup_survivors",
     "sessionize_stream",
     "stream_dedup_documents",
     "stream_extraction",
+    "stream_neardup_documents",
     "windowed_event_counts",
 ]

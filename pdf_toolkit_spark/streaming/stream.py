@@ -414,6 +414,127 @@ def read_deduped(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming MinHash near-dup suppression
+# ---------------------------------------------------------------------------
+
+def neardup_process_batch(spark: SparkSession, out_dir: str):
+    """The foreachBatch body of ``stream_neardup_documents``, exposed so
+    replay semantics are directly testable (calling it twice with the
+    same epoch_id must change nothing).
+
+    Per epoch: shingle -> MinHash wide aggregate -> LSH band keys (the
+    EXACT batch relations from ops/dedup.py, so streaming and batch
+    shingle/sign/band identically by construction). A document is
+    suppressed iff any of its band buckets was committed by a strictly
+    earlier epoch, or a smaller doc_id in THIS batch shares a bucket —
+    which reproduces the batch twin's greedy kept set
+    (ops/dedup.py minhash_survivor_relation) when the feed arrives in
+    doc_id order. Survivors and the batch's full bucket set land in
+    epoch-keyed directories with mode=overwrite, so replays rewrite
+    identical bytes instead of double-counting.
+
+    Scale shape: cross-batch state is n_bands (4) committed
+    (band, band_key) rows per PROCESSED doc on disk — a parquet bucket
+    index riding an equi-join, never executor-memory streaming state;
+    a billion-doc history is tens of GB that AQE keeps
+    broadcast-or-sort-merge as appropriate. Note kept-and-suppressed
+    docs both commit their buckets: the batch semantics suppress on ANY
+    earlier doc sharing a bucket, not just earlier survivors."""
+
+    import glob as _glob
+
+    from ..ops.dedup import band_relation, shingle_relation, signature_wide_relation
+
+    docs_root = f"{out_dir}/docs"
+    bucket_root = f"{out_dir}/buckets"
+
+    def _seen_before(epoch_id: int):
+        dirs = [
+            e for e in _glob.glob(f"{bucket_root}/epoch=*")
+            if int(e.rsplit("=", 1)[1]) < epoch_id
+        ]
+        return spark.read.parquet(*dirs) if dirs else None
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        bands = band_relation(
+            signature_wide_relation(shingle_relation(batch_df))
+        ).persist()
+        try:
+            bmin = bands.groupBy("band", "band_key").agg(
+                F.min("doc_id").alias("bucket_min")
+            )
+            scored = bands.join(bmin, ["band", "band_key"])
+            seen = _seen_before(epoch_id)
+            if seen is not None:
+                prior = seen.distinct().withColumn("prior", F.lit(1))
+                scored = scored.join(prior, ["band", "band_key"], "left")
+            else:
+                scored = scored.withColumn("prior", F.lit(None).cast("int"))
+            keep = (
+                scored.groupBy("doc_id")
+                .agg(
+                    F.min("bucket_min").alias("bmin"),
+                    F.max(F.coalesce(F.col("prior"), F.lit(0))).alias("hit_prior"),
+                )
+                .filter((F.col("bmin") == F.col("doc_id")) & (F.col("hit_prior") == 0))
+                .select("doc_id")
+            )
+            batch_df.join(keep, "doc_id").write.mode("overwrite").parquet(
+                f"{docs_root}/epoch={epoch_id:012d}"
+            )
+            bands.select("band", "band_key").write.mode("overwrite").parquet(
+                f"{bucket_root}/epoch={epoch_id:012d}"
+            )
+        finally:
+            bands.unpersist()
+
+    return process
+
+
+def stream_neardup_documents(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming MinHash near-dup suppression of a documents feed: keep
+    the first document of every LSH neighborhood across micro-batches,
+    restarts, and replays. Returns the StreamingQuery."""
+
+    from pyspark.sql import types as T
+
+    in_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ])
+    stream = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(input_dir)
+    )
+    writer = (
+        stream.writeStream
+        .foreachBatch(neardup_process_batch(spark, out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_neardup_survivors(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All near-dup survivors across epochs."""
+
+    return spark.read.option("basePath", f"{out_dir}/docs").parquet(
+        f"{out_dir}/docs/epoch=*"
+    ).drop("epoch")
+
+
+# ---------------------------------------------------------------------------
 # Stream-stream interval join
 # ---------------------------------------------------------------------------
 

@@ -116,6 +116,19 @@ def test_lsh_pairs_joins_on_band_bucket(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_minhash_survivors_is_aggregates_not_pairs(spark):
+    """The greedy survivor query must be bucket-min + per-doc min
+    aggregates joined on the bucket key — no window sorts, no pair
+    self-join, no cartesian shapes. A k-doc bucket must collapse to ONE
+    bucket-min row, not k^2/2 candidate pairs."""
+
+    plan = explain_str(QUERIES["dedup_minhash_survivors"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 1
+
+
 def test_jaccard_and_lsh_neardup_plans_are_equi_joins(spark):
     """Jaccard's inverted-index self-join and the LSH-pruned embedding
     near-dup must both stay equi-joins (shingle / bucket keys)."""

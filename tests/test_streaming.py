@@ -435,3 +435,72 @@ def test_stateful_funnel_stream_matches_batch_funnel(spark, tmp_path):
     for stage in (1, 2, 3):
         got[stage] = sum(1 for v in per_user.values() if v >= stage)
     assert got == expected
+
+
+def test_stream_neardup_matches_batch_survivors(spark, tmp_path):
+    """The streaming MinHash near-dup operator must reproduce the batch
+    survivor set exactly when the feed arrives in doc_id order — same
+    shingles, same signatures, same band keys by construction (shared
+    relation builders), with cross-epoch suppression via the committed
+    bucket index."""
+
+    from pdf_toolkit_spark.ops.dedup import (
+        band_relation,
+        minhash_survivor_relation,
+        shingle_relation,
+        signature_wide_relation,
+    )
+    from pdf_toolkit_spark.streaming import (
+        read_neardup_survivors,
+        stream_neardup_documents,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.mode("append").parquet(landing)
+    _await(stream_neardup_documents(spark, landing, out, ckpt))
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.mode("append").parquet(landing)
+    _await(stream_neardup_documents(spark, landing, out, ckpt))
+
+    expected = {
+        r["doc_id"]
+        for r in minhash_survivor_relation(
+            band_relation(signature_wide_relation(shingle_relation(docs)))
+        ).collect()
+    }
+    got = {r["doc_id"] for r in read_neardup_survivors(spark, out).collect()}
+    assert got == expected
+    assert len(got) < docs.count()  # suppression actually happened
+
+
+def test_stream_neardup_replay_is_idempotent(spark, tmp_path):
+    """Replaying a committed epoch (crash-recovery path) must not
+    resurrect suppressed docs or double-write survivors; a later epoch
+    must suppress against the committed bucket index."""
+
+    from pdf_toolkit_spark.streaming import (
+        neardup_process_batch,
+        read_neardup_survivors,
+    )
+
+    out = str(tmp_path / "out")
+    process = neardup_process_batch(spark, out)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    long_a = "the quick brown fox jumps over the lazy dog again and again"
+    b0 = spark.createDataFrame(
+        [(0, long_a, "en", "s", 60), (1, long_a, "en", "s", 60),
+         (2, "completely different words here entirely", "en", "s", 41)], cols)
+    process(b0, 0)
+    process(b0, 0)  # replay of epoch 0
+    b1 = spark.createDataFrame(
+        [(3, long_a, "en", "s", 60), (4, "yet another unrelated document body", "en", "s", 36)],
+        cols)
+    process(b1, 1)
+    process(b1, 1)  # replay of epoch 1
+
+    got = {r["doc_id"] for r in read_neardup_survivors(spark, out).collect()}
+    assert got == {0, 2, 4}  # 1 in-batch dup of 0; 3 cross-epoch dup of 0
