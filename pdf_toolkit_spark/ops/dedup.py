@@ -268,6 +268,62 @@ def minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_survivor_relation(band_relation(_signatures_wide(spark, sf_dir)))
 
 
+#: Deterministic snapshot-B derivation parameters (test scaffolding —
+#: at production scale snapshot B is its own crawl table; deriving it
+#: from `documents` keeps the fixture self-contained and the oracle
+#: exact with no external data).
+SNAP_REMOVED_MOD = 17
+SNAP_CHANGED_MOD = 13
+SNAP_ADDED_MOD = 19
+SNAP_ADD_OFFSET = 10_000_000
+
+
+def _snapshot_b(docs: DataFrame) -> DataFrame:
+    """Derived re-crawl snapshot: drops every 17th doc, revises every
+    13th surviving doc's text, and adds a new doc for every 19th."""
+
+    kept = docs.filter(F.col("doc_id") % SNAP_REMOVED_MOD != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % SNAP_CHANGED_MOD == 0,
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % SNAP_ADDED_MOD == 0).select(
+        (F.col("doc_id") + SNAP_ADD_OFFSET).alias("doc_id"),
+        F.concat(F.lit("new revision of "), F.col("text")).alias("text"),
+    )
+    return kept.unionByName(added)
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff between two corpus snapshots (the
+    re-crawl primitive: which docs were added, removed, or changed
+    since the last crawl — only the delta re-enters the extraction /
+    dedup pipeline). Output: (doc_id, status) for the delta rows only;
+    unchanged docs (the overwhelming majority at fleet scale) never
+    leave the join.
+
+    Scale shape: each side reduces to (doc_id, md5(text)) AT THE SCAN
+    — 24 bytes/doc ride the full-outer equi-join on doc_id, document
+    bytes never shuffle. Per-snapshot content hashing is embarrassingly
+    parallel map work; the join is the only exchange."""
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select("doc_id", F.md5("text").alias("h_a"))
+    b = _snapshot_b(docs).select("doc_id", F.md5("text").alias("h_b"))
+    status = (
+        F.when(F.col("h_a").isNull(), "added")
+        .when(F.col("h_b").isNull(), "removed")
+        .when(F.col("h_a") != F.col("h_b"), "changed")
+    )
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .select("doc_id", status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard over shingle sets for pairs sharing any indexable
     shingle. Output: (doc_a, doc_b, jaccard) with jaccard >= 0.2.
@@ -715,6 +771,7 @@ QUERIES = {
     "dedup_minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_minhash_survivors": minhash_survivors,
+    "dedup_snapshot_diff": snapshot_diff,
     "dedup_components": dedup_components,
     "dedup_ngram_jaccard_pairs": ngram_jaccard_pairs,
 }
@@ -805,6 +862,31 @@ ORACLES = {
         SELECT b.doc_id, count(*) AS n_buckets
         FROM bands b JOIN bmin USING (band, band_key)
         GROUP BY b.doc_id HAVING min(bucket_min) = b.doc_id
+    """,
+    "dedup_snapshot_diff": f"""
+        WITH a AS (SELECT doc_id, md5(text) AS h_a FROM documents),
+        kept AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {SNAP_CHANGED_MOD} = 0
+                        THEN text || ' [rev2]' ELSE text END AS text
+            FROM documents WHERE doc_id % {SNAP_REMOVED_MOD} != 0
+        ),
+        added AS (
+            SELECT doc_id + {SNAP_ADD_OFFSET} AS doc_id,
+                   'new revision of ' || text AS text
+            FROM documents WHERE doc_id % {SNAP_ADDED_MOD} = 0
+        ),
+        b AS (SELECT doc_id, md5(text) AS h_b FROM kept
+              UNION ALL
+              SELECT doc_id, md5(text) AS h_b FROM added)
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN h_a IS NULL THEN 'added'
+                    WHEN h_b IS NULL THEN 'removed'
+                    WHEN h_a != h_b THEN 'changed' END AS status
+        FROM a FULL OUTER JOIN b USING (doc_id)
+        WHERE CASE WHEN h_a IS NULL THEN 'added'
+                   WHEN h_b IS NULL THEN 'removed'
+                   WHEN h_a != h_b THEN 'changed' END IS NOT NULL
     """,
     "dedup_ngram_jaccard_pairs": f"""
         WITH {_SQL_SHINGLES},
