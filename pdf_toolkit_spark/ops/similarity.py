@@ -263,19 +263,26 @@ def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached(("ivf_cells", sf_dir), lambda: _ivf_cells_build(spark, sf_dir))
 
 
-def _ivf_cells_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir)
-    cents = _centroids(spark, sf_dir)
+def cell_assign_relation(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment of a (vec_id, v)
+    relation against a (cell, cv) centroid relation. Same
+    argmax-as-aggregate shape as the k-means assignment: one hash agg
+    with map-side combine over the scan, NO shuffle of the scored
+    n_vecs x n_cells relation for a sort — this is the full-corpus
+    pass, the single most expensive IVF step at scale. Shared by the
+    batch IVF build and the streaming ingest twin (identical
+    assignment by construction)."""
+
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cell", F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("sim")
     )
-    # Same argmax-as-aggregate shape as the k-means assignment: one
-    # hash agg with map-side combine over the scan, NO shuffle of the
-    # scored n_vecs x n_cells relation for a sort — this is the full-
-    # corpus pass, the single most expensive IVF step at scale.
     return scored.groupBy("vec_id").agg(
         F.max_by("cell", F.struct(F.col("sim"), -F.col("cell"))).alias("cell")
     )
+
+
+def _ivf_cells_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cell_assign_relation(_emb(spark, sf_dir), _centroids(spark, sf_dir))
 
 
 def ivf_cell_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:

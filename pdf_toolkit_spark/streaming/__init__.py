@@ -10,13 +10,16 @@ aggregation for the pipeline's operational metrics stream.
 from .stream import (
     dedup_process_batch,
     funnel_stream,
+    ivf_assign_process_batch,
     neardup_process_batch,
     purchase_attribution_stream,
     read_deduped,
+    read_ivf_assignments,
     read_neardup_survivors,
     sessionize_stream,
     stream_dedup_documents,
     stream_extraction,
+    stream_ivf_assign,
     stream_neardup_documents,
     windowed_event_counts,
 )
@@ -24,13 +27,16 @@ from .stream import (
 __all__ = [
     "dedup_process_batch",
     "funnel_stream",
+    "ivf_assign_process_batch",
     "neardup_process_batch",
     "purchase_attribution_stream",
     "read_deduped",
+    "read_ivf_assignments",
     "read_neardup_survivors",
     "sessionize_stream",
     "stream_dedup_documents",
     "stream_extraction",
+    "stream_ivf_assign",
     "stream_neardup_documents",
     "windowed_event_counts",
 ]

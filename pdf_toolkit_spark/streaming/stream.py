@@ -535,6 +535,75 @@ def read_neardup_survivors(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming IVF ingest (incremental ANN index maintenance)
+# ---------------------------------------------------------------------------
+
+def ivf_assign_process_batch(centroids: DataFrame, out_dir: str):
+    """The foreachBatch body of ``stream_ivf_assign``: assign each
+    micro-batch of embeddings to its nearest cell of a FROZEN centroid
+    set via the exact batch relation (ops/similarity.py
+    cell_assign_relation — broadcast centroids, argmax-as-aggregate, no
+    window sort), appending epoch-keyed partitions of the inverted
+    file. Incremental ANN index maintenance: the expensive k-means
+    build runs once in batch; new vectors stream into cells without
+    touching committed partitions, and a query probes the union.
+    Replays rewrite their epoch directory idempotently."""
+
+    from ..ops.similarity import cell_assign_relation
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        e = batch_df.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        cell_assign_relation(e, centroids).write.mode("overwrite").parquet(
+            f"{out_dir}/cells/epoch={epoch_id:012d}"
+        )
+
+    return process
+
+
+def stream_ivf_assign(
+    spark: SparkSession,
+    input_dir: str,
+    centroids: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming IVF cell assignment of an embeddings feed against a
+    frozen centroid relation. Returns the StreamingQuery."""
+
+    from pyspark.sql import types as T
+
+    in_schema = T.StructType([
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        T.StructField("label", T.IntegerType(), True),
+    ])
+    stream = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(input_dir)
+    )
+    writer = (
+        stream.writeStream
+        .foreachBatch(ivf_assign_process_batch(centroids, out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_ivf_assignments(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(vec_id, cell) across all committed epochs."""
+
+    return spark.read.option("basePath", f"{out_dir}/cells").parquet(
+        f"{out_dir}/cells/epoch=*"
+    ).drop("epoch")
+
+
+# ---------------------------------------------------------------------------
 # Stream-stream interval join
 # ---------------------------------------------------------------------------
 

@@ -504,3 +504,35 @@ def test_stream_neardup_replay_is_idempotent(spark, tmp_path):
 
     got = {r["doc_id"] for r in read_neardup_survivors(spark, out).collect()}
     assert got == {0, 2, 4}  # 1 in-batch dup of 0; 3 cross-epoch dup of 0
+
+
+def test_stream_ivf_assign_matches_batch_cells(spark, tmp_path):
+    """Streaming IVF ingest against a frozen centroid set must assign
+    every vector to the same cell as the batch full-corpus pass (shared
+    cell_assign_relation), across micro-batches and replays."""
+
+    from pdf_toolkit_spark.ops.similarity import _centroids, _ivf_cells
+    from pdf_toolkit_spark.streaming import (
+        read_ivf_assignments,
+        stream_ivf_assign,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    mid = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    cents = _centroids(spark, sf)
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    emb.filter(F.col("vec_id") <= mid).coalesce(1).write.mode("append").parquet(landing)
+    _await(stream_ivf_assign(spark, landing, cents, out, ckpt))
+    emb.filter(F.col("vec_id") > mid).coalesce(1).write.mode("append").parquet(landing)
+    _await(stream_ivf_assign(spark, landing, cents, out, ckpt))
+
+    got = {
+        (r["vec_id"], r["cell"]) for r in read_ivf_assignments(spark, out).collect()
+    }
+    expected = {(r["vec_id"], r["cell"]) for r in _ivf_cells(spark, sf).collect()}
+    assert got == expected
+    assert len({c for _, c in got}) > 1  # vectors spread over cells
