@@ -117,6 +117,12 @@ def main() -> None:
         "rel_funnel",
         "dedup_pagerank",
         "sim_ivf_topk_batch",
+        # round-5 additions
+        "text_pack_sequences",
+        "sketch_bloom_semijoin",
+        "sketch_cms_heavy_hitters",
+        "dedup_minhash_survivors",
+        "dedup_snapshot_diff",
     ]
     for name in headliners:
         t0 = time.monotonic()

@@ -8,6 +8,7 @@ aggregation for the pipeline's operational metrics stream.
 """
 
 from .stream import (
+    compact_epochs,
     dedup_process_batch,
     funnel_stream,
     ivf_assign_process_batch,
@@ -25,6 +26,7 @@ from .stream import (
 )
 
 __all__ = [
+    "compact_epochs",
     "dedup_process_batch",
     "funnel_stream",
     "ivf_assign_process_batch",

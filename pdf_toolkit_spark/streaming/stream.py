@@ -604,6 +604,64 @@ def read_ivf_assignments(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Epoch compaction (streaming-sink maintenance)
+# ---------------------------------------------------------------------------
+
+def compact_epochs(spark: SparkSession, root: str, target_files: int = 8) -> int:
+    """Merge all committed ``epoch=*`` directories under ``root`` into
+    the highest epoch directory, rewritten as ``target_files`` parquet
+    files. The streaming sinks append one directory per micro-batch;
+    at fleet scale that is the classic small-files problem (a year of
+    5-minute triggers is ~100k directories whose listing alone
+    dominates query planning). Run this between stream restarts — the
+    surviving directory keeps the max epoch id, so the engine's next
+    epochs sort after it and readers see identical rows.
+
+    Crash-safe swap: the merged copy lands in a sibling
+    ``.compacting`` directory with a ``_compaction_inputs.json``
+    manifest (underscore-prefixed, so parquet readers ignore it)
+    before any input is removed; a crash mid-swap is recovered by the
+    next call, which finishes removing exactly the manifest's inputs
+    and renames. Returns the number of epoch directories compacted
+    (0 = nothing to do)."""
+
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    tmp = f"{root}.compacting"
+    manifest = f"{tmp}/_compaction_inputs.json"
+
+    def _swap() -> int:
+        inputs = _json.load(open(manifest))
+        for d in inputs:
+            if _os.path.isdir(d):
+                _shutil.rmtree(d)
+        _os.remove(manifest)
+        _os.rename(tmp, inputs[-1])
+        return len(inputs)
+
+    if _os.path.exists(manifest):  # recover an interrupted swap
+        return _swap()
+    if _os.path.isdir(tmp):  # interrupted BEFORE the manifest: discard
+        _shutil.rmtree(tmp)
+
+    dirs = sorted(_glob.glob(f"{root}/epoch=*"))
+    if len(dirs) < 2:
+        return 0
+    (
+        spark.read.option("basePath", root).parquet(f"{root}/epoch=*")
+        .drop("epoch")
+        .coalesce(target_files)
+        .write.mode("overwrite").parquet(tmp)
+    )
+    with open(manifest, "w") as fh:
+        _json.dump(dirs, fh)
+    return _swap()
+
+
+# ---------------------------------------------------------------------------
 # Stream-stream interval join
 # ---------------------------------------------------------------------------
 

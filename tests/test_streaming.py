@@ -536,3 +536,55 @@ def test_stream_ivf_assign_matches_batch_cells(spark, tmp_path):
     expected = {(r["vec_id"], r["cell"]) for r in _ivf_cells(spark, sf).collect()}
     assert got == expected
     assert len({c for _, c in got}) > 1  # vectors spread over cells
+
+
+def test_compact_epochs_preserves_rows_and_recovers(spark, tmp_path):
+    """Compaction must merge epoch dirs into the max-epoch dir with
+    identical rows, be a no-op when there is nothing to merge, and
+    finish an interrupted swap from its manifest on the next call."""
+
+    import glob
+    import json
+    import os
+
+    from pdf_toolkit_spark.streaming import (
+        compact_epochs,
+        neardup_process_batch,
+        read_neardup_survivors,
+    )
+
+    out = str(tmp_path / "out")
+    process = neardup_process_batch(spark, out)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    for epoch in range(3):
+        rows = [(epoch * 10 + i, f"unique doc body {epoch} {i} with words", "en", "s", 30)
+                for i in range(4)]
+        process(spark.createDataFrame(rows, cols), epoch)
+
+    before = {tuple(r) for r in read_neardup_survivors(spark, out).collect()}
+    assert len(glob.glob(f"{out}/docs/epoch=*")) == 3
+
+    n = compact_epochs(spark, f"{out}/docs", target_files=2)
+    assert n == 3
+    dirs = glob.glob(f"{out}/docs/epoch=*")
+    assert [os.path.basename(d) for d in dirs] == ["epoch=000000000002"]
+    after = {tuple(r) for r in read_neardup_survivors(spark, out).collect()}
+    assert after == before
+
+    assert compact_epochs(spark, f"{out}/docs") == 0  # single dir: no-op
+
+    # simulate a crash AFTER the manifest was written, BEFORE the swap:
+    # move the compacted dir back to .compacting with a manifest naming
+    # two fake inputs, then recover.
+    comp = f"{out}/buckets"  # compact the bucket index this time
+    assert len(glob.glob(f"{comp}/epoch=*")) == 3
+    bucket_rows = spark.read.parquet(f"{comp}/epoch=*").count()
+    tmp = f"{comp}.compacting"
+    spark.read.option("basePath", comp).parquet(f"{comp}/epoch=*")\
+        .drop("epoch").coalesce(1).write.mode("overwrite").parquet(tmp)
+    inputs = sorted(glob.glob(f"{comp}/epoch=*"))
+    json.dump(inputs, open(f"{tmp}/_compaction_inputs.json", "w"))
+    assert compact_epochs(spark, comp) == 3  # recovery path
+    assert sorted(os.path.basename(d) for d in glob.glob(f"{comp}/epoch=*")) \
+        == ["epoch=000000000002"]
+    assert spark.read.parquet(f"{comp}/epoch=*").count() == bucket_rows
