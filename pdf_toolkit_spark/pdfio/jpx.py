@@ -1,8 +1,11 @@
 """JPEG 2000 (ISO/IEC 15444-1 / ITU-T T.800) codec — decode AND encode.
 
-Scope (the scan subset a PDF /JPXDecode consumer meets): single-tile
-raw codestreams (and JP2 boxed files, unwrapped to the ``jp2c`` box),
-one quality layer, whole-subband precincts, BOTH wavelet paths — the
+Scope (the scan subset a PDF /JPXDecode consumer meets): raw
+codestreams (and JP2 boxed files, unwrapped to the ``jp2c`` box) with
+single- OR multi-tile grids at the origin (tile dims a multiple of
+2^levels, the production 256/512/1024 shapes; tile-parts concatenate
+per tile), one quality layer, whole-subband precincts, BOTH wavelet
+paths — the
 reversible 5/3 (Annex F lifting, no-quantization QCD) and the
 irreversible 9/7 (Annex F.4 float lifting, Annex E scalar
 quantization, derived and expounded QCD styles — the path real-world
@@ -1115,13 +1118,18 @@ def encode_jpx(
     irreversible: bool = False,
     qstep: float = 1.0 / 64,
     qcd_style: str = "expounded",
+    tile_size: int | None = None,
 ) -> bytes:
-    """8-bit gray (H, W) or RGB (H, W, 3) -> single-tile JPEG 2000
-    codestream (one layer, 64x64 code-blocks, LRCP). Default is the
-    lossless path (5/3 reversible, RCT for RGB, no quantization);
+    """8-bit gray (H, W) or RGB (H, W, 3) -> JPEG 2000 codestream
+    (one layer, 64x64 code-blocks, LRCP). Default is the lossless
+    path (5/3 reversible, RCT for RGB, no quantization);
     ``irreversible=True`` emits the lossy 9/7 path (ICT for RGB,
     scalar-expounded QCD with a uniform base step ``qstep`` — Annex E
-    deadzone quantizer, reconstruction bounded by the step size)."""
+    deadzone quantizer, reconstruction bounded by the step size).
+    ``tile_size`` partitions the image into an independent tile grid
+    (one SOT/SOD per tile, raster order) — the production shape for
+    large scans; must be a multiple of 2^levels so every tile's band
+    extents reduce to the origin-0 formula."""
 
     if img.dtype != np.uint8 or img.ndim not in (2, 3) or (
         img.ndim == 3 and img.shape[2] != 3
@@ -1130,15 +1138,16 @@ def encode_jpx(
     if not (0 <= levels <= 5):
         raise UserError("JPX encoder: 0-5 decomposition levels.")
     h, w = img.shape[:2]
-    shifted = img.astype(np.int64) - 128  # DC level shift (B.1.1)
+    if tile_size is not None and (
+        tile_size <= 0 or tile_size % (1 << levels)
+    ):
+        raise UserError("JPX encoder: tile_size must be a multiple of 2^levels.")
+    xt = yt = tile_size if tile_size else max(w, h)
+    gray = img.ndim == 2
     if irreversible:
         # ICT keeps every component inside the 8-bit nominal range
-        if img.ndim == 2:
-            comps, mct, eps_base = [shifted.astype(np.float64)], 0, 8
-        else:
-            comps, mct, eps_base = _ict_forward(shifted), 1, 8
-        ncomp = len(comps)
-        decomposed = [dwt97_forward(c, levels) for c in comps]
+        mct, eps_base = (0, 8) if gray else (1, 8)
+        ncomp = 1 if gray else 3
         #: per-band (eps, mu, step) keyed (orient, nb): rb = 8 + gain.
         #: The signalled step is the QUANTIZER's step too, so encoder
         #: and decoder divide/multiply the identical double.
@@ -1168,107 +1177,118 @@ def encode_jpx(
         else:
             raise UserError("JPX encoder: qcd_style derived|expounded.")
     else:
-        if img.ndim == 2:
-            comps, mct, eps_base = [shifted], 0, 8
-        else:
-            # chrominance components span 9 bits after the RCT -> one
-            # extra exponent bit for every component (single QCD)
-            comps, mct, eps_base = _rct_forward(shifted), 1, 9
-        ncomp = len(comps)
-        decomposed = [dwt53_forward(c, levels) for c in comps]
+        # chrominance components span 9 bits after the RCT -> one
+        # extra exponent bit for every component (single QCD)
+        mct, eps_base = (0, 8) if gray else (1, 9)
+        ncomp = 1 if gray else 3
         quant_of = None
 
-    def band_array(ci: int, orient: int, nb: int) -> np.ndarray:
-        ll, lev_bands = decomposed[ci]
-        if orient == _LL:
-            arr = ll
-        else:
-            hl, lh, hh = lev_bands[len(lev_bands) - nb]
-            arr = (hl, lh, hh)[orient - 1]
-        if not irreversible:
-            return arr
-        step = quant_of[(orient, nb)][2]
-        return (np.sign(arr) * np.floor(np.abs(arr) / step)).astype(np.int64)
+    def _tile_stream(tile_img: np.ndarray) -> bytes:
+        """One tile's concatenated packet bytes (LRCP with 1 layer and
+        whole-band precincts: resolution-major, one packet per
+        component within each resolution)."""
 
-    packets = []
-    # LRCP with 1 layer and whole-band precincts: resolution-major,
-    # one packet per component within each resolution
-    for bands in _resolution_bands(levels):
-        for ci in range(ncomp):
-            bw = _BitWriter()
-            body = bytearray()
-            any_included = False
-            per_band = []
-            for orient, nb in bands:
-                arr = band_array(ci, orient, nb)
-                bh, bw_ = arr.shape
-                nx, ny, blocks = _blocks_of(bh, bw_)
-                if irreversible:
-                    mb = _GUARD_BITS + quant_of[(orient, nb)][0] - 1
-                else:
-                    mb = _GUARD_BITS + (eps_base + _GAIN[orient]) - 1
-                coded = []
-                for y0, x0, ch, cw in blocks:
-                    seg, npasses, numbps = t1_encode(
-                        np.ascontiguousarray(arr[y0 : y0 + ch, x0 : x0 + cw])
-                        .astype(np.int32),
-                        orient,
-                    )
-                    if numbps > mb:
-                        raise UserError("JPX encoder: magnitude exceeds Mb.")
-                    coded.append((seg, npasses, numbps))
-                    if numbps:
-                        any_included = True
-                per_band.append((nx, ny, coded, mb))
-            if not any_included:
-                bw.put(0)
-                packets.append(bw.flush())
-                continue
-            bw.put(1)
-            for nx, ny, coded, mb in per_band:
-                if not coded:
+        shifted = tile_img.astype(np.int64) - 128  # DC level shift (B.1.1)
+        if irreversible:
+            comps = (
+                [shifted.astype(np.float64)] if gray else _ict_forward(shifted)
+            )
+            decomposed = [dwt97_forward(c, levels) for c in comps]
+        else:
+            comps = [shifted] if gray else _rct_forward(shifted)
+            decomposed = [dwt53_forward(c, levels) for c in comps]
+
+        def band_array(ci: int, orient: int, nb: int) -> np.ndarray:
+            ll, lev_bands = decomposed[ci]
+            if orient == _LL:
+                arr = ll
+            else:
+                hl, lh, hh = lev_bands[len(lev_bands) - nb]
+                arr = (hl, lh, hh)[orient - 1]
+            if not irreversible:
+                return arr
+            step = quant_of[(orient, nb)][2]
+            return (np.sign(arr) * np.floor(np.abs(arr) / step)).astype(np.int64)
+
+        packets = []
+        for bands in _resolution_bands(levels):
+            for ci in range(ncomp):
+                bw = _BitWriter()
+                body = bytearray()
+                any_included = False
+                per_band = []
+                for orient, nb in bands:
+                    arr = band_array(ci, orient, nb)
+                    bh, bw_ = arr.shape
+                    nx, ny, blocks = _blocks_of(bh, bw_)
+                    if irreversible:
+                        mb = _GUARD_BITS + quant_of[(orient, nb)][0] - 1
+                    else:
+                        mb = _GUARD_BITS + (eps_base + _GAIN[orient]) - 1
+                    coded = []
+                    for y0, x0, ch, cw in blocks:
+                        seg, npasses, numbps = t1_encode(
+                            np.ascontiguousarray(arr[y0 : y0 + ch, x0 : x0 + cw])
+                            .astype(np.int32),
+                            orient,
+                        )
+                        if numbps > mb:
+                            raise UserError("JPX encoder: magnitude exceeds Mb.")
+                        coded.append((seg, npasses, numbps))
+                        if numbps:
+                            any_included = True
+                    per_band.append((nx, ny, coded, mb))
+                if not any_included:
+                    bw.put(0)
+                    packets.append(bw.flush())
                     continue
-                incl = _TagTree(nx, ny)
-                zbp = _TagTree(nx, ny)
-                incl.set_values(np.array(
-                    [[0 if coded[yy * nx + xx][2] else 1 for xx in range(nx)]
-                     for yy in range(ny)], np.int64))
-                zbp.set_values(np.array(
-                    [[mb - coded[yy * nx + xx][2] if coded[yy * nx + xx][2] else 0
-                      for xx in range(nx)] for yy in range(ny)], np.int64))
-                for yy in range(ny):
-                    for xx in range(nx):
-                        seg, npasses, numbps = coded[yy * nx + xx]
-                        incl.encode(bw, xx, yy, 1)
-                        if not numbps:
-                            continue
-                        # zero-bitplane tag tree, coded to full depth
-                        t = 1
-                        while True:
-                            zbp.encode(bw, xx, yy, t)
-                            if mb - numbps < t:
-                                break
-                            t += 1
-                        _encode_npasses(bw, npasses)
-                        # length signalling: single segment, Lblock starts 3
-                        lblock = 3
-                        nbits = lblock + int(math.floor(math.log2(npasses)))
-                        need = max(1, len(seg)).bit_length()
-                        while need > nbits:
-                            bw.put(1)
-                            lblock += 1
-                            nbits += 1
-                        bw.put(0)
-                        bw.put_bits(len(seg), nbits)
-                        body += seg
-            packets.append(bw.flush() + bytes(body))
+                bw.put(1)
+                for nx, ny, coded, mb in per_band:
+                    if not coded:
+                        continue
+                    incl = _TagTree(nx, ny)
+                    zbp = _TagTree(nx, ny)
+                    incl.set_values(np.array(
+                        [[0 if coded[yy * nx + xx][2] else 1 for xx in range(nx)]
+                         for yy in range(ny)], np.int64))
+                    zbp.set_values(np.array(
+                        [[mb - coded[yy * nx + xx][2] if coded[yy * nx + xx][2] else 0
+                          for xx in range(nx)] for yy in range(ny)], np.int64))
+                    for yy in range(ny):
+                        for xx in range(nx):
+                            seg, npasses, numbps = coded[yy * nx + xx]
+                            incl.encode(bw, xx, yy, 1)
+                            if not numbps:
+                                continue
+                            # zero-bitplane tag tree, coded to full depth
+                            t = 1
+                            while True:
+                                zbp.encode(bw, xx, yy, t)
+                                if mb - numbps < t:
+                                    break
+                                t += 1
+                            _encode_npasses(bw, npasses)
+                            # length signalling: single segment, Lblock starts 3
+                            lblock = 3
+                            nbits = lblock + int(math.floor(math.log2(npasses)))
+                            need = max(1, len(seg)).bit_length()
+                            while need > nbits:
+                                bw.put(1)
+                                lblock += 1
+                                nbits += 1
+                            bw.put(0)
+                            bw.put_bits(len(seg), nbits)
+                            body += seg
+                packets.append(bw.flush() + bytes(body))
+        return b"".join(packets)
+
 
     # --- markers ---
     out = bytearray()
     out += b"\xff\x4f"  # SOC
     siz = struct.pack(
         ">HHIIIIIIIIH",
-        38 + 3 * ncomp, 0, w, h, 0, 0, w, h, 0, 0, ncomp,
+        38 + 3 * ncomp, 0, w, h, 0, 0, xt, yt, 0, 0, ncomp,
     ) + bytes([7, 1, 1] * ncomp)
     out += b"\xff\x51" + siz
     spcod = bytes([levels, _CB_EXP - 2, _CB_EXP - 2, 0,
@@ -1298,23 +1318,35 @@ def encode_jpx(
         for orient, _nb in order[:n_sub]:
             exps.append((eps_base + _GAIN[orient]) << 3)
     out += b"\xff\x5c" + struct.pack(">H", 2 + len(exps)) + bytes(exps)
-    data = b"".join(packets)
-    psot = 12 + 2 + len(data)  # SOT seg + SOD marker + data
-    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
-    out += b"\xff\x93" + data
+    ntx = -(-w // xt)
+    nty = -(-h // yt)
+    for ti in range(ntx * nty):
+        ty0 = (ti // ntx) * yt
+        tx0 = (ti % ntx) * xt
+        data = _tile_stream(
+            img[ty0 : min(ty0 + yt, h), tx0 : min(tx0 + xt, w)]
+        )
+        psot = 12 + 2 + len(data)  # SOT seg + SOD marker + data
+        out += b"\xff\x90" + struct.pack(">HHIBB", 10, ti, psot, 0, 1)
+        out += b"\xff\x93" + data
     out += b"\xff\xd9"  # EOC
     return bytes(out)
 
 
 def decode_jpx(data: bytes) -> np.ndarray:
-    """Single-tile lossless JPEG 2000 codestream -> (H, W) uint8 gray
-    or (H, W, 3) uint8 RGB (3 components; inverse RCT when the COD
-    multiple-component-transform flag is set)."""
+    """Lossless or 9/7 JPEG 2000 codestream -> (H, W) uint8 gray or
+    (H, W, 3) uint8 RGB (3 components; inverse RCT/ICT when the COD
+    multiple-component-transform flag is set). Single- or multi-tile
+    grids at the origin; tile dimensions must be multiples of
+    2^levels (true of production encoders' 256/512/1024 tiles), so
+    every tile's band extents reduce to the origin-0 formula and the
+    tiles decode independently."""
 
     if data[:2] != b"\xff\x4f":
         raise UserError("JPX: missing SOC marker.")
     pos = 2
     w = h = None
+    xt = yt = None
     ncomp = None
     levels = None
     mct = 0
@@ -1323,7 +1355,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     qcd_style = 0
     qcd_exps: list[int] = []
     qcd_pairs: list[tuple[int, int]] = []
-    tile_data = None
+    tile_parts: dict[int, bytearray] = {}
     while pos + 2 <= len(data):
         marker = data[pos : pos + 2]
         pos += 2
@@ -1345,8 +1377,10 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 ssiz, xr, yr = seg[36 + 3 * ci : 39 + 3 * ci]
                 if ssiz != 7 or xr != 1 or yr != 1:
                     raise UserError("JPX: only 8-bit unsigned, no subsampling.")
-            if xo or yo or xto or yto or xt < xs or yt < ys:
-                raise UserError("JPX: only single-tile streams at the origin.")
+            if xo or yo or xto or yto:
+                raise UserError("JPX: image/tile grids must sit at the origin.")
+            if not xt or not yt:
+                raise UserError("JPX: zero tile dimension.")
             w, h = xs, ys
             pos += ln
         elif marker == b"\xff\x52":  # COD
@@ -1382,20 +1416,29 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 raise UserError("JPX: unknown quantization style.")
             pos += ln
         elif marker == b"\xff\x90":  # SOT
-            _isot, psot, _tpsot, _tnsot = struct.unpack(">HIBB", seg[:8])
+            isot, psot, _tpsot, _tnsot = struct.unpack(">HIBB", seg[:8])
             pos += ln
             if data[pos : pos + 2] != b"\xff\x93":
                 raise UserError("JPX: SOT not followed by SOD.")
             pos += 2
             end = pos + (psot - 12 - 2) if psot else len(data) - 2
-            tile_data = data[pos:end]
+            # tile-parts concatenate in encounter (TPsot) order; for
+            # the single-layer LRCP scope parts split at packet
+            # boundaries, so the joined stream parses identically
+            tile_parts.setdefault(isot, bytearray()).extend(data[pos:end])
             pos = end
         else:
             pos += ln  # COM and friends: skip
-    if w is None or levels is None or tile_data is None:
+    if w is None or levels is None or not tile_parts:
         raise UserError("JPX: missing SIZ/COD/tile data.")
     if mct and ncomp != 3:
         raise UserError("JPX: component transform requires 3 components.")
+    ntx = -(-w // xt)
+    nty = -(-h // yt)
+    if ntx * nty > 1 and (xt % (1 << levels) or yt % (1 << levels)):
+        raise UserError("JPX: tile size must be a multiple of 2^levels.")
+    if sorted(tile_parts) != list(range(ntx * nty)):
+        raise UserError("JPX: missing or out-of-range tile indices.")
 
     # per-band Mb from the parsed QCD (band order: LL, then HL/LH/HH
     # per resolution); for the quantized styles also the Annex E step
@@ -1435,91 +1478,107 @@ def decode_jpx(data: bytes) -> np.ndarray:
             mb_of[key] = guard + eps - 1
             step_of[key] = _eps_mu_to_step(eps, mu, 8 + _GAIN[key[0]])
 
-    # band containers, keyed (component, orient, level)
-    band_arrays: dict[tuple[int, int, int], np.ndarray] = {}
-    pos = 0
-    for bands in _resolution_bands(levels):
-        for ci in range(ncomp):
-            br = _BitReader(tile_data, pos)
-            blocks_to_read = []
-            if not br.get():  # empty packet
-                pos = br.align()
-                for orient, nb in bands:
-                    bh = _band_dims(h, nb, 0 if orient in (_LL, _HL) else 1)
-                    bw_ = _band_dims(w, nb, 0 if orient in (_LL, _LH) else 1)
-                    band_arrays.setdefault(
-                        (ci, orient, nb), np.zeros((bh, bw_), np.int64)
-                    )
-                continue
-            for orient, nb in bands:
-                bh = _band_dims(h, nb, 0 if orient in (_LL, _HL) else 1)
-                bw_ = _band_dims(w, nb, 0 if orient in (_LL, _LH) else 1)
-                arr = np.zeros((bh, bw_), np.int64)
-                band_arrays[(ci, orient, nb)] = arr
-                if bh == 0 or bw_ == 0:
-                    continue
-                nx, ny, blocks = _blocks_of(bh, bw_)
-                mb = mb_of[(orient, nb)]
-                incl = _TagTree(nx, ny)
-                zbp = _TagTree(nx, ny)
-                for yy in range(ny):
-                    for xx in range(nx):
-                        y0, x0, ch, cw = blocks[yy * nx + xx]
-                        if not incl.decode(br, xx, yy, 1):
-                            continue
-                        t = 1
-                        while not zbp.decode(br, xx, yy, t):
-                            t += 1
-                        missing = t - 1
-                        numbps = mb - missing
-                        if numbps <= 0:
-                            raise UserError("JPX: invalid zero-bitplane count.")
-                        npasses = _decode_npasses(br)
-                        lblock = 3
-                        while br.get():
-                            lblock += 1
-                        nbits = lblock + int(math.floor(math.log2(npasses)))
-                        seg_len = br.get_bits(nbits)
-                        blocks_to_read.append(
-                            (arr, orient, y0, x0, ch, cw, numbps, npasses, seg_len)
+    def _tile_pixels(tile_data: bytes, th: int, tw: int) -> np.ndarray:
+        """One tile's packets -> composed (th, tw[, 3]) pixel array
+        (float, DC-shifted domain). Band extents use the origin-0
+        formula, exact because tile origins are multiples of
+        2^levels (validated above)."""
+
+        # band containers, keyed (component, orient, level)
+        band_arrays: dict[tuple[int, int, int], np.ndarray] = {}
+        pos = 0
+        for bands in _resolution_bands(levels):
+            for ci in range(ncomp):
+                br = _BitReader(tile_data, pos)
+                blocks_to_read = []
+                if not br.get():  # empty packet
+                    pos = br.align()
+                    for orient, nb in bands:
+                        bh = _band_dims(th, nb, 0 if orient in (_LL, _HL) else 1)
+                        bw_ = _band_dims(tw, nb, 0 if orient in (_LL, _LH) else 1)
+                        band_arrays.setdefault(
+                            (ci, orient, nb), np.zeros((bh, bw_), np.int64)
                         )
-            pos = br.align()
-            for (arr, orient, y0, x0, ch, cw, numbps, npasses,
-                 seg_len) in blocks_to_read:
-                seg = tile_data[pos : pos + seg_len]
-                pos += seg_len
-                coeffs = t1_decode(seg, ch, cw, orient, numbps, npasses)
-                arr[y0 : y0 + ch, x0 : x0 + cw] = coeffs
+                    continue
+                for orient, nb in bands:
+                    bh = _band_dims(th, nb, 0 if orient in (_LL, _HL) else 1)
+                    bw_ = _band_dims(tw, nb, 0 if orient in (_LL, _LH) else 1)
+                    arr = np.zeros((bh, bw_), np.int64)
+                    band_arrays[(ci, orient, nb)] = arr
+                    if bh == 0 or bw_ == 0:
+                        continue
+                    nx, ny, blocks = _blocks_of(bh, bw_)
+                    mb = mb_of[(orient, nb)]
+                    incl = _TagTree(nx, ny)
+                    zbp = _TagTree(nx, ny)
+                    for yy in range(ny):
+                        for xx in range(nx):
+                            y0, x0, ch, cw = blocks[yy * nx + xx]
+                            if not incl.decode(br, xx, yy, 1):
+                                continue
+                            t = 1
+                            while not zbp.decode(br, xx, yy, t):
+                                t += 1
+                            missing = t - 1
+                            numbps = mb - missing
+                            if numbps <= 0:
+                                raise UserError("JPX: invalid zero-bitplane count.")
+                            npasses = _decode_npasses(br)
+                            lblock = 3
+                            while br.get():
+                                lblock += 1
+                            nbits = lblock + int(math.floor(math.log2(npasses)))
+                            seg_len = br.get_bits(nbits)
+                            blocks_to_read.append(
+                                (arr, orient, y0, x0, ch, cw, numbps, npasses, seg_len)
+                            )
+                pos = br.align()
+                for (arr, orient, y0, x0, ch, cw, numbps, npasses,
+                     seg_len) in blocks_to_read:
+                    seg = tile_data[pos : pos + seg_len]
+                    pos += seg_len
+                    coeffs = t1_decode(seg, ch, cw, orient, numbps, npasses)
+                    arr[y0 : y0 + ch, x0 : x0 + cw] = coeffs
 
-    def band(ci: int, orient: int, nb: int) -> np.ndarray:
-        q = band_arrays[(ci, orient, nb)]
-        if reversible:
-            return q
-        # Annex E dequantization with the midpoint reconstruction
-        # parameter r=0.5 (the floor quantizer's expectation)
-        step = step_of[(orient, nb)]
-        return np.where(
-            q == 0, 0.0, np.sign(q) * (np.abs(q) + 0.5) * step
-        )
-
-    planes = []
-    for ci in range(ncomp):
-        ll = band(ci, _LL, levels if levels else 0)
-        lev_bands = []
-        for nb in range(levels, 0, -1):
-            lev_bands.append(
-                (band(ci, _HL, nb), band(ci, _LH, nb), band(ci, _HH, nb))
+        def band(ci: int, orient: int, nb: int) -> np.ndarray:
+            q = band_arrays[(ci, orient, nb)]
+            if reversible:
+                return q
+            # Annex E dequantization with the midpoint reconstruction
+            # parameter r=0.5 (the floor quantizer's expectation)
+            step = step_of[(orient, nb)]
+            return np.where(
+                q == 0, 0.0, np.sign(q) * (np.abs(q) + 0.5) * step
             )
-        tile = (dwt53_inverse if reversible else dwt97_inverse)(ll, lev_bands)
-        if tile.shape != (h, w):
-            raise UserError("JPX: reconstructed tile shape mismatch.")
-        planes.append(tile)
-    if ncomp == 1:
-        out = planes[0]
-    elif mct:
-        out = (_rct_inverse if reversible else _ict_inverse)(*planes)
-    else:
-        out = np.stack(planes, axis=-1)
+
+        planes = []
+        for ci in range(ncomp):
+            ll = band(ci, _LL, levels if levels else 0)
+            lev_bands = []
+            for nb in range(levels, 0, -1):
+                lev_bands.append(
+                    (band(ci, _HL, nb), band(ci, _LH, nb), band(ci, _HH, nb))
+                )
+            tile = (dwt53_inverse if reversible else dwt97_inverse)(ll, lev_bands)
+            if tile.shape != (th, tw):
+                raise UserError("JPX: reconstructed tile shape mismatch.")
+            planes.append(tile)
+        if ncomp == 1:
+            return planes[0]
+        if mct:
+            return (_rct_inverse if reversible else _ict_inverse)(*planes)
+        return np.stack(planes, axis=-1)
+
+    shape = (h, w) if ncomp == 1 else (h, w, 3)
+    out = np.zeros(shape, np.float64)
+    for ti in range(ntx * nty):
+        ty0 = (ti // ntx) * yt
+        tx0 = (ti % ntx) * xt
+        th = min(yt, h - ty0)
+        tw = min(xt, w - tx0)
+        out[ty0 : ty0 + th, tx0 : tx0 + tw] = _tile_pixels(
+            bytes(tile_parts[ti]), th, tw
+        )
     if not reversible:
         out = np.rint(out)
     return np.clip(out + 128, 0, 255).astype(np.uint8)

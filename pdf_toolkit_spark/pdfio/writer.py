@@ -323,8 +323,12 @@ def _image_xobject(
                 irreversible=True, qstep=1.0 / 16, qcd_style="derived",
             )
         else:
+            # archival lossless masters: tile when the raster is big
+            # enough (the production multi-tile shape — 64 here so
+            # fixture pages get a real grid incl. partial edge tiles)
             data = encode_jpx(
-                np.ascontiguousarray(arr, dtype=np.uint8), levels=2
+                np.ascontiguousarray(arr, dtype=np.uint8), levels=2,
+                tile_size=64 if min(h, w) > 64 else None,
             )
         head = (
             f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "

@@ -358,3 +358,81 @@ def test_npasses_codec_roundtrip_all_branches():
         _encode_npasses(bw, n)
         bw.put_bits(0, 16)
         assert _decode_npasses(_BitReader(bytes(bw.buf))) == n
+
+
+# ---------------------------------------------------------------------------
+# Multi-tile grids (T.800 B.3: tiles in raster order, one SOT/SOD each)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape", [(96, 160), (100, 130), (64, 64), (130, 67)])
+def test_multitile_lossless_bit_exact(shape):
+    """Tiled 5/3 codestreams (incl. partial edge tiles) reconstruct
+    bit-exactly — each tile decodes independently and composes into
+    the canvas at its raster-order grid position."""
+
+    img = RNG.integers(0, 256, shape, dtype=np.uint8)
+    enc = encode_jpx(img, 2, tile_size=64)
+    assert enc.count(b"\xff\x90") == -(-shape[0] // 64) * -(-shape[1] // 64)
+    assert np.array_equal(decode_jpx(enc), img)
+
+
+def test_multitile_rgb_and_lossy_bounded():
+    img = RNG.integers(0, 256, (100, 130, 3), dtype=np.uint8)
+    assert np.array_equal(decode_jpx(encode_jpx(img, 2, tile_size=64)), img)
+    dec = decode_jpx(
+        encode_jpx(img, 2, tile_size=64, irreversible=True, qstep=1.0 / 16)
+    )
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_multitile_matches_single_tile_pixels():
+    """Lossless tiling is a pure container change: tiled and untiled
+    streams of the same image decode to identical pixels."""
+
+    img = (np.add.outer(np.arange(96), np.arange(128)) % 251).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpx(encode_jpx(img, 3, tile_size=32)),
+        decode_jpx(encode_jpx(img, 3)),
+    )
+
+
+def test_multitile_validation():
+    img = RNG.integers(0, 256, (64, 64), dtype=np.uint8)
+    with pytest.raises(UserError):  # 20 is not a multiple of 2^3
+        encode_jpx(img, 3, tile_size=20)
+    # decoder rejects a grid whose tile size breaks 2^levels alignment
+    enc = bytearray(encode_jpx(img, 2, tile_size=32))
+    sizpos = enc.find(b"\xff\x51")
+    # XTsiz sits at +22 from the marker (Lsiz Rsiz Xsiz Ysiz XOsiz YOsiz)
+    assert struct.unpack(">I", enc[sizpos + 22 : sizpos + 26])[0] == 32
+    enc[sizpos + 22 : sizpos + 26] = struct.pack(">I", 30)
+    with pytest.raises(UserError):
+        decode_jpx(bytes(enc))
+    # zero tile dimension fails closed, not ZeroDivisionError
+    enc[sizpos + 22 : sizpos + 26] = struct.pack(">I", 0)
+    with pytest.raises(UserError):
+        decode_jpx(bytes(enc))
+
+
+def test_multitile_missing_tile_fails_closed():
+    img = RNG.integers(0, 256, (96, 96), dtype=np.uint8)
+    enc = encode_jpx(img, 2, tile_size=64)
+    # truncate after the first tile: drop everything from the 2nd SOT
+    second_sot = enc.find(b"\xff\x90", enc.find(b"\xff\x90") + 2)
+    with pytest.raises(UserError):
+        decode_jpx(enc[:second_sot] + b"\xff\xd9")
+
+
+def test_tiled_jpx_xobject_through_parser():
+    """A tiled lossless /JPXDecode image round-trips bit-exactly
+    through the writer + parser (the writer tiles rasters > 64 px)."""
+
+    from pdf_toolkit_spark.pdfio.writer import PageSpec, write_pdf
+
+    raster = RNG.integers(0, 256, (90, 120), dtype=np.uint8)
+    pdf_bytes = write_pdf([PageSpec(raster=raster, codec="jpx")])
+    assert b"JPXDecode" in pdf_bytes
+    page = PdfDocument(pdf_bytes).load_page(0)
+    assert page.scan is not None
+    assert np.array_equal(page.scan, raster)
