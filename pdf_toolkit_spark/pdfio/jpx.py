@@ -1427,8 +1427,21 @@ def decode_jpx(data: bytes) -> np.ndarray:
             # boundaries, so the joined stream parses identically
             tile_parts.setdefault(isot, bytearray()).extend(data[pos:end])
             pos = end
+        elif marker in (
+            b"\xff\x53",  # COC: per-component coding style override
+            b"\xff\x5d",  # QCC: per-component quantization override
+            b"\xff\x5e",  # RGN: region-of-interest shift
+            b"\xff\x5f",  # POC: progression order change
+            b"\xff\x60",  # PPM: packed packet headers (main)
+            b"\xff\x61",  # PPT: packed packet headers (tile)
+        ):
+            # semantic segments that change how packets decode: skipping
+            # them would produce WRONG pixels — fail closed instead
+            raise UserError(
+                f"JPX: unsupported marker segment 0x{marker.hex()}."
+            )
         else:
-            pos += ln  # COM and friends: skip
+            pos += ln  # COM/TLM/PLM/PLT/CRG: informational, skip
     if w is None or levels is None or not tile_parts:
         raise UserError("JPX: missing SIZ/COD/tile data.")
     if mct and ncomp != 3:

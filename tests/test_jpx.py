@@ -436,3 +436,29 @@ def test_tiled_jpx_xobject_through_parser():
     page = PdfDocument(pdf_bytes).load_page(0)
     assert page.scan is not None
     assert np.array_equal(page.scan, raster)
+
+
+def test_semantic_marker_segments_fail_closed():
+    """COC/QCC/RGN/POC/PPM change how packets decode; silently skipping
+    them would emit wrong pixels. They must raise. Informational
+    segments (COM, TLM) still skip cleanly."""
+
+    img = RNG.integers(0, 256, (32, 32), dtype=np.uint8)
+    base = encode_jpx(img, 2)
+    sot = base.find(b"\xff\x90")
+    for marker, body in [
+        (b"\xff\x53", b"\x00\x01\x00"),          # COC
+        (b"\xff\x5d", b"\x00\x40"),              # QCC
+        (b"\xff\x5e", b"\x00\x00\x00"),          # RGN
+        (b"\xff\x5f", b"\x00\x00\x00\x00\x00\x00\x00"),  # POC
+        (b"\xff\x60", b"\x00"),                  # PPM
+    ]:
+        seg = marker + struct.pack(">H", 2 + len(body)) + body
+        with pytest.raises(UserError):
+            decode_jpx(base[:sot] + seg + base[sot:])
+    # COM (comment) and TLM (tile lengths) are informational: skipped
+    com = b"\xff\x64" + struct.pack(">H", 2 + 2 + 5) + b"\x00\x01hello"
+    tlm = b"\xff\x55" + struct.pack(">H", 2 + 4) + b"\x00\x60\x00\x00"
+    assert np.array_equal(
+        decode_jpx(base[:sot] + com + tlm + base[sot:]), img
+    )
