@@ -1,11 +1,13 @@
-"""CCITT Group 4 (ITU-T T.6, pure 2D/MMR) fax codec.
+"""CCITT Group 4 (ITU-T T.6, pure 2D/MMR) and Group 3 (ITU-T T.4,
+1D modified-Huffman and mixed 1D/2D) fax codecs.
 
-The dominant encoding of black-and-white scanned pages in PDFs
-(/CCITTFaxDecode with /K < 0). Built from the public T.4/T.6 code
-tables; the decoder is cross-validated in tests against the JDK's
-TIFF writer producing "CCITT T.6" strips, and the encoder round-trips
-through the JDK's reader — two independent implementations agreeing
-on both directions.
+Group 4 (/CCITTFaxDecode with /K < 0) is the dominant encoding of
+black-and-white scanned pages in PDFs; Group 3 (/K >= 0) is the
+fax-era shape still common in older scan archives. Built from the
+public T.4/T.6 code tables; the decoders are cross-validated in tests
+against the JDK's TIFF writer producing "CCITT T.6"/"CCITT T.4"
+strips, and the encoders round-trip through the JDK's reader — two
+independent implementations agreeing on both directions.
 
 Bit convention: run lengths code alternating WHITE-first runs; a
 decoded row is returned as uint8 0/1 per pixel with 1 = black.
@@ -124,6 +126,56 @@ class _Bits:
         raise UserError("Invalid CCITT code word.")
 
 
+def _decode_2d_row(bits: "_Bits", columns: int, ref: list[int]) -> np.ndarray:
+    """One 2D-coded row (T.6 / T.4 2D share the mode codes) against the
+    reference line's transition list."""
+
+    row = np.zeros(columns, dtype=np.uint8)
+    a0 = -1
+    color = 0  # 0 = white, 1 = black
+    while a0 < columns:
+        # b1: first ref transition > a0 with opposite color of a0
+        b1 = columns
+        for i, t in enumerate(ref):
+            if t > a0 and (i % 2) == color:
+                b1 = t
+                break
+        b2 = columns
+        for t in ref:
+            if t > b1:
+                b2 = t
+                break
+        mode = bits.read_code(_MODE_DEC)
+        if mode == _MODE_P:
+            if color:
+                row[max(a0, 0):b2] = 1
+            a0 = b2
+        elif mode == _MODE_H:
+            start = max(a0, 0)
+            r1 = _read_total_run(bits, color == 0)
+            r2 = _read_total_run(bits, color == 1)
+            if color:
+                row[start:start + r1] = 1
+            else:
+                row[start + r1:start + r1 + r2] = 1
+            a0 = start + r1 + r2
+        else:  # vertical
+            a1 = b1 + mode
+            if a1 < 0 or a1 > columns:
+                raise UserError("CCITT vertical move out of range.")
+            if color:
+                row[max(a0, 0):a1] = 1
+            a0 = a1
+            color ^= 1
+    return row
+
+
+def _ref_of(row: np.ndarray, columns: int) -> list[int]:
+    return sorted(
+        set(t for t in _transitions(row) if t < columns)
+    ) + [columns, columns]
+
+
 def decode_g4(data: bytes, columns: int, rows: int | None = None) -> np.ndarray:
     """Decode a pure-2D (T.6 / K<0) stream into (h, columns) uint8 with
     1 = black. `rows` bounds the output; with rows=None decoding stops
@@ -136,54 +188,113 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None) -> np.ndarray:
     while rows is None or len(out) < rows:
         if bits.pos >= bits.n:
             break
-        row = np.zeros(columns, dtype=np.uint8)
-        cur: list[int] = []
-        a0 = -1
-        color = 0  # 0 = white, 1 = black
         try:
-            while a0 < columns:
-                # b1: first ref transition > a0 with opposite color of a0
-                b1 = columns
-                for i, t in enumerate(ref):
-                    if t > a0 and (i % 2) == color:
-                        b1 = t
-                        break
-                b2 = columns
-                for t in ref:
-                    if t > b1:
-                        b2 = t
-                        break
-                mode = bits.read_code(_MODE_DEC)
-                if mode == _MODE_P:
-                    if color:
-                        row[max(a0, 0):b2] = 1
-                    a0 = b2
-                elif mode == _MODE_H:
-                    start = max(a0, 0)
-                    r1 = _read_total_run(bits, color == 0)
-                    r2 = _read_total_run(bits, color == 1)
-                    if color:
-                        row[start:start + r1] = 1
-                    else:
-                        row[start + r1:start + r1 + r2] = 1
-                    cur.append(min(start + r1, columns))
-                    cur.append(min(start + r1 + r2, columns))
-                    a0 = start + r1 + r2
-                else:  # vertical
-                    a1 = b1 + mode
-                    if a1 < 0 or a1 > columns:
-                        raise UserError("CCITT vertical move out of range.")
-                    if color:
-                        row[max(a0, 0):a1] = 1
-                    cur.append(a1)
-                    a0 = a1
-                    color ^= 1
+            row = _decode_2d_row(bits, columns, ref)
         except UserError:
             if rows is None and out:
                 break  # EOFB / trailing padding
             raise
         out.append(row)
-        ref = sorted(set(t for t in _transitions(row) if t < columns)) + [columns, columns]
+        ref = _ref_of(row, columns)
+    if rows is not None and len(out) < rows:
+        raise UserError("CCITT stream ended before /Rows rows.")
+    if not out:
+        raise UserError("Empty CCITT stream.")
+    return np.stack(out)
+
+
+def _try_eol(bits: "_Bits") -> bool:
+    """Consume fill zeros + an EOL (000000000001, T.4 §4.1.2) if one
+    sits at the current position; restore the position otherwise."""
+
+    save = bits.pos
+    zeros = 0
+    while bits.pos < bits.n:
+        byte = bits.data[bits.pos >> 3]
+        bit = (byte >> (7 - (bits.pos & 7))) & 1
+        bits.pos += 1
+        if bit == 0:
+            zeros += 1
+            continue
+        if zeros >= 11:
+            return True
+        bits.pos = save
+        return False
+    bits.pos = save
+    return False
+
+
+def _decode_1d_row(bits: "_Bits", columns: int) -> np.ndarray:
+    """One 1D (modified-Huffman) row: alternating white-first total
+    runs summing exactly to the row width."""
+
+    row = np.zeros(columns, dtype=np.uint8)
+    pos = 0
+    white = True
+    while pos < columns:
+        run = _read_total_run(bits, white)
+        if not white:
+            row[pos:pos + run] = 1
+        pos += run
+        white = not white
+    if pos != columns:
+        raise UserError("CCITT 1D run overflows the row.")
+    return row
+
+
+def decode_g3(
+    data: bytes,
+    columns: int,
+    rows: int | None = None,
+    *,
+    k: int = 0,
+    byte_align: bool = False,
+) -> np.ndarray:
+    """Decode a Group 3 (T.4) stream into (h, columns) uint8 with
+    1 = black. ``k=0``: pure 1D modified-Huffman rows (EOLs optional,
+    consumed when present). ``k>0``: mixed mode — every row is
+    preceded by an EOL whose trailing tag bit picks 1D (1) or 2D (0)
+    coding; a K>0 stream without EOLs is undecodable (the mode bit has
+    nowhere to live) and fails closed. ``byte_align`` honours
+    /EncodedByteAlign (each row — or EOL — starts on a byte
+    boundary)."""
+
+    bits = _Bits(data)
+    out: list[np.ndarray] = []
+    ref: list[int] | None = None
+    while rows is None or len(out) < rows:
+        if byte_align and bits.pos & 7:
+            bits.pos = (bits.pos + 7) & ~7
+        if bits.pos >= bits.n:
+            break
+        saw_eol = _try_eol(bits)
+        if saw_eol and _try_eol(bits):
+            # two consecutive EOLs: RTC (return-to-control), T.4 §4.1.3
+            break
+        two_d = False
+        if k > 0:
+            if not saw_eol:
+                if out:
+                    break  # trailing pad after the last row
+                raise UserError("CCITT K>0 stream without EOL tags.")
+            if bits.pos >= bits.n:
+                break
+            byte = bits.data[bits.pos >> 3]
+            two_d = ((byte >> (7 - (bits.pos & 7))) & 1) == 0
+            bits.pos += 1
+        try:
+            if two_d:
+                if ref is None:
+                    raise UserError("CCITT 2D row without a reference row.")
+                row = _decode_2d_row(bits, columns, ref)
+            else:
+                row = _decode_1d_row(bits, columns)
+        except UserError:
+            if rows is None and out:
+                break  # trailing padding
+            raise
+        out.append(row)
+        ref = _ref_of(row, columns)
     if rows is not None and len(out) < rows:
         raise UserError("CCITT stream ended before /Rows rows.")
     if not out:
@@ -251,6 +362,51 @@ def _transitions(row: np.ndarray) -> list[int]:
     return [int(x) + 1 for x in d] + ([0] if row[0] else [])
 
 
+def _encode_2d_row(wtr: _BitWriter, row: np.ndarray, ref: list[int], w_: int) -> None:
+    cur = sorted(set(_transitions(row))) + [w_, w_]
+    a0 = -1
+    color = 0
+    while a0 < w_:
+        b1 = w_
+        for i, t in enumerate(ref):
+            if t > a0 and (i % 2) == color:
+                b1 = t
+                break
+        b2 = w_
+        for t in ref:
+            if t > b1:
+                b2 = t
+                break
+        # a1: next transition in current row after a0
+        a1 = w_
+        for t in cur:
+            if t > a0:
+                a1 = t
+                break
+        if b2 < a1:
+            wtr.write("0001")  # pass
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            off = a1 - b1
+            code = {0: "1", 1: "011", 2: "000011", 3: "0000011",
+                    -1: "010", -2: "000010", -3: "0000010"}[off]
+            wtr.write(code)
+            a0 = a1
+            color ^= 1
+        else:
+            # horizontal: two runs from max(a0, 0)
+            a2 = w_
+            for t in cur:
+                if t > a1:
+                    a2 = t
+                    break
+            start = max(a0, 0)
+            wtr.write("001")
+            _write_run(wtr, a1 - start, color == 0)
+            _write_run(wtr, a2 - a1, color == 1)
+            a0 = a2
+
+
 def encode_g4(img: np.ndarray) -> bytes:
     """Encode (h, w) uint8 (nonzero = black) as a T.6 stream + EOFB."""
 
@@ -259,64 +415,77 @@ def encode_g4(img: np.ndarray) -> bytes:
     ref = [w_, w_]
     for y in range(h):
         row = (img[y] != 0).astype(np.uint8)
-        trans = sorted(set(_transitions(row)))
-        cur = trans + [w_, w_]
-        a0 = -1
-        color = 0
-        while a0 < w_:
-            b1 = w_
-            for i, t in enumerate(ref):
-                if t > a0 and (i % 2) == color:
-                    b1 = t
-                    break
-            b2 = w_
-            for t in ref:
-                if t > b1:
-                    b2 = t
-                    break
-            # a1: next transition in current row after a0
-            a1 = w_
-            for t in cur:
-                if t > a0:
-                    a1 = t
-                    break
-            if b2 < a1:
-                wtr.write("0001")  # pass
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                off = a1 - b1
-                code = {0: "1", 1: "011", 2: "000011", 3: "0000011",
-                        -1: "010", -2: "000010", -3: "0000010"}[off]
-                wtr.write(code)
-                a0 = a1
-                color ^= 1
-            else:
-                # horizontal: two runs from max(a0, 0)
-                a2 = w_
-                for t in cur:
-                    if t > a1:
-                        a2 = t
-                        break
-                start = max(a0, 0)
-                wtr.write("001")
-                _write_run(wtr, a1 - start, color == 0)
-                _write_run(wtr, a2 - a1, color == 1)
-                a0 = a2
-        ref = [t for t in sorted(set(_transitions(row))) if t < w_] + [w_, w_]
+        _encode_2d_row(wtr, row, ref, w_)
+        ref = _ref_of(row, w_)
     wtr.write("000000000001" * 2)  # EOFB
     return wtr.flush()
 
 
+def _encode_1d_row(wtr: _BitWriter, row: np.ndarray, w_: int) -> None:
+    trans = sorted(set(_transitions(row))) + [w_]
+    pos = 0
+    white = True
+    for t in trans:
+        if t > w_:
+            break
+        _write_run(wtr, t - pos, white)
+        pos = t
+        white = not white
+    if pos < w_:
+        _write_run(wtr, w_ - pos, white)
+
+
+def encode_g3(
+    img: np.ndarray,
+    *,
+    k: int = 0,
+    end_of_line: bool = False,
+    byte_align: bool = False,
+) -> bytes:
+    """Encode (h, w) uint8 (nonzero = black) as a T.4 Group 3 stream.
+    ``k=0``: pure 1D rows. ``k>0``: every row gets an EOL + tag bit;
+    a 1D anchor row starts each group of k rows, the k-1 rows after it
+    code 2D against their predecessor (T.4 §4.2.1 fax convention)."""
+
+    h, w_ = img.shape
+    wtr = _BitWriter()
+    ref: list[int] | None = None
+    for y in range(h):
+        if byte_align and wtr.nbits:
+            wtr.write("0" * (8 - wtr.nbits))
+        if k > 0:
+            one_d = y % k == 0
+            wtr.write("000000000001" + ("1" if one_d else "0"))
+        else:
+            one_d = True
+            if end_of_line:
+                wtr.write("000000000001")
+        row = (img[y] != 0).astype(np.uint8)
+        if one_d:
+            _encode_1d_row(wtr, row, w_)
+        else:
+            _encode_2d_row(wtr, row, ref, w_)
+        ref = _ref_of(row, w_)
+    return wtr.flush()
+
+
 def decode_ccitt_pdf(data: bytes, parms: dict) -> np.ndarray:
-    """PDF /CCITTFaxDecode (K < 0 only) -> (h, w) uint8 GRAY (0/255),
-    honoring /BlackIs1 (default false: 0 bits mean black)."""
+    """PDF /CCITTFaxDecode -> (h, w) uint8 GRAY (0/255), honoring
+    /BlackIs1 (default false: 0 bits mean black). K < 0: Group 4
+    (T.6 pure 2D). K = 0: Group 3 one-dimensional (T.4 MH). K > 0:
+    Group 3 mixed mode (EOL tag bits pick 1D/2D per row)."""
 
     k = int(parms.get("K", 0))
-    if k >= 0:
-        raise UserError("CCITTFaxDecode: only K < 0 (Group 4) is supported.")
     columns = int(parms.get("Columns", 1728))
     rows = parms.get("Rows")
-    bits = decode_g4(data, columns, int(rows) if rows is not None else None)
+    nrows = int(rows) if rows is not None else None
+    if k < 0:
+        bits = decode_g4(data, columns, nrows)
+    else:
+        bits = decode_g3(
+            data, columns, nrows,
+            k=k, byte_align=bool(parms.get("EncodedByteAlign")),
+        )
     # The decoder yields semantic runs (1 = black run). With the default
     # BlackIs1=false, black runs are 0 bits, which 1-bit DeviceGray
     # renders as black -> gray 0. With BlackIs1=true, black runs are

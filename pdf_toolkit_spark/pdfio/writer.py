@@ -299,6 +299,19 @@ def _image_xobject(
             f"/Length {len(data)} >>\nstream\n"
         ).encode()
         return head + data + b"\nendstream"
+    if codec == "ccittg3" and arr.ndim == 2:
+        # Group 3 mixed mode (K=2): the fax-era shape of older scan
+        # archives — EOL tag bits alternate 1D anchor rows with 2D rows
+        from .ccitt import encode_g3
+
+        data = encode_g3((arr <= 127).astype(np.uint8), k=2)
+        head = (
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /CCITTFaxDecode "
+            f"/DecodeParms << /K 2 /Columns {w} /Rows {h} >> "
+            f"/Length {len(data)} >>\nstream\n"
+        ).encode()
+        return head + data + b"\nendstream"
     if codec == "jbig2" and arr.ndim == 2:
         from .jbig2 import encode_jbig2_embedded
 

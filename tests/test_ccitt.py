@@ -1,5 +1,7 @@
-"""CCITT Group 4 (T.6) codec: round-trips, JDK-ImageIO cross-engine
-validation (both directions), and the /CCITTFaxDecode XObject path."""
+"""CCITT Group 4 (T.6) and Group 3 (T.4 1D + mixed 1D/2D) codecs:
+round-trips, JDK-ImageIO cross-engine validation (T.6 both
+directions; T.4 2D and RLE decode), and the /CCITTFaxDecode XObject
+path across all three K regimes."""
 
 from __future__ import annotations
 
@@ -11,7 +13,13 @@ import numpy as np
 import pytest
 
 from pdf_toolkit_spark.errors import UserError
-from pdf_toolkit_spark.pdfio.ccitt import decode_ccitt_pdf, decode_g4, encode_g4
+from pdf_toolkit_spark.pdfio.ccitt import (
+    decode_ccitt_pdf,
+    decode_g3,
+    decode_g4,
+    encode_g3,
+    encode_g4,
+)
 from pdf_toolkit_spark.pdfio.parser import PdfDocument
 
 RNG = np.random.default_rng(7)
@@ -55,9 +63,41 @@ def test_g4_rejects_truncated_and_garbage():
         decode_g4(b"\x00" * 16, 64, 4)  # all-zero bits: no valid codeword
 
 
-def test_ccitt_pdf_rejects_group3():
-    with pytest.raises(UserError, match="K < 0"):
-        decode_ccitt_pdf(b"\x00", {"K": 0, "Columns": 8})
+@pytest.mark.parametrize("name", sorted(_cases()))
+@pytest.mark.parametrize("mode", [
+    (0, False, False), (0, True, False), (0, False, True),
+    (1, False, False), (2, False, False), (4, True, False),
+])
+def test_g3_roundtrip(name, mode):
+    """Group 3 (T.4) round-trips: pure 1D (with/without EOLs and byte
+    alignment) and mixed 1D/2D at several K values."""
+
+    k, ba, eol = mode
+    img = _cases()[name]
+    h, w = img.shape
+    enc = encode_g3(img, k=k, end_of_line=eol, byte_align=ba)
+    assert np.array_equal(decode_g3(enc, w, h, k=k, byte_align=ba), img)
+
+
+def test_g3_k_positive_without_eol_fails_closed():
+    img = _cases()["structured"]
+    enc = encode_g3(img, k=0)  # no EOLs -> K>0 mode bit has nowhere to live
+    with pytest.raises(UserError, match="EOL"):
+        decode_g3(enc, img.shape[1], img.shape[0], k=2)
+
+
+def test_g3_pdf_dispatch():
+    """decode_ccitt_pdf routes K=0 to 1D and K>0 to mixed mode and
+    still honours /BlackIs1."""
+
+    img = _cases()["structured"]
+    h, w = img.shape
+    for k, data in [(0, encode_g3(img, k=0)), (2, encode_g3(img, k=2))]:
+        parms = {"K": k, "Columns": w, "Rows": h}
+        out = decode_ccitt_pdf(data, parms)
+        assert np.array_equal(out, np.where(img == 1, 0, 255).astype(np.uint8))
+        inv = decode_ccitt_pdf(data, dict(parms, BlackIs1=True))
+        assert np.array_equal(inv, 255 - out)
 
 
 # ---------------------------------------------------------------------------
@@ -84,7 +124,7 @@ public class TiffTool {
             ImageWriter wr = ImageIO.getImageWritersByFormatName("tiff").next();
             ImageWriteParam p = wr.getDefaultWriteParam();
             p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
-            p.setCompressionType("CCITT T.6");
+            p.setCompressionType(a.length > 5 ? a[5] : "CCITT T.6");
             try (ImageOutputStream os = ImageIO.createImageOutputStream(new File(a[4]))) {
                 wr.setOutput(os);
                 wr.write(null, new IIOImage(img, null, null), p);
@@ -236,3 +276,80 @@ def test_columns_defaults_to_1728_per_spec():
     out = decode_ccitt_pdf(encode_g4(img), {"K": -1, "Rows": 4})
     assert out.shape == (4, 1728)
     assert np.array_equal(out, np.where(img == 1, 0, 255).astype(np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine: JDK ImageIO TIFF "CCITT T.4" / "CCITT RLE" (Group 3)
+# ---------------------------------------------------------------------------
+
+def _tiff_strip(path: str):
+    d = open(path, "rb").read()
+    bo = ">" if d[:2] == b"MM" else "<"
+    off = struct.unpack(bo + "I", d[4:8])[0]
+    n = struct.unpack(bo + "H", d[off:off + 2])[0]
+    tags = {}
+    for i in range(n):
+        t, typ, _cnt = struct.unpack(bo + "HHI", d[off + 2 + 12 * i:off + 10 + 12 * i])
+        raw = d[off + 10 + 12 * i:off + 14 + 12 * i]
+        tags[t] = struct.unpack(bo + ("H" if typ == 3 else "I"), raw[: 2 if typ == 3 else 4])[0]
+    return (d[tags[273]:tags[273] + tags[279]], tags[256], tags[257],
+            tags[259], tags.get(292, 0))
+
+
+def _jdk_encode(tiff_tool, tmp_path, img, ctype):
+    h, w = img.shape
+    raw = ((1 - img) * 255).astype(np.uint8)  # 255 = white for the tool
+    (tmp_path / "g3.raw").write_bytes(raw.tobytes())
+    subprocess.run(
+        ["java", "-cp", tiff_tool, "TiffTool", "encode",
+         str(tmp_path / "g3.raw"), str(w), str(h), str(tmp_path / "g3.tif"),
+         ctype],
+        check=True)
+    return _tiff_strip(str(tmp_path / "g3.tif"))
+
+
+def test_imageio_t4_2d_streams_decode_exactly(tiff_tool, tmp_path):
+    """JDK 'CCITT T.4' strips (compression 3, T4Options bit0 = 2D with
+    EOL tag bits) decode exactly through the mixed-mode G3 path."""
+
+    for name, img in _cases().items():
+        strip, tw, th, comp, opts = _jdk_encode(
+            tiff_tool, tmp_path, img, "CCITT T.4"
+        )
+        assert comp == 3 and opts & 1  # 2D mode
+        assert np.array_equal(decode_g3(strip, tw, th, k=4), img), name
+
+
+def test_imageio_rle_streams_decode_exactly(tiff_tool, tmp_path):
+    """JDK 'CCITT RLE' strips (compression 2: G3 1D, each row
+    byte-aligned, no EOLs) decode exactly through the 1D path."""
+
+    for name, img in _cases().items():
+        strip, tw, th, comp, _opts = _jdk_encode(
+            tiff_tool, tmp_path, img, "CCITT RLE"
+        )
+        assert comp == 2
+        assert np.array_equal(
+            decode_g3(strip, tw, th, k=0, byte_align=True), img
+        ), name
+
+
+# ---------------------------------------------------------------------------
+# Group 3 /CCITTFaxDecode XObjects through the parser + writer
+# ---------------------------------------------------------------------------
+
+def test_ccittg3_xobject_through_writer_and_parser():
+    """The writer's ccittg3 codec (K=2 mixed mode) round-trips the
+    raster bit-exactly through the full parser path."""
+
+    from pdf_toolkit_spark.pdfio.writer import PageSpec, write_pdf
+
+    raster = np.full((60, 100), 235, np.uint8)
+    raster[10:16, 8:80] = 20
+    raster[30:50:4, 15:95] = 35
+    pdf_bytes = write_pdf([PageSpec(raster=raster, codec="ccittg3")])
+    assert b"/K 2" in pdf_bytes
+    page = PdfDocument(pdf_bytes).load_page(0)
+    assert page.scan is not None
+    expected = np.where(raster <= 127, 0, 255).astype(np.uint8)
+    assert np.array_equal(page.scan, expected)
