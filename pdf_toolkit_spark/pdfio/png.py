@@ -80,14 +80,65 @@ def encode_gray_png(arr: np.ndarray, *, level: int = 1) -> bytes:
     return encode_png(arr, level=level)
 
 
+#: channels per PNG color type (0 gray, 2 RGB, 3 palette, 4 gray+A, 6 RGBA)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: Adam7 pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter_samples(
+    raw: bytes, w: int, h: int, channels: int, depth: int
+) -> np.ndarray:
+    """Reverse the per-scanline filters of one (sub)image and unpack to
+    (h, w, channels) uint8 samples (16-bit takes the high byte; the
+    sub-byte depths 1/2/4 return the RAW sample values, unscaled)."""
+
+    # PNG scanline filters are exactly the PDF PNG predictors — reuse
+    # the parser's reconstruction (filter byte per row, bpp-aware).
+    from .parser import _unpredict
+
+    scan = (w * channels * depth + 7) // 8
+    if len(raw) != h * (scan + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    flat = _unpredict(
+        raw,
+        {"Predictor": 15, "Colors": channels,
+         "BitsPerComponent": depth, "Columns": w},
+    )
+    rows = np.frombuffer(flat, dtype=np.uint8).reshape(h, scan)
+    if depth == 8:
+        return rows.reshape(h, w, channels) if scan == w * channels else (
+            rows[:, : w * channels].reshape(h, w, channels)
+        )
+    if depth == 16:
+        return rows.reshape(h, scan // 2, 2)[:, : w * channels, 0].reshape(
+            h, w, channels
+        )
+    # 1/2/4-bit: unpack bit groups, row-padded to whole bytes
+    bits = np.unpackbits(rows, axis=1)
+    per = bits[:, : w * channels * depth].reshape(h, w * channels, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (per * weights).sum(axis=2).astype(np.uint8)
+    return vals.reshape(h, w, channels)
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit grayscale or RGB PNG into a (h, w) or (h, w, 3)
-    uint8 array (any standard scanline filter)."""
+    """Decode a PNG into a (h, w) grayscale or (h, w, 3) RGB uint8
+    array. Full baseline coverage: color types 0/2/3/4/6, bit depths
+    1/2/4/8/16 (16-bit takes the high byte), palette via PLTE, any
+    standard scanline filter, and Adam7 interlace. Alpha channels are
+    dropped (the scan pipeline consumes opaque rasters — same as
+    PIL's ``convert("L"/"RGB")`` the reference relies on)."""
 
     if not data.startswith(_SIG):
         raise ValueError("not a PNG: bad signature")
     pos = len(_SIG)
-    width = height = color = None
+    width = height = color = depth = interlace = None
+    plte = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -98,32 +149,60 @@ def decode_png(data: bytes) -> np.ndarray:
             width, height, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth != 8 or color not in (0, 2) or interlace != 0:
+            if color not in _CHANNELS or interlace not in (0, 1):
                 raise ValueError(
-                    f"unsupported PNG (depth={depth} color={color} interlace={interlace}); "
-                    "only 8-bit non-interlaced grayscale/RGB is supported"
+                    f"unsupported PNG (depth={depth} color={color} "
+                    f"interlace={interlace})"
                 )
+            if depth not in ((1, 2, 4, 8, 16) if color in (0, 3) else (8, 16)):
+                raise ValueError(f"invalid PNG depth {depth} for color {color}")
+            if color == 3 and depth == 16:
+                raise ValueError("invalid PNG: 16-bit palette")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    colors = 1 if color == 0 else 3
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    channels = _CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (width * colors + 1):
-        raise ValueError("PNG scanline data has wrong length")
-    # PNG scanline filters are exactly the PDF PNG predictors — reuse
-    # the parser's reconstruction (filter byte per row, bpp-aware).
-    from .parser import _unpredict
 
-    flat = _unpredict(
-        raw, {"Predictor": 15, "Colors": colors, "BitsPerComponent": 8, "Columns": width}
-    )
-    out = np.frombuffer(flat, dtype=np.uint8)
-    if colors == 1:
-        return out.reshape(height, width)
-    return out.reshape(height, width, 3)
+    if interlace == 0:
+        samples = _unfilter_samples(raw, width, height, channels, depth)
+    else:  # Adam7: seven independently filtered sub-images
+        samples = np.zeros((height, width, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            if pw == 0 or ph == 0:
+                continue
+            scan = (pw * channels * depth + 7) // 8
+            size = ph * (scan + 1)
+            sub = _unfilter_samples(raw[off : off + size], pw, ph, channels, depth)
+            off += size
+            samples[y0::ys, x0::xs] = sub
+
+    if color == 3:
+        idx = samples[:, :, 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]
+    if depth in (1, 2, 4):  # scale sub-byte gray to full range
+        samples = (
+            samples.astype(np.uint16) * 255 // ((1 << depth) - 1)
+        ).astype(np.uint8)
+    if channels == 1:
+        return samples[:, :, 0]
+    if channels == 2:  # gray + alpha: drop alpha
+        return samples[:, :, 0]
+    if channels == 4:  # RGBA: drop alpha
+        return np.ascontiguousarray(samples[:, :, :3])
+    return samples
 
 
 def decode_gray_png(data: bytes) -> np.ndarray:
