@@ -4,8 +4,9 @@ Scope (the scan subset a PDF /JPXDecode consumer meets): raw
 codestreams (and JP2 boxed files, unwrapped to the ``jp2c`` box) with
 single- OR multi-tile grids at the origin (tile dims a multiple of
 2^levels, the production 256/512/1024 shapes; tile-parts concatenate
-per tile), one quality layer, whole-subband precincts, BOTH wavelet
-paths — the
+per tile), one or many quality layers (LRCP/RLCP/RPCL progressions;
+per-block inclusion, Lblock and segment state persist across layers),
+whole-subband precincts, BOTH wavelet paths — the
 reversible 5/3 (Annex F lifting, no-quantization QCD) and the
 irreversible 9/7 (Annex F.4 float lifting, Annex E scalar
 quantization, derived and expounded QCD styles — the path real-world
@@ -16,8 +17,10 @@ magnitude-refinement and cleanup passes with the run-length shortcut)
 driven by the MQ arithmetic coder shared with the JBIG2 codec
 (pdfio/jbig2.py — T.88 Annex E and T.800 Annex C publish the
 identical coder). Grayscale and RGB 8-bit (3 components with the
-reversible RCT or irreversible ICT of Annex G, or none); multi-layer,
-subsampled or precinct-partitioned streams raise UserError (missing
+reversible RCT or irreversible ICT of Annex G, or none); subsampled
+or precinct-partitioned streams, component-major progressions of
+multi-component streams, and semantic marker segments the decoder
+can't honour (COC/QCC/RGN/POC/PPM/PPT) raise UserError (missing
 raster upstream, never wrong pixels).
 
 Both directions are implemented from the public spec; correctness
@@ -161,16 +164,24 @@ def _sc(sgn, j, stride) -> int:
 
 # --- MQ driver: encoder batch loop and decoder fast path + helper ---
 
-def _mq_encode_all(decisions) -> bytes:
+def _mq_encode_all(decisions, marks=None):
     """Encode a (cx | d<<8) decision stream with the T.88/T.800 MQ
     encoder (inlined hot loop; byteout/flush as in jbig2.MQEncoder,
     cross-checked against it in tests). Returns the codeword segment
-    incl. the 0xFFAC terminator."""
+    incl. the 0xFFAC terminator; with ``marks`` (sorted decision
+    indices, typically coding-pass boundaries) also returns the SETTLED
+    output length at each mark — every byte before a watermark is
+    final (the MQ carry can only mutate the newest byte), so layers
+    may split the segment there and a concatenating decoder sees the
+    identical stream."""
 
     a, c, ct = 0x8000, 0, 12
     out = bytearray([0])  # dummy BPST-1 byte, stripped at the end
     cxi, cxm = _fresh_cx()
     qeq, nmps, nlps, sw = _QE_Q, _QE_NMPS, _QE_NLPS, _QE_SW
+    watermarks: list[int] = []
+    mark_at = list(marks) if marks is not None else []
+    mark_i = 0
 
     def byteout():
         nonlocal c, ct
@@ -194,7 +205,10 @@ def _mq_encode_all(decisions) -> bytes:
                 c &= 0x7FFFF
                 ct = 8
 
-    for v in decisions:
+    for di, v in enumerate(decisions):
+        while mark_i < len(mark_at) and mark_at[mark_i] <= di:
+            watermarks.append(max(0, len(out) - 2))
+            mark_i += 1
         cx = v & 0xFF
         i = cxi[cx]
         mps = cxm[cx]
@@ -235,7 +249,13 @@ def _mq_encode_all(decisions) -> bytes:
     c = (c << ct) & 0xFFFFFFFF
     byteout()
     out += b"\xff\xac"
-    return bytes(out[1:])
+    seg = bytes(out[1:])
+    if marks is None:
+        return seg
+    while mark_i < len(mark_at):  # marks at/after the end: full length
+        watermarks.append(len(seg))
+        mark_i += 1
+    return seg, watermarks
 
 
 def _mqd_init(data: bytes) -> list:
@@ -314,11 +334,15 @@ def _mqd_slow(data, n, bp, c, ct, a, qe, i, cx, cxi, cxm, ch):
 
 # --- Tier-1 entry points -------------------------------------------------
 
-def t1_encode(coeffs: np.ndarray, orient: int) -> tuple[bytes, int, int]:
+def t1_encode(
+    coeffs: np.ndarray, orient: int, return_marks: bool = False
+):
     """EBCOT Tier-1 encode of one codeblock (signed int coefficients)
-    -> (codeword segment, number of coding passes, numbps). All passes
-    land in the single layer; numbps == 0 means an all-zero block
-    (caller signals it as not included).
+    -> (codeword segment, number of coding passes, numbps). With
+    ``return_marks`` a fourth element carries the settled byte length
+    at each coding-pass boundary (see _mq_encode_all) so a multi-layer
+    encoder can split the segment across quality layers. numbps == 0
+    means an all-zero block (caller signals it as not included).
 
     The coding-pass walk is a pure state machine producing a (context,
     decision) stream (flat bytearray state, incremental neighbor
@@ -329,7 +353,7 @@ def t1_encode(coeffs: np.ndarray, orient: int) -> tuple[bytes, int, int]:
     h, w = coeffs.shape
     maxmag = int(np.abs(coeffs).max(initial=0))
     if maxmag == 0:
-        return b"", 0, 0
+        return (b"", 0, 0, []) if return_marks else (b"", 0, 0)
     numbps = maxmag.bit_length()
     stride = w + 2
     sig = bytearray((h + 2) * stride)
@@ -342,6 +366,7 @@ def t1_encode(coeffs: np.ndarray, orient: int) -> tuple[bytes, int, int]:
     dec: list[int] = []
     push = dec.append
     npasses = 0
+    pass_marks: list[int] = []
     for bp_i in range(numbps - 1, -1, -1):
         bit = 1 << bp_i
         visited = bytearray(h * w)
@@ -369,6 +394,7 @@ def t1_encode(coeffs: np.ndarray, orient: int) -> tuple[bytes, int, int]:
                             _set_sig(sig, sgn, nbr, j, stride, tneg[i])
                         visited[i] = 1
             npasses += 1
+            pass_marks.append(len(dec))
             # magnitude refinement
             for y0 in range(0, h, 4):
                 y1 = min(y0 + 4, h)
@@ -387,6 +413,7 @@ def t1_encode(coeffs: np.ndarray, orient: int) -> tuple[bytes, int, int]:
                             refined[i] = 1
                         push(cx | ((1 if tmag[i] & bit else 0) << 8))
             npasses += 1
+            pass_marks.append(len(dec))
         # cleanup
         for y0 in range(0, h, 4):
             for x in range(w):
@@ -434,6 +461,10 @@ def t1_encode(coeffs: np.ndarray, orient: int) -> tuple[bytes, int, int]:
                         push(_SC_CTXL[k] | ((tneg[i] ^ _SC_XORL[k]) << 8))
                         _set_sig(sig, sgn, nbr, j, stride, tneg[i])
         npasses += 1
+        pass_marks.append(len(dec))
+    if return_marks:
+        seg, wm = _mq_encode_all(dec, marks=pass_marks)
+        return seg, npasses, numbps, wm
     return _mq_encode_all(dec), npasses, numbps
 
 
@@ -1119,6 +1150,7 @@ def encode_jpx(
     qstep: float = 1.0 / 64,
     qcd_style: str = "expounded",
     tile_size: int | None = None,
+    layers: int = 1,
 ) -> bytes:
     """8-bit gray (H, W) or RGB (H, W, 3) -> JPEG 2000 codestream
     (one layer, 64x64 code-blocks, LRCP). Default is the lossless
@@ -1129,7 +1161,10 @@ def encode_jpx(
     ``tile_size`` partitions the image into an independent tile grid
     (one SOT/SOD per tile, raster order) — the production shape for
     large scans; must be a multiple of 2^levels so every tile's band
-    extents reduce to the origin-0 formula."""
+    extents reduce to the origin-0 formula. ``layers`` emits that many
+    LRCP quality layers: each code-block's coding passes spread evenly
+    across layers, byte-split at MQ settled watermarks, so the
+    concatenated segments equal the single-layer stream."""
 
     if img.dtype != np.uint8 or img.ndim not in (2, 3) or (
         img.ndim == 3 and img.shape[2] != 3
@@ -1142,6 +1177,8 @@ def encode_jpx(
         tile_size <= 0 or tile_size % (1 << levels)
     ):
         raise UserError("JPX encoder: tile_size must be a multiple of 2^levels.")
+    if not (1 <= layers <= 255):
+        raise UserError("JPX encoder: 1-255 quality layers.")
     xt = yt = tile_size if tile_size else max(w, h)
     gray = img.ndim == 2
     if irreversible:
@@ -1210,76 +1247,137 @@ def encode_jpx(
             step = quant_of[(orient, nb)][2]
             return (np.sign(arr) * np.floor(np.abs(arr) / step)).astype(np.int64)
 
-        packets = []
+        # Tier-1 encode every code-block once, splitting the codeword
+        # segment across quality layers at coding-pass watermarks
+        # (passes spread evenly: layer l gets passes up to
+        # round((l+1)*npasses/layers); the byte split sits at the MQ
+        # coder's settled watermark, so the concatenation across layers
+        # is the identical single-layer stream).
+        band_state = {}  # (ci, orient, nb) -> dict
         for bands in _resolution_bands(levels):
             for ci in range(ncomp):
-                bw = _BitWriter()
-                body = bytearray()
-                any_included = False
-                per_band = []
                 for orient, nb in bands:
                     arr = band_array(ci, orient, nb)
                     bh, bw_ = arr.shape
+                    if bh == 0 or bw_ == 0:  # degenerate band: no blocks
+                        band_state[(ci, orient, nb)] = {
+                            "nx": 0, "ny": 0, "coded": [],
+                        }
+                        continue
                     nx, ny, blocks = _blocks_of(bh, bw_)
                     if irreversible:
                         mb = _GUARD_BITS + quant_of[(orient, nb)][0] - 1
                     else:
                         mb = _GUARD_BITS + (eps_base + _GAIN[orient]) - 1
                     coded = []
-                    for y0, x0, ch, cw in blocks:
-                        seg, npasses, numbps = t1_encode(
+                    first_layer = np.full((ny, nx), layers, np.int64)
+                    for bi, (y0, x0, ch, cw) in enumerate(blocks):
+                        seg, npasses, numbps, wm = t1_encode(
                             np.ascontiguousarray(arr[y0 : y0 + ch, x0 : x0 + cw])
                             .astype(np.int32),
-                            orient,
+                            orient, return_marks=True,
                         )
                         if numbps > mb:
                             raise UserError("JPX encoder: magnitude exceeds Mb.")
-                        coded.append((seg, npasses, numbps))
+                        # passes per layer: cumulative cuts, first
+                        # contributing layer = first l with a cut > 0
+                        cuts = [
+                            (l + 1) * npasses // layers for l in range(layers)
+                        ]
+                        fl = layers
+                        for l in range(layers):
+                            if cuts[l] > 0:
+                                fl = l
+                                break
                         if numbps:
-                            any_included = True
-                    per_band.append((nx, ny, coded, mb))
-                if not any_included:
-                    bw.put(0)
-                    packets.append(bw.flush())
-                    continue
-                bw.put(1)
-                for nx, ny, coded, mb in per_band:
-                    if not coded:
-                        continue
+                            first_layer[bi // nx, bi % nx] = fl
+                        coded.append(
+                            {"seg": seg, "npasses": npasses, "numbps": numbps,
+                             "wm": wm, "cuts": cuts, "lblock": 3,
+                             "included": False}
+                        )
                     incl = _TagTree(nx, ny)
                     zbp = _TagTree(nx, ny)
-                    incl.set_values(np.array(
-                        [[0 if coded[yy * nx + xx][2] else 1 for xx in range(nx)]
-                         for yy in range(ny)], np.int64))
+                    incl.set_values(first_layer)
                     zbp.set_values(np.array(
-                        [[mb - coded[yy * nx + xx][2] if coded[yy * nx + xx][2] else 0
+                        [[mb - coded[yy * nx + xx]["numbps"]
+                          if coded[yy * nx + xx]["numbps"] else 0
                           for xx in range(nx)] for yy in range(ny)], np.int64))
-                    for yy in range(ny):
-                        for xx in range(nx):
-                            seg, npasses, numbps = coded[yy * nx + xx]
-                            incl.encode(bw, xx, yy, 1)
-                            if not numbps:
+                    band_state[(ci, orient, nb)] = {
+                        "nx": nx, "ny": ny, "coded": coded,
+                        "incl": incl, "zbp": zbp, "mb": mb,
+                    }
+
+        packets = []
+        for layer in range(layers):
+            for bands in _resolution_bands(levels):
+                for ci in range(ncomp):
+                    bw = _BitWriter()
+                    body = bytearray()
+                    contribs = []  # (block, np_l, lo, hi)
+                    for orient, nb in bands:
+                        st = band_state[(ci, orient, nb)]
+                        for blk in st["coded"]:
+                            if not blk["numbps"]:
                                 continue
-                            # zero-bitplane tag tree, coded to full depth
-                            t = 1
-                            while True:
-                                zbp.encode(bw, xx, yy, t)
-                                if mb - numbps < t:
-                                    break
-                                t += 1
-                            _encode_npasses(bw, npasses)
-                            # length signalling: single segment, Lblock starts 3
-                            lblock = 3
-                            nbits = lblock + int(math.floor(math.log2(npasses)))
-                            need = max(1, len(seg)).bit_length()
-                            while need > nbits:
-                                bw.put(1)
-                                lblock += 1
-                                nbits += 1
-                            bw.put(0)
-                            bw.put_bits(len(seg), nbits)
-                            body += seg
-                packets.append(bw.flush() + bytes(body))
+                            prev = blk["cuts"][layer - 1] if layer else 0
+                            cut = blk["cuts"][layer]
+                            if cut > prev:
+                                lo = blk["wm"][prev - 1] if prev else 0
+                                hi = (blk["wm"][cut - 1]
+                                      if cut < blk["npasses"]
+                                      else len(blk["seg"]))
+                                contribs.append((blk, cut - prev, lo, hi))
+                    if not contribs:
+                        bw.put(0)  # empty packet: no tag-tree advance
+                        packets.append(bw.flush())
+                        continue
+                    bw.put(1)
+                    for orient, nb in bands:
+                        st = band_state[(ci, orient, nb)]
+                        nx, ny, coded = st["nx"], st["ny"], st["coded"]
+                        if not coded:
+                            continue
+                        for yy in range(ny):
+                            for xx in range(nx):
+                                blk = coded[yy * nx + xx]
+                                prev = blk["cuts"][layer - 1] if layer else 0
+                                cut = blk["cuts"][layer]
+                                np_l = cut - prev
+                                if not blk["included"]:
+                                    st["incl"].encode(bw, xx, yy, layer + 1)
+                                    if not blk["numbps"] or np_l == 0:
+                                        continue
+                                    # first inclusion: zero-bitplane
+                                    # tag tree, coded to full depth
+                                    t = 1
+                                    while True:
+                                        st["zbp"].encode(bw, xx, yy, t)
+                                        if st["mb"] - blk["numbps"] < t:
+                                            break
+                                        t += 1
+                                    blk["included"] = True
+                                else:
+                                    bw.put(1 if np_l else 0)
+                                    if np_l == 0:
+                                        continue
+                                lo = blk["wm"][prev - 1] if prev else 0
+                                hi = (blk["wm"][cut - 1]
+                                      if cut < blk["npasses"]
+                                      else len(blk["seg"]))
+                                _encode_npasses(bw, np_l)
+                                nbits = blk["lblock"] + int(
+                                    math.floor(math.log2(np_l))
+                                )
+                                need = max(1, hi - lo).bit_length()
+                                while need > nbits:
+                                    bw.put(1)
+                                    blk["lblock"] += 1
+                                    nbits += 1
+                                bw.put(0)
+                                bw.put_bits(hi - lo, nbits)
+                                body += blk["seg"][lo:hi]
+                    packets.append(bw.flush() + bytes(body))
         return b"".join(packets)
 
 
@@ -1293,7 +1391,7 @@ def encode_jpx(
     out += b"\xff\x51" + siz
     spcod = bytes([levels, _CB_EXP - 2, _CB_EXP - 2, 0,
                    0 if irreversible else 1])
-    cod = struct.pack(">HBBHB", 12, 0, 0, 1, mct) + spcod
+    cod = struct.pack(">HBBHB", 12, 0, 0, layers, mct) + spcod
     out += b"\xff\x52" + cod
     n_sub = 3 * levels + 1
     order = [( _LL, levels if levels else 0 )]
@@ -1387,9 +1485,16 @@ def decode_jpx(data: bytes) -> np.ndarray:
             scod = seg[0]
             if scod & 0x01:
                 raise UserError("JPX: explicit precincts unsupported.")
-            _prog, layers, mct = seg[1], struct.unpack(">H", seg[2:4])[0], seg[4]
-            if layers != 1:
-                raise UserError("JPX: only single-layer streams.")
+            prog, layers, mct = seg[1], struct.unpack(">H", seg[2:4])[0], seg[4]
+            if not layers:
+                raise UserError("JPX: zero quality layers.")
+            # LRCP(0) iterates layer-major; RLCP(1)/RPCL(2) iterate
+            # resolution-major — with whole-band precincts those two
+            # coincide. PCRL(3)/CPRL(4) are component-major: a
+            # multi-component stream would misassign packets, so fail
+            # closed (single-component streams coincide again).
+            if prog > 4 or (prog >= 3 and ncomp != 1):
+                raise UserError("JPX: unsupported progression order.")
             if mct not in (0, 1):
                 raise UserError("JPX: unknown component transform.")
             levels = seg[5]
@@ -1499,59 +1604,101 @@ def decode_jpx(data: bytes) -> np.ndarray:
 
         # band containers, keyed (component, orient, level)
         band_arrays: dict[tuple[int, int, int], np.ndarray] = {}
+        res_bands = _resolution_bands(levels)
+        # per-band persistent Tier-2 state (tag trees advance across
+        # layers; per-block inclusion/lblock/segment accumulation)
+        band_state: dict[tuple[int, int, int], dict] = {}
+
+        def _ensure(ci: int, orient: int, nb: int) -> dict:
+            key = (ci, orient, nb)
+            st = band_state.get(key)
+            if st is not None:
+                return st
+            bh = _band_dims(th, nb, 0 if orient in (_LL, _HL) else 1)
+            bw_ = _band_dims(tw, nb, 0 if orient in (_LL, _LH) else 1)
+            band_arrays[key] = np.zeros((bh, bw_), np.int64)
+            if bh == 0 or bw_ == 0:
+                st = {"nx": 0, "ny": 0, "blocks": [], "blk": []}
+            else:
+                nx, ny, blocks = _blocks_of(bh, bw_)
+                st = {
+                    "nx": nx, "ny": ny, "blocks": blocks,
+                    "incl": _TagTree(nx, ny), "zbp": _TagTree(nx, ny),
+                    "mb": mb_of[(orient, nb)],
+                    "blk": [
+                        {"included": False, "numbps": 0, "lblock": 3,
+                         "npasses": 0, "segs": bytearray()}
+                        for _ in blocks
+                    ],
+                }
+            band_state[key] = st
+            return st
+
+        # packet visit order by progression (whole-band precincts):
+        # LRCP layer-major; RLCP (r,l,c); RPCL (r,c,l); PCRL/CPRL only
+        # reach here single-component, where they reduce to (r,l)
+        if prog == 0:
+            order = [(l, r, ci) for l in range(layers)
+                     for r in range(len(res_bands)) for ci in range(ncomp)]
+        elif prog == 1:
+            order = [(l, r, ci) for r in range(len(res_bands))
+                     for l in range(layers) for ci in range(ncomp)]
+        else:
+            order = [(l, r, ci) for r in range(len(res_bands))
+                     for ci in range(ncomp) for l in range(layers)]
+
         pos = 0
-        for bands in _resolution_bands(levels):
-            for ci in range(ncomp):
-                br = _BitReader(tile_data, pos)
-                blocks_to_read = []
-                if not br.get():  # empty packet
-                    pos = br.align()
-                    for orient, nb in bands:
-                        bh = _band_dims(th, nb, 0 if orient in (_LL, _HL) else 1)
-                        bw_ = _band_dims(tw, nb, 0 if orient in (_LL, _LH) else 1)
-                        band_arrays.setdefault(
-                            (ci, orient, nb), np.zeros((bh, bw_), np.int64)
-                        )
-                    continue
-                for orient, nb in bands:
-                    bh = _band_dims(th, nb, 0 if orient in (_LL, _HL) else 1)
-                    bw_ = _band_dims(tw, nb, 0 if orient in (_LL, _LH) else 1)
-                    arr = np.zeros((bh, bw_), np.int64)
-                    band_arrays[(ci, orient, nb)] = arr
-                    if bh == 0 or bw_ == 0:
-                        continue
-                    nx, ny, blocks = _blocks_of(bh, bw_)
-                    mb = mb_of[(orient, nb)]
-                    incl = _TagTree(nx, ny)
-                    zbp = _TagTree(nx, ny)
-                    for yy in range(ny):
-                        for xx in range(nx):
-                            y0, x0, ch, cw = blocks[yy * nx + xx]
-                            if not incl.decode(br, xx, yy, 1):
+        for layer, r, ci in order:
+            bands = res_bands[r]
+            for orient, nb in bands:
+                _ensure(ci, orient, nb)
+            br = _BitReader(tile_data, pos)
+            if not br.get():  # empty packet: no tag-tree advance
+                pos = br.align()
+                continue
+            contribs = []
+            for orient, nb in bands:
+                st = _ensure(ci, orient, nb)
+                for yy in range(st["ny"]):
+                    for xx in range(st["nx"]):
+                        blk = st["blk"][yy * st["nx"] + xx]
+                        if not blk["included"]:
+                            if not st["incl"].decode(br, xx, yy, layer + 1):
                                 continue
                             t = 1
-                            while not zbp.decode(br, xx, yy, t):
+                            while not st["zbp"].decode(br, xx, yy, t):
                                 t += 1
-                            missing = t - 1
-                            numbps = mb - missing
+                            numbps = st["mb"] - (t - 1)
                             if numbps <= 0:
-                                raise UserError("JPX: invalid zero-bitplane count.")
-                            npasses = _decode_npasses(br)
-                            lblock = 3
-                            while br.get():
-                                lblock += 1
-                            nbits = lblock + int(math.floor(math.log2(npasses)))
-                            seg_len = br.get_bits(nbits)
-                            blocks_to_read.append(
-                                (arr, orient, y0, x0, ch, cw, numbps, npasses, seg_len)
-                            )
-                pos = br.align()
-                for (arr, orient, y0, x0, ch, cw, numbps, npasses,
-                     seg_len) in blocks_to_read:
-                    seg = tile_data[pos : pos + seg_len]
-                    pos += seg_len
-                    coeffs = t1_decode(seg, ch, cw, orient, numbps, npasses)
-                    arr[y0 : y0 + ch, x0 : x0 + cw] = coeffs
+                                raise UserError(
+                                    "JPX: invalid zero-bitplane count."
+                                )
+                            blk["numbps"] = numbps
+                            blk["included"] = True
+                        elif not br.get():  # no contribution this layer
+                            continue
+                        np_l = _decode_npasses(br)
+                        while br.get():
+                            blk["lblock"] += 1
+                        nbits = blk["lblock"] + int(math.floor(math.log2(np_l)))
+                        seg_len = br.get_bits(nbits)
+                        contribs.append((blk, np_l, seg_len))
+            pos = br.align()
+            for blk, np_l, seg_len in contribs:
+                blk["segs"] += tile_data[pos : pos + seg_len]
+                pos += seg_len
+                blk["npasses"] += np_l
+
+        for (ci, orient, nb), st in band_state.items():
+            arr = band_arrays[(ci, orient, nb)]
+            for (y0, x0, ch, cw), blk in zip(st["blocks"], st["blk"]):
+                if not blk["npasses"]:
+                    continue
+                coeffs = t1_decode(
+                    bytes(blk["segs"]), ch, cw, orient,
+                    blk["numbps"], blk["npasses"],
+                )
+                arr[y0 : y0 + ch, x0 : x0 + cw] = coeffs
 
         def band(ci: int, orient: int, nb: int) -> np.ndarray:
             q = band_arrays[(ci, orient, nb)]

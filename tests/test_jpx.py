@@ -462,3 +462,76 @@ def test_semantic_marker_segments_fail_closed():
     assert np.array_equal(
         decode_jpx(base[:sot] + com + tlm + base[sot:]), img
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality layers (T.800 B.8/B.10: per-layer packets, persistent Tier-2 state)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("layers", [2, 3, 5, 8])
+def test_multilayer_lossless_bit_exact(layers):
+    """Coding passes split across LRCP layers at MQ settled watermarks
+    concatenate back to the single-layer stream — pixels identical."""
+
+    img = RNG.integers(0, 256, (70, 90), dtype=np.uint8)
+    img[:30] = 210
+    assert np.array_equal(decode_jpx(encode_jpx(img, 2, layers=layers)), img)
+
+
+def test_multilayer_rgb_lossy_and_tiled():
+    img = RNG.integers(0, 256, (60, 70, 3), dtype=np.uint8)
+    assert np.array_equal(decode_jpx(encode_jpx(img, 2, layers=3)), img)
+    g = RNG.integers(0, 256, (70, 90), dtype=np.uint8)
+    lossy = decode_jpx(encode_jpx(g, 2, layers=4, irreversible=True, qstep=1 / 16))
+    lossy1 = decode_jpx(encode_jpx(g, 2, layers=1, irreversible=True, qstep=1 / 16))
+    assert np.array_equal(lossy, lossy1)  # layering never changes pixels
+    assert np.array_equal(decode_jpx(encode_jpx(g, 2, layers=3, tile_size=32)), g)
+
+
+def test_multilayer_late_first_inclusion():
+    """Blocks with fewer passes than layers first contribute in a late
+    layer: the inclusion tag tree must keep signalling 'not yet' until
+    then, and empty packets must not advance it."""
+
+    img = np.full((40, 40), 200, np.uint8)
+    img[5, 7] = 201
+    img[30, 33] = 199
+    assert np.array_equal(decode_jpx(encode_jpx(img, 2, layers=8)), img)
+    flat = np.full((33, 17), 128, np.uint8)
+    assert np.array_equal(decode_jpx(encode_jpx(flat, 2, layers=4)), flat)
+
+
+def test_progression_orders():
+    """Single-layer streams decode identically under LRCP/RLCP/RPCL
+    (and PCRL/CPRL for single-component); component-major progressions
+    of multi-component streams fail closed."""
+
+    g = RNG.integers(0, 256, (30, 40), dtype=np.uint8)
+    enc = bytearray(encode_jpx(g, 2))
+    cod_at = bytes(enc).find(b"\xff\x52")
+    assert enc[cod_at + 5] == 0  # SGcod progression byte
+    for prog in (1, 2, 3, 4):
+        enc[cod_at + 5] = prog
+        assert np.array_equal(decode_jpx(bytes(enc)), g), prog
+    rgb = bytearray(encode_jpx(RNG.integers(0, 256, (20, 20, 3), dtype=np.uint8), 1))
+    c = bytes(rgb).find(b"\xff\x52")
+    for prog in (3, 4, 5):
+        rgb[c + 5] = prog
+        with pytest.raises(UserError):
+            decode_jpx(bytes(rgb))
+
+
+def test_mq_watermarks_are_safe_split_points():
+    """Every watermark byte prefix is final: re-encoding must produce a
+    stream whose prefix equals each watermark slice."""
+
+    from pdf_toolkit_spark.pdfio.jpx import t1_encode
+
+    coeffs = RNG.integers(-300, 301, (32, 40)).astype(np.int32)
+    seg, n, b, wm = t1_encode(coeffs, 0, return_marks=True)
+    seg2, n2, b2 = t1_encode(coeffs, 0)
+    assert (seg, n, b) == (seg2, n2, b2)
+    assert len(wm) == n and wm[-1] == len(seg)
+    assert wm == sorted(wm)
+    for w in wm:
+        assert seg[:w] == seg2[:w]
