@@ -11,10 +11,12 @@ with /JBIG2Globals threading, TEXT REGION segments (T.88 §6.4/§7.4.4:
 strip decoding with the Annex A integer arithmetic procedures IADT /
 IAFS / IADS / IAIT / IAEX / IADH / IADW and the IAID symbol-ID tree)
 — the segment mix production scanned-text encoders actually emit —
-and the MQ arithmetic coder of T.88 Annex E (the same coder JPEG 2000
+MMR-coded generic regions (T.88 §6.2.6 delegates verbatim to T.6;
+decoded with pdfio/ccitt.py's JDK-cross-validated Group 4 coder), and
+the MQ arithmetic coder of T.88 Annex E (the same coder JPEG 2000
 uses; the Qe state table is the published Table E.1). Huffman-coded
-variants, refinement/aggregate coding, halftone segments and
-non-nominal AT positions are out of scope and surface as missing
+symbol/text variants, refinement/aggregate coding, halftone segments
+and non-nominal AT positions are out of scope and surface as missing
 rasters (UserError), never wrong pixels.
 
 Both directions are implemented from the public spec; correctness
@@ -773,18 +775,30 @@ def _segment(
     )
 
 
-def encode_jbig2_embedded(img: np.ndarray, tpgdon: bool = False) -> bytes:
+def encode_jbig2_embedded(
+    img: np.ndarray, tpgdon: bool = False, mmr: bool = False
+) -> bytes:
     """0/1 bitmap -> embedded JBIG2 stream: page info + immediate
-    generic region (template 0, nominal AT) + end-of-page."""
+    generic region + end-of-page. ``mmr`` codes the region with T.6
+    MMR (T.88 §6.2.6; no AT bytes, flags bit 0 set) instead of the MQ
+    template-0 coder."""
 
     h, w = img.shape
     page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00" + b"\x00\x00"
+    if mmr:
+        from .ccitt import encode_g4
+
+        body = bytes([0x01]) + encode_g4(img.astype(np.uint8))
+    else:
+        body = (
+            bytes([0x08 if tpgdon else 0x00])  # MMR=0, template 0, TPGDON
+            + _NOMINAL_AT
+            + encode_generic(img.astype(np.uint8), tpgdon=tpgdon)
+        )
     region = (
         struct.pack(">IIII", w, h, 0, 0)
         + b"\x00"  # external combination operator: OR
-        + bytes([0x08 if tpgdon else 0x00])  # MMR=0, template 0, TPGDON
-        + _NOMINAL_AT
-        + encode_generic(img.astype(np.uint8), tpgdon=tpgdon)
+        + body
     )
     return (
         _segment(0, 48, page_info)
@@ -910,15 +924,22 @@ def _walk_segments(
             rw, rh, rx, ry = struct.unpack(">IIII", payload[:16])
             genflags = payload[17]
             if genflags & 0x01:
-                raise UserError("JBIG2: MMR-coded generic regions unsupported.")
-            template = (genflags >> 1) & 0x03
-            tpgdon = bool(genflags & 0x08)
-            if template != 0:
-                raise UserError("JBIG2: only GB template 0 is supported.")
-            at = payload[18:26]
-            if at != _NOMINAL_AT:
-                raise UserError("JBIG2: non-nominal AT pixels unsupported.")
-            bits = decode_generic(payload[26:], rw, rh, tpgdon=tpgdon)
+                # MMR=1: the region data is T.6 MMR (T.88 §6.2.6 points
+                # at T.6 verbatim) and no AT bytes are present — decode
+                # with the engine's Group 4 coder (itself JDK
+                # cross-validated in test_ccitt.py)
+                from .ccitt import decode_g4
+
+                bits = decode_g4(payload[18:], rw, rh)
+            else:
+                template = (genflags >> 1) & 0x03
+                tpgdon = bool(genflags & 0x08)
+                if template != 0:
+                    raise UserError("JBIG2: only GB template 0 is supported.")
+                at = payload[18:26]
+                if at != _NOMINAL_AT:
+                    raise UserError("JBIG2: non-nominal AT pixels unsupported.")
+                bits = decode_generic(payload[26:], rw, rh, tpgdon=tpgdon)
             if page is None:
                 page = np.zeros((rh, rw), np.uint8)
             ph, pw = page.shape

@@ -275,3 +275,25 @@ def test_jbig2_corpus_doc_extracts_like_serial():
     assert b"JBIG2Decode" in doc["pdf_bytes"]
     spans = extract_document(doc["pdf_bytes"])["spans"]
     assert len(spans) > 0
+
+
+def test_mmr_generic_region_roundtrip():
+    """MMR=1 generic regions code with T.6 MMR (T.88 §6.2.6; no AT
+    bytes) — round-trip through the embedded-stream walker, riding the
+    JDK-cross-validated Group 4 coder."""
+
+    import numpy as np
+
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        decode_jbig2_embedded,
+        encode_jbig2_embedded,
+    )
+
+    rng = np.random.default_rng(6)
+    img = (rng.random((60, 90)) > 0.7).astype(np.uint8)
+    img[10:14, 8:60] = 1
+    enc = encode_jbig2_embedded(img, mmr=True)
+    assert np.array_equal(decode_jbig2_embedded(enc), img)
+    # region flags byte really signals MMR (bit 0 of the byte after
+    # the 17-byte region info header inside segment 1's payload)
+    assert enc != encode_jbig2_embedded(img)  # different coding path
