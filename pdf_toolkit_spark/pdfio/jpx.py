@@ -10,7 +10,9 @@ whole-subband precincts, BOTH wavelet paths — the
 reversible 5/3 (Annex F lifting, no-quantization QCD) and the
 irreversible 9/7 (Annex F.4 float lifting, Annex E scalar
 quantization, derived and expounded QCD styles — the path real-world
-lossy JPEG 2000 scans use) — at 0-5 decomposition levels, Tier-2
+lossy JPEG 2000 scans use), with per-component QCC quantization
+overrides (T.800 A.6.5 — the luma/chroma split signalling production
+color encoders emit) — at 0-5 decomposition levels, Tier-2
 packet headers with tag trees and bit stuffing (Annex B), and the
 full Tier-1 EBCOT bitplane coder (Annex D: significance-propagation,
 magnitude-refinement and cleanup passes with the run-length shortcut)
@@ -20,7 +22,7 @@ identical coder). Grayscale and RGB 8-bit (3 components with the
 reversible RCT or irreversible ICT of Annex G, or none); subsampled
 or precinct-partitioned streams, component-major progressions of
 multi-component streams, and semantic marker segments the decoder
-can't honour (COC/QCC/RGN/POC/PPM/PPT) raise UserError (missing
+can't honour (COC/RGN/POC/PPM/PPT) raise UserError (missing
 raster upstream, never wrong pixels).
 
 Both directions are implemented from the public spec; correctness
@@ -891,6 +893,21 @@ def _eps_mu_to_step(eps: int, mu: int, rb: int) -> float:
     return 2.0 ** (rb - eps) * (1.0 + mu / 2048.0)
 
 
+def _parse_quant(body: bytes) -> tuple[int, int, list[int], list[tuple[int, int]]]:
+    """Shared QCD/QCC body parse (T.800 A.6.4/A.6.5: Sqcd/Sqcc +
+    SPqcd/SPqcc) -> (style, guard_bits, exponents, (eps, mu) pairs)."""
+
+    style = body[0] & 0x1F
+    guard = body[0] >> 5
+    if style == 0:  # no quantization: 8-bit exponents
+        return style, guard, [b_ >> 3 for b_ in body[1:]], []
+    if style in (1, 2):  # scalar derived / expounded: 16-bit pairs
+        n16 = (len(body) - 1) // 2
+        vals = struct.unpack(f">{n16}H", body[1 : 1 + 2 * n16])
+        return style, guard, [], [(v >> 11, v & 0x7FF) for v in vals]
+    raise UserError("JPX: unknown quantization style.")
+
+
 def _band_dims(size: int, nb: int, offset: int) -> int:
     """T.800 B.5 band extent for a tile at the origin: number of band
     samples along one dimension at decomposition level nb with band
@@ -1151,6 +1168,8 @@ def encode_jpx(
     qcd_style: str = "expounded",
     tile_size: int | None = None,
     layers: int = 1,
+    chroma_qstep: float | None = None,
+    qcc: bool = False,
 ) -> bytes:
     """8-bit gray (H, W) or RGB (H, W, 3) -> JPEG 2000 codestream
     (one layer, 64x64 code-blocks, LRCP). Default is the lossless
@@ -1164,7 +1183,13 @@ def encode_jpx(
     extents reduce to the origin-0 formula. ``layers`` emits that many
     LRCP quality layers: each code-block's coding passes spread evenly
     across layers, byte-split at MQ settled watermarks, so the
-    concatenated segments equal the single-layer stream."""
+    concatenated segments equal the single-layer stream.
+    ``chroma_qstep`` quantizes components 1-2 with their own step
+    (irreversible RGB only) and signals it with per-component QCC
+    marker segments (T.800 A.6.5); ``qcc=True`` emits QCC even when
+    the steps agree — on the reversible RGB path that tightens the
+    signalled dynamic range to the true per-component RCT spans (Y 8
+    bits, Cb/Cr 9) instead of a single widest-component QCD."""
 
     if img.dtype != np.uint8 or img.ndim not in (2, 3) or (
         img.ndim == 3 and img.shape[2] != 3
@@ -1181,43 +1206,59 @@ def encode_jpx(
         raise UserError("JPX encoder: 1-255 quality layers.")
     xt = yt = tile_size if tile_size else max(w, h)
     gray = img.ndim == 2
+    if chroma_qstep is not None and (gray or not irreversible):
+        raise UserError("JPX encoder: chroma_qstep needs irreversible RGB.")
+    if qcc and gray:
+        raise UserError("JPX encoder: qcc needs a 3-component image.")
+    emit_qcc = qcc or chroma_qstep is not None
+    mct = 0 if gray else 1
+    ncomp = 1 if gray else 3
     if irreversible:
         # ICT keeps every component inside the 8-bit nominal range
-        mct, eps_base = (0, 8) if gray else (1, 8)
-        ncomp = 1 if gray else 3
-        #: per-band (eps, mu, step) keyed (orient, nb): rb = 8 + gain.
-        #: The signalled step is the QUANTIZER's step too, so encoder
-        #: and decoder divide/multiply the identical double.
+        eps_base_of = [8] * ncomp
+        step_c = [qstep] * ncomp
+        if chroma_qstep is not None:
+            step_c[1] = step_c[2] = chroma_qstep
+        #: per-band (eps, mu, step) keyed (component, orient, nb):
+        #: rb = 8 + gain. The signalled step is the QUANTIZER's step
+        #: too, so encoder and decoder divide/multiply the identical
+        #: double.
         band_keys = [k for bands in _resolution_bands(levels) for k in bands]
         quant_of = {}
-        if qcd_style == "derived":
-            # style 1 (E-5): one signalled pair for the LL band; every
-            # band at decomposition level nb derives eps0 - levels + nb
-            eps0, mu0 = _step_to_eps_mu(qstep, eps_base)
-            if eps0 - levels < 1:
-                raise UserError(
-                    "JPX encoder: derived QCD step too coarse for levels."
-                )
-            for orient, nb in band_keys:
-                rb = eps_base + _GAIN[orient]
-                eps = eps0 - levels + nb if levels else eps0
-                quant_of[(orient, nb)] = (
-                    eps, mu0, _eps_mu_to_step(eps, mu0, rb)
-                )
-        elif qcd_style == "expounded":
-            for orient, nb in band_keys:
-                rb = eps_base + _GAIN[orient]
-                eps, mu = _step_to_eps_mu(qstep, rb)
-                quant_of[(orient, nb)] = (
-                    eps, mu, _eps_mu_to_step(eps, mu, rb)
-                )
-        else:
-            raise UserError("JPX encoder: qcd_style derived|expounded.")
+        for ci in range(ncomp):
+            if qcd_style == "derived":
+                # style 1 (E-5): one signalled pair for the LL band;
+                # every band at level nb derives eps0 - levels + nb
+                eps0, mu0 = _step_to_eps_mu(step_c[ci], eps_base_of[ci])
+                if eps0 - levels < 1:
+                    raise UserError(
+                        "JPX encoder: derived QCD step too coarse for levels."
+                    )
+                for orient, nb in band_keys:
+                    rb = eps_base_of[ci] + _GAIN[orient]
+                    eps = eps0 - levels + nb if levels else eps0
+                    quant_of[(ci, orient, nb)] = (
+                        eps, mu0, _eps_mu_to_step(eps, mu0, rb)
+                    )
+            elif qcd_style == "expounded":
+                for orient, nb in band_keys:
+                    rb = eps_base_of[ci] + _GAIN[orient]
+                    eps, mu = _step_to_eps_mu(step_c[ci], rb)
+                    quant_of[(ci, orient, nb)] = (
+                        eps, mu, _eps_mu_to_step(eps, mu, rb)
+                    )
+            else:
+                raise UserError("JPX encoder: qcd_style derived|expounded.")
     else:
-        # chrominance components span 9 bits after the RCT -> one
-        # extra exponent bit for every component (single QCD)
-        mct, eps_base = (0, 8) if gray else (1, 9)
-        ncomp = 1 if gray else 3
+        # RCT: Y averages the components (8-bit span) while Cb/Cr are
+        # differences (9 bits). A single QCD must cover the widest
+        # component; with QCC the Y component signals its true span.
+        if gray:
+            eps_base_of = [8]
+        elif emit_qcc:
+            eps_base_of = [8, 9, 9]
+        else:
+            eps_base_of = [9, 9, 9]
         quant_of = None
 
     def _tile_stream(tile_img: np.ndarray) -> bytes:
@@ -1244,7 +1285,7 @@ def encode_jpx(
                 arr = (hl, lh, hh)[orient - 1]
             if not irreversible:
                 return arr
-            step = quant_of[(orient, nb)][2]
+            step = quant_of[(ci, orient, nb)][2]
             return (np.sign(arr) * np.floor(np.abs(arr) / step)).astype(np.int64)
 
         # Tier-1 encode every code-block once, splitting the codeword
@@ -1266,9 +1307,9 @@ def encode_jpx(
                         continue
                     nx, ny, blocks = _blocks_of(bh, bw_)
                     if irreversible:
-                        mb = _GUARD_BITS + quant_of[(orient, nb)][0] - 1
+                        mb = _GUARD_BITS + quant_of[(ci, orient, nb)][0] - 1
                     else:
-                        mb = _GUARD_BITS + (eps_base + _GAIN[orient]) - 1
+                        mb = _GUARD_BITS + (eps_base_of[ci] + _GAIN[orient]) - 1
                     coded = []
                     first_layer = np.full((ny, nx), layers, np.int64)
                     for bi, (y0, x0, ch, cw) in enumerate(blocks):
@@ -1398,24 +1439,42 @@ def encode_jpx(
     for r in range(1, levels + 1):
         nb = levels - r + 1
         order += [(_HL, nb), (_LH, nb), (_HH, nb)]
-    if irreversible and qcd_style == "derived":
-        # Sqcd: scalar derived (style 1), 2 guard bits; the single
-        # signalled pair is the LL band's (exponent << 11 | mantissa)
-        eps, mu, _step = quant_of[(_LL, levels if levels else 0)]
-        exps = bytearray([(_GUARD_BITS << 5) | 0x01])
-        exps += struct.pack(">H", (eps << 11) | mu)
-    elif irreversible:
-        # Sqcd: scalar expounded (style 2), 2 guard bits; 16-bit
-        # (exponent << 11 | mantissa) per band
-        exps = bytearray([(_GUARD_BITS << 5) | 0x02])
-        for key in order[:n_sub]:
-            eps, mu, _step = quant_of[key]
-            exps += struct.pack(">H", (eps << 11) | mu)
-    else:
-        exps = bytearray([0x40])  # Sqcd: no quantization, 2 guard bits
-        for orient, _nb in order[:n_sub]:
-            exps.append((eps_base + _GAIN[orient]) << 3)
-    out += b"\xff\x5c" + struct.pack(">H", 2 + len(exps)) + bytes(exps)
+    def _quant_body(ci: int) -> bytearray:
+        """Sqcd/Sqcc + SPqcd/SPqcc for one component (shared layout,
+        T.800 A.6.4/A.6.5)."""
+
+        if irreversible and qcd_style == "derived":
+            # scalar derived (style 1), 2 guard bits; the single
+            # signalled pair is the LL band's (exponent << 11 | mantissa)
+            eps, mu, _step = quant_of[(ci, _LL, levels if levels else 0)]
+            body = bytearray([(_GUARD_BITS << 5) | 0x01])
+            body += struct.pack(">H", (eps << 11) | mu)
+        elif irreversible:
+            # scalar expounded (style 2), 2 guard bits; 16-bit
+            # (exponent << 11 | mantissa) per band
+            body = bytearray([(_GUARD_BITS << 5) | 0x02])
+            for orient, nb in order[:n_sub]:
+                eps, mu, _step = quant_of[(ci, orient, nb)]
+                body += struct.pack(">H", (eps << 11) | mu)
+        else:
+            body = bytearray([0x40])  # no quantization, 2 guard bits
+            for orient, _nb in order[:n_sub]:
+                body.append((eps_base_of[ci] + _GAIN[orient]) << 3)
+        return body
+
+    qcd_body = _quant_body(0)
+    out += b"\xff\x5c" + struct.pack(">H", 2 + len(qcd_body)) + bytes(qcd_body)
+    if emit_qcc:
+        # QCC per remaining component: Lqcc, Cqcc (1 byte, Csiz < 257),
+        # then the same body layout as QCD
+        for ci in range(1, ncomp):
+            body = _quant_body(ci)
+            out += (
+                b"\xff\x5d"
+                + struct.pack(">H", 3 + len(body))
+                + bytes([ci])
+                + bytes(body)
+            )
     ntx = -(-w // xt)
     nty = -(-h // yt)
     for ti in range(ntx * nty):
@@ -1449,10 +1508,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
     levels = None
     mct = 0
     reversible = True
-    guard = _GUARD_BITS
-    qcd_style = 0
-    qcd_exps: list[int] = []
-    qcd_pairs: list[tuple[int, int]] = []
+    qcd_tbl: tuple | None = None
+    qcc_tbl: dict[int, tuple] = {}
     tile_parts: dict[int, bytearray] = {}
     while pos + 2 <= len(data):
         marker = data[pos : pos + 2]
@@ -1509,16 +1566,15 @@ def decode_jpx(data: bytes) -> np.ndarray:
             reversible = seg[9] == 1
             pos += ln
         elif marker == b"\xff\x5c":  # QCD
-            qcd_style = seg[0] & 0x1F
-            guard = seg[0] >> 5
-            if qcd_style == 0:  # no quantization: 8-bit exponents
-                qcd_exps = [b_ >> 3 for b_ in seg[1:]]
-            elif qcd_style in (1, 2):  # scalar derived / expounded
-                n16 = (len(seg) - 1) // 2
-                vals = struct.unpack(f">{n16}H", seg[1 : 1 + 2 * n16])
-                qcd_pairs = [(v >> 11, v & 0x7FF) for v in vals]
-            else:
-                raise UserError("JPX: unknown quantization style.")
+            qcd_tbl = _parse_quant(seg)
+            pos += ln
+        elif marker == b"\xff\x5d":  # QCC: per-component quant override
+            if ncomp is None:
+                raise UserError("JPX: QCC before SIZ.")
+            # Cqcc is 1 byte for Csiz < 257 (always true in scope)
+            if seg[0] >= ncomp:
+                raise UserError("JPX: QCC component index out of range.")
+            qcc_tbl[seg[0]] = _parse_quant(seg[1:])
             pos += ln
         elif marker == b"\xff\x90":  # SOT
             isot, psot, _tpsot, _tnsot = struct.unpack(">HIBB", seg[:8])
@@ -1534,7 +1590,6 @@ def decode_jpx(data: bytes) -> np.ndarray:
             pos = end
         elif marker in (
             b"\xff\x53",  # COC: per-component coding style override
-            b"\xff\x5d",  # QCC: per-component quantization override
             b"\xff\x5e",  # RGN: region-of-interest shift
             b"\xff\x5f",  # POC: progression order change
             b"\xff\x60",  # PPM: packed packet headers (main)
@@ -1558,43 +1613,50 @@ def decode_jpx(data: bytes) -> np.ndarray:
     if sorted(tile_parts) != list(range(ntx * nty)):
         raise UserError("JPX: missing or out-of-range tile indices.")
 
-    # per-band Mb from the parsed QCD (band order: LL, then HL/LH/HH
-    # per resolution); for the quantized styles also the Annex E step
-    # size per band (E-3, with E-5's exponent derivation for style 1)
+    # per-band Mb, keyed (component, orient, level): each component
+    # uses its QCC table when present (T.800 A.6.5 — QCC overrides QCD
+    # for that component), the QCD otherwise. For the quantized styles
+    # also the Annex E step size per band (E-3, with E-5's exponent
+    # derivation for style 1).
+    if qcd_tbl is None:
+        raise UserError("JPX: missing QCD.")
     band_order = [(_LL, levels if levels else 0)]
     for r in range(1, levels + 1):
         nb = levels - r + 1
         band_order += [(_HL, nb), (_LH, nb), (_HH, nb)]
-    step_of: dict[tuple[int, int], float] = {}
-    if qcd_style == 0:
-        if not reversible:
-            raise UserError("JPX: 9/7 stream without quantization signalling.")
-        if len(qcd_exps) < len(band_order):
-            raise UserError("JPX: QCD exponent list too short.")
-        mb_of = {
-            key: guard + qcd_exps[i] - 1 for i, key in enumerate(band_order)
-        }
-    else:
+    step_of: dict[tuple[int, int, int], float] = {}
+    mb_of: dict[tuple[int, int, int], int] = {}
+    for ci in range(ncomp):
+        style, guard, exps, pairs = qcc_tbl.get(ci, qcd_tbl)
+        if style == 0:
+            if not reversible:
+                raise UserError(
+                    "JPX: 9/7 stream without quantization signalling."
+                )
+            if len(exps) < len(band_order):
+                raise UserError("JPX: QCD/QCC exponent list too short.")
+            for i, key in enumerate(band_order):
+                mb_of[(ci,) + key] = guard + exps[i] - 1
+            continue
         if reversible:
-            raise UserError("JPX: quantized QCD with the reversible 5/3.")
-        mb_of = {}
-        if qcd_style == 1:  # derived: one pair, exponents scale by level
-            if not qcd_pairs:
-                raise UserError("JPX: empty derived QCD.")
-            eps0, mu0 = qcd_pairs[0]
+            raise UserError("JPX: quantized QCD/QCC with the reversible 5/3.")
+        if style == 1:  # derived: one pair, exponents scale by level
+            if not pairs:
+                raise UserError("JPX: empty derived QCD/QCC.")
+            eps0, mu0 = pairs[0]
             pair_of = {
                 (orient, nb): (eps0 - levels + nb, mu0)
                 for orient, nb in band_order
             }
         else:  # expounded: one pair per band
-            if len(qcd_pairs) < len(band_order):
-                raise UserError("JPX: QCD step list too short.")
-            pair_of = dict(zip(band_order, qcd_pairs))
+            if len(pairs) < len(band_order):
+                raise UserError("JPX: QCD/QCC step list too short.")
+            pair_of = dict(zip(band_order, pairs))
         for key, (eps, mu) in pair_of.items():
             if eps < 1:
-                raise UserError("JPX: invalid derived QCD exponent.")
-            mb_of[key] = guard + eps - 1
-            step_of[key] = _eps_mu_to_step(eps, mu, 8 + _GAIN[key[0]])
+                raise UserError("JPX: invalid derived QCD/QCC exponent.")
+            mb_of[(ci,) + key] = guard + eps - 1
+            step_of[(ci,) + key] = _eps_mu_to_step(eps, mu, 8 + _GAIN[key[0]])
 
     def _tile_pixels(tile_data: bytes, th: int, tw: int) -> np.ndarray:
         """One tile's packets -> composed (th, tw[, 3]) pixel array
@@ -1624,7 +1686,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 st = {
                     "nx": nx, "ny": ny, "blocks": blocks,
                     "incl": _TagTree(nx, ny), "zbp": _TagTree(nx, ny),
-                    "mb": mb_of[(orient, nb)],
+                    "mb": mb_of[(ci, orient, nb)],
                     "blk": [
                         {"included": False, "numbps": 0, "lblock": 3,
                          "npasses": 0, "segs": bytearray()}
@@ -1706,7 +1768,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 return q
             # Annex E dequantization with the midpoint reconstruction
             # parameter r=0.5 (the floor quantizer's expectation)
-            step = step_of[(orient, nb)]
+            step = step_of[(ci, orient, nb)]
             return np.where(
                 q == 0, 0.0, np.sign(q) * (np.abs(q) + 0.5) * step
             )

@@ -535,3 +535,71 @@ def test_mq_watermarks_are_safe_split_points():
     assert wm == sorted(wm)
     for w in wm:
         assert seg[:w] == seg2[:w]
+
+
+def test_qcc_reversible_rgb_bit_exact():
+    """qcc=True signals the true per-component RCT spans (Y 8 bits via
+    QCD, Cb/Cr 9 bits via QCC); still bit-exact, and the stream really
+    carries two QCC segments with a tighter luma QCD."""
+
+    rgb = RGB_RNG.integers(0, 256, (41, 57, 3), dtype=np.uint8)
+    plain = encode_jpx(rgb, levels=2)
+    tight = encode_jpx(rgb, levels=2, qcc=True)
+    assert tight.count(b"\xff\x5d") >= 2
+    assert plain.count(b"\xff\x5d") == 0
+    assert np.array_equal(decode_jpx(tight), rgb)
+    # QCD exponents: first band byte is (eps_base + gain) << 3 — the
+    # qcc stream's QCD (component 0) signals 8-based, the plain 9-based
+    def qcd_first_exp(cs: bytes) -> int:
+        at = cs.find(b"\xff\x5c")
+        return cs[at + 5] >> 3
+    assert qcd_first_exp(tight) == qcd_first_exp(plain) - 1
+
+
+@pytest.mark.parametrize("style", ["expounded", "derived"])
+def test_qcc_chroma_step_bounded_roundtrip(style):
+    """Per-component quantization: coarse chroma + fine luma decodes
+    within the coarse bound and the stream is smaller than all-fine."""
+
+    rgb = RGB_RNG.integers(0, 256, (50, 60, 3), dtype=np.uint8)
+    fine = encode_jpx(rgb, levels=2, irreversible=True,
+                      qstep=1.0 / 64, qcd_style=style)
+    mixed = encode_jpx(rgb, levels=2, irreversible=True, qstep=1.0 / 64,
+                       chroma_qstep=1.0 / 8, qcd_style=style)
+    assert mixed.count(b"\xff\x5d") >= 2
+    assert len(mixed) < len(fine)
+    out = decode_jpx(mixed)
+    assert out.shape == rgb.shape
+    # chroma step 1/8 -> ICT-spread pixel error well under 16
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 16, style
+
+
+def test_qcc_multitile_and_layers():
+    """QCC composes with tiling and quality layers."""
+
+    rgb = RGB_RNG.integers(0, 256, (40, 72, 3), dtype=np.uint8)
+    cs = encode_jpx(rgb, levels=2, irreversible=True, qstep=1.0 / 64,
+                    chroma_qstep=1.0 / 16, tile_size=32, layers=3)
+    out = decode_jpx(cs)
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 8
+    cs2 = encode_jpx(rgb, levels=1, qcc=True, tile_size=32, layers=2)
+    assert np.array_equal(decode_jpx(cs2), rgb)
+
+
+def test_qcc_validation_and_fail_closed():
+    """chroma_qstep off the 9/7 RGB path raises; a QCC naming an
+    out-of-range component fails closed."""
+
+    gray = RNG.integers(0, 256, (20, 20), dtype=np.uint8)
+    with pytest.raises(UserError):
+        encode_jpx(gray, 1, irreversible=True, chroma_qstep=0.5)
+    with pytest.raises(UserError):
+        encode_jpx(gray, 1, qcc=True)
+    rgb = RGB_RNG.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+    with pytest.raises(UserError):
+        encode_jpx(rgb, 1, chroma_qstep=0.5)  # reversible + chroma step
+    cs = bytearray(encode_jpx(rgb, 1, qcc=True))
+    at = bytes(cs).find(b"\xff\x5d")
+    cs[at + 4] = 7  # Cqcc -> component 7 of 3
+    with pytest.raises(UserError):
+        decode_jpx(bytes(cs))
