@@ -3,8 +3,10 @@
 Scope (the scanned-book subset): embedded-organization segment streams
 as PDF /JBIG2Decode carries them (segment headers per T.88 §7.2 with
 referred-segment lists, page info + region segments + end-of-page),
-generic region coding with GB template 0 at the NOMINAL adaptive-pixel
-positions and optional TPGDON typical-prediction rows, SYMBOL
+generic region coding with GB templates 0-3 at the NOMINAL
+adaptive-pixel positions (16/13/10/10-bit contexts, per-template
+TPGDON pseudo-pixel contexts) and optional typical-prediction rows,
+SYMBOL
 DICTIONARY segments (T.88 §6.5/§7.4.3: arithmetic-coded height
 classes, shared GB contexts across symbol bitmaps, export-run flags)
 with /JBIG2Globals threading, TEXT REGION segments (T.88 §6.4/§7.4.4:
@@ -55,12 +57,32 @@ _QE = [
     (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
 ]
 
-#: TPGDON pseudo-pixel context (T.88 6.2.5.7, template 0)
-_TPGD_CX = 0x9B25
+#: TPGDON pseudo-pixel context per GB template (T.88 6.2.5.7)
+_TPGD_CX_OF = (0x9B25, 0x0795, 0x00E5, 0x0195)
+_TPGD_CX = _TPGD_CX_OF[0]
 
-#: nominal AT pixel positions for template 0: A1(3,-1) A2(-3,-1)
-#: A3(2,-2) A4(-2,-2) as signed byte pairs
+#: nominal AT pixel positions (T.88 6.2.5.3) as signed byte pairs:
+#: template 0 has A1(3,-1) A2(-3,-1) A3(2,-2) A4(-2,-2); templates
+#: 1-3 carry only A1 — (3,-1) for template 1, (2,-1) for 2 and 3
 _NOMINAL_AT = bytes([3, 0xFF, 0xFD, 0xFF, 2, 0xFE, 0xFE, 0xFE])
+_NOMINAL_AT_OF = (
+    _NOMINAL_AT,
+    bytes([3, 0xFF]),
+    bytes([2, 0xFF]),
+    bytes([2, 0xFF]),
+)
+
+#: context-window geometry per GB template, nominal AT folded in:
+#: (a2, b2, a1, b1, c) — row-2 spans [x-a2, x+b2] (an empty span for
+#: template 3), row-1 spans [x-a1, x+b1], current row uses pixels
+#: [x-c, x-1]. Bit order inside the context: row-2 MSBs (left pixel
+#: most significant), then row-1, then the current row.
+_TEMPLATE_SPAN = (
+    (2, 2, 3, 3, 4),   # template 0: 16-bit context
+    (1, 2, 2, 3, 3),   # template 1: 13-bit
+    (1, 1, 2, 2, 2),   # template 2: 10-bit
+    (0, -1, 3, 2, 4),  # template 3: 10-bit, single reference row
+)
 
 _N_CX = 1 << 16
 
@@ -400,9 +422,11 @@ def encode_iaid(mq: MQEncoder, ctx: ArithCtx, value: int, symcodelen: int) -> No
 
 def decode_generic(
     data: bytes, w: int, h: int, tpgdon: bool = False,
-    mq: "MQDecoder | None" = None,
+    mq: "MQDecoder | None" = None, template: int = 0,
 ) -> np.ndarray:
     """MQ-coded generic region -> (h, w) uint8 bits (1 = black).
+    ``template`` selects the GB context template (0-3, nominal AT;
+    the context windows come from _TEMPLATE_SPAN).
 
     Pass an existing ``mq`` to continue a shared bitstream (symbol
     dictionaries decode every symbol bitmap with ONE decoder whose GB
@@ -410,36 +434,45 @@ def decode_generic(
 
     if mq is None:
         mq = MQDecoder(data)
+    a2, b2, a1, b1, c = _TEMPLATE_SPAN[template]
+    n1 = a1 + b1 + 1
+    n2 = a2 + b2 + 1
+    m0, m1, m2 = (1 << c) - 1, (1 << n1) - 1, (1 << n2) - 1
+    s1, s2 = c, c + n1
+    tpgd_cx = _TPGD_CX_OF[template]
+    j1, j2 = b1 + 1, b2 + 1
+    pad = max(j1, j2, 1)
     rows: list[list[int]] = []
-    zeros = [0] * (w + 4)
+    zeros = [0] * (w + pad)
     ltp = 0
     for y in range(h):
         if tpgdon:
-            ltp ^= mq.decode(_TPGD_CX)
+            ltp ^= mq.decode(tpgd_cx)
             if ltp:
                 rows.append(list(rows[y - 1]) if y > 0 else list(zeros))
                 continue
         up1 = rows[y - 1] if y >= 1 else zeros
-        up2 = rows[y - 2] if y >= 2 else zeros
-        row = [0] * (w + 4)  # 4 trailing pad so windows never index OOB
+        up2 = (rows[y - 2] if y >= 2 else zeros) if n2 else zeros
+        row = [0] * (w + pad)  # trailing pad so windows never index OOB
         w0 = 0
-        w1 = (up1[0] << 3) | (up1[1] << 2) | (up1[2] << 1) | up1[3]
-        w2 = (up2[0] << 2) | (up2[1] << 1) | up2[2]
+        w1 = sum(up1[i] << (b1 - i) for i in range(j1))
+        w2 = sum(up2[i] << (b2 - i) for i in range(j2))
         for x in range(w):
-            bit = mq.decode((w2 << 11) | (w1 << 4) | w0)
+            bit = mq.decode((w2 << s2) | (w1 << s1) | w0)
             row[x] = bit
-            w0 = ((w0 << 1) | bit) & 0xF
-            w1 = ((w1 << 1) | up1[x + 4]) & 0x7F
-            w2 = ((w2 << 1) | up2[x + 3]) & 0x1F
+            w0 = ((w0 << 1) | bit) & m0
+            w1 = ((w1 << 1) | up1[x + j1]) & m1
+            w2 = ((w2 << 1) | up2[x + j2]) & m2
         rows.append(row)
     return np.array([r[:w] for r in rows], dtype=np.uint8)
 
 
 def encode_generic(
     img: np.ndarray, tpgdon: bool = False,
-    mq: "MQEncoder | None" = None,
+    mq: "MQEncoder | None" = None, template: int = 0,
 ) -> "bytes | None":
-    """(h, w) 0/1 bits (1 = black) -> MQ-coded generic region data.
+    """(h, w) 0/1 bits (1 = black) -> MQ-coded generic region data
+    under GB ``template`` 0-3 at nominal AT.
 
     Pass an existing ``mq`` to append into a shared bitstream (symbol
     dictionary coding); the caller flushes, and None is returned."""
@@ -448,29 +481,37 @@ def encode_generic(
     h, w = img.shape
     if mq is None:
         mq = MQEncoder()
-    pad = np.zeros((h, 4), np.uint8)
+    a2, b2, a1, b1, c = _TEMPLATE_SPAN[template]
+    n1 = a1 + b1 + 1
+    n2 = a2 + b2 + 1
+    m0, m1, m2 = (1 << c) - 1, (1 << n1) - 1, (1 << n2) - 1
+    s1, s2 = c, c + n1
+    tpgd_cx = _TPGD_CX_OF[template]
+    j1, j2 = b1 + 1, b2 + 1
+    pad_n = max(j1, j2, 1)
+    pad = np.zeros((h, pad_n), np.uint8)
     padded = np.concatenate([img, pad], axis=1).tolist()
-    zeros = [0] * (w + 4)
+    zeros = [0] * (w + pad_n)
     ltp = 0
     for y in range(h):
         up1 = padded[y - 1] if y >= 1 else zeros
         row = padded[y]
         if tpgdon:
             typical = y > 0 and row == up1
-            mq.encode(1 if (typical != bool(ltp)) else 0, _TPGD_CX)
+            mq.encode(1 if (typical != bool(ltp)) else 0, tpgd_cx)
             ltp = 1 if typical else 0
             if typical:
                 continue
-        up2 = padded[y - 2] if y >= 2 else zeros
+        up2 = (padded[y - 2] if y >= 2 else zeros) if n2 else zeros
         w0 = 0
-        w1 = (up1[0] << 3) | (up1[1] << 2) | (up1[2] << 1) | up1[3]
-        w2 = (up2[0] << 2) | (up2[1] << 1) | up2[2]
+        w1 = sum(up1[i] << (b1 - i) for i in range(j1))
+        w2 = sum(up2[i] << (b2 - i) for i in range(j2))
         for x in range(w):
             bit = row[x]
-            mq.encode(bit, (w2 << 11) | (w1 << 4) | w0)
-            w0 = ((w0 << 1) | bit) & 0xF
-            w1 = ((w1 << 1) | up1[x + 4]) & 0x7F
-            w2 = ((w2 << 1) | up2[x + 3]) & 0x1F
+            mq.encode(bit, (w2 << s2) | (w1 << s1) | w0)
+            w0 = ((w0 << 1) | bit) & m0
+            w1 = ((w1 << 1) | up1[x + j1]) & m1
+            w2 = ((w2 << 1) | up2[x + j2]) & m2
     return None if shared else mq.flush()
 
 
@@ -776,12 +817,14 @@ def _segment(
 
 
 def encode_jbig2_embedded(
-    img: np.ndarray, tpgdon: bool = False, mmr: bool = False
+    img: np.ndarray, tpgdon: bool = False, mmr: bool = False,
+    template: int = 0,
 ) -> bytes:
     """0/1 bitmap -> embedded JBIG2 stream: page info + immediate
     generic region + end-of-page. ``mmr`` codes the region with T.6
     MMR (T.88 §6.2.6; no AT bytes, flags bit 0 set) instead of the MQ
-    template-0 coder."""
+    coder; ``template`` selects the GB context template (0-3,
+    nominal AT)."""
 
     h, w = img.shape
     page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00" + b"\x00\x00"
@@ -791,9 +834,11 @@ def encode_jbig2_embedded(
         body = bytes([0x01]) + encode_g4(img.astype(np.uint8))
     else:
         body = (
-            bytes([0x08 if tpgdon else 0x00])  # MMR=0, template 0, TPGDON
-            + _NOMINAL_AT
-            + encode_generic(img.astype(np.uint8), tpgdon=tpgdon)
+            bytes([(template << 1) | (0x08 if tpgdon else 0x00)])
+            + _NOMINAL_AT_OF[template]
+            + encode_generic(
+                img.astype(np.uint8), tpgdon=tpgdon, template=template
+            )
         )
     region = (
         struct.pack(">IIII", w, h, 0, 0)
@@ -934,12 +979,15 @@ def _walk_segments(
             else:
                 template = (genflags >> 1) & 0x03
                 tpgdon = bool(genflags & 0x08)
-                if template != 0:
-                    raise UserError("JBIG2: only GB template 0 is supported.")
-                at = payload[18:26]
-                if at != _NOMINAL_AT:
+                # T0 carries 4 AT pairs, T1-3 a single A1 pair
+                nat = 8 if template == 0 else 2
+                at = payload[18 : 18 + nat]
+                if at != _NOMINAL_AT_OF[template]:
                     raise UserError("JBIG2: non-nominal AT pixels unsupported.")
-                bits = decode_generic(payload[26:], rw, rh, tpgdon=tpgdon)
+                bits = decode_generic(
+                    payload[18 + nat :], rw, rh,
+                    tpgdon=tpgdon, template=template,
+                )
             if page is None:
                 page = np.zeros((rh, rw), np.uint8)
             ph, pw = page.shape

@@ -297,3 +297,49 @@ def test_mmr_generic_region_roundtrip():
     # region flags byte really signals MMR (bit 0 of the byte after
     # the 17-byte region info header inside segment 1's payload)
     assert enc != encode_jbig2_embedded(img)  # different coding path
+
+
+@pytest.mark.parametrize("template", [1, 2, 3])
+@pytest.mark.parametrize("tpgdon", [False, True])
+def test_generic_templates_roundtrip(template, tpgdon):
+    """GB templates 1-3 at nominal AT round-trip through the embedded
+    stream walker (13/10/10-bit contexts, single A1 AT pair; T.88
+    6.2.5.3 figures 5-7)."""
+
+    import numpy as np
+
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        decode_jbig2_embedded,
+        encode_jbig2_embedded,
+    )
+
+    rng = np.random.default_rng(40 + template)
+    img = (rng.random((50, 70)) > 0.75).astype(np.uint8)
+    img[12:18, 5:60] = 1
+    img[30:32] = 0  # identical rows exercise TPGDON
+    img[32:34] = 0
+    enc = encode_jbig2_embedded(img, tpgdon=tpgdon, template=template)
+    assert np.array_equal(decode_jbig2_embedded(enc), img)
+    # region flags byte really signals the template (bits 1-2 of the
+    # byte after the 17-byte region info header in segment 1)
+    others = {
+        encode_jbig2_embedded(img, tpgdon=tpgdon, template=t)
+        for t in range(4) if t != template
+    }
+    assert enc not in others
+
+
+def test_generic_template_contexts_are_distinct():
+    """Each template yields a different bitstream for the same input
+    (distinct context geometry), and all decode to the same pixels."""
+
+    import numpy as np
+
+    from pdf_toolkit_spark.pdfio.jbig2 import decode_generic, encode_generic
+
+    rng = np.random.default_rng(77)
+    img = (rng.random((40, 55)) > 0.6).astype(np.uint8)
+    streams = [encode_generic(img, template=t) for t in range(4)]
+    assert len(set(streams)) == 4
+    for t, s in enumerate(streams):
+        assert np.array_equal(decode_generic(s, 55, 40, template=t), img), t
