@@ -123,6 +123,8 @@ def main() -> None:
         "sketch_cms_heavy_hitters",
         "dedup_minhash_survivors",
         "dedup_snapshot_diff",
+        "text_pii_redact",
+        "text_dup_substring_rate",
     ]
     for name in headliners:
         t0 = time.monotonic()

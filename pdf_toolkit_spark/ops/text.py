@@ -1,13 +1,13 @@
 """Text-analysis operators over the ``documents`` table: token counting
 (whitespace and BPE-ish pretokenizer regex), quality scoring,
-language-ID heuristic, and document fingerprinting (whole-doc md5 and
-a winnowing rolling-hash sketch).
+language-ID heuristic, document fingerprinting (whole-doc md5 and a
+winnowing rolling-hash sketch), PII scan/redaction, and a cross-doc
+duplicated-substring rate (ExactSubstr-flavored).
 
 All pure built-in-function queries (JVM-side, whole-stage codegen; zero
-Python). Each has an exact DuckDB oracle. At 100 TB these are
-embarrassingly parallel scans; the only shuffles are the final
-aggregates in ``lang_id_distribution`` and ``rolling_fingerprint``
-(both keyed small: lang code / doc_id).
+Python). Each has an exact DuckDB oracle. At 100 TB most are
+embarrassingly parallel scans; the shuffling exceptions are keyed
+small (lang code / doc_id / window hash) and documented per query.
 """
 
 from __future__ import annotations
@@ -527,7 +527,144 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PII regexes — a deliberately portable subset (char classes, bounded
+#: repeats, literal escapes) so Java regex (Spark) and RE2 (DuckDB)
+#: agree match-for-match. No lookaround, no backreferences.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,6}"
+PII_PHONE_RE = r"\(555\) [0-9]{3}-[0-9]{4}"
+PII_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def _pii_text() -> "F.Column":
+    """The documents table is synthetic word soup, so the PII-bearing
+    input derives deterministically from doc_id (same trick as
+    dedup_snapshot_diff's snapshot B): residues 3/5/7 append an email,
+    a NANP-style phone, and a dotted-quad IP. Both engines build the
+    identical string, so the oracle is exact while the scan/redact
+    machinery is fully exercised."""
+
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact user"), (did % 97).cast("string"),
+        F.lit(".dev@mail"), (did % 7).cast("string"),
+        F.lit(".example.org today"),
+    )
+    phone = F.concat(
+        F.lit(" call (555) "),
+        F.lpad((did % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((did * 31) % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" from 10."), (did % 256).cast("string"),
+        F.lit("."), ((did * 3) % 256).cast("string"),
+        F.lit("."), ((did * 11) % 256).cast("string"),
+    )
+    return F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, email).otherwise(F.lit("")),
+        F.when(did % 5 == 0, phone).otherwise(F.lit("")),
+        F.when(did % 7 == 0, ip).otherwise(F.lit("")),
+    )
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction (emails / phones / dotted-quad IPs), the
+    standard pre-training privacy pass: per-type match counts on the
+    raw text plus the md5 of the redacted text (placeholders <EMAIL> /
+    <PHONE> / <IP>, applied in that fixed order).
+
+    Scale shape: a pure per-row projection — zero shuffles, zero
+    Python, whole-stage codegen regex evaluation at the scan. At
+    100 TB this is the cheapest kind of operator there is."""
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", _pii_text().alias("pii"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("pii"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE, "<PHONE>",
+        ),
+        PII_IP_RE, "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("pii"), F.lit(PII_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("pii"), F.lit(PII_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("pii"), F.lit(PII_IP_RE), F.lit(0))).alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+#: duplicated-substring window geometry: 24-char windows every 8 chars
+DUPSUB_W = 24
+DUPSUB_S = 8
+
+
+def dup_substring_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-substring rate — the distributed
+    approximation of ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): hash fixed-width
+    character windows on a stride, call a window duplicated when its
+    hash occurs in >= 2 distinct documents, and report each document's
+    duplicated-window fraction.
+
+    Scale shape: rows = ~len/stride per doc of (doc_id, 8-byte hash);
+    one map-side-combined hash aggregate for the per-hash distinct-doc
+    count and one equi-join back on the hash. The window relation is
+    persisted (two plan consumers; Spark has no cross-branch subplan
+    sharing). At 100 TB the stride is the knob — S=64 cuts the blow-up
+    to ~1.5% of corpus bytes while still catching long clones."""
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    wins = (
+        docs.where(F.length("text") >= DUPSUB_W)
+        .select(
+            "doc_id", "text",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.length("text") - DUPSUB_W) / DUPSUB_S).cast("int"),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            hash32(
+                F.col("text").substr(
+                    F.col("i") * DUPSUB_S + 1, F.lit(DUPSUB_W)
+                )
+            ).alias("h"),
+        )
+        .persist()
+    )
+    per_hash = wins.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    per_doc = (
+        wins.join(per_hash, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.round(
+                F.coalesce("n_dup", F.lit(0))
+                / F.greatest(F.coalesce("n_windows", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
 QUERIES = {
+    "text_pii_redact": pii_redact,
+    "text_dup_substring_rate": dup_substring_rate,
     "text_feature_hashing": feature_hashing,
     "text_decontaminate": decontaminate,
     "text_vocab_oov": vocab_oov,
@@ -793,3 +930,58 @@ ORACLES = {
         FROM uniq GROUP BY doc_id
     """,
 }
+
+#: DuckDB spelling of _pii_text() — must stay in lockstep with it
+_PII_SQL = (
+    "(text"
+    " || CASE WHEN doc_id % 3 = 0 THEN"
+    " ' contact user' || CAST(doc_id % 97 AS VARCHAR) || '.dev@mail'"
+    " || CAST(doc_id % 7 AS VARCHAR) || '.example.org today'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN"
+    " ' call (555) ' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 4, '0')"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN"
+    " ' from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 11) % 256 AS VARCHAR)"
+    " ELSE '' END)"
+)
+
+ORACLES["text_pii_redact"] = (
+    "WITH p AS (SELECT doc_id, " + _PII_SQL + " AS pii FROM documents) "
+    "SELECT doc_id, "
+    "len(regexp_extract_all(pii, '" + PII_EMAIL_RE + "')) AS n_emails, "
+    "len(regexp_extract_all(pii, '" + PII_PHONE_RE + "')) AS n_phones, "
+    "len(regexp_extract_all(pii, '" + PII_IP_RE + "')) AS n_ips, "
+    "md5(regexp_replace(regexp_replace(regexp_replace(pii, "
+    "'" + PII_EMAIL_RE + "', '<EMAIL>', 'g'), "
+    "'" + PII_PHONE_RE + "', '<PHONE>', 'g'), "
+    "'" + PII_IP_RE + "', '<IP>', 'g')) AS redacted_md5 "
+    "FROM p"
+)
+
+ORACLES["text_dup_substring_rate"] = (
+    "WITH wins AS ("
+    "    SELECT doc_id, "
+    + SQL_HASH32.format(e=f"substr(text, i * {DUPSUB_S} + 1, {DUPSUB_W})")
+    + " AS h"
+    f"    FROM (SELECT doc_id, text FROM documents"
+    f"          WHERE length(text) >= {DUPSUB_W}),"
+    f"         LATERAL (SELECT unnest(generate_series("
+    f"             0, (length(text) - {DUPSUB_W}) // {DUPSUB_S})) AS i)"
+    "), per_hash AS ("
+    "    SELECT h, count(DISTINCT doc_id) AS nd FROM wins GROUP BY h"
+    "), per_doc AS ("
+    "    SELECT w.doc_id, count(*) AS n_windows,"
+    "           sum(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) AS n_dup"
+    "    FROM wins w JOIN per_hash p USING (h) GROUP BY w.doc_id"
+    ") "
+    "SELECT d.doc_id, "
+    "CAST(coalesce(pd.n_windows, 0) AS BIGINT) AS n_windows, "
+    "CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup, "
+    "round(CAST(coalesce(pd.n_dup, 0) AS DOUBLE)"
+    " / greatest(coalesce(pd.n_windows, 0), 1), 6) AS dup_rate "
+    "FROM documents d LEFT JOIN per_doc pd USING (doc_id)"
+)

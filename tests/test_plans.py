@@ -297,3 +297,26 @@ def test_cms_sketch_aggregates_map_side(spark):
     assert "partial_count" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pii_redact_is_a_pure_projection(spark):
+    """PII scan/redact must be shuffle-free: one scan, one codegen'd
+    projection, no Exchange anywhere."""
+
+    plan = explain_str(QUERIES["text_pii_redact"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "codegen id" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "n_chars" not in read_schema and "lang" not in read_schema
+
+
+def test_dup_substring_rate_plan_shape(spark):
+    """The window relation joins back on the hash (equi-join only —
+    never a cartesian), and the shared relation is persisted so the
+    windows compute once for both the per-hash agg and the join."""
+
+    df = QUERIES["text_dup_substring_rate"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan  # persisted wins relation
