@@ -31,12 +31,28 @@ _MODULES = (
     curation, dedup, relational, text,
 )
 
+#: Explicit front of the visit order: queries with NO driver
+#: correctness row in any of r01-r04 (late round-4/5 additions), so a
+#: budget-truncated harness checks them before re-checking r04 greens.
+_NEVER_DRIVER_CHECKED = (
+    "text_pii_redact", "text_dup_substring_rate",
+    "dedup_minhash_survivors", "dedup_snapshot_diff",
+    "sketch_kmv_distinct", "sketch_hll_distinct",
+    "sketch_sample_quantiles", "sketch_bloom_semijoin",
+    "sketch_cms_heavy_hitters",
+    "sim_label_centroids", "sim_ivf_topk_batch",
+    "mm_image_thumbnail", "mm_audio_stats", "mm_video_frame_sample",
+    "curate_survivors",
+)
+
 
 def all_queries():
     out = {}
     for mod in _MODULES:
         out.update(mod.QUERIES)
-    return out
+    front = {n: out[n] for n in _NEVER_DRIVER_CHECKED if n in out}
+    front.update({n: f for n, f in out.items() if n not in front})
+    return front
 
 
 def all_oracles():
