@@ -125,6 +125,7 @@ def main() -> None:
         "dedup_snapshot_diff",
         "text_pii_redact",
         "text_dup_substring_rate",
+        "text_dsir_weight",
     ]
     for name in headliners:
         t0 = time.monotonic()

@@ -662,7 +662,80 @@ def dup_substring_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DSIR hashed-feature dimensionality (buckets for char trigrams)
+DSIR_D = 512
+
+
+def dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score each document
+    by how target-domain-like its hashed n-gram features are —
+    log w(x) = sum_f c_f(x) * (log2 P_target(f) - log2 P_source(f)) / n,
+    with hashed char-trigram features (hash32 mod DSIR_D buckets),
+    Laplace-smoothed bucket unigram models, target = the lang='en'
+    slice, source = the whole corpus. Downstream pipelines resample
+    docs proportional to the weight to tilt a web crawl toward a
+    target domain.
+
+    Scale shape: trigram explode -> one (doc_id, bucket) hash agg with
+    map-side combine (persisted: three plan consumers); BOTH models
+    are bucket rollups of that relation (DSIR_D rows, broadcast at any
+    corpus size); scoring is a broadcast join + one doc_id agg.
+    Per-bucket log2 values quantize to the 2^-12 grid (the
+    trigram_lm_score trick) so per-doc sums are order-independent and
+    engine-exact."""
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", norm_text(F.col("text")).alias("norm")
+    ).filter(F.length("norm") >= 3)
+    tri = docs.select(
+        "doc_id", "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))")
+        ).alias("tri"),
+    )
+    feats = (
+        tri.select("doc_id", "lang", (hash32(F.col("tri")) % DSIR_D).alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    t_model = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("b").agg(F.sum("c").alias("ct"))
+    )
+    s_model = feats.groupBy("b").agg(F.sum("c").alias("cs"))
+    t_total = t_model.agg(F.sum("ct").alias("tt"))
+    s_total = s_model.agg(F.sum("cs").alias("ts"))
+    # Laplace add-1 over DSIR_D buckets; a bucket absent from the
+    # target slice still gets mass, so every doc scores finite
+    models = (
+        s_model.join(t_model, "b", "left")
+        .crossJoin(F.broadcast(t_total)).crossJoin(F.broadcast(s_total))
+        .select(
+            "b",
+            (F.log2((F.coalesce("ct", F.lit(0)) + 1) / (F.col("tt") + DSIR_D))
+             - F.log2((F.col("cs") + 1) / (F.col("ts") + DSIR_D))).alias("lr"),
+        )
+    )
+    q = F.signum(F.col("lr")) * F.floor(F.abs(F.col("lr")) * _LM_SCALE + F.lit(0.5))
+    scored = feats.join(F.broadcast(models.select("b", q.alias("qlr"))), "b")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("qlr")).alias("num"),
+            F.sum("c").cast("bigint").alias("n_feats"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round(F.col("num") / F.col("n_feats") / _LM_SCALE, 6).alias("dsir_logratio"),
+        )
+    )
+
+
 QUERIES = {
+    "text_dsir_weight": dsir_weight,
     "text_pii_redact": pii_redact,
     "text_dup_substring_rate": dup_substring_rate,
     "text_feature_hashing": feature_hashing,
@@ -985,3 +1058,36 @@ ORACLES["text_dup_substring_rate"] = (
     " / greatest(coalesce(pd.n_windows, 0), 1), 6) AS dup_rate "
     "FROM documents d LEFT JOIN per_doc pd USING (doc_id)"
 )
+
+ORACLES["text_dsir_weight"] = f"""
+    WITH d AS (SELECT doc_id, lang, {_N} AS norm FROM documents
+               WHERE length({_N}) >= 3),
+    tris AS (
+        SELECT doc_id, lang, substr(norm, CAST(i AS INT), 3) AS tri
+        FROM (SELECT doc_id, lang, norm,
+                     unnest(generate_series(1, length(norm) - 2)) AS i
+              FROM d)
+    ),
+    feats AS (
+        SELECT doc_id, lang, {SQL_HASH32.format(e="tri")} % {DSIR_D} AS b,
+               count(*) AS c
+        FROM tris GROUP BY doc_id, lang, b
+    ),
+    t_model AS (SELECT b, sum(c) AS ct FROM feats WHERE lang = 'en' GROUP BY b),
+    s_model AS (SELECT b, sum(c) AS cs FROM feats GROUP BY b),
+    tt AS (SELECT sum(ct) AS v FROM t_model),
+    ts AS (SELECT sum(cs) AS v FROM s_model),
+    models AS (
+        SELECT s.b,
+               log2((coalesce(t.ct, 0) + 1) / (tt.v + {DSIR_D}))
+                   - log2((s.cs + 1) / (ts.v + {DSIR_D})) AS lr
+        FROM s_model s LEFT JOIN t_model t USING (b)
+             CROSS JOIN tt CROSS JOIN ts
+    ),
+    qm AS (SELECT b, sign(lr) * floor(abs(lr) * {_LM_SCALE} + 0.5) AS qlr
+           FROM models)
+    SELECT f.doc_id, CAST(sum(f.c) AS BIGINT) AS n_feats,
+           round(sum(f.c * q.qlr) / sum(f.c) / {_LM_SCALE}, 6) AS dsir_logratio
+    FROM feats f JOIN qm q USING (b)
+    GROUP BY f.doc_id
+"""

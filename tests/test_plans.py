@@ -320,3 +320,14 @@ def test_dup_substring_rate_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "InMemoryTableScan" in plan  # persisted wins relation
+
+
+def test_dsir_weight_models_broadcast(spark):
+    """DSIR scoring: the bucket-bounded model relation (DSIR_D rows)
+    must broadcast into the per-doc join, and the shared feature
+    relation must be persisted (three plan consumers)."""
+
+    plan = explain_str(QUERIES["text_dsir_weight"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
