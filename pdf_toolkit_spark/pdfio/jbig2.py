@@ -14,12 +14,15 @@ strip decoding with the Annex A integer arithmetic procedures IADT /
 IAFS / IADS / IAIT / IAEX / IADH / IADW and the IAID symbol-ID tree)
 — the segment mix production scanned-text encoders actually emit —
 MMR-coded generic regions (T.88 §6.2.6 delegates verbatim to T.6;
-decoded with pdfio/ccitt.py's JDK-cross-validated Group 4 coder), and
-the MQ arithmetic coder of T.88 Annex E (the same coder JPEG 2000
-uses; the Qe state table is the published Table E.1). Huffman-coded
-symbol/text variants, refinement/aggregate coding, halftone segments
-and non-nominal AT positions are out of scope and surface as missing
-rasters (UserError), never wrong pixels.
+decoded with pdfio/ccitt.py's JDK-cross-validated Group 4 coder),
+immediate generic REFINEMENT regions (T.88 §6.3: GR templates 0/1 at
+nominal GRAT against the page buffer — the lossy-base +
+refine-to-lossless flow), and the MQ arithmetic coder of T.88 Annex E
+(the same coder JPEG 2000 uses; the Qe state table is the published
+Table E.1). Huffman-coded symbol/text variants, TPGRON and
+intermediate refinement, symbol-level refinement/aggregate coding,
+halftone segments and non-nominal AT positions are out of scope and
+surface as missing rasters (UserError), never wrong pixels.
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (including MQ-coder
@@ -516,6 +519,88 @@ def encode_generic(
 
 
 # ---------------------------------------------------------------------------
+# Generic refinement region (T.88 §6.3): re-code a region against a
+# reference bitmap — the lossy-base + refine-to-lossless flow
+# ---------------------------------------------------------------------------
+
+#: GR context templates (T.88 §6.3.5.3 figures 12/14, nominal GRAT):
+#: per template, (coding offsets, reference offsets) as (dx, dy) pairs
+#: in context bit order (first listed = most significant). Template 0
+#: folds the nominal A1(-1,-1) into the coding window and A2(-1,-1)
+#: into the reference window; template 1 has no AT pixels.
+_GR_TEMPLATES = (
+    (
+        ((0, -1), (1, -1), (-1, 0), (-1, -1)),
+        ((0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1),
+         (-1, 1)),
+    ),
+    (
+        ((-1, -1), (0, -1), (1, -1), (-1, 0)),
+        ((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)),
+    ),
+)
+
+#: nominal GR adaptive pixels: A1(-1,-1) A2(-1,-1) as signed bytes
+_NOMINAL_GR_AT = bytes([0xFF, 0xFF, 0xFF, 0xFF])
+
+
+def decode_refinement(
+    data: bytes, w: int, h: int, ref: np.ndarray, template: int = 0,
+) -> np.ndarray:
+    """MQ-coded generic refinement region -> (h, w) uint8 bits, decoded
+    against the reference bitmap ``ref`` at offset (0, 0)
+    (GRREFERENCEDX/DY = 0 — the immediate-region page-reference case).
+    TPGRON is out of scope (callers fail closed on the flag)."""
+
+    coding, reference = _GR_TEMPLATES[template]
+    mq = MQDecoder(data)
+    out = np.zeros((h, w), np.uint8)
+    rh, rw = ref.shape
+    for y in range(h):
+        for x in range(w):
+            ctx = 0
+            for dx, dy in coding:
+                yy, xx = y + dy, x + dx
+                ctx = (ctx << 1) | (
+                    int(out[yy, xx]) if 0 <= yy < h and 0 <= xx < w else 0
+                )
+            for dx, dy in reference:
+                yy, xx = y + dy, x + dx
+                ctx = (ctx << 1) | (
+                    int(ref[yy, xx]) if 0 <= yy < rh and 0 <= xx < rw else 0
+                )
+            out[y, x] = mq.decode(ctx)
+    return out
+
+
+def encode_refinement(
+    img: np.ndarray, ref: np.ndarray, template: int = 0,
+) -> bytes:
+    """(h, w) 0/1 target bits + reference bitmap -> MQ-coded generic
+    refinement region data (encoder twin of decode_refinement)."""
+
+    coding, reference = _GR_TEMPLATES[template]
+    mq = MQEncoder()
+    h, w = img.shape
+    rh, rw = ref.shape
+    for y in range(h):
+        for x in range(w):
+            ctx = 0
+            for dx, dy in coding:
+                yy, xx = y + dy, x + dx
+                ctx = (ctx << 1) | (
+                    int(img[yy, xx]) if 0 <= yy < h and 0 <= xx < w else 0
+                )
+            for dx, dy in reference:
+                yy, xx = y + dy, x + dx
+                ctx = (ctx << 1) | (
+                    int(ref[yy, xx]) if 0 <= yy < rh and 0 <= xx < rw else 0
+                )
+            mq.encode(int(img[y, x]), ctx)
+    return mq.flush()
+
+
+# ---------------------------------------------------------------------------
 # Symbol dictionary (T.88 §6.5 decode / §7.4.3 segment layout)
 # ---------------------------------------------------------------------------
 
@@ -818,38 +903,62 @@ def _segment(
 
 def encode_jbig2_embedded(
     img: np.ndarray, tpgdon: bool = False, mmr: bool = False,
-    template: int = 0,
+    template: int = 0, refine: bool = False, gr_template: int = 0,
 ) -> bytes:
     """0/1 bitmap -> embedded JBIG2 stream: page info + immediate
     generic region + end-of-page. ``mmr`` codes the region with T.6
     MMR (T.88 §6.2.6; no AT bytes, flags bit 0 set) instead of the MQ
     coder; ``template`` selects the GB context template (0-3,
-    nominal AT)."""
+    nominal AT). ``refine`` emits the production lossy-base +
+    refine-to-lossless shape: the generic region carries a degraded
+    base (isolated pixels dropped) and an immediate generic refinement
+    region (type 42, GR template ``gr_template``) re-codes the page to
+    the exact input against that base."""
 
     h, w = img.shape
+    img = img.astype(np.uint8)
     page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00" + b"\x00\x00"
+    base = img
+    if refine:
+        # deterministic lossy base: keep a black pixel only if any
+        # 4-neighbor is black too (drops salt noise; refinement
+        # restores it)
+        n = np.zeros((h, w), np.int32)
+        n[1:] += img[:-1]
+        n[:-1] += img[1:]
+        n[:, 1:] += img[:, :-1]
+        n[:, :-1] += img[:, 1:]
+        base = (img & (n > 0)).astype(np.uint8)
     if mmr:
         from .ccitt import encode_g4
 
-        body = bytes([0x01]) + encode_g4(img.astype(np.uint8))
+        body = bytes([0x01]) + encode_g4(base)
     else:
         body = (
             bytes([(template << 1) | (0x08 if tpgdon else 0x00)])
             + _NOMINAL_AT_OF[template]
-            + encode_generic(
-                img.astype(np.uint8), tpgdon=tpgdon, template=template
-            )
+            + encode_generic(base, tpgdon=tpgdon, template=template)
         )
     region = (
         struct.pack(">IIII", w, h, 0, 0)
         + b"\x00"  # external combination operator: OR
         + body
     )
-    return (
-        _segment(0, 48, page_info)
-        + _segment(1, 38, region)  # immediate generic region
-        + _segment(2, 49, b"")     # end of page
-    )
+    out = _segment(0, 48, page_info) + _segment(1, 38, region)
+    if refine:
+        gr_body = (
+            bytes([gr_template])  # GR flags: template bit, TPGRON=0
+            + (_NOMINAL_GR_AT if gr_template == 0 else b"")
+            + encode_refinement(img, base, template=gr_template)
+        )
+        gr_region = (
+            struct.pack(">IIII", w, h, 0, 0)
+            + b"\x04"  # external combination operator: REPLACE
+            + gr_body
+        )
+        out += _segment(2, 42, gr_region)
+        return out + _segment(3, 49, b"")  # end of page
+    return out + _segment(2, 49, b"")  # end of page
 
 
 def encode_jbig2_symbol_text(
@@ -994,10 +1103,31 @@ def _walk_segments(
             y1, x1 = min(ph, ry + rh), min(pw, rx + rw)
             if y1 > ry and x1 > rx:
                 page[ry:y1, rx:x1] |= bits[: y1 - ry, : x1 - rx]
-        elif seg_type in (16, 20, 22, 23, 40, 42, 43):
+        elif seg_type in (42, 43):  # immediate generic refinement region
+            rw, rh, rx, ry = struct.unpack(">IIII", payload[:16])
+            grflags = payload[17]
+            template = grflags & 0x01
+            if grflags & 0x02:
+                raise UserError("JBIG2: TPGRON refinement unsupported.")
+            at_len = 4 if template == 0 else 0
+            if template == 0 and payload[18:22] != _NOMINAL_GR_AT:
+                raise UserError("JBIG2: non-nominal GR AT pixels unsupported.")
+            if page is None:
+                raise UserError("JBIG2: refinement region before page info.")
+            ph, pw = page.shape
+            if ry + rh > ph or rx + rw > pw:
+                raise UserError("JBIG2: refinement region outside the page.")
+            # immediate refinement regions reference the page buffer
+            # under their own bbox (§6.3.2) and REPLACE it
+            ref = page[ry : ry + rh, rx : rx + rw]
+            bits = decode_refinement(
+                payload[18 + at_len :], rw, rh, ref, template=template
+            )
+            page[ry : ry + rh, rx : rx + rw] = bits
+        elif seg_type in (16, 20, 22, 23, 40):
             raise UserError(
-                f"JBIG2: segment type {seg_type} (halftone/refinement) "
-                "unsupported."
+                f"JBIG2: segment type {seg_type} (halftone/intermediate "
+                "refinement) unsupported."
             )
         # 49/50/51/62: end-of-page/stripe/file, extension — skip
     return page
