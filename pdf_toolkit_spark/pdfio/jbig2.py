@@ -19,10 +19,13 @@ immediate generic REFINEMENT regions (T.88 §6.3: GR templates 0/1 at
 nominal GRAT against the page buffer — the lossy-base +
 refine-to-lossless flow), and the MQ arithmetic coder of T.88 Annex E
 (the same coder JPEG 2000 uses; the Qe state table is the published
-Table E.1). Huffman-coded symbol/text variants, TPGRON and
-intermediate refinement, symbol-level refinement/aggregate coding,
-halftone segments and non-nominal AT positions are out of scope and
-surface as missing rasters (UserError), never wrong pixels.
+Table E.1). Generic regions accept ARBITRARY adaptive-pixel offsets
+(nominal AT rides the fast windowed coder; anything else the general
+per-pixel path — bitstream-identical at nominal AT, which is pinned).
+Huffman-coded symbol/text variants, TPGRON and intermediate
+refinement, symbol-level refinement/aggregate coding, and halftone
+segments are out of scope and surface as missing rasters (UserError),
+never wrong pixels.
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (including MQ-coder
@@ -516,6 +519,108 @@ def encode_generic(
             w1 = ((w1 << 1) | up1[x + j1]) & m1
             w2 = ((w2 << 1) | up2[x + j2]) & m2
     return None if shared else mq.flush()
+
+
+#: GB context layouts with explicit AT slots (T.88 figures 4-7): the
+#: fixed template pixels plus 'A1'..'A4' placeholders at the bit
+#: positions the figures give them. With the NOMINAL AT values these
+#: reduce exactly to the contiguous windows _TEMPLATE_SPAN encodes —
+#: pinned by test_jbig2's nominal-vs-general equality test.
+_TEMPLATE_OFFSETS = (
+    ("A4", (-1, -2), (0, -2), (1, -2), "A3",
+     "A2", (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1), "A1",
+     (-4, 0), (-3, 0), (-2, 0), (-1, 0)),
+    ((-1, -2), (0, -2), (1, -2), (2, -2),
+     (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1), "A1",
+     (-3, 0), (-2, 0), (-1, 0)),
+    ((-1, -2), (0, -2), (1, -2),
+     (-2, -1), (-1, -1), (0, -1), (1, -1), "A1",
+     (-2, 0), (-1, 0)),
+    ((-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1), "A1",
+     (-4, 0), (-3, 0), (-2, 0), (-1, 0)),
+)
+
+
+def _at_offsets(template: int, at: bytes) -> list[tuple[int, int]]:
+    """Resolve a template's context layout against the AT bytes from
+    the segment header (signed (x, y) pairs, A1 first)."""
+
+    pairs = [
+        (int.from_bytes(at[i : i + 1], "big", signed=True),
+         int.from_bytes(at[i + 1 : i + 2], "big", signed=True))
+        for i in range(0, len(at), 2)
+    ]
+    out = []
+    for o in _TEMPLATE_OFFSETS[template]:
+        if isinstance(o, str):
+            out.append(pairs[int(o[1]) - 1])
+        else:
+            out.append(o)
+    return out
+
+
+def decode_generic_at(
+    data: bytes, w: int, h: int, template: int, at: bytes,
+    tpgdon: bool = False,
+) -> np.ndarray:
+    """General-AT twin of decode_generic: the slow per-pixel path for
+    streams whose adaptive pixels are NOT at the nominal positions
+    (T.88 §6.2.5.3 allows any offset in [-128, 127]²)."""
+
+    offsets = _at_offsets(template, at)
+    mq = MQDecoder(data)
+    tpgd_cx = _TPGD_CX_OF[template]
+    out = np.zeros((h, w), np.uint8)
+    ltp = 0
+    for y in range(h):
+        if tpgdon:
+            ltp ^= mq.decode(tpgd_cx)
+            if ltp:
+                if y > 0:
+                    out[y] = out[y - 1]
+                continue
+        for x in range(w):
+            ctx = 0
+            for dx, dy in offsets:
+                yy, xx = y + dy, x + dx
+                ctx = (ctx << 1) | (
+                    int(out[yy, xx]) if 0 <= yy < h and 0 <= xx < w and (
+                        yy < y or (yy == y and xx < x)
+                    ) else 0
+                )
+            out[y, x] = mq.decode(ctx)
+    return out
+
+
+def encode_generic_at(
+    img: np.ndarray, template: int, at: bytes, tpgdon: bool = False,
+) -> bytes:
+    """General-AT twin of encode_generic (encoder side of
+    decode_generic_at; AT pixels at arbitrary offsets)."""
+
+    offsets = _at_offsets(template, at)
+    mq = MQEncoder()
+    tpgd_cx = _TPGD_CX_OF[template]
+    h, w = img.shape
+    ltp = 0
+    for y in range(h):
+        if tpgdon:
+            typical = y > 0 and bool(np.array_equal(img[y], img[y - 1]))
+            mq.encode(1 if (typical != bool(ltp)) else 0, tpgd_cx)
+            ltp = 1 if typical else 0
+            if typical:
+                continue
+        for x in range(w):
+            ctx = 0
+            for dx, dy in offsets:
+                yy, xx = y + dy, x + dx
+                ctx = (ctx << 1) | (
+                    int(img[yy, xx]) if 0 <= yy < h and 0 <= xx < w and (
+                        yy < y or (yy == y and xx < x)
+                    ) else 0
+                )
+            mq.encode(int(img[y, x]), ctx)
+    return mq.flush()
 
 
 # ---------------------------------------------------------------------------
@@ -1091,12 +1196,17 @@ def _walk_segments(
                 # T0 carries 4 AT pairs, T1-3 a single A1 pair
                 nat = 8 if template == 0 else 2
                 at = payload[18 : 18 + nat]
-                if at != _NOMINAL_AT_OF[template]:
-                    raise UserError("JBIG2: non-nominal AT pixels unsupported.")
-                bits = decode_generic(
-                    payload[18 + nat :], rw, rh,
-                    tpgdon=tpgdon, template=template,
-                )
+                if at == _NOMINAL_AT_OF[template]:
+                    bits = decode_generic(
+                        payload[18 + nat :], rw, rh,
+                        tpgdon=tpgdon, template=template,
+                    )
+                else:
+                    # arbitrary AT offsets: the general per-pixel path
+                    bits = decode_generic_at(
+                        payload[18 + nat :], rw, rh, template, at,
+                        tpgdon=tpgdon,
+                    )
             if page is None:
                 page = np.zeros((rh, rw), np.uint8)
             ph, pw = page.shape

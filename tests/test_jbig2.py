@@ -418,3 +418,61 @@ def test_refinement_tpgron_fails_closed():
     enc[at + 1] |= 0x02
     with pytest.raises(UserError, match="TPGRON"):
         decode_jbig2_embedded(bytes(enc))
+
+
+def test_general_at_path_matches_nominal_fast_path():
+    """With NOMINAL AT bytes the general per-pixel coder must produce
+    the identical bitstream as the windowed fast path, for every
+    template × TPGDON — the layouts in _TEMPLATE_OFFSETS are the same
+    contexts _TEMPLATE_SPAN encodes."""
+
+    import numpy as np
+
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        _NOMINAL_AT_OF,
+        decode_generic_at,
+        encode_generic,
+        encode_generic_at,
+    )
+
+    rng = np.random.default_rng(55)
+    img = (rng.random((40, 57)) > 0.7).astype(np.uint8)
+    img[10:12] = img[12:14]  # repeated rows for TPGDON
+    for t in range(4):
+        for tp in (False, True):
+            fast = encode_generic(img, tpgdon=tp, template=t)
+            gen = encode_generic_at(img, t, _NOMINAL_AT_OF[t], tpgdon=tp)
+            assert fast == gen, (t, tp)
+            assert np.array_equal(
+                decode_generic_at(fast, 57, 40, t, _NOMINAL_AT_OF[t], tpgdon=tp),
+                img,
+            ), (t, tp)
+
+
+def test_non_nominal_at_roundtrip_through_walker():
+    """A stream whose A1 sits at a non-nominal offset decodes through
+    the embedded walker (previously fail-closed)."""
+
+    import struct
+
+    import numpy as np
+
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        _segment,
+        decode_jbig2_embedded,
+        encode_generic_at,
+    )
+
+    rng = np.random.default_rng(66)
+    img = (rng.random((33, 49)) > 0.65).astype(np.uint8)
+    h, w = img.shape
+    at = bytes([1, 0xFF])  # A1 = (+1, -1), not the nominal (+3, -1)
+    body = bytes([1 << 1]) + at + encode_generic_at(img, 1, at)
+    region = struct.pack(">IIII", w, h, 0, 0) + b"\x00" + body
+    page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00" + b"\x00\x00"
+    stream = (
+        _segment(0, 48, page_info)
+        + _segment(1, 38, region)
+        + _segment(2, 49, b"")
+    )
+    assert np.array_equal(decode_jbig2_embedded(stream), img)
