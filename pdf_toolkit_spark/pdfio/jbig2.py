@@ -16,13 +16,14 @@ IAFS / IADS / IAIT / IAEX / IADH / IADW and the IAID symbol-ID tree)
 MMR-coded generic regions (T.88 §6.2.6 delegates verbatim to T.6;
 decoded with pdfio/ccitt.py's JDK-cross-validated Group 4 coder),
 immediate generic REFINEMENT regions (T.88 §6.3: GR templates 0/1 at
-nominal GRAT against the page buffer — the lossy-base +
-refine-to-lossless flow), and the MQ arithmetic coder of T.88 Annex E
+nominal GRAT against the page buffer, with TPGRON typical prediction
+— the lossy-base + refine-to-lossless flow), and the MQ arithmetic
+coder of T.88 Annex E
 (the same coder JPEG 2000 uses; the Qe state table is the published
 Table E.1). Generic regions accept ARBITRARY adaptive-pixel offsets
 (nominal AT rides the fast windowed coder; anything else the general
 per-pixel path — bitstream-identical at nominal AT, which is pinned).
-Huffman-coded symbol/text variants, TPGRON and intermediate
+Huffman-coded symbol/text variants, intermediate
 refinement, symbol-level refinement/aggregate coding, and halftone
 segments are out of scope and surface as missing rasters (UserError),
 never wrong pixels.
@@ -648,21 +649,58 @@ _GR_TEMPLATES = (
 #: nominal GR adaptive pixels: A1(-1,-1) A2(-1,-1) as signed bytes
 _NOMINAL_GR_AT = bytes([0xFF, 0xFF, 0xFF, 0xFF])
 
+#: TPGRON pseudo-pixel contexts per GR template (§6.3.5.6 LTP coding) —
+#: the figure's context expressed in THIS implementation's bit order
+#: (coding window then reference window, first listed = MSB); like the
+#: rest of the JBIG2 contexts the value is round-trip pinned (no
+#: reference decoder in this container to cross-check the ordering).
+_TPGR_CX_OF = (0x0100, 0x0080)
+
+
+def _gr_forced(ref: np.ndarray, y: int, x: int) -> "int | None":
+    """§6.3.5.6 typical-prediction test: if the 3x3 reference window
+    around (y, x) is uniform, the pixel is forced to that value when
+    the row's LTP flag is set (out-of-bounds reads as 0)."""
+
+    rh, rw = ref.shape
+    s = 0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            yy, xx = y + dy, x + dx
+            if 0 <= yy < rh and 0 <= xx < rw:
+                s += int(ref[yy, xx])
+    if s == 0:
+        return 0
+    if s == 9:
+        return 1
+    return None
+
 
 def decode_refinement(
     data: bytes, w: int, h: int, ref: np.ndarray, template: int = 0,
+    tpgron: bool = False,
 ) -> np.ndarray:
     """MQ-coded generic refinement region -> (h, w) uint8 bits, decoded
     against the reference bitmap ``ref`` at offset (0, 0)
     (GRREFERENCEDX/DY = 0 — the immediate-region page-reference case).
-    TPGRON is out of scope (callers fail closed on the flag)."""
+    ``tpgron`` enables typical prediction: rows flagged typical take
+    uniform-reference-neighborhood pixels straight from the reference
+    and decode only the rest."""
 
     coding, reference = _GR_TEMPLATES[template]
     mq = MQDecoder(data)
     out = np.zeros((h, w), np.uint8)
     rh, rw = ref.shape
+    ltp = 0
     for y in range(h):
+        if tpgron:
+            ltp ^= mq.decode(_TPGR_CX_OF[template])
         for x in range(w):
+            if ltp:
+                forced = _gr_forced(ref, y, x)
+                if forced is not None:
+                    out[y, x] = forced
+                    continue
             ctx = 0
             for dx, dy in coding:
                 yy, xx = y + dy, x + dx
@@ -680,16 +718,33 @@ def decode_refinement(
 
 def encode_refinement(
     img: np.ndarray, ref: np.ndarray, template: int = 0,
+    tpgron: bool = False,
 ) -> bytes:
     """(h, w) 0/1 target bits + reference bitmap -> MQ-coded generic
-    refinement region data (encoder twin of decode_refinement)."""
+    refinement region data (encoder twin of decode_refinement). With
+    ``tpgron``, a row is flagged typical when every pixel with a
+    uniform 3x3 reference neighborhood already equals that value —
+    those pixels are then skipped entirely."""
 
     coding, reference = _GR_TEMPLATES[template]
     mq = MQEncoder()
     h, w = img.shape
     rh, rw = ref.shape
+    ltp = 0
     for y in range(h):
+        if tpgron:
+            typical = True
+            for x in range(w):
+                forced = _gr_forced(ref, y, x)
+                if forced is not None and forced != int(img[y, x]):
+                    typical = False
+                    break
+            mq.encode(1 if (typical != bool(ltp)) else 0,
+                      _TPGR_CX_OF[template])
+            ltp = 1 if typical else 0
         for x in range(w):
+            if ltp and _gr_forced(ref, y, x) is not None:
+                continue
             ctx = 0
             for dx, dy in coding:
                 yy, xx = y + dy, x + dx
@@ -1009,6 +1064,7 @@ def _segment(
 def encode_jbig2_embedded(
     img: np.ndarray, tpgdon: bool = False, mmr: bool = False,
     template: int = 0, refine: bool = False, gr_template: int = 0,
+    tpgron: bool = False,
 ) -> bytes:
     """0/1 bitmap -> embedded JBIG2 stream: page info + immediate
     generic region + end-of-page. ``mmr`` codes the region with T.6
@@ -1052,9 +1108,10 @@ def encode_jbig2_embedded(
     out = _segment(0, 48, page_info) + _segment(1, 38, region)
     if refine:
         gr_body = (
-            bytes([gr_template])  # GR flags: template bit, TPGRON=0
+            bytes([gr_template | (0x02 if tpgron else 0)])  # GR flags
             + (_NOMINAL_GR_AT if gr_template == 0 else b"")
-            + encode_refinement(img, base, template=gr_template)
+            + encode_refinement(img, base, template=gr_template,
+                                tpgron=tpgron)
         )
         gr_region = (
             struct.pack(">IIII", w, h, 0, 0)
@@ -1217,8 +1274,7 @@ def _walk_segments(
             rw, rh, rx, ry = struct.unpack(">IIII", payload[:16])
             grflags = payload[17]
             template = grflags & 0x01
-            if grflags & 0x02:
-                raise UserError("JBIG2: TPGRON refinement unsupported.")
+            tpgron = bool(grflags & 0x02)
             at_len = 4 if template == 0 else 0
             if template == 0 and payload[18:22] != _NOMINAL_GR_AT:
                 raise UserError("JBIG2: non-nominal GR AT pixels unsupported.")
@@ -1231,7 +1287,8 @@ def _walk_segments(
             # under their own bbox (§6.3.2) and REPLACE it
             ref = page[ry : ry + rh, rx : rx + rw]
             bits = decode_refinement(
-                payload[18 + at_len :], rw, rh, ref, template=template
+                payload[18 + at_len :], rw, rh, ref,
+                template=template, tpgron=tpgron,
             )
             page[ry : ry + rh, rx : rx + rw] = bits
         elif seg_type in (16, 20, 22, 23, 40):

