@@ -23,10 +23,13 @@ coder of T.88 Annex E
 Table E.1). Generic regions accept ARBITRARY adaptive-pixel offsets
 (nominal AT rides the fast windowed coder; anything else the general
 per-pixel path — bitstream-identical at nominal AT, which is pinned).
-Huffman-coded symbol/text variants, intermediate
-refinement, symbol-level refinement/aggregate coding, and halftone
-segments are out of scope and surface as missing rasters (UserError),
-never wrong pixels.
+HALFTONE regions land too (§6.6/§6.7: pattern
+dictionaries decoded as one wide generic bitmap with the A1=(-HDPW,0)
+adaptive pixel, gray-coded bitplanes on a shared decoder, grid-vector
+pattern stamping). Huffman-coded symbol/text variants, intermediate
+regions, symbol-level refinement/aggregate coding, MMR halftones and
+HENABLESKIP are out of scope and surface as missing rasters
+(UserError), never wrong pixels.
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (including MQ-coder
@@ -761,6 +764,154 @@ def encode_refinement(
 
 
 # ---------------------------------------------------------------------------
+# Halftone region (T.88 §6.6) + pattern dictionary (§6.7): dithered
+# scans — a pattern per gray level, stamped on a grid addressed by a
+# gray-coded bitplane image
+# ---------------------------------------------------------------------------
+
+def _pattern_dict_at(template: int, hdpw: int) -> bytes:
+    """§6.7.5 pattern-dictionary AT: A1 = (-HDPW, 0); A2-A4 nominal
+    (template 0 only)."""
+
+    return bytes([(-hdpw) & 0xFF, 0]) + (
+        _NOMINAL_AT[2:] if template == 0 else b""
+    )
+
+
+def decode_pattern_dict(payload: bytes) -> "list[np.ndarray]":
+    """Pattern dictionary segment (type 16) -> GRAYMAX+1 pattern
+    bitmaps, decoded as ONE wide generic bitmap (§6.7.5) and split."""
+
+    flags = payload[0]
+    if flags & 0x01:
+        raise UserError("JBIG2: MMR pattern dictionaries unsupported.")
+    template = (flags >> 1) & 0x03
+    hdpw, hdph = payload[1], payload[2]
+    (graymax,) = struct.unpack(">I", payload[3:7])
+    if not hdpw or not hdph:
+        raise UserError("JBIG2: zero pattern dimensions.")
+    n = graymax + 1
+    big = decode_generic_at(
+        payload[7:], n * hdpw, hdph, template, _pattern_dict_at(template, hdpw)
+    )
+    return [big[:, i * hdpw : (i + 1) * hdpw].copy() for i in range(n)]
+
+
+def encode_pattern_dict(
+    patterns: "list[np.ndarray]", template: int = 0
+) -> bytes:
+    """Encoder twin of decode_pattern_dict (equal-size patterns)."""
+
+    hdph, hdpw = patterns[0].shape
+    big = np.concatenate(patterns, axis=1).astype(np.uint8)
+    return (
+        bytes([template << 1, hdpw, hdph])
+        + struct.pack(">I", len(patterns) - 1)
+        + encode_generic_at(big, template, _pattern_dict_at(template, hdpw))
+    )
+
+
+def decode_halftone_region(
+    payload: bytes, patterns: "list[np.ndarray]"
+) -> "tuple[np.ndarray, int, int]":
+    """Halftone region segment data -> (bitmap, x, y). Gray-coded
+    bitplanes decode MSB-first on ONE shared MQ decoder (§C.5), then
+    each grid cell stamps its pattern (§6.6.5.1 grid-vector
+    addressing, OR composition)."""
+
+    rw, rh, rx, ry = struct.unpack(">IIII", payload[:16])
+    flags = payload[17]
+    if flags & 0x01:
+        raise UserError("JBIG2: MMR halftone regions unsupported.")
+    template = (flags >> 1) & 0x03
+    if flags & 0x08:
+        raise UserError("JBIG2: HENABLESKIP halftone regions unsupported.")
+    combop = (flags >> 4) & 0x07
+    if combop != 0:
+        raise UserError("JBIG2: only OR halftone composition is supported.")
+    defpix = (flags >> 7) & 1
+    hgw, hgh, hgx, hgy = struct.unpack(">IIii", payload[18:34])
+    hrx, hry = struct.unpack(">HH", payload[34:38])
+    if not patterns:
+        raise UserError("JBIG2: halftone region with no pattern dictionary.")
+    bits_per = max(1, (len(patterns) - 1).bit_length())
+    mq = MQDecoder(payload[38:])
+    gray = None
+    for _ in range(bits_per):  # MSB plane first
+        plane = decode_generic(b"", hgw, hgh, mq=mq, template=template)
+        if gray is None:
+            gray = plane.astype(np.int64)
+        else:
+            gray = (gray << 1) | (plane ^ (gray & 1))
+    if int(gray.max()) >= len(patterns):
+        raise UserError("JBIG2: halftone gray value exceeds GRAYMAX.")
+    region = np.full((rh, rw), defpix, np.uint8)
+    hdph, hdpw = patterns[0].shape
+    for mg in range(hgh):
+        for ng in range(hgw):
+            x = (hgx + mg * hry + ng * hrx) >> 8
+            y = (hgy + mg * hrx - ng * hry) >> 8
+            pat = patterns[int(gray[mg, ng])]
+            ys, xs = max(0, y), max(0, x)
+            ye, xe = min(rh, y + hdph), min(rw, x + hdpw)
+            if ye > ys and xe > xs:
+                region[ys:ye, xs:xe] |= pat[ys - y : ye - y, xs - x : xe - x]
+    return region, rx, ry
+
+
+def encode_jbig2_halftone(
+    gray: np.ndarray, patterns: "list[np.ndarray] | None" = None,
+    template: int = 0,
+) -> bytes:
+    """(HGH, HGW) pattern-index grid -> embedded JBIG2 stream: page
+    info + pattern dictionary + immediate halftone region + EOP.
+    Default patterns are SQUARE 4x4 fills of increasing darkness (the
+    grid vectors tile square cells, §6.6.5.1). Returns the stream; the
+    decoded page equals the stamped composition."""
+
+    gray = np.asarray(gray)
+    if patterns is None:
+        n = int(gray.max()) + 1
+        if n > 17:
+            raise UserError("JBIG2 encoder: default halftone needs <= 17 levels.")
+        cells = [(i, j) for i in range(4) for j in range(4)]
+        patterns = []
+        for k in range(n):
+            p = np.zeros((4, 4), np.uint8)
+            for i, j in cells[:k]:
+                p[i, j] = 1
+            patterns.append(p)
+    hdph, hdpw = patterns[0].shape
+    if hdpw != hdph:
+        raise UserError("JBIG2 encoder: halftone patterns must be square.")
+    graymax = len(patterns) - 1
+    bits_per = max(1, graymax.bit_length())
+    hgh, hgw = gray.shape
+    rh, rw = hgh * hdph, hgw * hdpw
+    mq = MQEncoder()
+    for j in range(bits_per - 1, -1, -1):  # gray-coded planes, MSB first
+        bit = ((gray >> j) & 1).astype(np.uint8)
+        if j < bits_per - 1:
+            bit = bit ^ ((gray >> (j + 1)) & 1).astype(np.uint8)
+        encode_generic(bit, mq=mq, template=template)
+    ht_payload = (
+        struct.pack(">IIII", rw, rh, 0, 0)
+        + b"\x00"  # external combination operator: OR
+        + bytes([template << 1])  # HT flags: MMR=0, no skip, OR, defpix 0
+        + struct.pack(">IIii", hgw, hgh, 0, 0)
+        + struct.pack(">HH", hdpw << 8, 0)
+        + mq.flush()
+    )
+    page_info = struct.pack(">IIII", rw, rh, 0, 0) + b"\x00" + b"\x00\x00"
+    return (
+        _segment(0, 48, page_info)
+        + _segment(1, 16, encode_pattern_dict(patterns, template))
+        + _segment(2, 22, ht_payload, refs=(1,))
+        + _segment(3, 49, b"")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Symbol dictionary (T.88 §6.5 decode / §7.4.3 segment layout)
 # ---------------------------------------------------------------------------
 
@@ -1179,10 +1330,12 @@ def encode_jbig2_symbol_text(
 def _walk_segments(
     data: bytes,
     sym_dicts: "dict[int, list[np.ndarray]]",
+    pat_dicts: "dict[int, list[np.ndarray]]",
     page: "np.ndarray | None",
 ) -> "np.ndarray | None":
     """Walk one embedded-organization segment stream, updating the
-    shared symbol-dictionary table and compositing onto ``page``."""
+    shared symbol/pattern dictionary tables and compositing onto
+    ``page``."""
 
     pos = 0
     n = len(data)
@@ -1291,10 +1444,24 @@ def _walk_segments(
                 template=template, tpgron=tpgron,
             )
             page[ry : ry + rh, rx : rx + rw] = bits
-        elif seg_type in (16, 20, 22, 23, 40):
+        elif seg_type == 16:  # pattern dictionary
+            pat_dicts[num] = decode_pattern_dict(payload)
+        elif seg_type in (22, 23):  # immediate halftone region
+            pats: list[np.ndarray] = []
+            for r in refs:
+                pats.extend(pat_dicts.get(r, []))
+            bits, rx, ry = decode_halftone_region(payload, pats)
+            rh, rw = bits.shape
+            if page is None:
+                page = np.zeros((rh, rw), np.uint8)
+            ph, pw = page.shape
+            y1, x1 = min(ph, ry + rh), min(pw, rx + rw)
+            if y1 > ry and x1 > rx:
+                page[ry:y1, rx:x1] |= bits[: y1 - ry, : x1 - rx]
+        elif seg_type in (20, 40):
             raise UserError(
-                f"JBIG2: segment type {seg_type} (halftone/intermediate "
-                "refinement) unsupported."
+                f"JBIG2: segment type {seg_type} (intermediate "
+                "halftone/refinement region) unsupported."
             )
         # 49/50/51/62: end-of-page/stripe/file, extension — skip
     return page
@@ -1312,8 +1479,12 @@ def decode_jbig2_embedded(
     raster upstream, never wrong pixels)."""
 
     sym_dicts: dict[int, list[np.ndarray]] = {}
-    page = _walk_segments(globals_data, sym_dicts, None) if globals_data else None
-    page = _walk_segments(data, sym_dicts, page)
+    pat_dicts: dict[int, list[np.ndarray]] = {}
+    page = (
+        _walk_segments(globals_data, sym_dicts, pat_dicts, None)
+        if globals_data else None
+    )
+    page = _walk_segments(data, sym_dicts, pat_dicts, page)
     if page is None:
         raise UserError("JBIG2: no page in stream.")
     return page

@@ -1,9 +1,11 @@
 """JBIG2 (T.88) codec: MQ-coder stress round-trips, generic region
-round-trips (with and without TPGDON), symbol-dictionary + text-region
-round-trips (Annex A integer codecs, height classes, export runs,
-/JBIG2Globals split), embedded segment streams, the /JBIG2Decode
-XObject path, and graceful rejection of the unsupported
-Huffman/refinement/halftone subset."""
+round-trips (all four GB templates, nominal and arbitrary AT, with and
+without TPGDON, MMR), symbol-dictionary + text-region round-trips
+(Annex A integer codecs, height classes, export runs, /JBIG2Globals
+split), refinement regions (GR templates 0/1, TPGRON), halftone
+regions (pattern dictionaries, gray-coded bitplanes), embedded segment
+streams, the /JBIG2Decode XObject path, and graceful rejection of the
+unsupported Huffman/intermediate-region subset."""
 
 from __future__ import annotations
 
@@ -496,3 +498,78 @@ def test_non_nominal_at_roundtrip_through_walker():
         + _segment(2, 49, b"")
     )
     assert np.array_equal(decode_jbig2_embedded(stream), img)
+
+
+@pytest.mark.parametrize("levels", [2, 5, 17])
+def test_halftone_region_roundtrip(levels):
+    """Pattern dictionary + immediate halftone region (T.88 §6.6/§6.7):
+    the decoded page equals the numpy-stamped composition of the gray
+    grid, across 1/3/5-bitplane gray depths."""
+
+    import numpy as np
+
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        decode_jbig2_embedded,
+        encode_jbig2_halftone,
+    )
+
+    rng = np.random.default_rng(200 + levels)
+    gray = rng.integers(0, levels, (9, 13))
+    enc = encode_jbig2_halftone(gray)
+    out = decode_jbig2_embedded(enc)
+    # expected: 4x4 fills of increasing darkness, plainly tiled
+    cells = [(i, j) for i in range(4) for j in range(4)]
+    expected = np.zeros((9 * 4, 13 * 4), np.uint8)
+    for mg in range(9):
+        for ng in range(13):
+            for i, j in cells[: int(gray[mg, ng])]:
+                expected[mg * 4 + i, ng * 4 + j] = 1
+    assert np.array_equal(out, expected)
+
+
+def test_halftone_custom_patterns_and_templates():
+    import numpy as np
+
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        decode_jbig2_embedded,
+        encode_jbig2_halftone,
+    )
+
+    rng = np.random.default_rng(7)
+    pats = [
+        (rng.random((6, 6)) > 0.5).astype(np.uint8) for _ in range(4)
+    ]
+    gray = rng.integers(0, 4, (5, 7))
+    for t in (0, 1, 2, 3):
+        enc = encode_jbig2_halftone(gray, patterns=pats, template=t)
+        out = decode_jbig2_embedded(enc)
+        expected = np.zeros((5 * 6, 7 * 6), np.uint8)
+        for mg in range(5):
+            for ng in range(7):
+                expected[mg * 6 : mg * 6 + 6, ng * 6 : ng * 6 + 6] |= pats[
+                    int(gray[mg, ng])
+                ]
+        assert np.array_equal(out, expected), t
+
+
+def test_halftone_unsupported_corners_fail_closed():
+    import numpy as np
+
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        decode_jbig2_embedded,
+        encode_jbig2_halftone,
+    )
+
+    gray = np.array([[0, 1], [1, 0]])
+    enc = bytearray(encode_jbig2_halftone(gray))
+    # flip HENABLESKIP (bit 3) in the halftone flags byte: it sits
+    # right after the region-info OR byte of segment 2
+    at = bytes(enc).rfind(b"\x00\x00")  # tail of the 17-byte region info
+    # find the HT flags byte robustly: search for the struct prefix of
+    # segment 2's payload (rw=8, rh=8) then offset 17
+    import struct
+    marker = struct.pack(">IIII", 8, 8, 0, 0)
+    at = bytes(enc).rfind(marker)
+    enc[at + 17] |= 0x08
+    with pytest.raises(UserError, match="HENABLESKIP"):
+        decode_jbig2_embedded(bytes(enc))
