@@ -790,6 +790,9 @@ def decode_pattern_dict(payload: bytes) -> "list[np.ndarray]":
     (graymax,) = struct.unpack(">I", payload[3:7])
     if not hdpw or not hdph:
         raise UserError("JBIG2: zero pattern dimensions.")
+    if hdpw > 128:
+        # A1 = (-HDPW, 0) must fit a signed byte offset
+        raise UserError("JBIG2: pattern width exceeds the AT offset range.")
     n = graymax + 1
     big = decode_generic_at(
         payload[7:], n * hdpw, hdph, template, _pattern_dict_at(template, hdpw)
