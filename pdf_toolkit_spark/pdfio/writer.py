@@ -38,11 +38,14 @@ class PageSpec:
     #: image codec for this page's rasters: "flate" (lossless),
     #: "jpeg" (DCTDecode, baseline via pdfio/jpeg.py — what real
     #: scanned PDFs ship), "ccitt" (Group-4 fax via pdfio/ccitt.py),
-    #: "jbig2" (T.88 generic region via pdfio/jbig2.py), "jbig2s"
-    #: (T.88 symbol dictionary + text region with a /JBIG2Globals
-    #: stream), "jpx" (lossless JPEG 2000 via pdfio/jpx.py), or
-    #: "jpx97" (lossy 9/7 JPEG 2000, derived QCD); the 1-bit codecs
-    #: threshold gray rasters at >127
+    #: "ccittg3" (Group-3 K=2 mixed mode), "jbig2" (T.88 generic
+    #: region via pdfio/jbig2.py), "jbig2m" (MMR generic region),
+    #: "jbig2r" (lossy base + refinement region), "jbig2h" (halftone
+    #: pattern stamping, lossy), "jbig2s" (T.88 symbol dictionary +
+    #: text region with a /JBIG2Globals stream), "jpx" (lossless
+    #: JPEG 2000 via pdfio/jpx.py), "jpx97" (lossy 9/7 JPEG 2000,
+    #: derived QCD), or "jpxq" (lossy with per-component QCC
+    #: signalling); the 1-bit codecs threshold gray rasters at >127
     codec: str = "flate"
 
 
@@ -312,22 +315,64 @@ def _image_xobject(
             f"/Length {len(data)} >>\nstream\n"
         ).encode()
         return head + data + b"\nendstream"
-    if codec == "jbig2" and arr.ndim == 2:
+    if codec in ("jbig2", "jbig2m", "jbig2r") and arr.ndim == 2:
         from .jbig2 import encode_jbig2_embedded
 
-        data = encode_jbig2_embedded(
-            (arr <= 127).astype(np.uint8), tpgdon=True  # dark pixels = black
-        )
+        bits = (arr <= 127).astype(np.uint8)  # dark pixels = black
+        if codec == "jbig2m":
+            # MMR-coded generic region (T.88 §6.2.6 -> T.6)
+            data = encode_jbig2_embedded(bits, mmr=True)
+        elif codec == "jbig2r":
+            # lossy base + refine-to-lossless (§6.3, TPGRON on)
+            data = encode_jbig2_embedded(
+                bits, refine=True, gr_template=1, tpgron=True
+            )
+        else:
+            data = encode_jbig2_embedded(bits, tpgdon=True)
         head = (
             f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
             f"/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode "
             f"/Length {len(data)} >>\nstream\n"
         ).encode()
         return head + data + b"\nendstream"
-    if codec in ("jpx", "jpx97"):
+    if codec == "jbig2h" and arr.ndim == 2:
+        # halftoned scan: 4x4-block darkness grid -> pattern-stamped
+        # page (§6.6/§6.7). Lossy like jpx97; pads to a 4-multiple.
+        from .jbig2 import encode_jbig2_halftone
+
+        bits = (arr <= 127).astype(np.uint8)
+        ph = (-h) % 4
+        pw = (-w) % 4
+        if ph or pw:
+            bits = np.pad(bits, ((0, ph), (0, pw)))
+        gray = bits.reshape(bits.shape[0] // 4, 4, bits.shape[1] // 4, 4)
+        gray = gray.sum(axis=(1, 3))  # 0..16 darkness levels
+        data = encode_jbig2_halftone(gray)
+        hh, ww = bits.shape
+        head = (
+            f"<< /Type /XObject /Subtype /Image /Width {ww} /Height {hh} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode "
+            f"/Length {len(data)} >>\nstream\n"
+        ).encode()
+        return head + data + b"\nendstream"
+    if codec in ("jpx", "jpx97", "jpxq"):
         from .jpx import encode_jpx
 
-        if codec == "jpx97":
+        if codec == "jpxq":
+            # per-component quantization signalling (QCC): coarse
+            # chroma for RGB; grayscale has one component, so the
+            # fixture degrades to the plain expounded lossy shape
+            if arr.ndim == 3:
+                data = encode_jpx(
+                    np.ascontiguousarray(arr, dtype=np.uint8), levels=2,
+                    irreversible=True, qstep=1.0 / 32, chroma_qstep=1.0 / 8,
+                )
+            else:
+                data = encode_jpx(
+                    np.ascontiguousarray(arr, dtype=np.uint8), levels=2,
+                    irreversible=True, qstep=1.0 / 32,
+                )
+        elif codec == "jpx97":
             # lossy archival-scan profile: 9/7 irreversible wavelet
             # with a derived-style QCD (the common OpenJPEG default),
             # exercising the quantized decode path end-to-end

@@ -573,3 +573,52 @@ def test_halftone_unsupported_corners_fail_closed():
     enc[at + 17] |= 0x08
     with pytest.raises(UserError, match="HENABLESKIP"):
         decode_jbig2_embedded(bytes(enc))
+
+
+@pytest.mark.parametrize("codec", ["jbig2m", "jbig2r", "jbig2h"])
+def test_new_jbig2_writer_codecs_extract_end_to_end(codec):
+    """PDF fixtures carrying MMR / refinement / halftone JBIG2 streams
+    run the whole serial extraction pipeline; the lossless modes
+    reproduce the thresholded raster exactly."""
+
+    import numpy as np
+
+    from pdf_toolkit_spark.extract import extract_document
+    from pdf_toolkit_spark.pdfio.parser import PdfDocument
+    from pdf_toolkit_spark.pdfio.writer import PageSpec, write_pdf
+
+    rng = np.random.default_rng(77)
+    raster = np.full((120, 96), 235, np.uint8)
+    raster[20:90, 12:84] = np.where(
+        rng.random((70, 72)) > 0.6, 20, 235
+    ).astype(np.uint8)
+    pdf = write_pdf([PageSpec(raster=raster, codec=codec)])
+    assert b"JBIG2Decode" in pdf
+    gray = PdfDocument(pdf).load_page(0).scan
+    if codec != "jbig2h":  # halftone is lossy by design
+        assert np.array_equal(
+            gray, np.where(raster <= 127, 0, 255).astype(np.uint8)
+        )
+    else:
+        assert gray.shape == raster.shape
+        # the dark block must still register dark after halftoning
+        assert gray[20:90, 12:84].mean() < gray[:10].mean()
+    spans = extract_document(pdf)["spans"]
+    assert len(spans) > 0
+
+
+def test_jpxq_writer_codec_extracts_end_to_end():
+    import numpy as np
+
+    from pdf_toolkit_spark.extract import extract_document
+    from pdf_toolkit_spark.pdfio.parser import PdfDocument
+    from pdf_toolkit_spark.pdfio.writer import PageSpec, write_pdf
+
+    rng = np.random.default_rng(13)
+    raster = rng.integers(0, 256, (80, 64, 3), dtype=np.uint8)
+    pdf = write_pdf([PageSpec(raster=raster, codec="jpxq")])
+    assert b"JPXDecode" in pdf
+    out = PdfDocument(pdf).load_page(0).scan
+    assert out.shape == raster.shape
+    assert np.abs(out.astype(int) - raster.astype(int)).max() <= 16
+    assert len(extract_document(pdf)["spans"]) > 0
