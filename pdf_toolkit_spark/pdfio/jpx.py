@@ -15,15 +15,17 @@ overrides (T.800 A.6.5 — the luma/chroma split signalling production
 color encoders emit) — at 0-5 decomposition levels, Tier-2
 packet headers with tag trees and bit stuffing (Annex B), and the
 full Tier-1 EBCOT bitplane coder (Annex D: significance-propagation,
-magnitude-refinement and cleanup passes with the run-length shortcut)
+magnitude-refinement and cleanup passes with the run-length shortcut),
+and PPT packed packet headers (B.10.5: headers in tile-part-header
+segments, bodies in the bitstream — the error-resilience layout)
 driven by the MQ arithmetic coder shared with the JBIG2 codec
 (pdfio/jbig2.py — T.88 Annex E and T.800 Annex C publish the
 identical coder). Grayscale and RGB 8-bit (3 components with the
 reversible RCT or irreversible ICT of Annex G, or none); subsampled
 or precinct-partitioned streams, component-major progressions of
 multi-component streams, and semantic marker segments the decoder
-can't honour (COC/RGN/POC/PPM/PPT) raise UserError (missing
-raster upstream, never wrong pixels).
+can't honour (COC/RGN/POC/PPM, and tile-header coding overrides)
+raise UserError (missing raster upstream, never wrong pixels).
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (bit-exact on the
@@ -1170,6 +1172,7 @@ def encode_jpx(
     layers: int = 1,
     chroma_qstep: float | None = None,
     qcc: bool = False,
+    ppt: bool = False,
 ) -> bytes:
     """8-bit gray (H, W) or RGB (H, W, 3) -> JPEG 2000 codestream
     (one layer, 64x64 code-blocks, LRCP). Default is the lossless
@@ -1371,7 +1374,7 @@ def encode_jpx(
                                 contribs.append((blk, cut - prev, lo, hi))
                     if not contribs:
                         bw.put(0)  # empty packet: no tag-tree advance
-                        packets.append(bw.flush())
+                        packets.append((bw.flush(), b""))
                         continue
                     bw.put(1)
                     for orient, nb in bands:
@@ -1418,8 +1421,15 @@ def encode_jpx(
                                 bw.put(0)
                                 bw.put_bits(hi - lo, nbits)
                                 body += blk["seg"][lo:hi]
-                    packets.append(bw.flush() + bytes(body))
-        return b"".join(packets)
+                    packets.append((bw.flush(), bytes(body)))
+        if ppt:
+            # packed packet headers: headers and bodies separate (the
+            # caller hosts headers in the tile-part's PPT segment)
+            return (
+                b"".join(hd for hd, _ in packets),
+                b"".join(bo for _, bo in packets),
+            )
+        return b"".join(hd + bo for hd, bo in packets)
 
 
     # --- markers ---
@@ -1480,12 +1490,25 @@ def encode_jpx(
     for ti in range(ntx * nty):
         ty0 = (ti // ntx) * yt
         tx0 = (ti % ntx) * xt
-        data = _tile_stream(
+        ts = _tile_stream(
             img[ty0 : min(ty0 + yt, h), tx0 : min(tx0 + xt, w)]
         )
-        psot = 12 + 2 + len(data)  # SOT seg + SOD marker + data
-        out += b"\xff\x90" + struct.pack(">HHIBB", 10, ti, psot, 0, 1)
-        out += b"\xff\x93" + data
+        if ppt:
+            heads, bodies = ts
+            if len(heads) > 0xFFFF - 3:
+                raise UserError("JPX encoder: PPT segment too large.")
+            ppt_seg = (
+                b"\xff\x61" + struct.pack(">H", 3 + len(heads))
+                + b"\x00" + heads  # Zppt = 0: one PPT per tile-part
+            )
+            psot = 12 + len(ppt_seg) + 2 + len(bodies)
+            out += b"\xff\x90" + struct.pack(">HHIBB", 10, ti, psot, 0, 1)
+            out += ppt_seg
+            out += b"\xff\x93" + bodies
+        else:
+            psot = 12 + 2 + len(ts)  # SOT seg + SOD marker + data
+            out += b"\xff\x90" + struct.pack(">HHIBB", 10, ti, psot, 0, 1)
+            out += b"\xff\x93" + ts
     out += b"\xff\xd9"  # EOC
     return bytes(out)
 
@@ -1511,6 +1534,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     qcd_tbl: tuple | None = None
     qcc_tbl: dict[int, tuple] = {}
     tile_parts: dict[int, bytearray] = {}
+    tile_ppt: dict[int, bytearray] = {}
     while pos + 2 <= len(data):
         marker = data[pos : pos + 2]
         pos += 2
@@ -1579,10 +1603,30 @@ def decode_jpx(data: bytes) -> np.ndarray:
         elif marker == b"\xff\x90":  # SOT
             isot, psot, _tpsot, _tnsot = struct.unpack(">HIBB", seg[:8])
             pos += ln
-            if data[pos : pos + 2] != b"\xff\x93":
-                raise UserError("JPX: SOT not followed by SOD.")
+            # tile-part header segments before SOD: PPT collects packed
+            # packet headers (B.10.5, Zppt encounter order); PLT/COM
+            # are informational; coding/quant overrides fail closed
+            hdr_len = 0
+            while data[pos : pos + 2] != b"\xff\x93":
+                m2 = data[pos : pos + 2]
+                if pos + 4 > len(data):
+                    raise UserError("JPX: truncated tile-part header.")
+                (ln2,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+                if m2 == b"\xff\x61":  # PPT: skip Zppt index byte
+                    tile_ppt.setdefault(isot, bytearray()).extend(
+                        data[pos + 5 : pos + 2 + ln2]
+                    )
+                elif m2 in (b"\xff\x58", b"\xff\x64"):  # PLT / COM
+                    pass
+                else:
+                    raise UserError(
+                        f"JPX: unsupported tile-part header segment "
+                        f"0x{m2.hex()}."
+                    )
+                pos += 2 + ln2
+                hdr_len += 2 + ln2
             pos += 2
-            end = pos + (psot - 12 - 2) if psot else len(data) - 2
+            end = pos + (psot - 12 - hdr_len - 2) if psot else len(data) - 2
             # tile-parts concatenate in encounter (TPsot) order; for
             # the single-layer LRCP scope parts split at packet
             # boundaries, so the joined stream parses identically
@@ -1592,8 +1636,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
             b"\xff\x53",  # COC: per-component coding style override
             b"\xff\x5e",  # RGN: region-of-interest shift
             b"\xff\x5f",  # POC: progression order change
-            b"\xff\x60",  # PPM: packed packet headers (main)
-            b"\xff\x61",  # PPT: packed packet headers (tile)
+            b"\xff\x60",  # PPM: packed packet headers (main header)
         ):
             # semantic segments that change how packets decode: skipping
             # them would produce WRONG pixels — fail closed instead
@@ -1658,7 +1701,9 @@ def decode_jpx(data: bytes) -> np.ndarray:
             mb_of[(ci,) + key] = guard + eps - 1
             step_of[(ci,) + key] = _eps_mu_to_step(eps, mu, 8 + _GAIN[key[0]])
 
-    def _tile_pixels(tile_data: bytes, th: int, tw: int) -> np.ndarray:
+    def _tile_pixels(
+        tile_data: bytes, th: int, tw: int, ppt: "bytes | None" = None,
+    ) -> np.ndarray:
         """One tile's packets -> composed (th, tw[, 3]) pixel array
         (float, DC-shifted domain). Band extents use the origin-0
         formula, exact because tile origins are multiples of
@@ -1710,13 +1755,19 @@ def decode_jpx(data: bytes) -> np.ndarray:
                      for ci in range(ncomp) for l in range(layers)]
 
         pos = 0
+        # with PPT, packet headers read from the packed stream (each
+        # header byte-aligned, B.10.5) and tile_data carries bodies only
+        hbr = _BitReader(ppt, 0) if ppt is not None else None
         for layer, r, ci in order:
             bands = res_bands[r]
             for orient, nb in bands:
                 _ensure(ci, orient, nb)
-            br = _BitReader(tile_data, pos)
+            br = hbr if hbr is not None else _BitReader(tile_data, pos)
             if not br.get():  # empty packet: no tag-tree advance
-                pos = br.align()
+                if hbr is None:
+                    pos = br.align()
+                else:
+                    br.align()
                 continue
             contribs = []
             for orient, nb in bands:
@@ -1745,7 +1796,10 @@ def decode_jpx(data: bytes) -> np.ndarray:
                         nbits = blk["lblock"] + int(math.floor(math.log2(np_l)))
                         seg_len = br.get_bits(nbits)
                         contribs.append((blk, np_l, seg_len))
-            pos = br.align()
+            if hbr is None:
+                pos = br.align()
+            else:
+                br.align()
             for blk, np_l, seg_len in contribs:
                 blk["segs"] += tile_data[pos : pos + seg_len]
                 pos += seg_len
@@ -1799,7 +1853,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
         th = min(yt, h - ty0)
         tw = min(xt, w - tx0)
         out[ty0 : ty0 + th, tx0 : tx0 + tw] = _tile_pixels(
-            bytes(tile_parts[ti]), th, tw
+            bytes(tile_parts[ti]), th, tw,
+            ppt=bytes(tile_ppt[ti]) if ti in tile_ppt else None,
         )
     if not reversible:
         out = np.rint(out)

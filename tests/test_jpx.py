@@ -603,3 +603,45 @@ def test_qcc_validation_and_fail_closed():
     cs[at + 4] = 7  # Cqcc -> component 7 of 3
     with pytest.raises(UserError):
         decode_jpx(bytes(cs))
+
+
+def test_ppt_packed_headers_roundtrip():
+    """PPT (B.10.5): packet headers move to tile-part-header PPT
+    segments, bodies stay in the bitstream — bit-exact lossless and
+    bounded lossy round-trips, single- and multi-tile, multi-layer."""
+
+    g = RNG.integers(0, 256, (70, 90), dtype=np.uint8)
+    cs = encode_jpx(g, levels=2, ppt=True)
+    assert b"\xff\x61" in cs
+    assert np.array_equal(decode_jpx(cs), g)
+    # identical pixels to the inline-header stream, different layout
+    inline = encode_jpx(g, levels=2)
+    assert cs != inline
+    assert np.array_equal(decode_jpx(cs), decode_jpx(inline))
+    # multi-tile + multi-layer + lossy
+    rgb = RGB_RNG.integers(0, 256, (48, 80, 3), dtype=np.uint8)
+    cs2 = encode_jpx(rgb, levels=2, irreversible=True, qstep=1.0 / 64,
+                     tile_size=32, layers=3, ppt=True)
+    assert cs2.count(b"\xff\x61") >= 1
+    out = decode_jpx(cs2)
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 3
+
+
+def test_tile_header_overrides_fail_closed():
+    """A COD inside a tile-part header would change how that tile
+    decodes — fail closed, never wrong pixels."""
+
+    import struct
+
+    g = RNG.integers(0, 256, (20, 20), dtype=np.uint8)
+    cs = bytearray(encode_jpx(g, 1))
+    sot = bytes(cs).find(b"\xff\x90")
+    sod = bytes(cs).find(b"\xff\x93", sot)
+    fake_cod = b"\xff\x52" + struct.pack(">H", 4) + b"\x00\x00"
+    patched = bytes(cs[:sod]) + fake_cod + bytes(cs[sod:])
+    # fix Psot (offset 6 into the SOT segment body)
+    patched = bytearray(patched)
+    (psot,) = struct.unpack(">I", patched[sot + 6 : sot + 10])
+    patched[sot + 6 : sot + 10] = struct.pack(">I", psot + len(fake_cod))
+    with pytest.raises(UserError, match="tile-part header"):
+        decode_jpx(bytes(patched))
