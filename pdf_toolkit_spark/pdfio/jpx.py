@@ -16,15 +16,16 @@ color encoders emit) — at 0-5 decomposition levels, Tier-2
 packet headers with tag trees and bit stuffing (Annex B), and the
 full Tier-1 EBCOT bitplane coder (Annex D: significance-propagation,
 magnitude-refinement and cleanup passes with the run-length shortcut),
-and PPT packed packet headers (B.10.5: headers in tile-part-header
-segments, bodies in the bitstream — the error-resilience layout)
+and PPM/PPT packed packet headers (B.10.4/B.10.5: headers in the main
+or tile-part header, bodies in the bitstream — the error-resilience
+layout)
 driven by the MQ arithmetic coder shared with the JBIG2 codec
 (pdfio/jbig2.py — T.88 Annex E and T.800 Annex C publish the
 identical coder). Grayscale and RGB 8-bit (3 components with the
 reversible RCT or irreversible ICT of Annex G, or none); subsampled
 or precinct-partitioned streams, component-major progressions of
 multi-component streams, and semantic marker segments the decoder
-can't honour (COC/RGN/POC/PPM, and tile-header coding overrides)
+can't honour (COC/RGN/POC, and tile-header coding overrides)
 raise UserError (missing raster upstream, never wrong pixels).
 
 Both directions are implemented from the public spec; correctness
@@ -1173,6 +1174,7 @@ def encode_jpx(
     chroma_qstep: float | None = None,
     qcc: bool = False,
     ppt: bool = False,
+    ppm: bool = False,
 ) -> bytes:
     """8-bit gray (H, W) or RGB (H, W, 3) -> JPEG 2000 codestream
     (one layer, 64x64 code-blocks, LRCP). Default is the lossless
@@ -1422,9 +1424,9 @@ def encode_jpx(
                                 bw.put_bits(hi - lo, nbits)
                                 body += blk["seg"][lo:hi]
                     packets.append((bw.flush(), bytes(body)))
-        if ppt:
+        if ppt or ppm:
             # packed packet headers: headers and bodies separate (the
-            # caller hosts headers in the tile-part's PPT segment)
+            # caller hosts headers in a PPT or PPM segment)
             return (
                 b"".join(hd for hd, _ in packets),
                 b"".join(bo for _, bo in packets),
@@ -1487,13 +1489,33 @@ def encode_jpx(
             )
     ntx = -(-w // xt)
     nty = -(-h // yt)
+    if ppt and ppm:
+        raise UserError("JPX encoder: ppt and ppm are exclusive.")
+    tiles = []
     for ti in range(ntx * nty):
         ty0 = (ti // ntx) * yt
         tx0 = (ti % ntx) * xt
-        ts = _tile_stream(
+        tiles.append(_tile_stream(
             img[ty0 : min(ty0 + yt, h), tx0 : min(tx0 + xt, w)]
+        ))
+    if ppm:
+        # one main-header PPM segment: (Nppm, headers) per tile-part
+        ppm_data = bytearray()
+        for heads, _ in tiles:
+            ppm_data += struct.pack(">I", len(heads)) + heads
+        if len(ppm_data) > 0xFFFF - 3:
+            raise UserError("JPX encoder: PPM segment too large.")
+        out += (
+            b"\xff\x60" + struct.pack(">H", 3 + len(ppm_data))
+            + b"\x00" + bytes(ppm_data)  # Zppm = 0
         )
-        if ppt:
+    for ti, ts in enumerate(tiles):
+        if ppm:
+            _heads, bodies = ts
+            psot = 12 + 2 + len(bodies)
+            out += b"\xff\x90" + struct.pack(">HHIBB", 10, ti, psot, 0, 1)
+            out += b"\xff\x93" + bodies
+        elif ppt:
             heads, bodies = ts
             if len(heads) > 0xFFFF - 3:
                 raise UserError("JPX encoder: PPT segment too large.")
@@ -1535,6 +1557,9 @@ def decode_jpx(data: bytes) -> np.ndarray:
     qcc_tbl: dict[int, tuple] = {}
     tile_parts: dict[int, bytearray] = {}
     tile_ppt: dict[int, bytearray] = {}
+    ppm_buf = bytearray()
+    ppm_present = False
+    sot_order: list[int] = []
     while pos + 2 <= len(data):
         marker = data[pos : pos + 2]
         pos += 2
@@ -1600,8 +1625,13 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 raise UserError("JPX: QCC component index out of range.")
             qcc_tbl[seg[0]] = _parse_quant(seg[1:])
             pos += ln
+        elif marker == b"\xff\x60":  # PPM: packed headers (main header)
+            ppm_present = True
+            ppm_buf.extend(seg[1:])  # skip Zppm index byte
+            pos += ln
         elif marker == b"\xff\x90":  # SOT
             isot, psot, _tpsot, _tnsot = struct.unpack(">HIBB", seg[:8])
+            sot_order.append(isot)
             pos += ln
             # tile-part header segments before SOD: PPT collects packed
             # packet headers (B.10.5, Zppt encounter order); PLT/COM
@@ -1636,7 +1666,6 @@ def decode_jpx(data: bytes) -> np.ndarray:
             b"\xff\x53",  # COC: per-component coding style override
             b"\xff\x5e",  # RGN: region-of-interest shift
             b"\xff\x5f",  # POC: progression order change
-            b"\xff\x60",  # PPM: packed packet headers (main header)
         ):
             # semantic segments that change how packets decode: skipping
             # them would produce WRONG pixels — fail closed instead
@@ -1647,6 +1676,22 @@ def decode_jpx(data: bytes) -> np.ndarray:
             pos += ln  # COM/TLM/PLM/PLT/CRG: informational, skip
     if w is None or levels is None or not tile_parts:
         raise UserError("JPX: missing SIZ/COD/tile data.")
+    if ppm_present:
+        # PPM (B.10.4): (Nppm, headers) chunks, one per tile-part in
+        # codestream encounter order. A present-but-truncated PPM
+        # fails closed below (headers are NOT inline once PPM is set).
+        if tile_ppt:
+            raise UserError("JPX: both PPM and PPT present.")
+        p = 0
+        for isot in sot_order:
+            if p + 4 > len(ppm_buf):
+                raise UserError("JPX: truncated PPM data.")
+            (nppm,) = struct.unpack(">I", bytes(ppm_buf[p : p + 4]))
+            p += 4
+            tile_ppt.setdefault(isot, bytearray()).extend(
+                ppm_buf[p : p + nppm]
+            )
+            p += nppm
     if mct and ncomp != 3:
         raise UserError("JPX: component transform requires 3 components.")
     ntx = -(-w // xt)

@@ -645,3 +645,26 @@ def test_tile_header_overrides_fail_closed():
     patched[sot + 6 : sot + 10] = struct.pack(">I", psot + len(fake_cod))
     with pytest.raises(UserError, match="tile-part header"):
         decode_jpx(bytes(patched))
+
+
+def test_ppm_packed_headers_roundtrip():
+    """PPM (B.10.4): ALL packet headers move to one main-header
+    segment as (Nppm, headers) tile-part chunks — bit-exact lossless,
+    single- and multi-tile."""
+
+    g = RNG.integers(0, 256, (66, 81), dtype=np.uint8)
+    cs = encode_jpx(g, levels=2, ppm=True)
+    # the PPM segment sits in the MAIN header (before the first SOT);
+    # (\xff\x61 can legally occur inside MQ data, so only the header
+    # region is meaningful to scan)
+    assert 0 <= cs.find(b"\xff\x60") < cs.find(b"\xff\x90")
+    assert np.array_equal(decode_jpx(cs), g)
+    tiled = encode_jpx(
+        RNG.integers(0, 256, (80, 100), dtype=np.uint8), levels=2,
+        tile_size=64, ppm=True,
+    )
+    assert np.array_equal(decode_jpx(tiled), decode_jpx(
+        encode_jpx(decode_jpx(tiled), levels=2)
+    ))
+    with pytest.raises(UserError, match="exclusive"):
+        encode_jpx(g, 1, ppt=True, ppm=True)
