@@ -16,17 +16,20 @@ color encoders emit) — at 0-5 decomposition levels, Tier-2
 packet headers with tag trees and bit stuffing (Annex B), and the
 full Tier-1 EBCOT bitplane coder (Annex D: significance-propagation,
 magnitude-refinement and cleanup passes with the run-length shortcut),
-and PPM/PPT packed packet headers (B.10.4/B.10.5: headers in the main
+PPM/PPT packed packet headers (B.10.4/B.10.5: headers in the main
 or tile-part header, bodies in the bitstream — the error-resilience
-layout)
+layout), and RGN maxshift regions of interest (Annex H: ROI
+coefficients upshifted past every background magnitude, undone by the
+decoder's per-coefficient magnitude test)
 driven by the MQ arithmetic coder shared with the JBIG2 codec
 (pdfio/jbig2.py — T.88 Annex E and T.800 Annex C publish the
 identical coder). Grayscale and RGB 8-bit (3 components with the
 reversible RCT or irreversible ICT of Annex G, or none); subsampled
 or precinct-partitioned streams, component-major progressions of
 multi-component streams, and semantic marker segments the decoder
-can't honour (COC/RGN/POC, and tile-header coding overrides)
-raise UserError (missing raster upstream, never wrong pixels).
+can't honour (COC/POC, non-maxshift RGN styles, and tile-header
+coding overrides) raise UserError (missing raster upstream, never
+wrong pixels).
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (bit-exact on the
@@ -1175,6 +1178,7 @@ def encode_jpx(
     qcc: bool = False,
     ppt: bool = False,
     ppm: bool = False,
+    roi: bool = False,
 ) -> bytes:
     """8-bit gray (H, W) or RGB (H, W, 3) -> JPEG 2000 codestream
     (one layer, 64x64 code-blocks, LRCP). Default is the lossless
@@ -1216,6 +1220,11 @@ def encode_jpx(
     if qcc and gray:
         raise UserError("JPX encoder: qcc needs a 3-component image.")
     emit_qcc = qcc or chroma_qstep is not None
+    if roi and tile_size:
+        raise UserError("JPX encoder: roi requires a single tile.")
+    #: per-component maxshift values, filled by the tile coder and
+    #: signalled as main-header RGN segments
+    roi_s: dict[int, int] = {}
     mct = 0 if gray else 1
     ncomp = 1 if gray else 3
     if irreversible:
@@ -1293,6 +1302,36 @@ def encode_jpx(
             step = quant_of[(ci, orient, nb)][2]
             return (np.sign(arr) * np.floor(np.abs(arr) / step)).astype(np.int64)
 
+        # ROI maxshift (Annex H): materialize every band, pick s per
+        # component so 2^s exceeds every background magnitude, upshift
+        # the ROI (the upper-left image quadrant, mapped per band —
+        # the mask is an encoder choice, never signalled)
+        roi_arrays = None
+        if roi:
+            roi_arrays = {}
+            for bands_ in _resolution_bands(levels):
+                for ci_ in range(ncomp):
+                    for orient_, nb_ in bands_:
+                        roi_arrays[(ci_, orient_, nb_)] = band_array(
+                            ci_, orient_, nb_
+                        )
+            for ci_ in range(ncomp):
+                mx = 0
+                for (c2, _o, _n), a in roi_arrays.items():
+                    if c2 != ci_ or a.size == 0:
+                        continue
+                    m = np.ones(a.shape, bool)
+                    m[: (a.shape[0] + 1) // 2, : (a.shape[1] + 1) // 2] = False
+                    if m.any():
+                        mx = max(mx, int(np.abs(a[m]).max()))
+                s = int(mx).bit_length()
+                roi_s[ci_] = s
+                if s:
+                    for (c2, _o, _n), a in roi_arrays.items():
+                        if c2 == ci_ and a.size:
+                            a[: (a.shape[0] + 1) // 2,
+                              : (a.shape[1] + 1) // 2] <<= s
+
         # Tier-1 encode every code-block once, splitting the codeword
         # segment across quality layers at coding-pass watermarks
         # (passes spread evenly: layer l gets passes up to
@@ -1303,7 +1342,11 @@ def encode_jpx(
         for bands in _resolution_bands(levels):
             for ci in range(ncomp):
                 for orient, nb in bands:
-                    arr = band_array(ci, orient, nb)
+                    arr = (
+                        roi_arrays[(ci, orient, nb)]
+                        if roi_arrays is not None
+                        else band_array(ci, orient, nb)
+                    )
                     bh, bw_ = arr.shape
                     if bh == 0 or bw_ == 0:  # degenerate band: no blocks
                         band_state[(ci, orient, nb)] = {
@@ -1315,6 +1358,7 @@ def encode_jpx(
                         mb = _GUARD_BITS + quant_of[(ci, orient, nb)][0] - 1
                     else:
                         mb = _GUARD_BITS + (eps_base_of[ci] + _GAIN[orient]) - 1
+                    mb += roi_s.get(ci, 0)
                     coded = []
                     first_layer = np.full((ny, nx), layers, np.int64)
                     for bi, (y0, x0, ch, cw) in enumerate(blocks):
@@ -1498,6 +1542,12 @@ def encode_jpx(
         tiles.append(_tile_stream(
             img[ty0 : min(ty0 + yt, h), tx0 : min(tx0 + xt, w)]
         ))
+    if roi:
+        # RGN per component (Srgn=0 maxshift), in the main header
+        for ci_ in range(ncomp):
+            s = roi_s.get(ci_, 0)
+            if s:
+                out += b"\xff\x5e" + struct.pack(">H", 5) + bytes([ci_, 0, s])
     if ppm:
         # one main-header PPM segment: (Nppm, headers) per tile-part
         ppm_data = bytearray()
@@ -1560,6 +1610,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     ppm_buf = bytearray()
     ppm_present = False
     sot_order: list[int] = []
+    srgn_of: dict[int, int] = {}
     while pos + 2 <= len(data):
         marker = data[pos : pos + 2]
         pos += 2
@@ -1662,9 +1713,17 @@ def decode_jpx(data: bytes) -> np.ndarray:
             # boundaries, so the joined stream parses identically
             tile_parts.setdefault(isot, bytearray()).extend(data[pos:end])
             pos = end
+        elif marker == b"\xff\x5e":  # RGN: ROI shift (Annex H maxshift)
+            if ncomp is None:
+                raise UserError("JPX: RGN before SIZ.")
+            if seg[0] >= ncomp:
+                raise UserError("JPX: RGN component index out of range.")
+            if seg[1] != 0:
+                raise UserError("JPX: only the maxshift ROI style (Srgn=0).")
+            srgn_of[seg[0]] = seg[2]
+            pos += ln
         elif marker in (
             b"\xff\x53",  # COC: per-component coding style override
-            b"\xff\x5e",  # RGN: region-of-interest shift
             b"\xff\x5f",  # POC: progression order change
         ):
             # semantic segments that change how packets decode: skipping
@@ -1745,6 +1804,12 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 raise UserError("JPX: invalid derived QCD/QCC exponent.")
             mb_of[(ci,) + key] = guard + eps - 1
             step_of[(ci,) + key] = _eps_mu_to_step(eps, mu, 8 + _GAIN[key[0]])
+    # RGN maxshift (Annex H): ROI coefficients were scaled up by SPrgn
+    # at the encoder, so every band of that component carries SPrgn
+    # extra magnitude bitplanes
+    for ci, s in srgn_of.items():
+        for key in band_order:
+            mb_of[(ci,) + key] += s
 
     def _tile_pixels(
         tile_data: bytes, th: int, tw: int, ppt: "bytes | None" = None,
@@ -1863,6 +1928,12 @@ def decode_jpx(data: bytes) -> np.ndarray:
 
         def band(ci: int, orient: int, nb: int) -> np.ndarray:
             q = band_arrays[(ci, orient, nb)]
+            s = srgn_of.get(ci, 0)
+            if s:
+                # maxshift decision (H.2): magnitude >= 2^s means ROI —
+                # undo the encoder's upshift; backgrounds pass through
+                mag = np.abs(q)
+                q = np.where(mag >= (1 << s), np.sign(q) * (mag >> s), q)
             if reversible:
                 return q
             # Annex E dequantization with the midpoint reconstruction

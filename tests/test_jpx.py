@@ -448,10 +448,10 @@ def test_semantic_marker_segments_fail_closed():
     sot = base.find(b"\xff\x90")
     for marker, body in [
         (b"\xff\x53", b"\x00\x01\x00"),          # COC
-        (b"\xff\x5d", b"\x00\x40"),              # QCC
-        (b"\xff\x5e", b"\x00\x00\x00"),          # RGN
+        (b"\xff\x5d", b"\x00\x40"),              # QCC: truncated exps
+        (b"\xff\x5e", b"\x00\x01\x00"),          # RGN: non-maxshift style
         (b"\xff\x5f", b"\x00\x00\x00\x00\x00\x00\x00"),  # POC
-        (b"\xff\x60", b"\x00"),                  # PPM
+        (b"\xff\x60", b"\x00"),                  # PPM: empty/truncated
     ]:
         seg = marker + struct.pack(">H", 2 + len(body)) + body
         with pytest.raises(UserError):
@@ -668,3 +668,37 @@ def test_ppm_packed_headers_roundtrip():
     ))
     with pytest.raises(UserError, match="exclusive"):
         encode_jpx(g, 1, ppt=True, ppm=True)
+
+
+def test_rgn_maxshift_roi_roundtrip():
+    """RGN maxshift ROI (Annex H): the encoder upshifts ROI
+    coefficients (upper-left quadrant) by s with 2^s above every
+    background magnitude; the decoder's magnitude test undoes it —
+    bit-exact on the reversible path, bounded on 9/7, RGB included."""
+
+    g = RNG.integers(0, 256, (64, 72), dtype=np.uint8)
+    cs = encode_jpx(g, levels=2, roi=True)
+    assert b"\xff\x5e" in cs[: cs.find(b"\xff\x90")]
+    assert np.array_equal(decode_jpx(cs), g)
+    rgb = RGB_RNG.integers(0, 256, (40, 52, 3), dtype=np.uint8)
+    cs_rgb = encode_jpx(rgb, levels=1, roi=True)
+    assert np.array_equal(decode_jpx(cs_rgb), rgb)
+    lossy = encode_jpx(g, levels=2, irreversible=True, qstep=1.0 / 64,
+                       roi=True)
+    out = decode_jpx(lossy)
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 2
+
+
+def test_rgn_unsupported_style_fails_closed():
+    import struct
+
+    g = RNG.integers(0, 256, (20, 20), dtype=np.uint8)
+    cs = bytearray(encode_jpx(g, 1, roi=True))
+    at = bytes(cs).find(b"\xff\x5e")
+    assert at > 0
+    cs[at + 5] = 1  # Srgn -> non-maxshift style
+    with pytest.raises(UserError, match="maxshift"):
+        decode_jpx(bytes(cs))
+    with pytest.raises(UserError, match="single tile"):
+        encode_jpx(RNG.integers(0, 256, (80, 80), dtype=np.uint8),
+                   1, roi=True, tile_size=64)
