@@ -4,9 +4,12 @@ Scope (the scan subset a PDF /JPXDecode consumer meets): raw
 codestreams (and JP2 boxed files, unwrapped to the ``jp2c`` box) with
 single- OR multi-tile grids at the origin (tile dims a multiple of
 2^levels, the production 256/512/1024 shapes; tile-parts concatenate
-per tile), one or many quality layers (LRCP/RLCP/RPCL progressions;
+per tile), one or many quality layers (all five Annex B.12 progression orders
+LRCP/RLCP/RPCL/PCRL/CPRL — with whole-subband precincts the
+position/component-major pair reduces to (c,r,l) packet order;
 per-block inclusion, Lblock and segment state persist across layers),
-whole-subband precincts, BOTH wavelet paths — the
+whole-subband precincts, code-blocks at any legal geometry (square or
+rectangular, exponents 2..10 with xcb+ycb <= 12), BOTH wavelet paths — the
 reversible 5/3 (Annex F lifting, no-quantization QCD) and the
 irreversible 9/7 (Annex F.4 float lifting, Annex E scalar
 quantization, derived and expounded QCD styles — the path real-world
@@ -25,11 +28,10 @@ driven by the MQ arithmetic coder shared with the JBIG2 codec
 (pdfio/jbig2.py — T.88 Annex E and T.800 Annex C publish the
 identical coder). Grayscale and RGB 8-bit (3 components with the
 reversible RCT or irreversible ICT of Annex G, or none); subsampled
-or precinct-partitioned streams, component-major progressions of
-multi-component streams, and semantic marker segments the decoder
-can't honour (COC/POC, non-maxshift RGN styles, and tile-header
-coding overrides) raise UserError (missing raster upstream, never
-wrong pixels).
+or precinct-partitioned streams and semantic marker segments the
+decoder can't honour (COC/POC, non-maxshift RGN styles, and
+tile-header coding overrides) raise UserError (missing raster
+upstream, never wrong pixels).
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (bit-exact on the
@@ -73,7 +75,7 @@ _LL, _HL, _LH, _HH = 0, 1, 2, 3
 _GAIN = {_LL: 0, _HL: 1, _LH: 1, _HH: 2}
 
 _GUARD_BITS = 2
-_CB_EXP = 6  # 64x64 code-blocks
+_CB_EXP = 6  # default 64x64 code-blocks
 
 
 def _zc_ctx(orient: int, h: int, v: int, d: int) -> int:
@@ -1136,17 +1138,20 @@ def _resolution_bands(levels: int):
     return out
 
 
-def _blocks_of(bh: int, bw_: int):
-    """Code-block grid (raster order) of a band anchored at 0."""
+def _blocks_of(bh: int, bw_: int, xcb: int = _CB_EXP, ycb: int = _CB_EXP):
+    """Code-block grid (raster order) of a band anchored at 0.
 
-    cb = 1 << _CB_EXP
-    nx = (bw_ + cb - 1) // cb
-    ny = (bh + cb - 1) // cb
+    ``xcb``/``ycb`` are the code-block width/height exponents (T.800
+    A.6.1 signals them as xcb-2/ycb-2; rectangular blocks are legal)."""
+
+    cw_, ch_ = 1 << xcb, 1 << ycb
+    nx = (bw_ + cw_ - 1) // cw_
+    ny = (bh + ch_ - 1) // ch_
     out = []
     for by in range(ny):
         for bx in range(nx):
-            y0, x0 = by * cb, bx * cb
-            out.append((y0, x0, min(cb, bh - y0), min(cb, bw_ - x0)))
+            y0, x0 = by * ch_, bx * cw_
+            out.append((y0, x0, min(ch_, bh - y0), min(cw_, bw_ - x0)))
     return nx, ny, out
 
 
@@ -1179,10 +1184,14 @@ def encode_jpx(
     ppt: bool = False,
     ppm: bool = False,
     roi: bool = False,
+    cb_exp: "int | tuple[int, int]" = _CB_EXP,
+    prog: str = "lrcp",
 ) -> bytes:
-    """8-bit gray (H, W) or RGB (H, W, 3) -> JPEG 2000 codestream
-    (one layer, 64x64 code-blocks, LRCP). Default is the lossless
-    path (5/3 reversible, RCT for RGB, no quantization);
+    """8-bit gray (H, W) or RGB (H, W, 3) -> JPEG 2000 codestream.
+    Defaults: one layer, 64x64 code-blocks (``cb_exp`` sets other
+    T.800-legal geometries, int or (xcb, ycb)), LRCP packet order
+    (``prog`` picks any of the five B.12 progressions). Default is
+    the lossless path (5/3 reversible, RCT for RGB, no quantization);
     ``irreversible=True`` emits the lossy 9/7 path (ICT for RGB,
     scalar-expounded QCD with a uniform base step ``qstep`` — Annex E
     deadzone quantizer, reconstruction bounded by the step size).
@@ -1213,6 +1222,15 @@ def encode_jpx(
         raise UserError("JPX encoder: tile_size must be a multiple of 2^levels.")
     if not (1 <= layers <= 255):
         raise UserError("JPX encoder: 1-255 quality layers.")
+    xcb, ycb = (cb_exp, cb_exp) if isinstance(cb_exp, int) else cb_exp
+    if not (2 <= xcb <= 10 and 2 <= ycb <= 10 and xcb + ycb <= 12):
+        raise UserError(
+            "JPX encoder: code-block exponents in 2..10, xcb+ycb <= 12."
+        )
+    _PROGS = {"lrcp": 0, "rlcp": 1, "rpcl": 2, "pcrl": 3, "cprl": 4}
+    if prog not in _PROGS:
+        raise UserError("JPX encoder: prog lrcp|rlcp|rpcl|pcrl|cprl.")
+    prog_code = _PROGS[prog]
     xt = yt = tile_size if tile_size else max(w, h)
     gray = img.ndim == 2
     if chroma_qstep is not None and (gray or not irreversible):
@@ -1353,7 +1371,7 @@ def encode_jpx(
                             "nx": 0, "ny": 0, "coded": [],
                         }
                         continue
-                    nx, ny, blocks = _blocks_of(bh, bw_)
+                    nx, ny, blocks = _blocks_of(bh, bw_, xcb, ycb)
                     if irreversible:
                         mb = _GUARD_BITS + quant_of[(ci, orient, nb)][0] - 1
                     else:
@@ -1399,75 +1417,87 @@ def encode_jpx(
                     }
 
         packets = []
-        for layer in range(layers):
-            for bands in _resolution_bands(levels):
-                for ci in range(ncomp):
-                    bw = _BitWriter()
-                    body = bytearray()
-                    contribs = []  # (block, np_l, lo, hi)
-                    for orient, nb in bands:
-                        st = band_state[(ci, orient, nb)]
-                        for blk in st["coded"]:
-                            if not blk["numbps"]:
-                                continue
-                            prev = blk["cuts"][layer - 1] if layer else 0
-                            cut = blk["cuts"][layer]
-                            if cut > prev:
-                                lo = blk["wm"][prev - 1] if prev else 0
-                                hi = (blk["wm"][cut - 1]
-                                      if cut < blk["npasses"]
-                                      else len(blk["seg"]))
-                                contribs.append((blk, cut - prev, lo, hi))
-                    if not contribs:
-                        bw.put(0)  # empty packet: no tag-tree advance
-                        packets.append((bw.flush(), b""))
+        res_list = _resolution_bands(levels)
+        if prog_code == 0:  # LRCP
+            pkt_order = [(l, r, c) for l in range(layers)
+                         for r in range(len(res_list)) for c in range(ncomp)]
+        elif prog_code == 1:  # RLCP
+            pkt_order = [(l, r, c) for r in range(len(res_list))
+                         for l in range(layers) for c in range(ncomp)]
+        elif prog_code == 2:  # RPCL
+            pkt_order = [(l, r, c) for r in range(len(res_list))
+                         for c in range(ncomp) for l in range(layers)]
+        else:  # PCRL/CPRL: one precinct position -> (c,r,l)
+            pkt_order = [(l, r, c) for c in range(ncomp)
+                         for r in range(len(res_list)) for l in range(layers)]
+        for layer, _ri, ci in pkt_order:
+            bands = res_list[_ri]
+            bw = _BitWriter()
+            body = bytearray()
+            contribs = []  # (block, np_l, lo, hi)
+            for orient, nb in bands:
+                st = band_state[(ci, orient, nb)]
+                for blk in st["coded"]:
+                    if not blk["numbps"]:
                         continue
-                    bw.put(1)
-                    for orient, nb in bands:
-                        st = band_state[(ci, orient, nb)]
-                        nx, ny, coded = st["nx"], st["ny"], st["coded"]
-                        if not coded:
-                            continue
-                        for yy in range(ny):
-                            for xx in range(nx):
-                                blk = coded[yy * nx + xx]
-                                prev = blk["cuts"][layer - 1] if layer else 0
-                                cut = blk["cuts"][layer]
-                                np_l = cut - prev
-                                if not blk["included"]:
-                                    st["incl"].encode(bw, xx, yy, layer + 1)
-                                    if not blk["numbps"] or np_l == 0:
-                                        continue
-                                    # first inclusion: zero-bitplane
-                                    # tag tree, coded to full depth
-                                    t = 1
-                                    while True:
-                                        st["zbp"].encode(bw, xx, yy, t)
-                                        if st["mb"] - blk["numbps"] < t:
-                                            break
-                                        t += 1
-                                    blk["included"] = True
-                                else:
-                                    bw.put(1 if np_l else 0)
-                                    if np_l == 0:
-                                        continue
-                                lo = blk["wm"][prev - 1] if prev else 0
-                                hi = (blk["wm"][cut - 1]
-                                      if cut < blk["npasses"]
-                                      else len(blk["seg"]))
-                                _encode_npasses(bw, np_l)
-                                nbits = blk["lblock"] + int(
-                                    math.floor(math.log2(np_l))
-                                )
-                                need = max(1, hi - lo).bit_length()
-                                while need > nbits:
-                                    bw.put(1)
-                                    blk["lblock"] += 1
-                                    nbits += 1
-                                bw.put(0)
-                                bw.put_bits(hi - lo, nbits)
-                                body += blk["seg"][lo:hi]
-                    packets.append((bw.flush(), bytes(body)))
+                    prev = blk["cuts"][layer - 1] if layer else 0
+                    cut = blk["cuts"][layer]
+                    if cut > prev:
+                        lo = blk["wm"][prev - 1] if prev else 0
+                        hi = (blk["wm"][cut - 1]
+                              if cut < blk["npasses"]
+                              else len(blk["seg"]))
+                        contribs.append((blk, cut - prev, lo, hi))
+            if not contribs:
+                bw.put(0)  # empty packet: no tag-tree advance
+                packets.append((bw.flush(), b""))
+                continue
+            bw.put(1)
+            for orient, nb in bands:
+                st = band_state[(ci, orient, nb)]
+                nx, ny, coded = st["nx"], st["ny"], st["coded"]
+                if not coded:
+                    continue
+                for yy in range(ny):
+                    for xx in range(nx):
+                        blk = coded[yy * nx + xx]
+                        prev = blk["cuts"][layer - 1] if layer else 0
+                        cut = blk["cuts"][layer]
+                        np_l = cut - prev
+                        if not blk["included"]:
+                            st["incl"].encode(bw, xx, yy, layer + 1)
+                            if not blk["numbps"] or np_l == 0:
+                                continue
+                            # first inclusion: zero-bitplane
+                            # tag tree, coded to full depth
+                            t = 1
+                            while True:
+                                st["zbp"].encode(bw, xx, yy, t)
+                                if st["mb"] - blk["numbps"] < t:
+                                    break
+                                t += 1
+                            blk["included"] = True
+                        else:
+                            bw.put(1 if np_l else 0)
+                            if np_l == 0:
+                                continue
+                        lo = blk["wm"][prev - 1] if prev else 0
+                        hi = (blk["wm"][cut - 1]
+                              if cut < blk["npasses"]
+                              else len(blk["seg"]))
+                        _encode_npasses(bw, np_l)
+                        nbits = blk["lblock"] + int(
+                            math.floor(math.log2(np_l))
+                        )
+                        need = max(1, hi - lo).bit_length()
+                        while need > nbits:
+                            bw.put(1)
+                            blk["lblock"] += 1
+                            nbits += 1
+                        bw.put(0)
+                        bw.put_bits(hi - lo, nbits)
+                        body += blk["seg"][lo:hi]
+            packets.append((bw.flush(), bytes(body)))
         if ppt or ppm:
             # packed packet headers: headers and bodies separate (the
             # caller hosts headers in a PPT or PPM segment)
@@ -1486,9 +1516,9 @@ def encode_jpx(
         38 + 3 * ncomp, 0, w, h, 0, 0, xt, yt, 0, 0, ncomp,
     ) + bytes([7, 1, 1] * ncomp)
     out += b"\xff\x51" + siz
-    spcod = bytes([levels, _CB_EXP - 2, _CB_EXP - 2, 0,
+    spcod = bytes([levels, xcb - 2, ycb - 2, 0,
                    0 if irreversible else 1])
-    cod = struct.pack(">HBBHB", 12, 0, 0, layers, mct) + spcod
+    cod = struct.pack(">HBBHB", 12, 0, prog_code, layers, mct) + spcod
     out += b"\xff\x52" + cod
     n_sub = 3 * levels + 1
     order = [( _LL, levels if levels else 0 )]
@@ -1601,6 +1631,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     xt = yt = None
     ncomp = None
     levels = None
+    xcb = ycb = _CB_EXP
     mct = 0
     reversible = True
     qcd_tbl: tuple | None = None
@@ -1645,20 +1676,21 @@ def decode_jpx(data: bytes) -> np.ndarray:
             prog, layers, mct = seg[1], struct.unpack(">H", seg[2:4])[0], seg[4]
             if not layers:
                 raise UserError("JPX: zero quality layers.")
-            # LRCP(0) iterates layer-major; RLCP(1)/RPCL(2) iterate
-            # resolution-major — with whole-band precincts those two
-            # coincide. PCRL(3)/CPRL(4) are component-major: a
-            # multi-component stream would misassign packets, so fail
-            # closed (single-component streams coincide again).
-            if prog > 4 or (prog >= 3 and ncomp != 1):
+            # T.800 B.12 progression orders: LRCP(0) layer-major,
+            # RLCP(1) (r,l,c), RPCL(2) (r,c,l); PCRL(3)/CPRL(4) are
+            # position/component-major — with whole-band precincts
+            # every precinct sits at position 0, so both collapse to
+            # (c,r,l) packet order.
+            if prog > 4:
                 raise UserError("JPX: unsupported progression order.")
             if mct not in (0, 1):
                 raise UserError("JPX: unknown component transform.")
             levels = seg[5]
             if levels > 5:
                 raise UserError("JPX: more than 5 decomposition levels.")
-            if seg[6] + 2 != _CB_EXP or seg[7] + 2 != _CB_EXP:
-                raise UserError("JPX: only 64x64 code-blocks.")
+            xcb, ycb = seg[6] + 2, seg[7] + 2
+            if not (2 <= xcb <= 10 and 2 <= ycb <= 10 and xcb + ycb <= 12):
+                raise UserError("JPX: code-block exponents out of range.")
             if seg[8] != 0:
                 raise UserError("JPX: code-block style modes unsupported.")
             if seg[9] not in (0, 1):
@@ -1837,7 +1869,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
             if bh == 0 or bw_ == 0:
                 st = {"nx": 0, "ny": 0, "blocks": [], "blk": []}
             else:
-                nx, ny, blocks = _blocks_of(bh, bw_)
+                nx, ny, blocks = _blocks_of(bh, bw_, xcb, ycb)
                 st = {
                     "nx": nx, "ny": ny, "blocks": blocks,
                     "incl": _TagTree(nx, ny), "zbp": _TagTree(nx, ny),
@@ -1852,17 +1884,21 @@ def decode_jpx(data: bytes) -> np.ndarray:
             return st
 
         # packet visit order by progression (whole-band precincts):
-        # LRCP layer-major; RLCP (r,l,c); RPCL (r,c,l); PCRL/CPRL only
-        # reach here single-component, where they reduce to (r,l)
+        # LRCP layer-major; RLCP (r,l,c); RPCL (r,c,l); PCRL/CPRL
+        # position/component-major — one precinct position, so both
+        # reduce to (c,r,l)
         if prog == 0:
             order = [(l, r, ci) for l in range(layers)
                      for r in range(len(res_bands)) for ci in range(ncomp)]
         elif prog == 1:
             order = [(l, r, ci) for r in range(len(res_bands))
                      for l in range(layers) for ci in range(ncomp)]
-        else:
+        elif prog == 2:
             order = [(l, r, ci) for r in range(len(res_bands))
                      for ci in range(ncomp) for l in range(layers)]
+        else:  # PCRL(3)/CPRL(4)
+            order = [(l, r, ci) for ci in range(ncomp)
+                     for r in range(len(res_bands)) for l in range(layers)]
 
         pos = 0
         # with PPT, packet headers read from the packed stream (each

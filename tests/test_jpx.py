@@ -502,9 +502,9 @@ def test_multilayer_late_first_inclusion():
 
 
 def test_progression_orders():
-    """Single-layer streams decode identically under LRCP/RLCP/RPCL
-    (and PCRL/CPRL for single-component); component-major progressions
-    of multi-component streams fail closed."""
+    """Single-component single-layer streams decode identically under
+    all five progressions (packet order coincides, so the SGcod byte
+    can be flipped in place); unknown progression codes fail closed."""
 
     g = RNG.integers(0, 256, (30, 40), dtype=np.uint8)
     enc = bytearray(encode_jpx(g, 2))
@@ -515,10 +515,60 @@ def test_progression_orders():
         assert np.array_equal(decode_jpx(bytes(enc)), g), prog
     rgb = bytearray(encode_jpx(RNG.integers(0, 256, (20, 20, 3), dtype=np.uint8), 1))
     c = bytes(rgb).find(b"\xff\x52")
-    for prog in (3, 4, 5):
-        rgb[c + 5] = prog
+    rgb[c + 5] = 5
+    with pytest.raises(UserError):
+        decode_jpx(bytes(rgb))
+
+
+def test_component_major_progressions_multicomponent():
+    """PCRL/CPRL multi-component: the encoder interleaves packets
+    component-major ((c,r,l) with whole-band precincts) and the
+    decoder reassigns them; multi-layer so packet ORDER, not just
+    count, differs from LRCP."""
+
+    rgb = RNG.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    base = encode_jpx(rgb, 2, layers=3)
+    for prog in ("pcrl", "cprl"):
+        enc = encode_jpx(rgb, 2, layers=3, prog=prog)
+        assert enc != base  # genuinely different packet order
+        assert np.array_equal(decode_jpx(enc), rgb), prog
+    # lossy + tiled + component-major together
+    enc = encode_jpx(
+        rgb[:32, :32], 2, irreversible=True, layers=2, prog="cprl",
+        tile_size=16,
+    )
+    out = decode_jpx(enc)
+    assert np.abs(out.astype(int) - rgb[:32, :32].astype(int)).max() <= 8
+
+
+@pytest.mark.parametrize("cb", [4, (4, 6), (8, 4), 2])
+def test_code_block_sizes_roundtrip(cb):
+    """Non-default (incl. rectangular) code-block sizes round-trip
+    bit-exact; the COD SPcod bytes signal xcb-2/ycb-2."""
+
+    g = RNG.integers(0, 256, (61, 83), dtype=np.uint8)
+    rgb = RNG.integers(0, 256, (44, 52, 3), dtype=np.uint8)
+    for src in (g, rgb):
+        enc = encode_jpx(src, 3, cb_exp=cb)
+        xcb, ycb = (cb, cb) if isinstance(cb, int) else cb
+        cod_at = enc.find(b"\xff\x52")
+        assert enc[cod_at + 10] == xcb - 2 and enc[cod_at + 11] == ycb - 2
+        assert np.array_equal(decode_jpx(enc), src)
+
+
+def test_code_block_size_validation():
+    """Out-of-range code-block exponents fail closed on both sides
+    (T.800 A.6.1: each in 2..10, xcb+ycb <= 12)."""
+
+    g = RNG.integers(0, 256, (16, 16), dtype=np.uint8)
+    for bad in (1, 11, (8, 8), (10, 4)):
         with pytest.raises(UserError):
-            decode_jpx(bytes(rgb))
+            encode_jpx(g, 1, cb_exp=bad)
+    enc = bytearray(encode_jpx(g, 1))
+    cod_at = bytes(enc).find(b"\xff\x52")
+    enc[cod_at + 10] = 9  # xcb=11 with ycb=6: sum > 12 and xcb > 10
+    with pytest.raises(UserError):
+        decode_jpx(bytes(enc))
 
 
 def test_mq_watermarks_are_safe_split_points():
