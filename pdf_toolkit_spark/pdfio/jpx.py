@@ -9,7 +9,8 @@ LRCP/RLCP/RPCL/PCRL/CPRL — with whole-subband precincts the
 position/component-major pair reduces to (c,r,l) packet order;
 per-block inclusion, Lblock and segment state persist across layers),
 whole-subband precincts, code-blocks at any legal geometry (square or
-rectangular, exponents 2..10 with xcb+ycb <= 12), BOTH wavelet paths — the
+rectangular, exponents 2..10 with xcb+ycb <= 12, per-component COC
+geometry overrides per A.6.2), BOTH wavelet paths — the
 reversible 5/3 (Annex F lifting, no-quantization QCD) and the
 irreversible 9/7 (Annex F.4 float lifting, Annex E scalar
 quantization, derived and expounded QCD styles — the path real-world
@@ -29,9 +30,9 @@ driven by the MQ arithmetic coder shared with the JBIG2 codec
 identical coder). Grayscale and RGB 8-bit (3 components with the
 reversible RCT or irreversible ICT of Annex G, or none); subsampled
 or precinct-partitioned streams and semantic marker segments the
-decoder can't honour (COC/POC, non-maxshift RGN styles, and
-tile-header coding overrides) raise UserError (missing raster
-upstream, never wrong pixels).
+decoder can't honour (POC, COC overrides beyond code-block geometry,
+non-maxshift RGN styles, and tile-header coding overrides) raise
+UserError (missing raster upstream, never wrong pixels).
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (bit-exact on the
@@ -1186,10 +1187,12 @@ def encode_jpx(
     roi: bool = False,
     cb_exp: "int | tuple[int, int]" = _CB_EXP,
     prog: str = "lrcp",
+    coc_cb: "dict[int, int | tuple[int, int]] | None" = None,
 ) -> bytes:
     """8-bit gray (H, W) or RGB (H, W, 3) -> JPEG 2000 codestream.
     Defaults: one layer, 64x64 code-blocks (``cb_exp`` sets other
-    T.800-legal geometries, int or (xcb, ycb)), LRCP packet order
+    T.800-legal geometries, int or (xcb, ycb); ``coc_cb`` overrides
+    per component via COC marker segments), LRCP packet order
     (``prog`` picks any of the five B.12 progressions). Default is
     the lossless path (5/3 reversible, RCT for RGB, no quantization);
     ``irreversible=True`` emits the lossy 9/7 path (ICT for RGB,
@@ -1231,6 +1234,17 @@ def encode_jpx(
     if prog not in _PROGS:
         raise UserError("JPX encoder: prog lrcp|rlcp|rpcl|pcrl|cprl.")
     prog_code = _PROGS[prog]
+    ncomp_early = 1 if img.ndim == 2 else 3
+    cb_of = {ci: (xcb, ycb) for ci in range(ncomp_early)}
+    for ci, ov in (coc_cb or {}).items():
+        if not (0 <= ci < ncomp_early):
+            raise UserError("JPX encoder: coc_cb component out of range.")
+        xo, yo = (ov, ov) if isinstance(ov, int) else ov
+        if not (2 <= xo <= 10 and 2 <= yo <= 10 and xo + yo <= 12):
+            raise UserError(
+                "JPX encoder: coc_cb exponents in 2..10, sum <= 12."
+            )
+        cb_of[ci] = (xo, yo)
     xt = yt = tile_size if tile_size else max(w, h)
     gray = img.ndim == 2
     if chroma_qstep is not None and (gray or not irreversible):
@@ -1371,7 +1385,7 @@ def encode_jpx(
                             "nx": 0, "ny": 0, "coded": [],
                         }
                         continue
-                    nx, ny, blocks = _blocks_of(bh, bw_, xcb, ycb)
+                    nx, ny, blocks = _blocks_of(bh, bw_, *cb_of[ci])
                     if irreversible:
                         mb = _GUARD_BITS + quant_of[(ci, orient, nb)][0] - 1
                     else:
@@ -1520,6 +1534,13 @@ def encode_jpx(
                    0 if irreversible else 1])
     cod = struct.pack(">HBBHB", 12, 0, prog_code, layers, mct) + spcod
     out += b"\xff\x52" + cod
+    for ci in sorted(coc_cb or {}):
+        # COC (A.6.2): Ccoc 1 byte (Csiz < 257), Scoc=0 (no
+        # precincts), SPcoc mirrors SPcod with the overridden geometry
+        xo, yo = cb_of[ci]
+        out += b"\xff\x53" + struct.pack(">HBB", 9, ci, 0) + bytes(
+            [levels, xo - 2, yo - 2, 0, 0 if irreversible else 1]
+        )
     n_sub = 3 * levels + 1
     order = [( _LL, levels if levels else 0 )]
     for r in range(1, levels + 1):
@@ -1642,6 +1663,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     ppm_present = False
     sot_order: list[int] = []
     srgn_of: dict[int, int] = {}
+    coc_raw: dict[int, bytes] = {}
     while pos + 2 <= len(data):
         marker = data[pos : pos + 2]
         pos += 2
@@ -1696,6 +1718,15 @@ def decode_jpx(data: bytes) -> np.ndarray:
             if seg[9] not in (0, 1):
                 raise UserError("JPX: unknown wavelet transform.")
             reversible = seg[9] == 1
+            pos += ln
+        elif marker == b"\xff\x53":  # COC: per-component coding style
+            if ncomp is None:
+                raise UserError("JPX: COC before SIZ.")
+            if seg[0] >= ncomp:
+                raise UserError("JPX: COC component index out of range.")
+            # deferred validation against COD (main-header marker
+            # segments may arrive in any order after SIZ)
+            coc_raw[seg[0]] = seg[1:]
             pos += ln
         elif marker == b"\xff\x5c":  # QCD
             qcd_tbl = _parse_quant(seg)
@@ -1785,6 +1816,26 @@ def decode_jpx(data: bytes) -> np.ndarray:
             p += nppm
     if mct and ncomp != 3:
         raise UserError("JPX: component transform requires 3 components.")
+    # COC overrides, validated against COD now that both are parsed:
+    # code-block geometry may differ per component; levels / style /
+    # wavelet / precinct changes would need per-component band and
+    # resolution state, so they fail closed
+    cb_comp = {ci: (xcb, ycb) for ci in range(ncomp)}
+    for ci, sp in coc_raw.items():
+        if len(sp) < 6:
+            raise UserError("JPX: truncated COC segment.")
+        if sp[0] != 0:
+            raise UserError("JPX: COC precincts unsupported.")
+        if sp[1] != levels:
+            raise UserError("JPX: COC decomposition-level override.")
+        xo, yo = sp[2] + 2, sp[3] + 2
+        if not (2 <= xo <= 10 and 2 <= yo <= 10 and xo + yo <= 12):
+            raise UserError("JPX: COC code-block exponents out of range.")
+        if sp[4] != 0:
+            raise UserError("JPX: code-block style modes unsupported.")
+        if sp[5] != (1 if reversible else 0):
+            raise UserError("JPX: COC wavelet override.")
+        cb_comp[ci] = (xo, yo)
     ntx = -(-w // xt)
     nty = -(-h // yt)
     if ntx * nty > 1 and (xt % (1 << levels) or yt % (1 << levels)):
@@ -1869,7 +1920,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
             if bh == 0 or bw_ == 0:
                 st = {"nx": 0, "ny": 0, "blocks": [], "blk": []}
             else:
-                nx, ny, blocks = _blocks_of(bh, bw_, xcb, ycb)
+                nx, ny, blocks = _blocks_of(bh, bw_, *cb_comp[ci])
                 st = {
                     "nx": nx, "ny": ny, "blocks": blocks,
                     "incl": _TagTree(nx, ny), "zbp": _TagTree(nx, ny),

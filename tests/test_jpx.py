@@ -556,6 +556,48 @@ def test_code_block_sizes_roundtrip(cb):
         assert np.array_equal(decode_jpx(enc), src)
 
 
+def test_coc_per_component_code_blocks():
+    """COC marker segments (T.800 A.6.2) override code-block geometry
+    per component — the luma/chroma split production encoders emit —
+    and round-trip bit-exact, composed with layers / progressions /
+    tiles."""
+
+    rgb = RNG.integers(0, 256, (70, 90, 3), dtype=np.uint8)
+    enc = encode_jpx(rgb, 3, coc_cb={1: 4, 2: (4, 6)})
+    assert enc.count(b"\xff\x53") >= 2
+    assert np.array_equal(decode_jpx(enc), rgb)
+    enc = encode_jpx(rgb, 2, layers=3, prog="cprl", coc_cb={0: 5})
+    assert np.array_equal(decode_jpx(enc), rgb)
+    enc = encode_jpx(rgb[:64, :64], 2, coc_cb={2: 4}, tile_size=32)
+    assert np.array_equal(decode_jpx(enc), rgb[:64, :64])
+    lossy = encode_jpx(rgb, 2, irreversible=True, coc_cb={1: 4, 2: 4})
+    out = decode_jpx(lossy)
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 8
+
+
+def test_coc_overrides_fail_closed():
+    """COC may only change code-block geometry: level / wavelet /
+    style / precinct overrides (which would need per-component band
+    state) fail closed, as do invalid exponents."""
+
+    rgb = RNG.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    with pytest.raises(UserError):
+        encode_jpx(rgb, 1, coc_cb={3: 4})
+    with pytest.raises(UserError):
+        encode_jpx(rgb, 1, coc_cb={0: (8, 8)})
+    enc = bytearray(encode_jpx(rgb, 2, coc_cb={1: 4}))
+    at = bytes(enc).find(b"\xff\x53")
+    # COC layout: FF53 Lcoc(2) Ccoc(+4) Scoc(+5) SPcoc levels(+6)
+    # xcb(+7) ycb(+8) style(+9) wavelet(+10)
+    for off, val in ((10, 0), (6, 3), (9, 1), (5, 1), (7, 9)):
+        orig = enc[at + off]
+        enc[at + off] = val
+        with pytest.raises(UserError):
+            decode_jpx(bytes(enc))
+        enc[at + off] = orig
+    assert np.array_equal(decode_jpx(bytes(enc)), rgb)  # restored
+
+
 def test_code_block_size_validation():
     """Out-of-range code-block exponents fail closed on both sides
     (T.800 A.6.1: each in 2..10, xcb+ycb <= 12)."""
