@@ -5,12 +5,16 @@ codestreams (and JP2 boxed files, unwrapped to the ``jp2c`` box) with
 single- OR multi-tile grids at the origin (tile dims a multiple of
 2^levels, the production 256/512/1024 shapes; tile-parts concatenate
 per tile), one or many quality layers (all five Annex B.12 progression orders
-LRCP/RLCP/RPCL/PCRL/CPRL — with whole-subband precincts the
-position/component-major pair reduces to (c,r,l) packet order;
-per-block inclusion, Lblock and segment state persist across layers),
-whole-subband precincts, code-blocks at any legal geometry (square or
-rectangular, exponents 2..10 with xcb+ycb <= 12, per-component COC
-geometry overrides per A.6.2), BOTH wavelet paths — the
+LRCP/RLCP/RPCL/PCRL/CPRL, the position-major orders sorting packets
+on projected precinct anchors; per-block inclusion, Lblock and
+segment state persist across layers), EXPLICIT PRECINCT partitions
+(B.6: per-resolution PPx/PPy signalled in Scod/SPcod, per-precinct
+inclusion and zero-bitplane tag trees, code-blocks clamped to the
+precinct per B.7 — the layout production archival encoders emit)
+as well as the default whole-subband maximal precincts, code-blocks
+at any legal geometry (square or rectangular, exponents 2..10 with
+xcb+ycb <= 12, per-component COC geometry overrides per A.6.2),
+BOTH wavelet paths — the
 reversible 5/3 (Annex F lifting, no-quantization QCD) and the
 irreversible 9/7 (Annex F.4 float lifting, Annex E scalar
 quantization, derived and expounded QCD styles — the path real-world
@@ -29,10 +33,11 @@ driven by the MQ arithmetic coder shared with the JBIG2 codec
 (pdfio/jbig2.py — T.88 Annex E and T.800 Annex C publish the
 identical coder). Grayscale and RGB 8-bit (3 components with the
 reversible RCT or irreversible ICT of Annex G, or none); subsampled
-or precinct-partitioned streams and semantic marker segments the
-decoder can't honour (POC, COC overrides beyond code-block geometry,
-non-maxshift RGN styles, and tile-header coding overrides) raise
-UserError (missing raster upstream, never wrong pixels).
+streams and semantic marker segments the decoder can't honour (POC,
+SOP/EPH resegmentation flags, COC overrides beyond code-block
+geometry and an exact-match precinct partition, non-maxshift RGN
+styles, and tile-header coding overrides) raise UserError (missing
+raster upstream, never wrong pixels).
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (bit-exact on the
@@ -1139,21 +1144,102 @@ def _resolution_bands(levels: int):
     return out
 
 
-def _blocks_of(bh: int, bw_: int, xcb: int = _CB_EXP, ycb: int = _CB_EXP):
-    """Code-block grid (raster order) of a band anchored at 0.
+def _precinct_layout(
+    th: int, tw: int, levels: int, pps: list, xcb: int, ycb: int,
+):
+    """Precinct partition of an origin-0 tile (T.800 B.6), per
+    resolution r=0..levels.
 
-    ``xcb``/``ycb`` are the code-block width/height exponents (T.800
-    A.6.1 signals them as xcb-2/ycb-2; rectangular blocks are legal)."""
+    ``pps`` lists (PPx, PPy) exponents on each RESOLUTION grid.
+    Code-blocks are clamped to the precinct (B.7: effective exponent
+    min(xcb, PPx - 1) for r > 0, min(xcb, PPx) at r = 0) and anchored
+    at the band origin, so precinct boundaries never split a block.
 
-    cw_, ch_ = 1 << xcb, 1 << ycb
-    nx = (bw_ + cw_ - 1) // cw_
-    ny = (bh + ch_ - 1) // ch_
+    Returns a list over r of dicts:
+      n     -- precinct count npx * npy (raster order on the res grid)
+      pos   -- per precinct, the projected tile-coordinate anchor
+               (y, x) used by the position-major progressions (B.12)
+      bands -- {(orient, nb): per-precinct list of code-block cell
+               rects (y0, x0, ch, cw, by, bx) in raster order, where
+               (by, bx) is the cell on the band's global block grid}
+      grid  -- {(orient, nb): per-precinct (nx, ny) block-grid dims}
+    """
+
     out = []
-    for by in range(ny):
-        for bx in range(nx):
-            y0, x0 = by * ch_, bx * cw_
-            out.append((y0, x0, min(ch_, bh - y0), min(cw_, bw_ - x0)))
-    return nx, ny, out
+    for r, bands in enumerate(_resolution_bands(levels)):
+        ppx, ppy = pps[r]
+        res_w = -(-tw // (1 << (levels - r)))
+        res_h = -(-th // (1 << (levels - r)))
+        npx = -(-res_w // (1 << ppx))
+        npy = -(-res_h // (1 << ppy))
+        n = npx * npy
+        shift = 0 if r == 0 else 1
+        cbx = min(xcb, ppx - shift)
+        cby = min(ycb, ppy - shift)
+        pos = [
+            (py << (ppy + levels - r), px << (ppx + levels - r))
+            for py in range(npy) for px in range(npx)
+        ]
+        entry = {"n": n, "pos": pos, "bands": {}, "grid": {}}
+        for orient, nb in bands:
+            bh = _band_dims(th, nb, 0 if orient in (_LL, _HL) else 1)
+            bw_ = _band_dims(tw, nb, 0 if orient in (_LL, _LH) else 1)
+            bpw = 1 << (ppx - shift)  # precinct extent on the band grid
+            bph = 1 << (ppy - shift)
+            cells, grids = [], []
+            for py in range(npy):
+                for px in range(npx):
+                    x0p, x1p = px * bpw, min((px + 1) * bpw, bw_)
+                    y0p, y1p = py * bph, min((py + 1) * bph, bh)
+                    if x1p <= x0p or y1p <= y0p:
+                        cells.append([])
+                        grids.append((0, 0))
+                        continue
+                    bx0 = x0p >> cbx
+                    by0 = y0p >> cby
+                    bx1 = (x1p + (1 << cbx) - 1) >> cbx
+                    by1 = (y1p + (1 << cby) - 1) >> cby
+                    blocks = []
+                    for by in range(by0, by1):
+                        for bx in range(bx0, bx1):
+                            y0, x0 = by << cby, bx << cbx
+                            blocks.append((
+                                y0, x0,
+                                min(1 << cby, bh - y0),
+                                min(1 << cbx, bw_ - x0),
+                                by, bx,
+                            ))
+                    cells.append(blocks)
+                    grids.append((bx1 - bx0, by1 - by0))
+            entry["bands"][(orient, nb)] = cells
+            entry["grid"][(orient, nb)] = grids
+        out.append(entry)
+    return out
+
+
+def _packet_order(prog_code: int, layers: int, ncomp: int, layout: list):
+    """Packet visit order for one tile under a B.12 progression:
+    tuples (layer, r, ci, p). Position-major orders sort on each
+    precinct's projected tile anchor."""
+
+    pk = []
+    for r, entry in enumerate(layout):
+        for p in range(entry["n"]):
+            y, x = entry["pos"][p]
+            for ci in range(ncomp):
+                for l in range(layers):
+                    pk.append((l, r, ci, p, y, x))
+    if prog_code == 0:  # LRCP
+        pk.sort(key=lambda t: (t[0], t[1], t[2], t[3]))
+    elif prog_code == 1:  # RLCP
+        pk.sort(key=lambda t: (t[1], t[0], t[2], t[3]))
+    elif prog_code == 2:  # RPCL
+        pk.sort(key=lambda t: (t[1], t[4], t[5], t[2], t[0]))
+    elif prog_code == 3:  # PCRL
+        pk.sort(key=lambda t: (t[4], t[5], t[2], t[1], t[0]))
+    else:  # CPRL
+        pk.sort(key=lambda t: (t[2], t[4], t[5], t[1], t[0]))
+    return [(l, r, ci, p) for l, r, ci, p, _y, _x in pk]
 
 
 def _rct_forward(shifted: np.ndarray) -> list:
@@ -1188,6 +1274,7 @@ def encode_jpx(
     cb_exp: "int | tuple[int, int]" = _CB_EXP,
     prog: str = "lrcp",
     coc_cb: "dict[int, int | tuple[int, int]] | None" = None,
+    precincts: "int | tuple[int, int] | list | None" = None,
 ) -> bytes:
     """8-bit gray (H, W) or RGB (H, W, 3) -> JPEG 2000 codestream.
     Defaults: one layer, 64x64 code-blocks (``cb_exp`` sets other
@@ -1234,6 +1321,32 @@ def encode_jpx(
     if prog not in _PROGS:
         raise UserError("JPX encoder: prog lrcp|rlcp|rpcl|pcrl|cprl.")
     prog_code = _PROGS[prog]
+    # explicit precinct partition (B.6): int / (PPx, PPy) applied to
+    # every resolution, or a per-resolution list (r=0 first); None
+    # keeps the maximal whole-band precincts and omits the signalling
+    use_prec = precincts is not None
+    if not use_prec:
+        pps = [(15, 15)] * (levels + 1)
+    else:
+        if isinstance(precincts, (int, tuple)):
+            plist = [precincts] * (levels + 1)
+        else:
+            plist = list(precincts)
+        if len(plist) != levels + 1:
+            raise UserError(
+                "JPX encoder: precincts needs one entry per resolution."
+            )
+        pps = []
+        for r, pv in enumerate(plist):
+            px_, py_ = (pv, pv) if isinstance(pv, int) else pv
+            if not (0 <= px_ <= 15 and 0 <= py_ <= 15) or (
+                r > 0 and (px_ < 1 or py_ < 1)
+            ):
+                raise UserError(
+                    "JPX encoder: precinct exponents in 0..15 "
+                    "(1..15 above r=0)."
+                )
+            pps.append((px_, py_))
     ncomp_early = 1 if img.ndim == 2 else 3
     cb_of = {ci: (xcb, ycb) for ci in range(ncomp_early)}
     for ci, ov in (coc_cb or {}).items():
@@ -1364,93 +1477,91 @@ def encode_jpx(
                             a[: (a.shape[0] + 1) // 2,
                               : (a.shape[1] + 1) // 2] <<= s
 
-        # Tier-1 encode every code-block once, splitting the codeword
-        # segment across quality layers at coding-pass watermarks
-        # (passes spread evenly: layer l gets passes up to
-        # round((l+1)*npasses/layers); the byte split sits at the MQ
-        # coder's settled watermark, so the concatenation across layers
-        # is the identical single-layer stream).
-        band_state = {}  # (ci, orient, nb) -> dict
-        for bands in _resolution_bands(levels):
+        # Tier-1 encode every code-block once (each block belongs to
+        # exactly one precinct), splitting the codeword segment across
+        # quality layers at coding-pass watermarks (passes spread
+        # evenly: layer l gets passes up to round((l+1)*npasses/
+        # layers); the byte split sits at the MQ coder's settled
+        # watermark, so the concatenation across layers is the
+        # identical single-layer stream). Tag trees live per precinct
+        # per band (B.10.2).
+        th_t, tw_t = tile_img.shape[:2]
+        layouts = {
+            ci: _precinct_layout(th_t, tw_t, levels, pps, *cb_of[ci])
+            for ci in range(ncomp)
+        }
+        prec_state = {}  # (ci, orient, nb, p) -> dict
+        for r, bands in enumerate(_resolution_bands(levels)):
             for ci in range(ncomp):
+                lay = layouts[ci][r]
                 for orient, nb in bands:
                     arr = (
                         roi_arrays[(ci, orient, nb)]
                         if roi_arrays is not None
                         else band_array(ci, orient, nb)
                     )
-                    bh, bw_ = arr.shape
-                    if bh == 0 or bw_ == 0:  # degenerate band: no blocks
-                        band_state[(ci, orient, nb)] = {
-                            "nx": 0, "ny": 0, "coded": [],
-                        }
-                        continue
-                    nx, ny, blocks = _blocks_of(bh, bw_, *cb_of[ci])
                     if irreversible:
                         mb = _GUARD_BITS + quant_of[(ci, orient, nb)][0] - 1
                     else:
                         mb = _GUARD_BITS + (eps_base_of[ci] + _GAIN[orient]) - 1
                     mb += roi_s.get(ci, 0)
-                    coded = []
-                    first_layer = np.full((ny, nx), layers, np.int64)
-                    for bi, (y0, x0, ch, cw) in enumerate(blocks):
-                        seg, npasses, numbps, wm = t1_encode(
-                            np.ascontiguousarray(arr[y0 : y0 + ch, x0 : x0 + cw])
-                            .astype(np.int32),
-                            orient, return_marks=True,
-                        )
-                        if numbps > mb:
-                            raise UserError("JPX encoder: magnitude exceeds Mb.")
-                        # passes per layer: cumulative cuts, first
-                        # contributing layer = first l with a cut > 0
-                        cuts = [
-                            (l + 1) * npasses // layers for l in range(layers)
-                        ]
-                        fl = layers
-                        for l in range(layers):
-                            if cuts[l] > 0:
-                                fl = l
-                                break
-                        if numbps:
-                            first_layer[bi // nx, bi % nx] = fl
-                        coded.append(
-                            {"seg": seg, "npasses": npasses, "numbps": numbps,
-                             "wm": wm, "cuts": cuts, "lblock": 3,
-                             "included": False}
-                        )
-                    incl = _TagTree(nx, ny)
-                    zbp = _TagTree(nx, ny)
-                    incl.set_values(first_layer)
-                    zbp.set_values(np.array(
-                        [[mb - coded[yy * nx + xx]["numbps"]
-                          if coded[yy * nx + xx]["numbps"] else 0
-                          for xx in range(nx)] for yy in range(ny)], np.int64))
-                    band_state[(ci, orient, nb)] = {
-                        "nx": nx, "ny": ny, "coded": coded,
-                        "incl": incl, "zbp": zbp, "mb": mb,
-                    }
+                    for p, blocks in enumerate(lay["bands"][(orient, nb)]):
+                        nxp, nyp = lay["grid"][(orient, nb)][p]
+                        coded = []
+                        first_layer = np.full((nyp, nxp), layers, np.int64)
+                        zbp_vals = np.zeros((nyp, nxp), np.int64)
+                        for bi, (y0, x0, ch, cw, _by, _bx) in enumerate(
+                            blocks
+                        ):
+                            seg, npasses, numbps, wm = t1_encode(
+                                np.ascontiguousarray(
+                                    arr[y0 : y0 + ch, x0 : x0 + cw]
+                                ).astype(np.int32),
+                                orient, return_marks=True,
+                            )
+                            if numbps > mb:
+                                raise UserError(
+                                    "JPX encoder: magnitude exceeds Mb."
+                                )
+                            # passes per layer: cumulative cuts, first
+                            # contributing layer = first l with a cut > 0
+                            cuts = [
+                                (l + 1) * npasses // layers
+                                for l in range(layers)
+                            ]
+                            fl = layers
+                            for l in range(layers):
+                                if cuts[l] > 0:
+                                    fl = l
+                                    break
+                            ly, lx = bi // nxp, bi % nxp
+                            if numbps:
+                                first_layer[ly, lx] = fl
+                                zbp_vals[ly, lx] = mb - numbps
+                            coded.append(
+                                {"seg": seg, "npasses": npasses,
+                                 "numbps": numbps, "wm": wm, "cuts": cuts,
+                                 "lblock": 3, "included": False}
+                            )
+                        st = {"nx": nxp, "ny": nyp, "coded": coded, "mb": mb}
+                        if nxp and nyp:
+                            st["incl"] = _TagTree(nxp, nyp)
+                            st["zbp"] = _TagTree(nxp, nyp)
+                            st["incl"].set_values(first_layer)
+                            st["zbp"].set_values(zbp_vals)
+                        prec_state[(ci, orient, nb, p)] = st
 
         packets = []
         res_list = _resolution_bands(levels)
-        if prog_code == 0:  # LRCP
-            pkt_order = [(l, r, c) for l in range(layers)
-                         for r in range(len(res_list)) for c in range(ncomp)]
-        elif prog_code == 1:  # RLCP
-            pkt_order = [(l, r, c) for r in range(len(res_list))
-                         for l in range(layers) for c in range(ncomp)]
-        elif prog_code == 2:  # RPCL
-            pkt_order = [(l, r, c) for r in range(len(res_list))
-                         for c in range(ncomp) for l in range(layers)]
-        else:  # PCRL/CPRL: one precinct position -> (c,r,l)
-            pkt_order = [(l, r, c) for c in range(ncomp)
-                         for r in range(len(res_list)) for l in range(layers)]
-        for layer, _ri, ci in pkt_order:
+        for layer, _ri, ci, p in _packet_order(
+            prog_code, layers, ncomp, layouts[0]
+        ):
             bands = res_list[_ri]
             bw = _BitWriter()
             body = bytearray()
             contribs = []  # (block, np_l, lo, hi)
             for orient, nb in bands:
-                st = band_state[(ci, orient, nb)]
+                st = prec_state[(ci, orient, nb, p)]
                 for blk in st["coded"]:
                     if not blk["numbps"]:
                         continue
@@ -1468,7 +1579,7 @@ def encode_jpx(
                 continue
             bw.put(1)
             for orient, nb in bands:
-                st = band_state[(ci, orient, nb)]
+                st = prec_state[(ci, orient, nb, p)]
                 nx, ny, coded = st["nx"], st["ny"], st["coded"]
                 if not coded:
                     continue
@@ -1532,15 +1643,24 @@ def encode_jpx(
     out += b"\xff\x51" + siz
     spcod = bytes([levels, xcb - 2, ycb - 2, 0,
                    0 if irreversible else 1])
-    cod = struct.pack(">HBBHB", 12, 0, prog_code, layers, mct) + spcod
+    prec_bytes = (
+        bytes((py_ << 4) | px_ for px_, py_ in pps) if use_prec else b""
+    )
+    cod = struct.pack(
+        ">HBBHB", 12 + len(prec_bytes), 1 if use_prec else 0,
+        prog_code, layers, mct,
+    ) + spcod + prec_bytes
     out += b"\xff\x52" + cod
     for ci in sorted(coc_cb or {}):
-        # COC (A.6.2): Ccoc 1 byte (Csiz < 257), Scoc=0 (no
-        # precincts), SPcoc mirrors SPcod with the overridden geometry
+        # COC (A.6.2): Ccoc 1 byte (Csiz < 257), Scoc mirrors COD's
+        # precinct flag (the decoder only honours an exact-match
+        # partition), SPcoc mirrors SPcod with the overridden geometry
         xo, yo = cb_of[ci]
-        out += b"\xff\x53" + struct.pack(">HBB", 9, ci, 0) + bytes(
+        out += b"\xff\x53" + struct.pack(
+            ">HBB", 9 + len(prec_bytes), ci, 1 if use_prec else 0
+        ) + bytes(
             [levels, xo - 2, yo - 2, 0, 0 if irreversible else 1]
-        )
+        ) + prec_bytes
     n_sub = 3 * levels + 1
     order = [( _LL, levels if levels else 0 )]
     for r in range(1, levels + 1):
@@ -1653,6 +1773,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     ncomp = None
     levels = None
     xcb = ycb = _CB_EXP
+    pps: "list | None" = None
     mct = 0
     reversible = True
     qcd_tbl: tuple | None = None
@@ -1693,16 +1814,14 @@ def decode_jpx(data: bytes) -> np.ndarray:
             pos += ln
         elif marker == b"\xff\x52":  # COD
             scod = seg[0]
-            if scod & 0x01:
-                raise UserError("JPX: explicit precincts unsupported.")
+            if scod & 0x06:
+                # SOP/EPH resegmentation markers change the body layout
+                raise UserError("JPX: SOP/EPH marker flags unsupported.")
             prog, layers, mct = seg[1], struct.unpack(">H", seg[2:4])[0], seg[4]
             if not layers:
                 raise UserError("JPX: zero quality layers.")
-            # T.800 B.12 progression orders: LRCP(0) layer-major,
-            # RLCP(1) (r,l,c), RPCL(2) (r,c,l); PCRL(3)/CPRL(4) are
-            # position/component-major — with whole-band precincts
-            # every precinct sits at position 0, so both collapse to
-            # (c,r,l) packet order.
+            # T.800 B.12 progression orders: all five; the
+            # position-major ones sort on projected precinct anchors
             if prog > 4:
                 raise UserError("JPX: unsupported progression order.")
             if mct not in (0, 1):
@@ -1718,6 +1837,21 @@ def decode_jpx(data: bytes) -> np.ndarray:
             if seg[9] not in (0, 1):
                 raise UserError("JPX: unknown wavelet transform.")
             reversible = seg[9] == 1
+            if scod & 0x01:  # explicit precincts (B.6): one byte per
+                # resolution, low nibble PPx, high nibble PPy, r=0 up
+                pb = seg[10 : 10 + levels + 1]
+                if len(pb) != levels + 1:
+                    raise UserError("JPX: truncated COD precinct sizes.")
+                pps = []
+                for r, b in enumerate(pb):
+                    px_, py_ = b & 0x0F, b >> 4
+                    if r and (px_ < 1 or py_ < 1):
+                        raise UserError(
+                            "JPX: precinct exponent 0 only legal at r=0."
+                        )
+                    pps.append((px_, py_))
+            else:
+                pps = [(15, 15)] * (levels + 1)  # maximal: whole band
             pos += ln
         elif marker == b"\xff\x53":  # COC: per-component coding style
             if ncomp is None:
@@ -1824,8 +1958,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
     for ci, sp in coc_raw.items():
         if len(sp) < 6:
             raise UserError("JPX: truncated COC segment.")
-        if sp[0] != 0:
-            raise UserError("JPX: COC precincts unsupported.")
+        if sp[0] not in (0, 1):
+            raise UserError("JPX: unknown COC style flags.")
         if sp[1] != levels:
             raise UserError("JPX: COC decomposition-level override.")
         xo, yo = sp[2] + 2, sp[3] + 2
@@ -1835,6 +1969,17 @@ def decode_jpx(data: bytes) -> np.ndarray:
             raise UserError("JPX: code-block style modes unsupported.")
         if sp[5] != (1 if reversible else 0):
             raise UserError("JPX: COC wavelet override.")
+        # per-component precinct grids would need per-component
+        # packet enumeration: only an exact match of COD's partition
+        # is honoured, anything else fails closed
+        coc_pps = (
+            [(b & 0x0F, b >> 4) for b in sp[6 : 6 + levels + 1]]
+            if sp[0] else [(15, 15)] * (levels + 1)
+        )
+        if sp[0] and len(coc_pps) != levels + 1:
+            raise UserError("JPX: truncated COC precinct sizes.")
+        if coc_pps != pps:
+            raise UserError("JPX: COC precinct override.")
         cb_comp[ci] = (xo, yo)
     ntx = -(-w // xt)
     nty = -(-h // yt)
@@ -1905,60 +2050,55 @@ def decode_jpx(data: bytes) -> np.ndarray:
         # band containers, keyed (component, orient, level)
         band_arrays: dict[tuple[int, int, int], np.ndarray] = {}
         res_bands = _resolution_bands(levels)
-        # per-band persistent Tier-2 state (tag trees advance across
-        # layers; per-block inclusion/lblock/segment accumulation)
-        band_state: dict[tuple[int, int, int], dict] = {}
+        # precinct layouts per component (identical precinct grids;
+        # code-block clamps differ only through COC geometry)
+        layouts = {
+            ci: _precinct_layout(th, tw, levels, pps, *cb_comp[ci])
+            for ci in range(ncomp)
+        }
+        # per-precinct persistent Tier-2 state (tag trees advance
+        # across layers; per-block inclusion/lblock/segment
+        # accumulation), keyed (component, orient, level, precinct)
+        prec_state: dict[tuple[int, int, int, int], dict] = {}
 
-        def _ensure(ci: int, orient: int, nb: int) -> dict:
-            key = (ci, orient, nb)
-            st = band_state.get(key)
+        def _ensure(ci: int, orient: int, nb: int, r: int, p: int) -> dict:
+            key = (ci, orient, nb, p)
+            st = prec_state.get(key)
             if st is not None:
                 return st
-            bh = _band_dims(th, nb, 0 if orient in (_LL, _HL) else 1)
-            bw_ = _band_dims(tw, nb, 0 if orient in (_LL, _LH) else 1)
-            band_arrays[key] = np.zeros((bh, bw_), np.int64)
-            if bh == 0 or bw_ == 0:
-                st = {"nx": 0, "ny": 0, "blocks": [], "blk": []}
-            else:
-                nx, ny, blocks = _blocks_of(bh, bw_, *cb_comp[ci])
-                st = {
-                    "nx": nx, "ny": ny, "blocks": blocks,
-                    "incl": _TagTree(nx, ny), "zbp": _TagTree(nx, ny),
-                    "mb": mb_of[(ci, orient, nb)],
-                    "blk": [
-                        {"included": False, "numbps": 0, "lblock": 3,
-                         "npasses": 0, "segs": bytearray()}
-                        for _ in blocks
-                    ],
-                }
-            band_state[key] = st
+            akey = (ci, orient, nb)
+            if akey not in band_arrays:
+                bh = _band_dims(th, nb, 0 if orient in (_LL, _HL) else 1)
+                bw_ = _band_dims(tw, nb, 0 if orient in (_LL, _LH) else 1)
+                band_arrays[akey] = np.zeros((bh, bw_), np.int64)
+            lay = layouts[ci][r]
+            blocks = lay["bands"][(orient, nb)][p]
+            nxp, nyp = lay["grid"][(orient, nb)][p]
+            st = {
+                "nx": nxp, "ny": nyp, "blocks": blocks,
+                "mb": mb_of[(ci, orient, nb)],
+                "blk": [
+                    {"included": False, "numbps": 0, "lblock": 3,
+                     "npasses": 0, "segs": bytearray()}
+                    for _ in blocks
+                ],
+            }
+            if nxp and nyp:
+                st["incl"] = _TagTree(nxp, nyp)
+                st["zbp"] = _TagTree(nxp, nyp)
+            prec_state[key] = st
             return st
 
-        # packet visit order by progression (whole-band precincts):
-        # LRCP layer-major; RLCP (r,l,c); RPCL (r,c,l); PCRL/CPRL
-        # position/component-major — one precinct position, so both
-        # reduce to (c,r,l)
-        if prog == 0:
-            order = [(l, r, ci) for l in range(layers)
-                     for r in range(len(res_bands)) for ci in range(ncomp)]
-        elif prog == 1:
-            order = [(l, r, ci) for r in range(len(res_bands))
-                     for l in range(layers) for ci in range(ncomp)]
-        elif prog == 2:
-            order = [(l, r, ci) for r in range(len(res_bands))
-                     for ci in range(ncomp) for l in range(layers)]
-        else:  # PCRL(3)/CPRL(4)
-            order = [(l, r, ci) for ci in range(ncomp)
-                     for r in range(len(res_bands)) for l in range(layers)]
+        order = _packet_order(prog, layers, ncomp, layouts[0])
 
         pos = 0
         # with PPT, packet headers read from the packed stream (each
         # header byte-aligned, B.10.5) and tile_data carries bodies only
         hbr = _BitReader(ppt, 0) if ppt is not None else None
-        for layer, r, ci in order:
+        for layer, r, ci, p in order:
             bands = res_bands[r]
             for orient, nb in bands:
-                _ensure(ci, orient, nb)
+                _ensure(ci, orient, nb, r, p)
             br = hbr if hbr is not None else _BitReader(tile_data, pos)
             if not br.get():  # empty packet: no tag-tree advance
                 if hbr is None:
@@ -1968,7 +2108,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 continue
             contribs = []
             for orient, nb in bands:
-                st = _ensure(ci, orient, nb)
+                st = _ensure(ci, orient, nb, r, p)
                 for yy in range(st["ny"]):
                     for xx in range(st["nx"]):
                         blk = st["blk"][yy * st["nx"] + xx]
@@ -2002,9 +2142,11 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 pos += seg_len
                 blk["npasses"] += np_l
 
-        for (ci, orient, nb), st in band_state.items():
+        for (ci, orient, nb, _p), st in prec_state.items():
             arr = band_arrays[(ci, orient, nb)]
-            for (y0, x0, ch, cw), blk in zip(st["blocks"], st["blk"]):
+            for (y0, x0, ch, cw, _by, _bx), blk in zip(
+                st["blocks"], st["blk"]
+            ):
                 if not blk["npasses"]:
                     continue
                 coeffs = t1_decode(

@@ -598,6 +598,150 @@ def test_coc_overrides_fail_closed():
     assert np.array_equal(decode_jpx(bytes(enc)), rgb)  # restored
 
 
+def test_precinct_layout_geometry():
+    """_precinct_layout partitions the resolution grid per T.800 B.6:
+    precinct counts follow the resolution dims, code-blocks are
+    clamped to the precinct and never straddle its boundary."""
+
+    from pdf_toolkit_spark.pdfio.jpx import _precinct_layout
+
+    lay = _precinct_layout(129, 200, 3, [(4, 4)] * 4, 6, 6)
+    # r=0: res grid ceil(200/8) x ceil(129/8) = 25 x 17, PP=16 -> 2x2
+    assert lay[0]["n"] == 4
+    # r=3: res grid 200 x 129, PP=16 -> 13 x 9 precincts
+    assert lay[3]["n"] == 13 * 9
+    for r, entry in enumerate(lay):
+        shift = 0 if r == 0 else 1
+        for (orient, nb), cells in entry["bands"].items():
+            assert len(cells) == entry["n"]
+            seen = set()
+            for p, blocks in enumerate(cells):
+                nx, ny = entry["grid"][(orient, nb)][p]
+                assert len(blocks) == nx * ny
+                for y0, x0, ch, cw, by, bx in blocks:
+                    assert ch > 0 and cw > 0
+                    # clamped block fits inside one precinct
+                    bpw = 1 << (4 - shift)
+                    assert x0 // bpw == (x0 + cw - 1) // bpw
+                    assert y0 // bpw == (y0 + ch - 1) // bpw
+                    assert (by, bx) not in seen
+                    seen.add((by, bx))
+
+
+@pytest.mark.parametrize("prec", [6, (6, 5), "per_res"])
+def test_precinct_roundtrip(prec):
+    """Explicit precinct streams round-trip bit-exact, gray and RGB,
+    across layer counts."""
+
+    if prec == "per_res":
+        prec = [(7, 7), (6, 6), (6, 6), (5, 5)]
+    g = RNG.integers(0, 256, (100, 140), dtype=np.uint8)
+    rgb = RNG.integers(0, 256, (70, 90, 3), dtype=np.uint8)
+    for src in (g, rgb):
+        enc = encode_jpx(src, 3, precincts=prec)
+        cod_at = enc.find(b"\xff\x52")
+        assert enc[cod_at + 4] & 1  # Scod precinct flag
+        assert np.array_equal(decode_jpx(enc), src)
+        enc = encode_jpx(src, 3, precincts=prec, layers=3)
+        assert np.array_equal(decode_jpx(enc), src)
+
+
+def test_precinct_block_clamp():
+    """Small precincts clamp the code-block geometry (B.7: effective
+    exponent min(xcb, PPx-1) above r=0) — streams with PP below the
+    64x64 default still round-trip."""
+
+    g = RNG.integers(0, 256, (129, 200), dtype=np.uint8)
+    for prec in (3, 4):
+        enc = encode_jpx(g, 3, precincts=prec)
+        assert np.array_equal(decode_jpx(enc), g), prec
+
+
+def test_precinct_progressions_positions():
+    """Position-major progressions (RPCL/PCRL/CPRL) interleave
+    packets of many precincts by projected anchor; every progression
+    decodes the identical image from its own packet order."""
+
+    g = RNG.integers(0, 256, (100, 140), dtype=np.uint8)
+    rgb = RNG.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    streams = set()
+    for p in ("lrcp", "rlcp", "rpcl", "pcrl", "cprl"):
+        for src in (g, rgb):
+            enc = encode_jpx(src, 2, layers=3, precincts=5, prog=p)
+            assert np.array_equal(decode_jpx(enc), src), p
+            if src is rgb:
+                streams.add(enc)
+    assert len(streams) >= 3  # orders genuinely differ on the wire
+
+
+def test_precinct_composed_features():
+    """Precincts compose with tiles, COC geometry overrides, the 9/7
+    lossy path, packed headers (PPT/PPM) and maxshift ROI."""
+
+    g = RNG.integers(0, 256, (129, 200), dtype=np.uint8)
+    rgb = RNG.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    enc = encode_jpx(rgb, 2, precincts=5, tile_size=32)
+    assert np.array_equal(decode_jpx(enc), rgb)
+    enc = encode_jpx(
+        g, 2, precincts=(5, 4), tile_size=64, layers=2, prog="rpcl"
+    )
+    assert np.array_equal(decode_jpx(enc), g)
+    enc = encode_jpx(rgb, 2, precincts=5, coc_cb={1: 3, 2: (3, 4)})
+    assert np.array_equal(decode_jpx(enc), rgb)
+    enc = encode_jpx(
+        rgb, 2, irreversible=True, precincts=5, layers=2, prog="pcrl"
+    )
+    out = decode_jpx(enc)
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 8
+    enc = encode_jpx(g, 2, precincts=5, ppt=True)
+    assert np.array_equal(decode_jpx(enc), g)
+    enc = encode_jpx(g, 2, precincts=5, ppm=True, tile_size=64)
+    assert np.array_equal(decode_jpx(enc), g)
+    enc = encode_jpx(g, 2, precincts=5, roi=True)
+    assert np.array_equal(decode_jpx(enc), g)
+
+
+def test_precinct_validation_fail_closed():
+    """Bad precinct signalling fails closed on both sides: wrong list
+    length, out-of-range exponents, a zero exponent above r=0, a
+    truncated COD, a COC precinct override, and SOP/EPH flags."""
+
+    g = RNG.integers(0, 256, (40, 40), dtype=np.uint8)
+    for bad in ([(3, 3)], 16, [(4, 4), (0, 4), (4, 4)]):
+        with pytest.raises(UserError):
+            encode_jpx(g, 2, precincts=bad)
+    enc = bytearray(encode_jpx(g, 1, precincts=4))
+    at = bytes(enc).find(b"\xff\x52")
+    # COD: ... style(+12) wavelet(+13) then precinct bytes r0(+14) r1(+15)
+    enc[at + 15] = 0x40  # r=1: ppx=0
+    with pytest.raises(UserError):
+        decode_jpx(bytes(enc))
+    enc[at + 15] = 0x44
+    assert np.array_equal(decode_jpx(bytes(enc)), g)  # sanity restore
+    # truncated COD: claim precincts but shrink Lcod below the bytes
+    enc2 = bytearray(encode_jpx(g, 1))
+    at2 = bytes(enc2).find(b"\xff\x52")
+    enc2[at2 + 4] |= 1  # precinct flag without the per-res bytes
+    with pytest.raises(UserError):
+        decode_jpx(bytes(enc2))
+    # SOP/EPH flags
+    for flag in (2, 4):
+        enc3 = bytearray(encode_jpx(g, 1))
+        at3 = bytes(enc3).find(b"\xff\x52")
+        enc3[at3 + 4] |= flag
+        with pytest.raises(UserError):
+            decode_jpx(bytes(enc3))
+    # COC whose precinct partition differs from COD's
+    enc4 = bytearray(encode_jpx(
+        RNG.integers(0, 256, (40, 40, 3), dtype=np.uint8), 1,
+        precincts=4, coc_cb={1: 3},
+    ))
+    at4 = bytes(enc4).find(b"\xff\x53")
+    enc4[at4 + 11] = 0x55  # COC r=0 precinct byte: 5,5 != COD's 4,4
+    with pytest.raises(UserError):
+        decode_jpx(bytes(enc4))
+
+
 def test_code_block_size_validation():
     """Out-of-range code-block exponents fail closed on both sides
     (T.800 A.6.1: each in 2..10, xcb+ycb <= 12)."""
