@@ -32,12 +32,15 @@ decoder's per-coefficient magnitude test)
 driven by the MQ arithmetic coder shared with the JBIG2 codec
 (pdfio/jbig2.py — T.88 Annex E and T.800 Annex C publish the
 identical coder). Grayscale and RGB 8-bit (3 components with the
-reversible RCT or irreversible ICT of Annex G, or none); subsampled
+reversible RCT or irreversible ICT of Annex G, or none), SOP/EPH
+resegmentation markers (A.8: SOP sequence numbers enforced as the
+resync check they are, EPH header terminators — in the packed-header
+stream when PPM/PPT host the headers); subsampled
 streams and semantic marker segments the decoder can't honour (POC,
-SOP/EPH resegmentation flags, COC overrides beyond code-block
-geometry and an exact-match precinct partition, non-maxshift RGN
-styles, and tile-header coding overrides) raise UserError (missing
-raster upstream, never wrong pixels).
+COC overrides beyond code-block geometry and an exact-match precinct
+partition, non-maxshift RGN styles, and tile-header coding
+overrides) raise UserError (missing raster upstream, never wrong
+pixels).
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (bit-exact on the
@@ -1275,6 +1278,8 @@ def encode_jpx(
     prog: str = "lrcp",
     coc_cb: "dict[int, int | tuple[int, int]] | None" = None,
     precincts: "int | tuple[int, int] | list | None" = None,
+    sop: bool = False,
+    eph: bool = False,
 ) -> bytes:
     """8-bit gray (H, W) or RGB (H, W, 3) -> JPEG 2000 codestream.
     Defaults: one layer, 64x64 code-blocks (``cb_exp`` sets other
@@ -1623,14 +1628,28 @@ def encode_jpx(
                         bw.put_bits(hi - lo, nbits)
                         body += blk["seg"][lo:hi]
             packets.append((bw.flush(), bytes(body)))
+        # SOP before each packet (body side), EPH after each header
+        # (A.8; with packed headers the EPH lives in the PPM/PPT
+        # stream and the SOP stays with the bodies)
+        def _sop(i: int) -> bytes:
+            return (
+                b"\xff\x91\x00\x04" + struct.pack(">H", i % 65536)
+                if sop else b""
+            )
+
+        _eph = b"\xff\x92" if eph else b""
         if ppt or ppm:
             # packed packet headers: headers and bodies separate (the
             # caller hosts headers in a PPT or PPM segment)
             return (
-                b"".join(hd for hd, _ in packets),
-                b"".join(bo for _, bo in packets),
+                b"".join(hd + _eph for hd, _ in packets),
+                b"".join(
+                    _sop(i) + bo for i, (_, bo) in enumerate(packets)
+                ),
             )
-        return b"".join(hd + bo for hd, bo in packets)
+        return b"".join(
+            _sop(i) + hd + _eph + bo for i, (hd, bo) in enumerate(packets)
+        )
 
 
     # --- markers ---
@@ -1646,8 +1665,9 @@ def encode_jpx(
     prec_bytes = (
         bytes((py_ << 4) | px_ for px_, py_ in pps) if use_prec else b""
     )
+    scod = (1 if use_prec else 0) | (2 if sop else 0) | (4 if eph else 0)
     cod = struct.pack(
-        ">HBBHB", 12 + len(prec_bytes), 1 if use_prec else 0,
+        ">HBBHB", 12 + len(prec_bytes), scod,
         prog_code, layers, mct,
     ) + spcod + prec_bytes
     out += b"\xff\x52" + cod
@@ -1774,6 +1794,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     levels = None
     xcb = ycb = _CB_EXP
     pps: "list | None" = None
+    use_sop = use_eph = False
     mct = 0
     reversible = True
     qcd_tbl: tuple | None = None
@@ -1814,9 +1835,10 @@ def decode_jpx(data: bytes) -> np.ndarray:
             pos += ln
         elif marker == b"\xff\x52":  # COD
             scod = seg[0]
-            if scod & 0x06:
-                # SOP/EPH resegmentation markers change the body layout
-                raise UserError("JPX: SOP/EPH marker flags unsupported.")
+            if scod & ~0x07:
+                raise UserError("JPX: unknown Scod flags.")
+            use_sop = bool(scod & 0x02)  # SOP markers before packets
+            use_eph = bool(scod & 0x04)  # EPH after packet headers
             prog, layers, mct = seg[1], struct.unpack(">H", seg[2:4])[0], seg[4]
             if not layers:
                 raise UserError("JPX: zero quality layers.")
@@ -2095,19 +2117,26 @@ def decode_jpx(data: bytes) -> np.ndarray:
         # with PPT, packet headers read from the packed stream (each
         # header byte-aligned, B.10.5) and tile_data carries bodies only
         hbr = _BitReader(ppt, 0) if ppt is not None else None
+        nsop = 0
         for layer, r, ci, p in order:
             bands = res_bands[r]
             for orient, nb in bands:
                 _ensure(ci, orient, nb, r, p)
+            if use_sop:
+                # SOP (A.8.1): FF91, Lsop=4, Nsop = packet index mod
+                # 2^16 — a genuine resync check, enforced
+                if tile_data[pos : pos + 2] != b"\xff\x91" or \
+                        tile_data[pos + 2 : pos + 4] != b"\x00\x04":
+                    raise UserError("JPX: missing SOP marker.")
+                got_n = struct.unpack(">H", tile_data[pos + 4 : pos + 6])[0]
+                if got_n != nsop % 65536:
+                    raise UserError("JPX: SOP sequence number mismatch.")
+                pos += 6
+            nsop += 1
             br = hbr if hbr is not None else _BitReader(tile_data, pos)
-            if not br.get():  # empty packet: no tag-tree advance
-                if hbr is None:
-                    pos = br.align()
-                else:
-                    br.align()
-                continue
+            empty = not br.get()  # leading 0: no tag-tree advance
             contribs = []
-            for orient, nb in bands:
+            for orient, nb in bands if not empty else []:
                 st = _ensure(ci, orient, nb, r, p)
                 for yy in range(st["ny"]):
                     for xx in range(st["nx"]):
@@ -2137,6 +2166,17 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 pos = br.align()
             else:
                 br.align()
+            if use_eph:
+                # EPH (A.8.2): FF92 terminates every packet header,
+                # in the packed-header stream when PPM/PPT host them
+                if hbr is None:
+                    if tile_data[pos : pos + 2] != b"\xff\x92":
+                        raise UserError("JPX: missing EPH marker.")
+                    pos += 2
+                else:
+                    if hbr.data[hbr.pos : hbr.pos + 2] != b"\xff\x92":
+                        raise UserError("JPX: missing EPH marker.")
+                    hbr.pos += 2
             for blk, np_l, seg_len in contribs:
                 blk["segs"] += tile_data[pos : pos + seg_len]
                 pos += seg_len

@@ -742,6 +742,46 @@ def test_precinct_validation_fail_closed():
         decode_jpx(bytes(enc4))
 
 
+def test_sop_eph_resegmentation_markers():
+    """Scod bits 1-2 (T.800 A.8): SOP packet markers with enforced
+    sequence numbers and EPH header terminators round-trip, composed
+    with precincts, progressions, tiles and packed headers (EPH rides
+    the PPM/PPT stream, SOP stays with the bodies)."""
+
+    g = RNG.integers(0, 256, (100, 140), dtype=np.uint8)
+    rgb = RNG.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    for kw in (dict(sop=True), dict(eph=True), dict(sop=True, eph=True)):
+        for src in (g, rgb):
+            enc = encode_jpx(src, 2, layers=2, **kw)
+            assert np.array_equal(decode_jpx(enc), src), kw
+    enc = encode_jpx(
+        g, 2, precincts=5, prog="rpcl", layers=3, sop=True, eph=True,
+        tile_size=64,
+    )
+    assert b"\xff\x91" in enc and b"\xff\x92" in enc
+    assert np.array_equal(decode_jpx(enc), g)
+    enc = encode_jpx(g, 2, ppt=True, sop=True, eph=True)
+    assert np.array_equal(decode_jpx(enc), g)
+    enc = encode_jpx(g, 2, ppm=True, tile_size=64, sop=True, eph=True)
+    assert np.array_equal(decode_jpx(enc), g)
+
+
+def test_sop_eph_fail_closed():
+    """A wrong SOP sequence number and a missing EPH both mean packet
+    desync: fail closed, never wrong pixels."""
+
+    g = RNG.integers(0, 256, (40, 40), dtype=np.uint8)
+    enc = bytearray(encode_jpx(g, 1, sop=True))
+    at = bytes(enc).find(b"\xff\x91")
+    enc[at + 5] ^= 1
+    with pytest.raises(UserError):
+        decode_jpx(bytes(enc))
+    enc2 = bytes(encode_jpx(g, 1, eph=True))
+    at2 = enc2.find(b"\xff\x92")
+    with pytest.raises(UserError):
+        decode_jpx(enc2[:at2] + enc2[at2 + 2 :])
+
+
 def test_code_block_size_validation():
     """Out-of-range code-block exponents fail closed on both sides
     (T.800 A.6.1: each in 2..10, xcb+ycb <= 12)."""
