@@ -9,9 +9,15 @@ TPGDON pseudo-pixel contexts) and optional typical-prediction rows,
 SYMBOL
 DICTIONARY segments (T.88 §6.5/§7.4.3: arithmetic-coded height
 classes, shared GB contexts across symbol bitmaps, export-run flags)
-with /JBIG2Globals threading, TEXT REGION segments (T.88 §6.4/§7.4.4:
+with /JBIG2Globals threading and SDREFAGG=1 refinement-coded symbols
+(§6.5.8.2.2: each new symbol refines an earlier input/new symbol via
+IAAI/IAID/IARDX/IARDY on the shared decoder; true multi-instance
+aggregates fail closed), TEXT REGION segments (T.88 §6.4/§7.4.4:
 strip decoding with the Annex A integer arithmetic procedures IADT /
-IAFS / IADS / IAIT / IAEX / IADH / IADW and the IAID symbol-ID tree)
+IAFS / IADS / IAIT / IAEX / IADH / IADW and the IAID symbol-ID tree,
+plus per-instance SBREFINE refinement per §6.4.11 — the
+lossy-cluster + refine-to-lossless flow, instances re-coded against
+their symbol at the centered offset and free to change size)
 — the segment mix production scanned-text encoders actually emit —
 MMR-coded generic regions (T.88 §6.2.6 delegates verbatim to T.6;
 decoded with pdfio/ccitt.py's JDK-cross-validated Group 4 coder),
@@ -27,9 +33,9 @@ HALFTONE regions land too (§6.6/§6.7: pattern
 dictionaries decoded as one wide generic bitmap with the A1=(-HDPW,0)
 adaptive pixel, gray-coded bitplanes on a shared decoder, grid-vector
 pattern stamping). Huffman-coded symbol/text variants, intermediate
-regions, symbol-level refinement/aggregate coding, MMR halftones and
-HENABLESKIP are out of scope and surface as missing rasters
-(UserError), never wrong pixels.
+regions, multi-instance aggregate coding (REFAGGNINST > 1), MMR
+halftones and HENABLESKIP are out of scope and surface as missing
+rasters (UserError), never wrong pixels.
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (including MQ-coder
@@ -681,26 +687,37 @@ def _gr_forced(ref: np.ndarray, y: int, x: int) -> "int | None":
 
 def decode_refinement(
     data: bytes, w: int, h: int, ref: np.ndarray, template: int = 0,
-    tpgron: bool = False,
+    tpgron: bool = False, *,
+    mq: "MQDecoder | None" = None, grctx: "ArithCtx | None" = None,
+    refdx: int = 0, refdy: int = 0,
 ) -> np.ndarray:
     """MQ-coded generic refinement region -> (h, w) uint8 bits, decoded
-    against the reference bitmap ``ref`` at offset (0, 0)
-    (GRREFERENCEDX/DY = 0 — the immediate-region page-reference case).
-    ``tpgron`` enables typical prediction: rows flagged typical take
-    uniform-reference-neighborhood pixels straight from the reference
-    and decode only the rest."""
+    against the reference bitmap ``ref`` at offset
+    (GRREFERENCEDX, GRREFERENCEDY) = (``refdx``, ``refdy``) — the
+    reference pixel for target (x, y) is ref[y - refdy, x - refdx]
+    (§6.3.5.3). ``tpgron`` enables typical prediction: rows flagged
+    typical take uniform-reference-neighborhood pixels straight from
+    the reference and decode only the rest. Pass an existing ``mq``
+    plus an external ``grctx`` context table to continue a shared
+    bitstream (symbol dictionaries and text regions interleave GR
+    refinements with the Annex A integer procedures on one decoder,
+    GR contexts persisting across symbols — §6.5.8.2.2/§6.4.11)."""
 
     coding, reference = _GR_TEMPLATES[template]
-    mq = MQDecoder(data)
+    if mq is None:
+        mq = MQDecoder(data)
+        dec = mq.decode
+    else:
+        dec = lambda c: mq.decode_ctx(grctx, c)  # noqa: E731
     out = np.zeros((h, w), np.uint8)
     rh, rw = ref.shape
     ltp = 0
     for y in range(h):
         if tpgron:
-            ltp ^= mq.decode(_TPGR_CX_OF[template])
+            ltp ^= dec(_TPGR_CX_OF[template])
         for x in range(w):
             if ltp:
-                forced = _gr_forced(ref, y, x)
+                forced = _gr_forced(ref, y - refdy, x - refdx)
                 if forced is not None:
                     out[y, x] = forced
                     continue
@@ -711,26 +728,34 @@ def decode_refinement(
                     int(out[yy, xx]) if 0 <= yy < h and 0 <= xx < w else 0
                 )
             for dx, dy in reference:
-                yy, xx = y + dy, x + dx
+                yy, xx = y + dy - refdy, x + dx - refdx
                 ctx = (ctx << 1) | (
                     int(ref[yy, xx]) if 0 <= yy < rh and 0 <= xx < rw else 0
                 )
-            out[y, x] = mq.decode(ctx)
+            out[y, x] = dec(ctx)
     return out
 
 
 def encode_refinement(
     img: np.ndarray, ref: np.ndarray, template: int = 0,
-    tpgron: bool = False,
-) -> bytes:
+    tpgron: bool = False, *,
+    mq: "MQEncoder | None" = None, grctx: "ArithCtx | None" = None,
+    refdx: int = 0, refdy: int = 0,
+) -> "bytes | None":
     """(h, w) 0/1 target bits + reference bitmap -> MQ-coded generic
     refinement region data (encoder twin of decode_refinement). With
     ``tpgron``, a row is flagged typical when every pixel with a
     uniform 3x3 reference neighborhood already equals that value —
-    those pixels are then skipped entirely."""
+    those pixels are then skipped entirely. Pass ``mq``/``grctx`` to
+    append into a shared bitstream (returns None; the caller flushes)."""
 
     coding, reference = _GR_TEMPLATES[template]
-    mq = MQEncoder()
+    own = mq is None
+    if own:
+        mq = MQEncoder()
+        enc = mq.encode
+    else:
+        enc = lambda d, c: mq.encode_ctx(d, grctx, c)  # noqa: E731
     h, w = img.shape
     rh, rw = ref.shape
     ltp = 0
@@ -738,15 +763,15 @@ def encode_refinement(
         if tpgron:
             typical = True
             for x in range(w):
-                forced = _gr_forced(ref, y, x)
+                forced = _gr_forced(ref, y - refdy, x - refdx)
                 if forced is not None and forced != int(img[y, x]):
                     typical = False
                     break
-            mq.encode(1 if (typical != bool(ltp)) else 0,
-                      _TPGR_CX_OF[template])
+            enc(1 if (typical != bool(ltp)) else 0,
+                _TPGR_CX_OF[template])
             ltp = 1 if typical else 0
         for x in range(w):
-            if ltp and _gr_forced(ref, y, x) is not None:
+            if ltp and _gr_forced(ref, y - refdy, x - refdx) is not None:
                 continue
             ctx = 0
             for dx, dy in coding:
@@ -755,12 +780,12 @@ def encode_refinement(
                     int(img[yy, xx]) if 0 <= yy < h and 0 <= xx < w else 0
                 )
             for dx, dy in reference:
-                yy, xx = y + dy, x + dx
+                yy, xx = y + dy - refdy, x + dx - refdx
                 ctx = (ctx << 1) | (
                     int(ref[yy, xx]) if 0 <= yy < rh and 0 <= xx < rw else 0
                 )
-            mq.encode(int(img[y, x]), ctx)
-    return mq.flush()
+            enc(int(img[y, x]), ctx)
+    return mq.flush() if own else None
 
 
 # ---------------------------------------------------------------------------
@@ -922,29 +947,42 @@ def decode_symbol_dict(
     payload: bytes, input_syms: "list[np.ndarray]"
 ) -> "list[np.ndarray]":
     """Symbol dictionary segment data -> exported symbol bitmaps
-    (decode order). Arithmetic coding only (SDHUFF=0), no refinement/
-    aggregate (SDREFAGG=0), GB template 0 at nominal AT — the subset
-    this engine's encoder emits; everything else fails closed."""
+    (decode order). Arithmetic coding only (SDHUFF=0); new symbols
+    are either generic-coded (SDREFAGG=0, GB template 0 at nominal
+    AT) or refinement-coded against an earlier symbol (SDREFAGG=1
+    with REFAGGNINST=1 per §6.5.8.2.2 — the refine-a-glyph flow; true
+    aggregates of several instances fail closed); everything else
+    fails closed."""
 
     if len(payload) < 18:
         raise UserError("JBIG2: truncated symbol dictionary.")
     flags = int.from_bytes(payload[0:2], "big")
     if flags & 0x01:
         raise UserError("JBIG2: Huffman symbol dictionaries unsupported.")
-    if flags & 0x02:
-        raise UserError("JBIG2: refinement/aggregate symbol coding unsupported.")
+    sdrefagg = (flags >> 1) & 0x01
     if (flags >> 8) & 0x03:
         raise UserError("JBIG2: retained coding contexts unsupported.")
     if (flags >> 10) & 0x03:
         raise UserError("JBIG2: only GB template 0 symbol bitmaps.")
+    sdrtemplate = (flags >> 12) & 0x01
     if payload[2:10] != _NOMINAL_AT:
         raise UserError("JBIG2: non-nominal AT pixels unsupported.")
-    numex, numnew = struct.unpack(">II", payload[10:18])
+    at_end = 10
+    if sdrefagg and sdrtemplate == 0:
+        if payload[10:14] != _NOMINAL_GR_AT:
+            raise UserError("JBIG2: non-nominal GR AT pixels unsupported.")
+        at_end = 14
+    numex, numnew = struct.unpack(">II", payload[at_end : at_end + 8])
     if numnew > 1 << 20 or numex > 1 << 20:
         raise UserError("JBIG2: implausible symbol count.")
 
-    mq = MQDecoder(payload[18:])
+    mq = MQDecoder(payload[at_end + 8 :])
     iadh, iadw, iaex = ArithCtx(), ArithCtx(), ArithCtx()
+    if sdrefagg:
+        iaai, iardx, iardy = ArithCtx(), ArithCtx(), ArithCtx()
+        symlen = _symcodelen(len(input_syms) + numnew)
+        iaid = ArithCtx(1 << (symlen + 1))
+        grctx = ArithCtx(1 << 13)
     newsyms: list[np.ndarray] = []
     hcheight = 0
     while len(newsyms) < numnew:
@@ -962,7 +1000,35 @@ def decode_symbol_dict(
                 raise UserError("JBIG2: invalid symbol dimensions.")
             if len(newsyms) >= numnew:
                 raise UserError("JBIG2: more symbols than declared.")
-            newsyms.append(decode_generic(b"", symwidth, hcheight, mq=mq))
+            if not sdrefagg:
+                newsyms.append(decode_generic(b"", symwidth, hcheight, mq=mq))
+                continue
+            # §6.5.8.2: every new symbol refines an already-decoded
+            # one (input or earlier-new), addressed by IAID with
+            # IARDX/IARDY offsets; REFAGGNINST > 1 would nest a text
+            # region, which no production dictionary emits
+            nrefs = decode_int(mq, iaai)
+            if nrefs != 1:
+                raise UserError(
+                    "JBIG2: aggregate symbol coding (REFAGGNINST != 1) "
+                    "unsupported."
+                )
+            sid = decode_iaid(mq, iaid, symlen)
+            rdx = decode_int(mq, iardx)
+            rdy = decode_int(mq, iardy)
+            if rdx is None or rdy is None:
+                raise UserError("JBIG2: OOB refinement offset.")
+            avail = len(input_syms) + len(newsyms)
+            if sid >= avail:
+                raise UserError("JBIG2: refinement symbol ID out of range.")
+            refsym = (
+                input_syms[sid] if sid < len(input_syms)
+                else newsyms[sid - len(input_syms)]
+            )
+            newsyms.append(decode_refinement(
+                b"", symwidth, hcheight, refsym, template=sdrtemplate,
+                mq=mq, grctx=grctx, refdx=rdx, refdy=rdy,
+            ))
 
     # export flags: alternating non-export/export run lengths (§6.5.10)
     allsyms = list(input_syms) + newsyms
@@ -981,13 +1047,31 @@ def decode_symbol_dict(
     return exported
 
 
-def encode_symbol_dict(syms: "list[np.ndarray]") -> bytes:
+def encode_symbol_dict(
+    syms: "list[np.ndarray]",
+    refs: "list[int] | None" = None,
+    input_syms: "list[np.ndarray] | None" = None,
+) -> bytes:
     """Symbol bitmaps (already sorted by (height, width)) -> symbol
-    dictionary segment data exporting all of them in order."""
+    dictionary segment data exporting all of them in order.
+
+    With ``refs`` (parallel to ``syms``: for each new symbol, the
+    index of its reference in the combined input+new space) the
+    dictionary is SDREFAGG=1: every symbol is refinement-coded
+    against that reference at offset (0, 0). ``input_syms`` are the
+    bitmaps arriving from referred dictionaries (they shift the IAID
+    space and the export runs; the segment layer threads the same
+    list to the decoder)."""
 
     mq = MQEncoder()
     iadh, iadw, iaex = ArithCtx(), ArithCtx(), ArithCtx()
     n = len(syms)
+    n_input = len(input_syms) if input_syms else 0
+    if refs is not None:
+        iaai, iardx, iardy = ArithCtx(), ArithCtx(), ArithCtx()
+        symlen = _symcodelen(n_input + n)
+        iaid = ArithCtx(1 << (symlen + 1))
+        grctx = ArithCtx(1 << 13)
     hc = 0
     i = 0
     while i < n:
@@ -999,14 +1083,33 @@ def encode_symbol_dict(syms: "list[np.ndarray]") -> bytes:
             wdt = syms[i].shape[1]
             encode_int(mq, iadw, wdt - sw)
             sw = wdt
-            encode_generic(syms[i], mq=mq)
+            if refs is None:
+                encode_generic(syms[i], mq=mq)
+            else:
+                sid = refs[i]
+                if not (0 <= sid < n_input + i):
+                    raise UserError(
+                        "JBIG2 encoder: refinement reference must precede "
+                        "the symbol."
+                    )
+                encode_int(mq, iaai, 1)
+                encode_iaid(mq, iaid, sid, symlen)
+                encode_int(mq, iardx, 0)
+                encode_int(mq, iardy, 0)
+                refsym = (
+                    input_syms[sid] if sid < n_input
+                    else syms[sid - n_input]
+                )
+                encode_refinement(syms[i], refsym, mq=mq, grctx=grctx)
             i += 1
         encode_int(mq, iadw, None)  # OOB closes the height class
-    encode_int(mq, iaex, 0)  # initial non-export run
-    encode_int(mq, iaex, n)  # export everything
+    encode_int(mq, iaex, n_input)  # initial non-export run
+    encode_int(mq, iaex, n)  # export the new symbols
+    flags = 0 if refs is None else 0x02  # SDREFAGG, GR template 0
     return (
-        struct.pack(">H", 0)  # SDHUFF=0 SDREFAGG=0 template 0
+        struct.pack(">H", flags)
         + _NOMINAL_AT
+        + (_NOMINAL_GR_AT if refs is not None else b"")
         + struct.pack(">II", n, n)
         + mq.flush()
     )
@@ -1028,8 +1131,11 @@ def decode_text_region(
     payload: bytes, syms: "list[np.ndarray]"
 ) -> "tuple[np.ndarray, int, int]":
     """Text region segment data + symbol table -> (bitmap, x, y).
-    Arithmetic coding only, no refinement, TRANSPOSED=0, OR composition
-    — the production scanned-text profile; else fails closed."""
+    Arithmetic coding only, optional per-instance refinement
+    (SBREFINE with IARI/IARDW/IARDH/IARDX/IARDY per §6.4.11 — the
+    instance is re-coded against its symbol at the spec's centered
+    offset and may change size), TRANSPOSED=0, OR composition — the
+    production scanned-text profile; else fails closed."""
 
     if len(payload) < 23:
         raise UserError("JBIG2: truncated text region.")
@@ -1037,8 +1143,7 @@ def decode_text_region(
     tflags = int.from_bytes(payload[17:19], "big")
     if tflags & 0x01:
         raise UserError("JBIG2: Huffman text regions unsupported.")
-    if (tflags >> 1) & 0x01:
-        raise UserError("JBIG2: refinement text coding unsupported.")
+    sbrefine = (tflags >> 1) & 0x01
     logstrips = (tflags >> 2) & 0x03
     refcorner = (tflags >> 4) & 0x03
     if (tflags >> 6) & 0x01:
@@ -1049,15 +1154,26 @@ def decode_text_region(
     dsoffset = (tflags >> 10) & 0x1F
     if dsoffset > 15:
         dsoffset -= 32
-    (numinstances,) = struct.unpack(">I", payload[19:23])
+    sbrtemplate = (tflags >> 15) & 0x01
+    cursor = 19
+    if sbrefine and sbrtemplate == 0:
+        if payload[cursor : cursor + 4] != _NOMINAL_GR_AT:
+            raise UserError("JBIG2: non-nominal GR AT pixels unsupported.")
+        cursor += 4
+    (numinstances,) = struct.unpack(">I", payload[cursor : cursor + 4])
+    cursor += 4
     if w * h > 1 << 28 or numinstances > 1 << 24:
         raise UserError("JBIG2: implausible text region size.")
 
     sbstrips = 1 << logstrips
     symlen = _symcodelen(len(syms))
-    mq = MQDecoder(payload[23:])
+    mq = MQDecoder(payload[cursor:])
     iadt, iafs, iads, iait = ArithCtx(), ArithCtx(), ArithCtx(), ArithCtx()
     iaid = ArithCtx(1 << (symlen + 1))
+    if sbrefine:
+        iari, iardw, iardh = ArithCtx(), ArithCtx(), ArithCtx()
+        iardx, iardy = ArithCtx(), ArithCtx()
+        grctx = ArithCtx(1 << 13)
 
     region = np.full((h, w), defpixel, np.uint8)
     dt0 = decode_int(mq, iadt)
@@ -1095,6 +1211,25 @@ def decode_text_region(
                 raise UserError("JBIG2: symbol ID out of range.")
             bm = syms[sid]
             hi, wi = bm.shape
+            if sbrefine and decode_int(mq, iari):
+                # §6.4.11: the instance is refinement-coded against
+                # its symbol; RDW/RDH resize it, the reference sits at
+                # the centered offset (RDW>>1 + RDX, RDH>>1 + RDY)
+                rdw = decode_int(mq, iardw)
+                rdh = decode_int(mq, iardh)
+                rdx = decode_int(mq, iardx)
+                rdy = decode_int(mq, iardy)
+                if None in (rdw, rdh, rdx, rdy):
+                    raise UserError("JBIG2: OOB instance refinement field.")
+                nw, nh = wi + rdw, hi + rdh
+                if not (0 < nw <= 1 << 15 and 0 < nh <= 1 << 15):
+                    raise UserError("JBIG2: invalid refined instance size.")
+                bm = decode_refinement(
+                    b"", nw, nh, bm, template=sbrtemplate,
+                    mq=mq, grctx=grctx,
+                    refdx=(rdw >> 1) + rdx, refdy=(rdh >> 1) + rdy,
+                )
+                hi, wi = bm.shape
             # TRANSPOSED=0: the left edge sits at CURS for every
             # REFCORNER; TOP corners anchor T at the top row
             y0 = tcoord if refcorner in (1, 3) else tcoord - hi + 1
@@ -1110,19 +1245,27 @@ def decode_text_region(
 
 def encode_text_region(
     w: int, h: int,
-    instances: "list[tuple[int, int, int]]",
+    instances: "list[tuple]",
     syms: "list[np.ndarray]",
 ) -> bytes:
-    """(y, x, symbol_id) instances -> text region segment data at
-    region origin (0,0): one strip per distinct row (SBSTRIPS=1),
-    REFCORNER=TOPLEFT, OR composition."""
+    """(y, x, symbol_id[, refined_bitmap]) instances -> text region
+    segment data at region origin (0,0): one strip per distinct row
+    (SBSTRIPS=1), REFCORNER=TOPLEFT, OR composition. An instance
+    carrying a 4th element (a 0/1 bitmap) is refinement-coded against
+    its symbol per §6.4.11 (SBREFINE=1, RDX=RDY=0; the bitmap may
+    differ in size from the symbol)."""
 
     symlen = _symcodelen(len(syms))
+    sbrefine = any(len(t) > 3 and t[3] is not None for t in instances)
     mq = MQEncoder()
     iadt, iafs, iads = ArithCtx(), ArithCtx(), ArithCtx()
     iaid = ArithCtx(1 << (symlen + 1))
+    if sbrefine:
+        iari, iardw, iardh = ArithCtx(), ArithCtx(), ArithCtx()
+        iardx, iardy = ArithCtx(), ArithCtx()
+        grctx = ArithCtx(1 << 13)
 
-    inst = sorted(instances)
+    inst = sorted(instances, key=lambda t: (t[0], t[1], t[2]))
     encode_int(mq, iadt, 0)  # STRIPT starts at 0
     stript = 0
     firsts = 0
@@ -1135,7 +1278,9 @@ def encode_text_region(
         curs = 0
         first = True
         while i < n and inst[i][0] == yrow:
-            _, xcol, sid = inst[i]
+            rec = inst[i]
+            _, xcol, sid = rec[0], rec[1], rec[2]
+            rbm = rec[3] if len(rec) > 3 else None
             if first:
                 encode_int(mq, iafs, xcol - firsts)
                 firsts = xcol
@@ -1144,14 +1289,30 @@ def encode_text_region(
                 encode_int(mq, iads, xcol - curs)
             curs = xcol
             encode_iaid(mq, iaid, sid, symlen)
-            curs += syms[sid].shape[1] - 1
+            placed_w = syms[sid].shape[1]
+            if sbrefine:
+                encode_int(mq, iari, 0 if rbm is None else 1)
+                if rbm is not None:
+                    rdw = rbm.shape[1] - syms[sid].shape[1]
+                    rdh = rbm.shape[0] - syms[sid].shape[0]
+                    encode_int(mq, iardw, rdw)
+                    encode_int(mq, iardh, rdh)
+                    encode_int(mq, iardx, 0)
+                    encode_int(mq, iardy, 0)
+                    encode_refinement(
+                        rbm, syms[sid], mq=mq, grctx=grctx,
+                        refdx=rdw >> 1, refdy=rdh >> 1,
+                    )
+                    placed_w = rbm.shape[1]
+            curs += placed_w - 1
             i += 1
         encode_int(mq, iads, None)  # strip terminator
-    tflags = 1 << 4  # REFCORNER = TOPLEFT; everything else 0
+    tflags = (1 << 4) | ((1 << 1) if sbrefine else 0)
     return (
         struct.pack(">IIII", w, h, 0, 0)
         + b"\x00"  # external combination operator: OR
         + struct.pack(">H", tflags)
+        + (_NOMINAL_GR_AT if sbrefine else b"")
         + struct.pack(">I", n)
         + mq.flush()
     )
@@ -1278,7 +1439,8 @@ def encode_jbig2_embedded(
 
 
 def encode_jbig2_symbol_text(
-    img: np.ndarray, split_globals: bool = False
+    img: np.ndarray, split_globals: bool = False,
+    refine_instances: bool = False, refagg_dict: bool = False,
 ) -> "bytes | tuple[bytes, bytes]":
     """0/1 bitmap -> embedded JBIG2 stream coded the way production
     scanned-text encoders work: connected components become a symbol
@@ -1288,7 +1450,17 @@ def encode_jbig2_symbol_text(
     ``split_globals=True`` returns (globals_stream, page_stream): the
     symbol dictionary moves to the page-0 globals stream (the PDF
     /JBIG2Globals organization), the page stream's text region refers
-    to it across the boundary."""
+    to it across the boundary.
+
+    ``refine_instances=True`` emits the lossy-cluster +
+    refine-to-lossless flow (§6.4.11): symbols dedup by shape class
+    only, and every instance whose exact bitmap differs from its
+    class representative is refinement-coded back to the original —
+    the decoded page stays bit-exact. ``refagg_dict=True`` splits the
+    dictionary: glyphs past the first become a second SDREFAGG=1
+    dictionary whose symbols are refinement-coded against the first
+    dictionary's export (§6.5.8.2.2), threaded as a referred
+    segment."""
 
     img = img.astype(np.uint8)
     h, w = img.shape
@@ -1300,24 +1472,54 @@ def encode_jbig2_symbol_text(
 
     table: dict[tuple, int] = {}
     syms: list[np.ndarray] = []
-    inst: list[tuple[int, int, int]] = []
+    inst: list[tuple] = []
     for y0, x0, bm in comps:
-        key = (bm.shape, bm.tobytes())
+        # with refine_instances the dedup key is the shape class only
+        # (a lossy cluster); the representative is the first bitmap
+        # seen, and differing instances refine back to their original
+        key = (
+            bm.shape if refine_instances else (bm.shape, bm.tobytes())
+        )
         sid = table.get(key)
         if sid is None:
             sid = len(syms)
             table[key] = sid
             syms.append(bm)
-        inst.append((y0, x0, sid))
+        if refine_instances and not np.array_equal(bm, syms[sid]):
+            inst.append((y0, x0, sid, bm))
+        else:
+            inst.append((y0, x0, sid))
     order = sorted(range(len(syms)),
                    key=lambda i: (syms[i].shape[0], syms[i].shape[1]))
     remap = {old: new for new, old in enumerate(order)}
     syms = [syms[i] for i in order]
-    inst = [(y, x, remap[s]) for (y, x, s) in inst]
+    inst = [(r[0], r[1], remap[r[2]]) + tuple(r[3:]) for r in inst]
+
+    page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00" + b"\x00\x00"
+    if refagg_dict and len(syms) > 1:
+        # dictionary 1: the first glyph, generic-coded; dictionary 2:
+        # every other glyph refinement-coded against it (SDREFAGG=1,
+        # §6.5.8.2.2), referred across the dictionary boundary
+        d1, d2 = syms[:1], syms[1:]
+        sd1 = encode_symbol_dict(d1)
+        sd2 = encode_symbol_dict(d2, refs=[0] * len(d2), input_syms=d1)
+        tr_payload = encode_text_region(w, h, inst, syms)
+        sd1_seg = _segment(1, 0, sd1, page=0 if split_globals else 1)
+        sd2_seg = _segment(
+            2, 0, sd2, page=0 if split_globals else 1, refs=(1,)
+        )
+        page_stream = (
+            _segment(0, 48, page_info)
+            + (b"" if split_globals else sd1_seg + sd2_seg)
+            + _segment(3, 6, tr_payload, refs=(1, 2))
+            + _segment(4, 49, b"")
+        )
+        if split_globals:
+            return sd1_seg + sd2_seg, page_stream
+        return page_stream
 
     sd_payload = encode_symbol_dict(syms)
     tr_payload = encode_text_region(w, h, inst, syms)
-    page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00" + b"\x00\x00"
     sd_seg = _segment(1, 0, sd_payload, page=0 if split_globals else 1)
     page_stream = (
         _segment(0, 48, page_info)

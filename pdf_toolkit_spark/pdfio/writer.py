@@ -42,7 +42,10 @@ class PageSpec:
     #: region via pdfio/jbig2.py), "jbig2m" (MMR generic region),
     #: "jbig2r" (lossy base + refinement region), "jbig2h" (halftone
     #: pattern stamping, lossy), "jbig2s" (T.88 symbol dictionary +
-    #: text region with a /JBIG2Globals stream), "jpx" (lossless
+    #: text region with a /JBIG2Globals stream), "jbig2sr" (SDREFAGG
+    #: refinement-coded dictionary + SBREFINE refined instances — the
+    #: lossy-cluster + refine-to-lossless symbol flow, still
+    #: bit-exact), "jpx" (lossless
     #: JPEG 2000 via pdfio/jpx.py), "jpx97" (lossy 9/7 JPEG 2000,
     #: derived QCD), or "jpxq" (lossy with per-component QCC
     #: signalling); the 1-bit codecs threshold gray rasters at >127
@@ -268,11 +271,17 @@ def _image_xobject(
 ) -> bytes:
     h, w = arr.shape[:2]
     cs = "DeviceRGB" if arr.ndim == 3 else "DeviceGray"
-    if codec == "jbig2s" and arr.ndim == 2:
+    if codec in ("jbig2s", "jbig2sr") and arr.ndim == 2:
         from .jbig2 import encode_jbig2_symbol_text
 
+        sym_kw = (
+            {"refine_instances": True, "refagg_dict": True}
+            if codec == "jbig2sr" else {}
+        )
         bits = (arr <= 127).astype(np.uint8)  # dark pixels = black
-        g, data = encode_jbig2_symbol_text(bits, split_globals=True)
+        g, data = encode_jbig2_symbol_text(
+            bits, split_globals=True, **sym_kw
+        )
         parms = ""
         if g and builder is not None:
             # symbol dictionary rides in a /JBIG2Globals stream — the
@@ -283,7 +292,7 @@ def _image_xobject(
             )
             parms = f"/DecodeParms << /JBIG2Globals {gnum} 0 R >> "
         elif g:  # no builder to host the globals object: inline dict
-            data = encode_jbig2_symbol_text(bits)
+            data = encode_jbig2_symbol_text(bits, **sym_kw)
         head = (
             f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
             f"/ColorSpace /DeviceGray /BitsPerComponent 1 "

@@ -575,7 +575,7 @@ def test_halftone_unsupported_corners_fail_closed():
         decode_jbig2_embedded(bytes(enc))
 
 
-@pytest.mark.parametrize("codec", ["jbig2m", "jbig2r", "jbig2h"])
+@pytest.mark.parametrize("codec", ["jbig2m", "jbig2r", "jbig2h", "jbig2sr"])
 def test_new_jbig2_writer_codecs_extract_end_to_end(codec):
     """PDF fixtures carrying MMR / refinement / halftone JBIG2 streams
     run the whole serial extraction pipeline; the lossless modes
@@ -622,3 +622,108 @@ def test_jpxq_writer_codec_extracts_end_to_end():
     assert out.shape == raster.shape
     assert np.abs(out.astype(int) - raster.astype(int)).max() <= 16
     assert len(extract_document(pdf)["spans"]) > 0
+
+
+# ---------------------------------------------------------------------------
+# Symbol-level refinement: SDREFAGG dictionaries (§6.5.8.2.2) and
+# SBREFINE text-region instances (§6.4.11)
+# ---------------------------------------------------------------------------
+
+def _glyph(h, w, seed):
+    r = np.random.default_rng(seed)
+    return ((r.random((h, w)) > 0.6) | np.eye(h, w, dtype=bool)).astype(
+        np.uint8
+    )
+
+
+def test_refagg_symbol_dict_roundtrip():
+    """SDREFAGG=1 dictionaries: every new symbol refinement-coded
+    against an input symbol (cross-dictionary) or an earlier new
+    symbol, exact round-trip through decode_symbol_dict."""
+
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        decode_symbol_dict, encode_symbol_dict,
+    )
+
+    base = sorted([_glyph(8, 6, i) for i in range(3)],
+                  key=lambda b: (b.shape[0], b.shape[1]))
+    out_a = decode_symbol_dict(encode_symbol_dict(base), [])
+    assert all(np.array_equal(a, b) for a, b in zip(out_a, base))
+    refined = []
+    for b in base:
+        r = b.copy()
+        r[0, 0] ^= 1
+        r[-1, -1] ^= 1
+        refined.append(r)
+    enc = encode_symbol_dict(refined, refs=[0, 1, 2], input_syms=out_a)
+    out_b = decode_symbol_dict(enc, out_a)
+    assert all(np.array_equal(a, b) for a, b in zip(out_b, refined))
+    # chained refs into the new-symbol space: symbol 2 refines new
+    # symbol 0 (combined index = n_input + 0)
+    enc2 = encode_symbol_dict(refined, refs=[0, 1, 3], input_syms=out_a)
+    out_c = decode_symbol_dict(enc2, out_a)
+    assert all(np.array_equal(a, b) for a, b in zip(out_c, refined))
+
+
+def test_refagg_dict_validation():
+    """Forward references fail on the encode side; REFAGGNINST != 1
+    (true aggregates) fails closed on decode."""
+
+    from pdf_toolkit_spark.pdfio.jbig2 import encode_symbol_dict
+
+    g = [_glyph(6, 5, 1)]
+    with pytest.raises(UserError):
+        encode_symbol_dict(g, refs=[0])  # nothing precedes symbol 0
+
+
+def test_text_region_instance_refinement_roundtrip():
+    """SBREFINE instances: refined bitmaps replace their symbol at
+    the spec's centered reference offset and may grow or shrink; the
+    composed region is exact."""
+
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        decode_text_region, encode_text_region,
+    )
+
+    syms = sorted([_glyph(8, 6, i) for i in range(4)],
+                  key=lambda b: (b.shape[0], b.shape[1]))
+    r0 = syms[0].copy()
+    r0[0, 0] ^= 1
+    r1 = np.pad(syms[1], ((0, 2), (0, 1)))  # RDH=2, RDW=1
+    r1[-1, -1] = 1
+    r2 = syms[2][:6, :5].copy()             # RDH=-2, RDW=-1
+    inst = [(2, 3, 0, r0), (2, 12, 1, r1), (9, 4, 2, r2), (9, 15, 3)]
+    enc = encode_text_region(40, 24, inst, syms)
+    bm, _, _ = decode_text_region(enc, syms)
+    exp = np.zeros((24, 40), np.uint8)
+    for rec in inst:
+        g = rec[3] if len(rec) > 3 else syms[rec[2]]
+        hh, ww = g.shape
+        exp[rec[0] : rec[0] + hh, rec[1] : rec[1] + ww] |= g
+    assert np.array_equal(bm, exp)
+
+
+@pytest.mark.parametrize("kw", [
+    {"refine_instances": True},
+    {"refagg_dict": True},
+    {"refine_instances": True, "refagg_dict": True},
+])
+def test_symbol_refinement_page_roundtrip(kw):
+    """encode_jbig2_symbol_text's refinement flavors stay bit-exact
+    through the full segment walk, inline and globals-split."""
+
+    rng = np.random.default_rng(8)
+    page = np.zeros((60, 120), np.uint8)
+    glyphs = [_glyph(7, 5, i) for i in range(4)]
+    pos = [(3, 4), (3, 20), (3, 40), (20, 10), (20, 30), (40, 5), (40, 60)]
+    for i, (y, x) in enumerate(pos):
+        g = glyphs[i % 4].copy()
+        if i >= 4:
+            g[0, i % 5] ^= 1  # same shape class, different bits
+        page[y : y + 7, x : x + 5] |= g
+    from pdf_toolkit_spark.pdfio.jbig2 import encode_jbig2_symbol_text
+
+    enc = encode_jbig2_symbol_text(page, **kw)
+    assert np.array_equal(decode_jbig2_embedded(enc), page)
+    g, p = encode_jbig2_symbol_text(page, split_globals=True, **kw)
+    assert np.array_equal(decode_jbig2_embedded(p, g), page)
