@@ -35,10 +35,12 @@ identical coder). Grayscale and RGB 8-bit (3 components with the
 reversible RCT or irreversible ICT of Annex G, or none), SOP/EPH
 resegmentation markers (A.8: SOP sequence numbers enforced as the
 resync check they are, EPH header terminators — in the packed-header
-stream when PPM/PPT host the headers); subsampled
-streams and semantic marker segments the decoder can't honour (POC,
-COC overrides beyond code-block geometry and an exact-match precinct
-partition, non-maxshift RGN styles, and tile-header coding
+stream when PPM/PPT host the headers), and POC progression-order
+changes (A.6.6: per-volume packet re-enumeration with already-sent
+packets skipped; a POC leaving packets uncovered fails closed);
+subsampled streams and semantic marker segments the decoder can't
+honour (COC overrides beyond code-block geometry and an exact-match
+precinct partition, non-maxshift RGN styles, and tile-header coding
 overrides) raise UserError (missing raster upstream, never wrong
 pixels).
 
@@ -1220,18 +1222,10 @@ def _precinct_layout(
     return out
 
 
-def _packet_order(prog_code: int, layers: int, ncomp: int, layout: list):
-    """Packet visit order for one tile under a B.12 progression:
-    tuples (layer, r, ci, p). Position-major orders sort on each
-    precinct's projected tile anchor."""
+def _prog_sort(pk: list, prog_code: int) -> None:
+    """In-place sort of (l, r, ci, p, y, x) packet tuples per a B.12
+    progression; position-major orders use the projected anchors."""
 
-    pk = []
-    for r, entry in enumerate(layout):
-        for p in range(entry["n"]):
-            y, x = entry["pos"][p]
-            for ci in range(ncomp):
-                for l in range(layers):
-                    pk.append((l, r, ci, p, y, x))
     if prog_code == 0:  # LRCP
         pk.sort(key=lambda t: (t[0], t[1], t[2], t[3]))
     elif prog_code == 1:  # RLCP
@@ -1242,7 +1236,53 @@ def _packet_order(prog_code: int, layers: int, ncomp: int, layout: list):
         pk.sort(key=lambda t: (t[4], t[5], t[2], t[1], t[0]))
     else:  # CPRL
         pk.sort(key=lambda t: (t[2], t[4], t[5], t[1], t[0]))
+
+
+def _packet_order(prog_code: int, layers: int, ncomp: int, layout: list):
+    """Packet visit order for one tile under a B.12 progression:
+    tuples (layer, r, ci, p)."""
+
+    pk = []
+    for r, entry in enumerate(layout):
+        for p in range(entry["n"]):
+            y, x = entry["pos"][p]
+            for ci in range(ncomp):
+                for l in range(layers):
+                    pk.append((l, r, ci, p, y, x))
+    _prog_sort(pk, prog_code)
     return [(l, r, ci, p) for l, r, ci, p, _y, _x in pk]
+
+
+def _poc_order(entries: list, layers: int, ncomp: int, layout: list):
+    """Packet visit order under POC progression-order changes (T.800
+    A.6.6 / B.12): each volume (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc,
+    Ppoc) enumerates its progression over layers < LYEpoc, RSpoc <=
+    r < REpoc, CSpoc <= c < CEpoc, emitting packets not yet emitted.
+    For any precinct, each volume contributes an ascending layer
+    range, so per-band Tier-2 state stays consistent. A POC that
+    leaves packets uncovered fails closed."""
+
+    seen: set = set()
+    out = []
+    for rs, cs, lye, re_, ce, pcode in entries:
+        sub = []
+        for r in range(rs, min(re_, len(layout))):
+            entry = layout[r]
+            for p in range(entry["n"]):
+                y, x = entry["pos"][p]
+                for ci in range(cs, min(ce, ncomp)):
+                    for l in range(min(lye, layers)):
+                        sub.append((l, r, ci, p, y, x))
+        _prog_sort(sub, pcode)
+        for t in sub:
+            k = t[:4]
+            if k not in seen:
+                seen.add(k)
+                out.append(k)
+    total = layers * ncomp * sum(e["n"] for e in layout)
+    if len(out) != total:
+        raise UserError("JPX: POC leaves packets uncovered.")
+    return out
 
 
 def _rct_forward(shifted: np.ndarray) -> list:
@@ -1280,6 +1320,7 @@ def encode_jpx(
     precincts: "int | tuple[int, int] | list | None" = None,
     sop: bool = False,
     eph: bool = False,
+    poc: "list | None" = None,
 ) -> bytes:
     """8-bit gray (H, W) or RGB (H, W, 3) -> JPEG 2000 codestream.
     Defaults: one layer, 64x64 code-blocks (``cb_exp`` sets other
@@ -1326,6 +1367,14 @@ def encode_jpx(
     if prog not in _PROGS:
         raise UserError("JPX encoder: prog lrcp|rlcp|rpcl|pcrl|cprl.")
     prog_code = _PROGS[prog]
+    # POC progression volumes: (rs, cs, lye, re, ce, prog_name)
+    poc_entries = []
+    for rs, cs, lye, re_, ce, pname in poc or []:
+        if pname not in _PROGS:
+            raise UserError("JPX encoder: unknown POC progression.")
+        if not (0 <= rs < re_ and 0 <= cs < ce and lye >= 1):
+            raise UserError("JPX encoder: invalid POC volume bounds.")
+        poc_entries.append((rs, cs, lye, re_, ce, _PROGS[pname]))
     # explicit precinct partition (B.6): int / (PPx, PPy) applied to
     # every resolution, or a per-resolution list (r=0 first); None
     # keeps the maximal whole-band precincts and omits the signalling
@@ -1558,9 +1607,12 @@ def encode_jpx(
 
         packets = []
         res_list = _resolution_bands(levels)
-        for layer, _ri, ci, p in _packet_order(
-            prog_code, layers, ncomp, layouts[0]
-        ):
+        pkt_order = (
+            _poc_order(poc_entries, layers, ncomp, layouts[0])
+            if poc_entries
+            else _packet_order(prog_code, layers, ncomp, layouts[0])
+        )
+        for layer, _ri, ci, p in pkt_order:
             bands = res_list[_ri]
             bw = _BitWriter()
             body = bytearray()
@@ -1671,6 +1723,13 @@ def encode_jpx(
         prog_code, layers, mct,
     ) + spcod + prec_bytes
     out += b"\xff\x52" + cod
+    if poc_entries:
+        # POC (A.6.6): 7-byte volumes for Csiz < 257
+        body = b"".join(
+            struct.pack(">BBHBBB", rs, cs, lye, re_, ce, pp)
+            for rs, cs, lye, re_, ce, pp in poc_entries
+        )
+        out += b"\xff\x5f" + struct.pack(">H", 2 + len(body)) + body
     for ci in sorted(coc_cb or {}):
         # COC (A.6.2): Ccoc 1 byte (Csiz < 257), Scoc mirrors COD's
         # precinct flag (the decoder only honours an exact-match
@@ -1795,6 +1854,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     xcb = ycb = _CB_EXP
     pps: "list | None" = None
     use_sop = use_eph = False
+    poc_entries: list = []
     mct = 0
     reversible = True
     qcd_tbl: tuple | None = None
@@ -1894,6 +1954,19 @@ def decode_jpx(data: bytes) -> np.ndarray:
             if seg[0] >= ncomp:
                 raise UserError("JPX: QCC component index out of range.")
             qcc_tbl[seg[0]] = _parse_quant(seg[1:])
+            pos += ln
+        elif marker == b"\xff\x5f":  # POC: progression order changes
+            if len(seg) % 7 or not seg:
+                raise UserError("JPX: malformed POC segment.")
+            # 7-byte entries for Csiz < 257: RSpoc, CSpoc, LYEpoc(2),
+            # REpoc, CEpoc, Ppoc
+            for k in range(0, len(seg), 7):
+                rs, cs = seg[k], seg[k + 1]
+                (lye,) = struct.unpack(">H", seg[k + 2 : k + 4])
+                re_, ce, pp = seg[k + 4], seg[k + 5], seg[k + 6]
+                if pp > 4 or rs >= re_ or cs >= ce or lye == 0:
+                    raise UserError("JPX: invalid POC entry.")
+                poc_entries.append((rs, cs, lye, re_, ce, pp))
             pos += ln
         elif marker == b"\xff\x60":  # PPM: packed headers (main header)
             ppm_present = True
@@ -2111,7 +2184,11 @@ def decode_jpx(data: bytes) -> np.ndarray:
             prec_state[key] = st
             return st
 
-        order = _packet_order(prog, layers, ncomp, layouts[0])
+        order = (
+            _poc_order(poc_entries, layers, ncomp, layouts[0])
+            if poc_entries
+            else _packet_order(prog, layers, ncomp, layouts[0])
+        )
 
         pos = 0
         # with PPT, packet headers read from the packed stream (each

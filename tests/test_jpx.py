@@ -782,6 +782,51 @@ def test_sop_eph_fail_closed():
         decode_jpx(enc2[:at2] + enc2[at2 + 2 :])
 
 
+def test_poc_progression_order_changes():
+    """POC volumes (T.800 A.6.6): packets re-enumerate per volume
+    with already-emitted packets skipped; resolution-, layer- and
+    component-split volumes all round-trip, composed with precincts,
+    SOP/EPH and tiles."""
+
+    g = RNG.integers(0, 256, (100, 140), dtype=np.uint8)
+    rgb = RNG.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    enc = encode_jpx(
+        g, 3, layers=3,
+        poc=[(0, 0, 3, 1, 1, "lrcp"), (0, 0, 3, 4, 1, "rpcl")],
+    )
+    assert b"\xff\x5f" in enc
+    assert np.array_equal(decode_jpx(enc), g)
+    enc = encode_jpx(
+        rgb, 2, layers=4, precincts=5, sop=True, eph=True,
+        poc=[(0, 0, 1, 3, 3, "rpcl"), (0, 0, 4, 3, 3, "cprl")],
+    )
+    assert np.array_equal(decode_jpx(enc), rgb)
+    enc = encode_jpx(
+        rgb, 2, layers=2,
+        poc=[(0, 0, 2, 3, 1, "lrcp"), (0, 1, 2, 3, 3, "rlcp")],
+    )
+    assert np.array_equal(decode_jpx(enc), rgb)
+    enc = encode_jpx(
+        g, 2, layers=2, tile_size=64,
+        poc=[(0, 0, 1, 3, 1, "rlcp"), (0, 0, 2, 3, 1, "lrcp")],
+    )
+    assert np.array_equal(decode_jpx(enc), g)
+
+
+def test_poc_fail_closed():
+    """A POC that leaves packets uncovered and a malformed POC entry
+    both fail closed."""
+
+    g = RNG.integers(0, 256, (40, 40), dtype=np.uint8)
+    with pytest.raises(UserError):
+        encode_jpx(g, 2, layers=2, poc=[(0, 0, 1, 3, 1, "lrcp")])
+    enc = bytearray(encode_jpx(g, 1, layers=1, poc=[(0, 0, 1, 2, 1, "lrcp")]))
+    at = bytes(enc).find(b"\xff\x5f")
+    enc[at + 10] = 5  # Ppoc out of range
+    with pytest.raises(UserError):
+        decode_jpx(bytes(enc))
+
+
 def test_code_block_size_validation():
     """Out-of-range code-block exponents fail closed on both sides
     (T.800 A.6.1: each in 2..10, xcb+ycb <= 12)."""
