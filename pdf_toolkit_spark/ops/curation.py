@@ -19,12 +19,12 @@ composite stays value-exact by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import dedup as _dedup
 from . import text as _text
-from .common import table
+from .common import SQL_HASH32, hash32, table
 
 
 def curate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,7 +59,43 @@ def curate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"curate_survivors": curate_survivors}
+#: per-domain document cap (the crawl-curation quota): sf0.01 has 25
+#: docs per source, so 18 keeps some and drops some in every domain
+QUOTA_PER_DOMAIN = 18
+
+
+def domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling (crawl curation: cap a domain's
+    contribution so no single host dominates the training mix): keep
+    at most QUOTA_PER_DOMAIN docs per source, selected by a
+    deterministic hash rank (hash32 of 'quota:' + doc_id, doc_id
+    tiebreak) — a seedless uniform sample that is stable across runs
+    and engines. Output: (doc_id, source, rk) for kept docs.
+
+    Scale shape: ONE window partitioned by the domain key — a keyed
+    sort, never a global one; domains shuffle independently and the
+    plan carries (doc_id, source, 8-byte hash) only, document bytes
+    never move. A pathological mega-domain serializes only its own
+    partition; the fix at that scale is a pre-pass count + per-domain
+    hash threshold (rank r <= K approximated by h < K/n * 2^32, then
+    exact-ranked inside the survivors), which this operator's
+    deterministic hash ordering makes drop-in."""
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    h = hash32(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.withColumn("h", h)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= QUOTA_PER_DOMAIN)
+        .select("doc_id", "source", "rk")
+    )
+
+
+QUERIES = {
+    "curate_survivors": curate_survivors,
+    "curate_domain_quota": domain_quota,
+}
 
 ORACLES = {
     "curate_survivors": f"""
@@ -82,5 +118,16 @@ ORACLES = {
         JOIN dq USING (doc_id)
         JOIN dd USING (doc_id)
         JOIN tok USING (doc_id)
+    """,
+    "curate_domain_quota": f"""
+        SELECT doc_id, source, rk FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {SQL_HASH32.format(e="'quota:' || doc_id")},
+                                doc_id
+                   ) AS rk
+            FROM documents
+        ) t WHERE rk <= {QUOTA_PER_DOMAIN}
     """,
 }

@@ -34,7 +34,7 @@ call :func:`release_caches` between corpora in a long-lived session.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import (
@@ -761,7 +761,79 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # dict order = driver visit order; the three entries the r04 harness
 # never reached (simhash_pairs, embedding_neardup[_lsh]) lead.
+#: paragraph unit for paragraph-level dedup: PARA_WORDS consecutive
+#: normalized words (the corpus has no newline structure; fixed word
+#: windows give both engines the identical deterministic chunking)
+PARA_WORDS = 15
+
+#: (doc_id, pos) pairs pack into one bigint for the cross-engine
+#: lexicographic min; pos is bounded by the pack width
+_PARA_POS_LIMIT = 4096
+
+
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (the Dolma/RedPajama sub-document
+    pass: boilerplate paragraphs repeat across pages even when whole
+    documents differ): chunk each doc into PARA_WORDS-word paragraphs
+    (tail dropped), hash each, keep the first occurrence corpus-wide
+    (min (doc_id, pos)), and report per-doc paragraph accounting.
+    Output: (doc_id, n_paras, n_kept) — n_kept < n_paras means the doc
+    carries paragraphs already seen elsewhere.
+
+    Scale shape: explode to ~n_words/15 rows per doc, ONE map-side-
+    combined hash agg on the 8-byte 60-bit paragraph hash (md5-derived
+    so DuckDB agrees; 60 bits keep cross-paragraph collisions
+    negligible at fleet scale), then a hash-join back and a per-doc
+    agg. Paragraph TEXT never shuffles — only (hash, doc_id, pos)
+    triples — and the canonical pick is an aggregate, not a window.
+    (doc_id, pos) packs into one bigint so the lexicographic min stays
+    a plain MIN in both engines (pos < 4096 by construction: chunking
+    caps paragraphs per doc at n_words / PARA_WORDS)."""
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(norm_text(F.col("text")), " ").alias("words")
+    )
+    nch = F.least(
+        F.floor(F.size("words") / PARA_WORDS).cast("int"),
+        F.lit(_PARA_POS_LIMIT - 1),
+    )
+    paras = (
+        docs.withColumn("nch", nch)
+        .filter(F.col("nch") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("nch") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("words", i * PARA_WORDS + 1, PARA_WORDS)
+                    ),
+                )
+            ).alias("pos", "para"),
+        )
+    )
+    occ = paras.select(
+        "doc_id", hash60(F.col("para")).alias("h"),
+        (F.col("doc_id") * _PARA_POS_LIMIT + F.col("pos")).alias("pk"),
+    )
+    # canonical pick as a KEYED window over the hash (one exchange on
+    # h, no self-join): Spark has no cross-branch subplan sharing, so
+    # the agg+join-back formulation would run the explode twice
+    first_pk = F.min("pk").over(Window.partitionBy("h"))
+    return (
+        occ.withColumn("first_pk", first_pk)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum((F.col("pk") == F.col("first_pk")).cast("int")).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "dedup_paragraphs": paragraph_dedup,
     "dedup_simhash_pairs": simhash_pairs,
     "dedup_embedding_neardup": embedding_neardup_pairs,
     "dedup_embedding_neardup_lsh": embedding_neardup_lsh,
@@ -826,6 +898,37 @@ _SQL_SIGS = f"""
 """
 
 ORACLES = {
+    "dedup_paragraphs": f"""
+        WITH w AS (
+            SELECT doc_id, string_split({_N}, ' ') AS words FROM documents
+        ),
+        nch AS (
+            SELECT doc_id, words,
+                   least(CAST(floor(len(words) / {PARA_WORDS}) AS INT),
+                         {_PARA_POS_LIMIT - 1}) AS n
+            FROM w
+        ),
+        paras AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(
+                       words[i * {PARA_WORDS} + 1 : (i + 1) * {PARA_WORDS}],
+                       ' '
+                   ) AS para
+            FROM nch, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g
+            WHERE n > 0
+        ),
+        occ AS (
+            SELECT doc_id, pos, {SQL_HASH60.format(e="para")} AS h,
+                   doc_id * {_PARA_POS_LIMIT} + pos AS pk
+            FROM paras
+        ),
+        canon AS (SELECT h, min(pk) AS first_pk FROM occ GROUP BY h)
+        SELECT doc_id, count(*) AS n_paras,
+               CAST(sum(CASE WHEN pk = first_pk THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept
+        FROM occ JOIN canon USING (h)
+        GROUP BY doc_id
+    """,
     "dedup_exact": """
         SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
         FROM documents GROUP BY md5(text)

@@ -331,3 +331,28 @@ def test_dsir_weight_models_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_domain_quota_is_group_limited_single_exchange(spark):
+    """Per-domain quota: ONE keyed exchange on the domain, and
+    Catalyst's WindowGroupLimit must apply the top-K per group on the
+    map side (partial) before the shuffle — the property that keeps a
+    quota pass cheap at crawl scale."""
+
+    plan = explain_str(QUERIES["curate_domain_quota"](spark, SF_DIR))
+    detail = plan.split("\n\n(1)")[0]  # tree section only
+    assert detail.count("Exchange") == 1
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert "rangepartitioning" not in plan  # keyed, never a global sort
+
+
+def test_paragraph_dedup_is_window_not_self_join(spark):
+    """Paragraph dedup: the canonical pick is a keyed window over the
+    paragraph hash, NOT an agg + join-back (which would re-run the
+    explode — Spark has no cross-branch subplan sharing)."""
+
+    plan = explain_str(QUERIES["dedup_paragraphs"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Generate" in plan  # the posexplode runs exactly once
+    assert plan.count("Generate explode") <= 1
+    assert plan.count("Generate posexplode") <= 1
