@@ -17,8 +17,11 @@ codecs, so the engine owns one — the same pattern as pdfio/png.py.
   to (h, w) uint8, color to (h, w, 3). Arithmetic/12-bit/hierarchical
   streams raise UserError.
 - encoder: quality-scaled Annex K quantization tables, Annex K Huffman
-  tables, 4:4:4 (no subsampling — deterministic fixtures, simplest
-  parity), batched FDCT, run-length + magnitude entropy coding.
+  tables, 4:4:4 or 4:2:0 (2x2 luma MCUs with box-averaged chroma —
+  the real scanner-output shape), optional DRI/RSTm restart intervals
+  (§F.1.2.3: byte-aligned resegmentation with DC-predictor resets,
+  cross-read live against JDK ImageIO in tests), batched FDCT,
+  run-length + magnitude entropy coding.
 
 Everything is deterministic (pure integer/float64 numpy + fixed
 rounding), which the content-addressed media_refs require: the same
@@ -219,11 +222,28 @@ def _encode_blocks(
     comp_of_block: list[int],
     dc_codes: list[dict],
     ac_codes: list[dict],
+    blocks_per_mcu: int = 0,
+    restart_interval: int = 0,
 ) -> None:
-    """Entropy-encode quantized blocks in interleaved order."""
+    """Entropy-encode quantized blocks in interleaved order. With
+    ``restart_interval`` (in MCUs), an RSTm marker (m cycling 0-7) is
+    emitted every Ri MCUs: the bitstream pads to a byte boundary with
+    1s and the DC predictors reset (T.81 §F.1.2.3) — the
+    error-resilience layout scanner firmware emits."""
 
     preds = [0] * (max(comp_of_block) + 1)
+    blk_idx = 0
     for blk, ci in zip(quant_blocks, comp_of_block):
+        if (
+            restart_interval
+            and blk_idx
+            and blk_idx % (restart_interval * blocks_per_mcu) == 0
+        ):
+            writer.flush()
+            m = (blk_idx // (restart_interval * blocks_per_mcu) - 1) % 8
+            writer.out += bytes([0xFF, 0xD0 + m])
+            preds = [0] * len(preds)
+        blk_idx += 1
         zz = blk.reshape(64)[ZIGZAG].astype(np.int64)
         dc_tbl, ac_tbl = dc_codes[ci], ac_codes[ci]
         diff = int(zz[0]) - preds[ci]
@@ -266,12 +286,16 @@ def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
     return b"\xff\xdb" + (len(payload) + 2).to_bytes(2, "big") + payload
 
 
-def encode_jpeg(arr: np.ndarray, *, quality: int = 75, subsample: str = "444") -> bytes:
+def encode_jpeg(
+    arr: np.ndarray, *, quality: int = 75, subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """Encode a (h, w) gray or (h, w, 3) RGB uint8 array as a baseline
     sequential JFIF JPEG (Annex K tables at the given quality).
     ``subsample``: "444" (one block per component per MCU) or "420"
     (2x2 luma sampling with box-averaged chroma — what real scanner
-    output ships)."""
+    output ships). ``restart_interval`` emits a DRI segment and RSTm
+    markers every that many MCUs (0 = none)."""
 
     if arr.dtype != np.uint8 or arr.ndim not in (2, 3) or (
         arr.ndim == 3 and arr.shape[2] != 3
@@ -348,8 +372,13 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 75, subsample: str = "444") -
     dc_by_comp = [dc_codes[qids[c]] for c in range(ncomp)]
     ac_by_comp = [ac_codes[qids[c]] for c in range(ncomp)]
 
+    blocks_per_mcu = 6 if use_420 else len(enc_planes)
     writer = _BitWriter()
-    _encode_blocks(writer, all_blocks, comp_of_block, dc_by_comp, ac_by_comp)
+    _encode_blocks(
+        writer, all_blocks, comp_of_block, dc_by_comp, ac_by_comp,
+        blocks_per_mcu=blocks_per_mcu,
+        restart_interval=restart_interval,
+    )
     writer.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -365,6 +394,8 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 75, subsample: str = "444") -
     out += _dht_segment(0, 0, _DC_LUMA) + _dht_segment(1, 0, _AC_LUMA)
     if ncomp == 3:
         out += _dht_segment(0, 1, _DC_CHROMA) + _dht_segment(1, 1, _AC_CHROMA)
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
     sos = bytes([ncomp])
     for c in range(ncomp):
         td_ta = 0x00 if qids[c] == 0 else 0x11

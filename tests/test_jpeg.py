@@ -202,3 +202,94 @@ def test_fill_bytes_before_markers_are_skipped():
     padded += b"\xff" + enc[2:]
     d0, d1 = decode_jpeg(enc), decode_jpeg(bytes(padded))
     assert np.array_equal(d0, d1)
+
+
+# ---------------------------------------------------------------------------
+# Restart intervals (T.81 §F.1.2.3: DRI + RSTm every Ri MCUs)
+# ---------------------------------------------------------------------------
+
+def test_restart_interval_roundtrip_and_structure():
+    """DRI/RSTn streams decode to the identical pixels as their
+    no-restart twin (the markers only resegment the entropy stream),
+    with RSTm cycling 0-7 and the right marker count."""
+
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 256, (70, 90), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (70, 90, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        for ri in (1, 3, 7):
+            for src in (g, rgb):
+                enc = encode_jpeg(src, restart_interval=ri, subsample=sub)
+                assert b"\xff\xdd\x00\x04" + ri.to_bytes(2, "big") in enc
+                base = encode_jpeg(src, subsample=sub)
+                assert np.array_equal(decode_jpeg(enc), decode_jpeg(base))
+    # marker cycling: gray 70x90 -> 9x12=108 MCUs, ri=7 -> 15 RSTs
+    enc = encode_jpeg(g, restart_interval=7)
+    scan = enc[enc.find(b"\xff\xda"):]
+    rsts = [scan[i + 1] - 0xD0 for i in range(len(scan) - 1)
+            if scan[i] == 0xFF and 0xD0 <= scan[i + 1] <= 0xD7]
+    assert len(rsts) == 15
+    assert rsts == [i % 8 for i in range(15)]
+
+
+def test_restart_interval_stream_reads_in_imageio():
+    """Live cross-engine check (JDK ImageIO, same pattern as the
+    CCITT/PNG suites): a 4:2:0 + DRI stream must parse in a second
+    implementation and agree within IDCT/upsampling rounding."""
+
+    import shutil as _shutil
+    import subprocess
+    import tempfile
+    from pathlib import Path
+
+    if _shutil.which("javac") is None or _shutil.which("java") is None:
+        pytest.skip("no JDK in container")
+    rng = np.random.default_rng(33)
+    rgb = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    # 4:4:4 so the only decoder divergence is IDCT rounding (4:2:0
+    # would compare our nearest chroma upsampling against ImageIO's
+    # interpolator — a codec-choice difference, not a restart bug)
+    enc = encode_jpeg(rgb, restart_interval=4, quality=90)
+    d = Path(tempfile.mkdtemp())
+    (d / "in.jpg").write_bytes(enc)
+    (d / "JpgDump.java").write_text(
+        'import javax.imageio.ImageIO; import java.io.*;'
+        'import java.awt.image.BufferedImage;'
+        'public class JpgDump { public static void main(String[] a)'
+        ' throws Exception { BufferedImage im = ImageIO.read(new File(a[0]));'
+        ' DataOutputStream o = new DataOutputStream(new BufferedOutputStream('
+        'new FileOutputStream(a[1])));'
+        ' for (int y=0;y<im.getHeight();y++) for (int x=0;x<im.getWidth();x++)'
+        ' { int p = im.getRGB(x,y); o.writeByte((p>>16)&0xFF);'
+        ' o.writeByte((p>>8)&0xFF); o.writeByte(p&0xFF); } o.close(); } }'
+    )
+    subprocess.run(["javac", "JpgDump.java"], check=True, cwd=d)
+    subprocess.run(
+        ["java", "JpgDump", str(d / "in.jpg"), str(d / "out.raw")],
+        check=True, cwd=d,
+    )
+    ref = np.frombuffer((d / "out.raw").read_bytes(), np.uint8).reshape(
+        48, 64, 3
+    )
+    ours = decode_jpeg(enc)
+    err = np.abs(ours.astype(int) - ref.astype(int))
+    assert err.max() <= 4 and err.mean() < 1.0
+    # 4:2:0 + DRI on a smooth ramp: must parse and stay close even
+    # across the upsampling-filter difference
+    x = np.linspace(0, 255, 64)
+    smooth = np.stack(
+        [np.tile(x, (48, 1)), np.tile(x[::-1], (48, 1)),
+         np.full((48, 64), 90.0)], axis=-1
+    ).astype(np.uint8)
+    enc2 = encode_jpeg(smooth, restart_interval=3, subsample="420",
+                       quality=90)
+    (d / "in2.jpg").write_bytes(enc2)
+    subprocess.run(
+        ["java", "JpgDump", str(d / "in2.jpg"), str(d / "out2.raw")],
+        check=True, cwd=d,
+    )
+    ref2 = np.frombuffer((d / "out2.raw").read_bytes(), np.uint8).reshape(
+        48, 64, 3
+    )
+    err2 = np.abs(decode_jpeg(enc2).astype(int) - ref2.astype(int))
+    assert err2.mean() < 2.0
