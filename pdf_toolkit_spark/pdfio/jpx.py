@@ -37,12 +37,15 @@ resegmentation markers (A.8: SOP sequence numbers enforced as the
 resync check they are, EPH header terminators — in the packed-header
 stream when PPM/PPT host the headers), and POC progression-order
 changes (A.6.6: per-volume packet re-enumeration with already-sent
-packets skipped; a POC leaving packets uncovered fails closed);
-subsampled streams and semantic marker segments the decoder can't
-honour (COC overrides beyond code-block geometry and an exact-match
-precinct partition, non-maxshift RGN styles, and tile-header coding
-overrides) raise UserError (missing raster upstream, never wrong
-pixels).
+packets skipped; a POC leaving packets uncovered fails closed), plus
+the segmentation-symbol code-block style (D.5: every cleanup pass
+closes with 1010 in the UNIFORM context, verified on decode — the
+error-detection mode); subsampled streams, the remaining code-block
+style modes (bypass/reset/termall/causal/predictable termination),
+and semantic marker segments the decoder can't honour (COC overrides
+beyond code-block geometry and an exact-match precinct partition,
+non-maxshift RGN styles, and tile-header coding overrides) raise
+UserError (missing raster upstream, never wrong pixels).
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (bit-exact on the
@@ -356,7 +359,8 @@ def _mqd_slow(data, n, bp, c, ct, a, qe, i, cx, cxi, cxm, ch):
 # --- Tier-1 entry points -------------------------------------------------
 
 def t1_encode(
-    coeffs: np.ndarray, orient: int, return_marks: bool = False
+    coeffs: np.ndarray, orient: int, return_marks: bool = False,
+    segsym: bool = False,
 ):
     """EBCOT Tier-1 encode of one codeblock (signed int coefficients)
     -> (codeword segment, number of coding passes, numbps). With
@@ -364,6 +368,8 @@ def t1_encode(
     at each coding-pass boundary (see _mq_encode_all) so a multi-layer
     encoder can split the segment across quality layers. numbps == 0
     means an all-zero block (caller signals it as not included).
+    ``segsym`` appends the segmentation symbol 1010 (UNIFORM context)
+    to every cleanup pass (D.5 — the error-detection mode).
 
     The coding-pass walk is a pure state machine producing a (context,
     decision) stream (flat bytearray state, incremental neighbor
@@ -481,6 +487,9 @@ def t1_encode(
                         k = _sc(sgn, j, stride)
                         push(_SC_CTXL[k] | ((tneg[i] ^ _SC_XORL[k]) << 8))
                         _set_sig(sig, sgn, nbr, j, stride, tneg[i])
+        if segsym:
+            for b in (1, 0, 1, 0):
+                push(_CX_UNI | (b << 8))
         npasses += 1
         pass_marks.append(len(dec))
     if return_marks:
@@ -490,11 +499,14 @@ def t1_encode(
 
 
 def t1_decode(
-    data: bytes, h: int, w: int, orient: int, numbps: int, npasses: int
+    data: bytes, h: int, w: int, orient: int, numbps: int, npasses: int,
+    segsym: bool = False,
 ) -> np.ndarray:
     """EBCOT Tier-1 decode of one codeword segment -> signed int32
     coefficients. MQ decode is inlined on the fast path (MPS without
-    renormalisation); everything else goes through _mqd_slow."""
+    renormalisation); everything else goes through _mqd_slow.
+    ``segsym`` verifies the 1010 segmentation symbol closing every
+    cleanup pass (D.5) and fails closed on mismatch."""
 
     stride = w + 2
     sig = bytearray((h + 2) * stride)
@@ -690,6 +702,24 @@ def t1_decode(
                                 neg = bool(sb ^ _SC_XORL[k])
                                 _set_sig(sig, sgn, nbr, j, stride, neg)
                                 mag[i] = bit
+                if segsym:
+                    sym = 0
+                    for _four in range(4):
+                        cx = _CX_UNI
+                        ii = cxi[cx]
+                        qe = qeq[ii]
+                        a -= qe
+                        ch = (c >> 16) & 0xFFFF
+                        if ch >= qe and a & 0x8000:
+                            c -= qe << 16
+                            d = cxm[cx]
+                        else:
+                            d, a, c, ct, bp_ = _mqd_slow(
+                                data, n, bp_, c, ct, a, qe, ii, cx,
+                                cxi, cxm, ch)
+                        sym = (sym << 1) | d
+                    if sym != 0b1010:
+                        raise UserError("JPX: segmentation symbol mismatch.")
             done += 1
         plane -= 1
         passes = ("spp", "mrp", "cup")
@@ -1321,6 +1351,7 @@ def encode_jpx(
     sop: bool = False,
     eph: bool = False,
     poc: "list | None" = None,
+    segsym: bool = False,
 ) -> bytes:
     """8-bit gray (H, W) or RGB (H, W, 3) -> JPEG 2000 codestream.
     Defaults: one layer, 64x64 code-blocks (``cb_exp`` sets other
@@ -1571,7 +1602,7 @@ def encode_jpx(
                                 np.ascontiguousarray(
                                     arr[y0 : y0 + ch, x0 : x0 + cw]
                                 ).astype(np.int32),
-                                orient, return_marks=True,
+                                orient, return_marks=True, segsym=segsym,
                             )
                             if numbps > mb:
                                 raise UserError(
@@ -1712,7 +1743,7 @@ def encode_jpx(
         38 + 3 * ncomp, 0, w, h, 0, 0, xt, yt, 0, 0, ncomp,
     ) + bytes([7, 1, 1] * ncomp)
     out += b"\xff\x51" + siz
-    spcod = bytes([levels, xcb - 2, ycb - 2, 0,
+    spcod = bytes([levels, xcb - 2, ycb - 2, 0x20 if segsym else 0,
                    0 if irreversible else 1])
     prec_bytes = (
         bytes((py_ << 4) | px_ for px_, py_ in pps) if use_prec else b""
@@ -1738,7 +1769,8 @@ def encode_jpx(
         out += b"\xff\x53" + struct.pack(
             ">HBB", 9 + len(prec_bytes), ci, 1 if use_prec else 0
         ) + bytes(
-            [levels, xo - 2, yo - 2, 0, 0 if irreversible else 1]
+            [levels, xo - 2, yo - 2, 0x20 if segsym else 0,
+             0 if irreversible else 1]
         ) + prec_bytes
     n_sub = 3 * levels + 1
     order = [( _LL, levels if levels else 0 )]
@@ -1854,6 +1886,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     xcb = ycb = _CB_EXP
     pps: "list | None" = None
     use_sop = use_eph = False
+    segsym_mode = False
     poc_entries: list = []
     mct = 0
     reversible = True
@@ -1914,8 +1947,12 @@ def decode_jpx(data: bytes) -> np.ndarray:
             xcb, ycb = seg[6] + 2, seg[7] + 2
             if not (2 <= xcb <= 10 and 2 <= ycb <= 10 and xcb + ycb <= 12):
                 raise UserError("JPX: code-block exponents out of range.")
-            if seg[8] != 0:
+            # Scb (Table A.19): only the segmentation-symbol mode
+            # (0x20) is honoured; bypass/reset/termall/causal/
+            # predictable-termination change the entropy-stream layout
+            if seg[8] & ~0x20:
                 raise UserError("JPX: code-block style modes unsupported.")
+            segsym_mode = bool(seg[8] & 0x20)
             if seg[9] not in (0, 1):
                 raise UserError("JPX: unknown wavelet transform.")
             reversible = seg[9] == 1
@@ -2060,8 +2097,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
         xo, yo = sp[2] + 2, sp[3] + 2
         if not (2 <= xo <= 10 and 2 <= yo <= 10 and xo + yo <= 12):
             raise UserError("JPX: COC code-block exponents out of range.")
-        if sp[4] != 0:
-            raise UserError("JPX: code-block style modes unsupported.")
+        if sp[4] != (0x20 if segsym_mode else 0):
+            raise UserError("JPX: COC code-block style override.")
         if sp[5] != (1 if reversible else 0):
             raise UserError("JPX: COC wavelet override.")
         # per-component precinct grids would need per-component
@@ -2268,7 +2305,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
                     continue
                 coeffs = t1_decode(
                     bytes(blk["segs"]), ch, cw, orient,
-                    blk["numbps"], blk["npasses"],
+                    blk["numbps"], blk["npasses"], segsym=segsym_mode,
                 )
                 arr[y0 : y0 + ch, x0 : x0 + cw] = coeffs
 

@@ -827,6 +827,59 @@ def test_poc_fail_closed():
         decode_jpx(bytes(enc))
 
 
+def test_segmentation_symbols():
+    """Scb bit 5 (D.5): each cleanup pass ends with the 1010 symbol in
+    the UNIFORM context; round-trips bit-exact composed with layers /
+    precincts / COC / tiles / 9-7, and a corrupted bitstream is
+    flagged (or at minimum mis-decodes — never silently 'verified')."""
+
+    g = RNG.integers(0, 256, (100, 140), dtype=np.uint8)
+    rgb = RNG.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    for src in (g, rgb):
+        enc = encode_jpx(src, 3, segsym=True)
+        cod_at = enc.find(b"\xff\x52")
+        assert enc[cod_at + 12] == 0x20  # Scb byte
+        assert np.array_equal(decode_jpx(enc), src)
+        enc = encode_jpx(src, 2, segsym=True, layers=3, precincts=5,
+                         prog="rpcl")
+        assert np.array_equal(decode_jpx(enc), src)
+    enc = encode_jpx(rgb, 2, segsym=True, irreversible=True,
+                     coc_cb={1: 4}, tile_size=32)
+    out = decode_jpx(enc)
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 8
+    # corruption detection: flipped body bytes must not decode clean
+    enc = bytearray(encode_jpx(g, 2, segsym=True))
+    at = bytes(enc).find(b"\xff\x93")
+    for off in (200, 400, 600):
+        e2 = bytearray(enc)
+        e2[at + off] ^= 0x40
+        try:
+            d = decode_jpx(bytes(e2))
+            assert not np.array_equal(d, g)
+        except UserError:
+            pass
+
+
+def test_other_code_block_styles_fail_closed():
+    """Bypass/reset/termall/causal/predictable-termination change the
+    entropy-stream layout: they fail closed, as does a COC whose style
+    byte differs from COD's."""
+
+    g = RNG.integers(0, 256, (24, 24), dtype=np.uint8)
+    enc = bytearray(encode_jpx(g, 1))
+    cod_at = bytes(enc).find(b"\xff\x52")
+    for bad in (0x01, 0x02, 0x04, 0x08, 0x10, 0x40):
+        enc[cod_at + 12] = bad
+        with pytest.raises(UserError):
+            decode_jpx(bytes(enc))
+    rgb = RNG.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    enc2 = bytearray(encode_jpx(rgb, 1, segsym=True, coc_cb={1: 4}))
+    at = bytes(enc2).find(b"\xff\x53")
+    enc2[at + 9] = 0  # COC style no longer matches COD's 0x20
+    with pytest.raises(UserError):
+        decode_jpx(bytes(enc2))
+
+
 def test_code_block_size_validation():
     """Out-of-range code-block exponents fail closed on both sides
     (T.800 A.6.1: each in 2..10, xcb+ycb <= 12)."""
