@@ -126,6 +126,8 @@ def main() -> None:
         "text_pii_redact",
         "text_dup_substring_rate",
         "text_dsir_weight",
+        "curate_domain_quota",
+        "dedup_paragraphs",
     ]
     for name in headliners:
         t0 = time.monotonic()

@@ -10,6 +10,7 @@ aggregation for the pipeline's operational metrics stream.
 from .stream import (
     compact_epochs,
     dedup_process_batch,
+    domain_quota_process_batch,
     funnel_stream,
     ivf_assign_process_batch,
     neardup_process_batch,
@@ -17,8 +18,10 @@ from .stream import (
     read_deduped,
     read_ivf_assignments,
     read_neardup_survivors,
+    read_quota_admitted,
     sessionize_stream,
     stream_dedup_documents,
+    stream_domain_quota,
     stream_extraction,
     stream_ivf_assign,
     stream_neardup_documents,
@@ -28,6 +31,7 @@ from .stream import (
 __all__ = [
     "compact_epochs",
     "dedup_process_batch",
+    "domain_quota_process_batch",
     "funnel_stream",
     "ivf_assign_process_batch",
     "neardup_process_batch",
@@ -35,8 +39,10 @@ __all__ = [
     "read_deduped",
     "read_ivf_assignments",
     "read_neardup_survivors",
+    "read_quota_admitted",
     "sessionize_stream",
     "stream_dedup_documents",
+    "stream_domain_quota",
     "stream_extraction",
     "stream_ivf_assign",
     "stream_neardup_documents",

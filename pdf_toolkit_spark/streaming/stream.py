@@ -604,6 +604,127 @@ def read_ivf_assignments(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming per-domain quota (online crawl-curation cap)
+# ---------------------------------------------------------------------------
+
+def domain_quota_process_batch(spark: SparkSession, out_dir: str, k: int):
+    """foreachBatch body of ``stream_domain_quota`` (exposed for
+    replay testing). Per epoch: rank the batch's docs within each
+    source by the SAME deterministic hash key the batch operator uses
+    (hash32 of 'quota:' + doc_id, doc_id tiebreak), add the counts
+    already admitted by STRICTLY EARLIER epochs, keep docs whose
+    global per-source position is <= k, and write both the kept docs
+    and this epoch's per-source admission counts into epoch-keyed
+    directories with mode=overwrite (replay-idempotent).
+
+    Scale shape: the cross-batch state is a DOMAIN-BOUNDED counts
+    relation (one row per source per epoch, compacted like any other
+    epoch sink) — it broadcasts into the batch join at any corpus
+    size; document bytes never enter the state. For a feed delivered
+    in hash-key order the admitted set equals the batch operator's
+    rank <= k set exactly (pinned in test_streaming)."""
+
+    import glob as _glob
+
+    from pyspark.sql import Window
+
+    docs_root = f"{out_dir}/docs"
+    counts_root = f"{out_dir}/counts"
+
+    def _admitted_before(epoch_id: int):
+        dirs = [
+            e for e in _glob.glob(f"{counts_root}/epoch=*")
+            if int(e.rsplit("=", 1)[1]) < epoch_id
+        ]
+        if not dirs:
+            return None
+        return (
+            spark.read.parquet(*dirs)
+            .groupBy("source")
+            .agg(F.sum("n_admitted").alias("prior"))
+        )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ), 16, 10,
+        ).cast("bigint")
+        w = Window.partitionBy("source").orderBy("h", "doc_id")
+        ranked = (
+            batch_df.withColumn("h", h)
+            .withColumn("rn", F.row_number().over(w))
+        )
+        prior = _admitted_before(epoch_id)
+        if prior is not None:
+            ranked = ranked.join(F.broadcast(prior), "source", "left").withColumn(
+                "pos", F.col("rn") + F.coalesce(F.col("prior"), F.lit(0))
+            )
+        else:
+            ranked = ranked.withColumn("pos", F.col("rn"))
+        kept = ranked.filter(F.col("pos") <= k).persist()
+        try:
+            kept.drop("h", "rn", "prior", "pos").write.mode("overwrite").parquet(
+                f"{docs_root}/epoch={epoch_id:012d}"
+            )
+            kept.groupBy("source").agg(
+                F.count("*").alias("n_admitted")
+            ).write.mode("overwrite").parquet(
+                f"{counts_root}/epoch={epoch_id:012d}"
+            )
+        finally:
+            kept.unpersist()
+
+    return process
+
+
+def stream_domain_quota(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 18,
+    available_now: bool = True,
+):
+    """Online per-domain quota over a documents feed: admit at most
+    ``k`` docs per source across micro-batches, restarts, and
+    replays — the streaming twin of ``curate_domain_quota``. Returns
+    the StreamingQuery."""
+
+    from pyspark.sql import types as T
+
+    in_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ])
+    stream = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    writer = (
+        stream.writeStream
+        .foreachBatch(domain_quota_process_batch(spark, out_dir, k))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_quota_admitted(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All admitted documents across epochs."""
+
+    return spark.read.option("basePath", f"{out_dir}/docs").parquet(
+        f"{out_dir}/docs/epoch=*"
+    ).drop("epoch")
+
+
+# ---------------------------------------------------------------------------
 # Epoch compaction (streaming-sink maintenance)
 # ---------------------------------------------------------------------------
 

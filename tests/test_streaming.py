@@ -588,3 +588,81 @@ def test_compact_epochs_preserves_rows_and_recovers(spark, tmp_path):
     assert sorted(os.path.basename(d) for d in glob.glob(f"{comp}/epoch=*")) \
         == ["epoch=000000000002"]
     assert spark.read.parquet(f"{comp}/epoch=*").count() == bucket_rows
+
+
+def test_stream_domain_quota_caps_per_source(spark, tmp_path):
+    """Online quota: at most k docs admitted per source across
+    micro-batches; for a feed delivered in hash-key order the admitted
+    set equals the batch curate_domain_quota rank <= k set exactly."""
+
+    import pandas as pd
+
+    from pdf_toolkit_spark.ops.curation import domain_quota
+    from pdf_toolkit_spark.streaming import (
+        read_quota_admitted, stream_domain_quota,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sf_dir = "/root/testdata/sf0.001"
+    k = 18
+
+    # deliver the documents table in the batch operator's hash-key
+    # order, split into 3 files (one micro-batch each)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as F
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string"))),
+            1, 8,
+        ), 16, 10,
+    ).cast("bigint")
+    ordered = docs.withColumn("h", h).orderBy("h", "doc_id").drop("h").toPandas()
+    n = len(ordered)
+    for lo, hi in [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]:
+        spark.createDataFrame(ordered.iloc[lo:hi]).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    q = stream_domain_quota(spark, landing, out, ckpt, k=k)
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    admitted = {r["doc_id"] for r in read_quota_admitted(spark, out).collect()}
+    batch = {r["doc_id"] for r in domain_quota(spark, sf_dir).collect()}
+    assert admitted == batch
+    # and the cap holds per source
+    per_src = (
+        read_quota_admitted(spark, out).groupBy("source").count().collect()
+    )
+    assert all(r["count"] <= k for r in per_src)
+
+
+def test_stream_domain_quota_replay_is_idempotent(spark, tmp_path):
+    """Re-running an epoch (foreachBatch replay after a crash) must
+    not admit extra documents."""
+
+    from pdf_toolkit_spark.streaming.stream import (
+        domain_quota_process_batch, read_quota_admitted,
+    )
+
+    out = str(tmp_path / "out")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    b1 = spark.createDataFrame(
+        [(i, f"t{i}", "en", "s1", 5) for i in range(4)], cols
+    )
+    b2 = spark.createDataFrame(
+        [(10 + i, f"u{i}", "en", "s1", 5) for i in range(4)], cols
+    )
+    process = domain_quota_process_batch(spark, out, k=5)
+    process(b1, 0)
+    process(b2, 1)
+    once = sorted(
+        r["doc_id"] for r in read_quota_admitted(spark, out).collect()
+    )
+    assert len(once) == 5
+    process(b2, 1)  # replay
+    again = sorted(
+        r["doc_id"] for r in read_quota_admitted(spark, out).collect()
+    )
+    assert again == once
