@@ -32,10 +32,12 @@ per-pixel path — bitstream-identical at nominal AT, which is pinned).
 HALFTONE regions land too (§6.6/§6.7: pattern
 dictionaries decoded as one wide generic bitmap with the A1=(-HDPW,0)
 adaptive pixel, gray-coded bitplanes on a shared decoder, grid-vector
-pattern stamping). Huffman-coded symbol/text variants, intermediate
-regions, multi-instance aggregate coding (REFAGGNINST > 1), MMR
-halftones and HENABLESKIP are out of scope and surface as missing
-rasters (UserError), never wrong pixels.
+pattern stamping; HMMR pattern dictionaries and halftone bitplanes
+decode through the same T.6 coder — one decoder across every
+bitplane without restart, per §C.5). Huffman-coded symbol/text
+variants, intermediate regions, multi-instance aggregate coding
+(REFAGGNINST > 1) and HENABLESKIP are out of scope and surface as
+missing rasters (UserError), never wrong pixels.
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (including MQ-coder
@@ -808,30 +810,45 @@ def decode_pattern_dict(payload: bytes) -> "list[np.ndarray]":
     bitmaps, decoded as ONE wide generic bitmap (§6.7.5) and split."""
 
     flags = payload[0]
-    if flags & 0x01:
-        raise UserError("JBIG2: MMR pattern dictionaries unsupported.")
+    mmr = flags & 0x01
     template = (flags >> 1) & 0x03
     hdpw, hdph = payload[1], payload[2]
     (graymax,) = struct.unpack(">I", payload[3:7])
     if not hdpw or not hdph:
         raise UserError("JBIG2: zero pattern dimensions.")
-    if hdpw > 128:
-        # A1 = (-HDPW, 0) must fit a signed byte offset
-        raise UserError("JBIG2: pattern width exceeds the AT offset range.")
     n = graymax + 1
-    big = decode_generic_at(
-        payload[7:], n * hdpw, hdph, template, _pattern_dict_at(template, hdpw)
-    )
+    if mmr:
+        # §6.7.5 HDMMR: the collective bitmap is one T.6-coded image
+        from .ccitt import decode_g4
+
+        big = decode_g4(payload[7:], n * hdpw, hdph)
+    else:
+        if hdpw > 128:
+            # A1 = (-HDPW, 0) must fit a signed byte offset
+            raise UserError("JBIG2: pattern width exceeds the AT offset range.")
+        big = decode_generic_at(
+            payload[7:], n * hdpw, hdph, template,
+            _pattern_dict_at(template, hdpw),
+        )
     return [big[:, i * hdpw : (i + 1) * hdpw].copy() for i in range(n)]
 
 
 def encode_pattern_dict(
-    patterns: "list[np.ndarray]", template: int = 0
+    patterns: "list[np.ndarray]", template: int = 0, mmr: bool = False,
 ) -> bytes:
     """Encoder twin of decode_pattern_dict (equal-size patterns)."""
 
     hdph, hdpw = patterns[0].shape
     big = np.concatenate(patterns, axis=1).astype(np.uint8)
+    if mmr:
+        from .ccitt import encode_g4
+
+        data = encode_g4(big)
+        return (
+            bytes([0x01, hdpw, hdph])
+            + struct.pack(">I", len(patterns) - 1)
+            + data
+        )
     return (
         bytes([template << 1, hdpw, hdph])
         + struct.pack(">I", len(patterns) - 1)
@@ -843,14 +860,14 @@ def decode_halftone_region(
     payload: bytes, patterns: "list[np.ndarray]"
 ) -> "tuple[np.ndarray, int, int]":
     """Halftone region segment data -> (bitmap, x, y). Gray-coded
-    bitplanes decode MSB-first on ONE shared MQ decoder (§C.5), then
-    each grid cell stamps its pattern (§6.6.5.1 grid-vector
-    addressing, OR composition)."""
+    bitplanes decode MSB-first on ONE shared MQ decoder — or, with
+    HMMR, on one continuous T.6 stream (§C.5) — then each grid cell
+    stamps its pattern (§6.6.5.1 grid-vector addressing, OR
+    composition)."""
 
     rw, rh, rx, ry = struct.unpack(">IIII", payload[:16])
     flags = payload[17]
-    if flags & 0x01:
-        raise UserError("JBIG2: MMR halftone regions unsupported.")
+    mmr = flags & 0x01
     template = (flags >> 1) & 0x03
     if flags & 0x08:
         raise UserError("JBIG2: HENABLESKIP halftone regions unsupported.")
@@ -863,10 +880,23 @@ def decode_halftone_region(
     if not patterns:
         raise UserError("JBIG2: halftone region with no pattern dictionary.")
     bits_per = max(1, (len(patterns) - 1).bit_length())
-    mq = MQDecoder(payload[38:])
+    if mmr:
+        # §C.5 with HMMR: ONE T.6 decoder runs across every bitplane
+        # without restarting — identical to decoding a single tall
+        # image (the reference line rolls over the plane boundary)
+        # and slicing it MSB-plane-first
+        from .ccitt import decode_g4
+
+        tall = decode_g4(payload[38:], hgw, bits_per * hgh)
+        planes = [tall[i * hgh : (i + 1) * hgh] for i in range(bits_per)]
+    else:
+        mq = MQDecoder(payload[38:])
+        planes = [
+            decode_generic(b"", hgw, hgh, mq=mq, template=template)
+            for _ in range(bits_per)
+        ]
     gray = None
-    for _ in range(bits_per):  # MSB plane first
-        plane = decode_generic(b"", hgw, hgh, mq=mq, template=template)
+    for plane in planes:  # MSB plane first
         if gray is None:
             gray = plane.astype(np.int64)
         else:
@@ -889,7 +919,7 @@ def decode_halftone_region(
 
 def encode_jbig2_halftone(
     gray: np.ndarray, patterns: "list[np.ndarray] | None" = None,
-    template: int = 0,
+    template: int = 0, mmr: bool = False,
 ) -> bytes:
     """(HGH, HGW) pattern-index grid -> embedded JBIG2 stream: page
     info + pattern dictionary + immediate halftone region + EOP.
@@ -916,24 +946,35 @@ def encode_jbig2_halftone(
     bits_per = max(1, graymax.bit_length())
     hgh, hgw = gray.shape
     rh, rw = hgh * hdph, hgw * hdpw
-    mq = MQEncoder()
+    plane_arrays = []
     for j in range(bits_per - 1, -1, -1):  # gray-coded planes, MSB first
         bit = ((gray >> j) & 1).astype(np.uint8)
         if j < bits_per - 1:
             bit = bit ^ ((gray >> (j + 1)) & 1).astype(np.uint8)
-        encode_generic(bit, mq=mq, template=template)
+        plane_arrays.append(bit)
+    if mmr:
+        from .ccitt import encode_g4
+
+        data = encode_g4(np.concatenate(plane_arrays, axis=0))
+        ht_flags = 0x01
+    else:
+        mq = MQEncoder()
+        for bit in plane_arrays:
+            encode_generic(bit, mq=mq, template=template)
+        data = mq.flush()
+        ht_flags = template << 1
     ht_payload = (
         struct.pack(">IIII", rw, rh, 0, 0)
         + b"\x00"  # external combination operator: OR
-        + bytes([template << 1])  # HT flags: MMR=0, no skip, OR, defpix 0
+        + bytes([ht_flags])  # HT flags: MMR bit, no skip, OR, defpix 0
         + struct.pack(">IIii", hgw, hgh, 0, 0)
         + struct.pack(">HH", hdpw << 8, 0)
-        + mq.flush()
+        + data
     )
     page_info = struct.pack(">IIII", rw, rh, 0, 0) + b"\x00" + b"\x00\x00"
     return (
         _segment(0, 48, page_info)
-        + _segment(1, 16, encode_pattern_dict(patterns, template))
+        + _segment(1, 16, encode_pattern_dict(patterns, template, mmr=mmr))
         + _segment(2, 22, ht_payload, refs=(1,))
         + _segment(3, 49, b"")
     )

@@ -727,3 +727,47 @@ def test_symbol_refinement_page_roundtrip(kw):
     assert np.array_equal(decode_jbig2_embedded(enc), page)
     g, p = encode_jbig2_symbol_text(page, split_globals=True, **kw)
     assert np.array_equal(decode_jbig2_embedded(p, g), page)
+
+
+@pytest.mark.parametrize("levels", [2, 5, 9, 17])
+def test_mmr_halftone_roundtrip(levels):
+    """HMMR halftones (§C.5 with MMR=1): pattern dictionary AND
+    gray-code bitplanes ride the T.6 coder — bitplanes as ONE
+    continuous stream without restart (the reference line rolls over
+    the plane boundary). Decoded page equals the stamped
+    composition."""
+
+    from pdf_toolkit_spark.pdfio.jbig2 import encode_jbig2_halftone
+
+    rng = np.random.default_rng(300 + levels)
+    gray = rng.integers(0, levels, (13, 19))
+    enc = encode_jbig2_halftone(gray, mmr=True)
+    out = decode_jbig2_embedded(enc)
+    arith = decode_jbig2_embedded(encode_jbig2_halftone(gray))
+    assert np.array_equal(out, arith)  # coder choice never changes pixels
+    cells = [(i, j) for i in range(4) for j in range(4)]
+    expected = np.zeros((13 * 4, 19 * 4), np.uint8)
+    for mg in range(13):
+        for ng in range(19):
+            for i, j in cells[: int(gray[mg, ng])]:
+                expected[mg * 4 + i, ng * 4 + j] = 1
+    assert np.array_equal(out, expected)
+
+
+def test_mmr_pattern_dict_wide_patterns():
+    """MMR pattern dictionaries have no AT-offset width limit (the
+    arithmetic path caps HDPW at 128 for the signed A1 byte)."""
+
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        decode_pattern_dict, encode_pattern_dict,
+    )
+
+    rng = np.random.default_rng(9)
+    pats = [
+        (rng.random((6, 150)) > 0.5).astype(np.uint8) for _ in range(3)
+    ]
+    out = decode_pattern_dict(encode_pattern_dict(pats, mmr=True))
+    assert all(np.array_equal(a, b) for a, b in zip(out, pats))
+    with pytest.raises(UserError):
+        # arithmetic path: A1 = -150 leaves the signed-byte range
+        decode_pattern_dict(encode_pattern_dict(pats))
