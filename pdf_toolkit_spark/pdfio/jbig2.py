@@ -34,10 +34,12 @@ dictionaries decoded as one wide generic bitmap with the A1=(-HDPW,0)
 adaptive pixel, gray-coded bitplanes on a shared decoder, grid-vector
 pattern stamping; HMMR pattern dictionaries and halftone bitplanes
 decode through the same T.6 coder — one decoder across every
-bitplane without restart, per §C.5). Huffman-coded symbol/text
-variants, intermediate regions, multi-instance aggregate coding
-(REFAGGNINST > 1) and HENABLESKIP are out of scope and surface as
-missing rasters (UserError), never wrong pixels.
+bitplane without restart, per §C.5; HENABLESKIP derives the §6.6.5.1
+skip bitmap from the grid geometry and the generic coder never codes
+the skipped pixels). Huffman-coded symbol/text variants, intermediate
+regions and multi-instance aggregate coding (REFAGGNINST > 1) are
+out of scope and surface as missing rasters (UserError), never wrong
+pixels.
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (including MQ-coder
@@ -441,6 +443,7 @@ def encode_iaid(mq: MQEncoder, ctx: ArithCtx, value: int, symcodelen: int) -> No
 def decode_generic(
     data: bytes, w: int, h: int, tpgdon: bool = False,
     mq: "MQDecoder | None" = None, template: int = 0,
+    skip: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """MQ-coded generic region -> (h, w) uint8 bits (1 = black).
     ``template`` selects the GB context template (0-3, nominal AT;
@@ -448,8 +451,12 @@ def decode_generic(
 
     Pass an existing ``mq`` to continue a shared bitstream (symbol
     dictionaries decode every symbol bitmap with ONE decoder whose GB
-    contexts persist across symbols — T.88 §6.5.8.2.1)."""
+    contexts persist across symbols — T.88 §6.5.8.2.1). ``skip`` is
+    the USESKIP bitmap (§6.2.5.7): pixels where it is 1 are never
+    coded and decode as 0 (halftone HENABLESKIP)."""
 
+    if tpgdon and skip is not None:
+        raise UserError("JBIG2: TPGDON with a skip bitmap unsupported.")
     if mq is None:
         mq = MQDecoder(data)
     a2, b2, a1, b1, c = _TEMPLATE_SPAN[template]
@@ -475,12 +482,24 @@ def decode_generic(
         w0 = 0
         w1 = sum(up1[i] << (b1 - i) for i in range(j1))
         w2 = sum(up2[i] << (b2 - i) for i in range(j2))
-        for x in range(w):
-            bit = mq.decode((w2 << s2) | (w1 << s1) | w0)
-            row[x] = bit
-            w0 = ((w0 << 1) | bit) & m0
-            w1 = ((w1 << 1) | up1[x + j1]) & m1
-            w2 = ((w2 << 1) | up2[x + j2]) & m2
+        if skip is None:
+            for x in range(w):
+                bit = mq.decode((w2 << s2) | (w1 << s1) | w0)
+                row[x] = bit
+                w0 = ((w0 << 1) | bit) & m0
+                w1 = ((w1 << 1) | up1[x + j1]) & m1
+                w2 = ((w2 << 1) | up2[x + j2]) & m2
+        else:
+            skip_row = skip[y]
+            for x in range(w):
+                bit = (
+                    0 if skip_row[x]
+                    else mq.decode((w2 << s2) | (w1 << s1) | w0)
+                )
+                row[x] = bit
+                w0 = ((w0 << 1) | bit) & m0
+                w1 = ((w1 << 1) | up1[x + j1]) & m1
+                w2 = ((w2 << 1) | up2[x + j2]) & m2
         rows.append(row)
     return np.array([r[:w] for r in rows], dtype=np.uint8)
 
@@ -488,14 +507,21 @@ def decode_generic(
 def encode_generic(
     img: np.ndarray, tpgdon: bool = False,
     mq: "MQEncoder | None" = None, template: int = 0,
+    skip: "np.ndarray | None" = None,
 ) -> "bytes | None":
     """(h, w) 0/1 bits (1 = black) -> MQ-coded generic region data
     under GB ``template`` 0-3 at nominal AT.
 
     Pass an existing ``mq`` to append into a shared bitstream (symbol
-    dictionary coding); the caller flushes, and None is returned."""
+    dictionary coding); the caller flushes, and None is returned.
+    ``skip`` pixels are never coded (and forced to 0, matching the
+    decoder's §6.2.5.7 semantics)."""
 
     shared = mq is not None
+    if skip is not None:
+        if tpgdon:
+            raise UserError("JBIG2: TPGDON with a skip bitmap unsupported.")
+        img = (img.astype(np.uint8) & (1 - skip.astype(np.uint8)))
     h, w = img.shape
     if mq is None:
         mq = MQEncoder()
@@ -524,12 +550,22 @@ def encode_generic(
         w0 = 0
         w1 = sum(up1[i] << (b1 - i) for i in range(j1))
         w2 = sum(up2[i] << (b2 - i) for i in range(j2))
-        for x in range(w):
-            bit = row[x]
-            mq.encode(bit, (w2 << s2) | (w1 << s1) | w0)
-            w0 = ((w0 << 1) | bit) & m0
-            w1 = ((w1 << 1) | up1[x + j1]) & m1
-            w2 = ((w2 << 1) | up2[x + j2]) & m2
+        if skip is None:
+            for x in range(w):
+                bit = row[x]
+                mq.encode(bit, (w2 << s2) | (w1 << s1) | w0)
+                w0 = ((w0 << 1) | bit) & m0
+                w1 = ((w1 << 1) | up1[x + j1]) & m1
+                w2 = ((w2 << 1) | up2[x + j2]) & m2
+        else:
+            skip_row = skip[y]
+            for x in range(w):
+                bit = row[x]
+                if not skip_row[x]:
+                    mq.encode(bit, (w2 << s2) | (w1 << s1) | w0)
+                w0 = ((w0 << 1) | bit) & m0
+                w1 = ((w1 << 1) | up1[x + j1]) & m1
+                w2 = ((w2 << 1) | up2[x + j2]) & m2
     return None if shared else mq.flush()
 
 
@@ -856,6 +892,23 @@ def encode_pattern_dict(
     )
 
 
+def _halftone_skip(
+    hgw: int, hgh: int, hgx: int, hgy: int, hrx: int, hry: int,
+    hdpw: int, hdph: int, rw: int, rh: int,
+) -> np.ndarray:
+    """§6.6.5.1 HSKIP bitmap: grid cells whose pattern placement falls
+    entirely outside the region are never coded."""
+
+    skip = np.zeros((hgh, hgw), np.uint8)
+    for mg in range(hgh):
+        for ng in range(hgw):
+            x = (hgx + mg * hry + ng * hrx) >> 8
+            y = (hgy + mg * hrx - ng * hry) >> 8
+            if x + hdpw <= 0 or x >= rw or y + hdph <= 0 or y >= rh:
+                skip[mg, ng] = 1
+    return skip
+
+
 def decode_halftone_region(
     payload: bytes, patterns: "list[np.ndarray]"
 ) -> "tuple[np.ndarray, int, int]":
@@ -869,8 +922,9 @@ def decode_halftone_region(
     flags = payload[17]
     mmr = flags & 0x01
     template = (flags >> 1) & 0x03
-    if flags & 0x08:
-        raise UserError("JBIG2: HENABLESKIP halftone regions unsupported.")
+    enableskip = bool(flags & 0x08)
+    if mmr and enableskip:
+        raise UserError("JBIG2: HENABLESKIP is illegal with MMR (§6.6.5).")
     combop = (flags >> 4) & 0x07
     if combop != 0:
         raise UserError("JBIG2: only OR halftone composition is supported.")
@@ -880,6 +934,11 @@ def decode_halftone_region(
     if not patterns:
         raise UserError("JBIG2: halftone region with no pattern dictionary.")
     bits_per = max(1, (len(patterns) - 1).bit_length())
+    hdph, hdpw = patterns[0].shape
+    skip = (
+        _halftone_skip(hgw, hgh, hgx, hgy, hrx, hry, hdpw, hdph, rw, rh)
+        if enableskip else None
+    )
     if mmr:
         # §C.5 with HMMR: ONE T.6 decoder runs across every bitplane
         # without restarting — identical to decoding a single tall
@@ -892,7 +951,8 @@ def decode_halftone_region(
     else:
         mq = MQDecoder(payload[38:])
         planes = [
-            decode_generic(b"", hgw, hgh, mq=mq, template=template)
+            decode_generic(b"", hgw, hgh, mq=mq, template=template,
+                           skip=skip)
             for _ in range(bits_per)
         ]
     gray = None
@@ -920,6 +980,8 @@ def decode_halftone_region(
 def encode_jbig2_halftone(
     gray: np.ndarray, patterns: "list[np.ndarray] | None" = None,
     template: int = 0, mmr: bool = False,
+    grid: "tuple[int, int, int, int] | None" = None,
+    enableskip: bool = False,
 ) -> bytes:
     """(HGH, HGW) pattern-index grid -> embedded JBIG2 stream: page
     info + pattern dictionary + immediate halftone region + EOP.
@@ -946,6 +1008,13 @@ def encode_jbig2_halftone(
     bits_per = max(1, graymax.bit_length())
     hgh, hgw = gray.shape
     rh, rw = hgh * hdph, hgw * hdpw
+    hgx, hgy, hrx, hry = grid if grid is not None else (0, 0, hdpw << 8, 0)
+    if enableskip and mmr:
+        raise UserError("JBIG2 encoder: HENABLESKIP is illegal with MMR.")
+    skip = (
+        _halftone_skip(hgw, hgh, hgx, hgy, hrx, hry, hdpw, hdph, rw, rh)
+        if enableskip else None
+    )
     plane_arrays = []
     for j in range(bits_per - 1, -1, -1):  # gray-coded planes, MSB first
         bit = ((gray >> j) & 1).astype(np.uint8)
@@ -960,15 +1029,15 @@ def encode_jbig2_halftone(
     else:
         mq = MQEncoder()
         for bit in plane_arrays:
-            encode_generic(bit, mq=mq, template=template)
+            encode_generic(bit, mq=mq, template=template, skip=skip)
         data = mq.flush()
-        ht_flags = template << 1
+        ht_flags = (template << 1) | (0x08 if enableskip else 0)
     ht_payload = (
         struct.pack(">IIII", rw, rh, 0, 0)
         + b"\x00"  # external combination operator: OR
-        + bytes([ht_flags])  # HT flags: MMR bit, no skip, OR, defpix 0
-        + struct.pack(">IIii", hgw, hgh, 0, 0)
-        + struct.pack(">HH", hdpw << 8, 0)
+        + bytes([ht_flags])  # HT flags: MMR bit, skip bit, OR, defpix 0
+        + struct.pack(">IIii", hgw, hgh, hgx, hgy)
+        + struct.pack(">HH", hrx, hry)
         + data
     )
     page_info = struct.pack(">IIII", rw, rh, 0, 0) + b"\x00" + b"\x00\x00"

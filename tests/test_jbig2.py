@@ -553,6 +553,12 @@ def test_halftone_custom_patterns_and_templates():
 
 
 def test_halftone_unsupported_corners_fail_closed():
+    """MMR + HENABLESKIP is illegal (§6.6.5) and fails closed on both
+    sides; TPGDON composed with a skip bitmap is rejected at the
+    generic-coder level."""
+
+    import struct
+
     import numpy as np
 
     from pdf_toolkit_spark.pdfio.jbig2 import (
@@ -561,18 +567,15 @@ def test_halftone_unsupported_corners_fail_closed():
     )
 
     gray = np.array([[0, 1], [1, 0]])
-    enc = bytearray(encode_jbig2_halftone(gray))
-    # flip HENABLESKIP (bit 3) in the halftone flags byte: it sits
-    # right after the region-info OR byte of segment 2
-    at = bytes(enc).rfind(b"\x00\x00")  # tail of the 17-byte region info
-    # find the HT flags byte robustly: search for the struct prefix of
-    # segment 2's payload (rw=8, rh=8) then offset 17
-    import struct
+    enc = bytearray(encode_jbig2_halftone(gray, mmr=True))
     marker = struct.pack(">IIII", 8, 8, 0, 0)
     at = bytes(enc).rfind(marker)
-    enc[at + 17] |= 0x08
+    enc[at + 17] |= 0x08  # HENABLESKIP on an MMR halftone
     with pytest.raises(UserError, match="HENABLESKIP"):
         decode_jbig2_embedded(bytes(enc))
+    with pytest.raises(UserError):
+        encode_generic(gray.astype(np.uint8), tpgdon=True,
+                       skip=np.zeros((2, 2), np.uint8))
 
 
 @pytest.mark.parametrize("codec", ["jbig2m", "jbig2r", "jbig2h", "jbig2sr"])
@@ -771,3 +774,27 @@ def test_mmr_pattern_dict_wide_patterns():
     with pytest.raises(UserError):
         # arithmetic path: A1 = -150 leaves the signed-byte range
         decode_pattern_dict(encode_pattern_dict(pats))
+
+
+def test_henableskip_halftone():
+    """HENABLESKIP (§6.6.5.1): grid cells whose pattern placement
+    falls outside the region are never coded — pixels identical to
+    the no-skip twin, stream strictly smaller; illegal with MMR."""
+
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        _halftone_skip, encode_jbig2_halftone,
+    )
+
+    rng = np.random.default_rng(14)
+    gray = rng.integers(0, 9, (12, 16))
+    grid = (0, -3 << 8, (4 << 8) + 40, 96)  # skewed + offset grid
+    skip = _halftone_skip(16, 12, *grid, 4, 4, 16 * 4, 12 * 4)
+    assert int(skip.sum()) > 0  # fixture genuinely exercises skip
+    enc_ns = encode_jbig2_halftone(gray, grid=grid)
+    enc_sk = encode_jbig2_halftone(gray, grid=grid, enableskip=True)
+    assert np.array_equal(
+        decode_jbig2_embedded(enc_ns), decode_jbig2_embedded(enc_sk)
+    )
+    assert len(enc_sk) < len(enc_ns)
+    with pytest.raises(UserError):
+        encode_jbig2_halftone(gray, mmr=True, enableskip=True)
