@@ -9,10 +9,12 @@ TPGDON pseudo-pixel contexts) and optional typical-prediction rows,
 SYMBOL
 DICTIONARY segments (T.88 §6.5/§7.4.3: arithmetic-coded height
 classes, shared GB contexts across symbol bitmaps, export-run flags)
-with /JBIG2Globals threading and SDREFAGG=1 refinement-coded symbols
-(§6.5.8.2.2: each new symbol refines an earlier input/new symbol via
-IAAI/IAID/IARDX/IARDY on the shared decoder; true multi-instance
-aggregates fail closed), TEXT REGION segments (T.88 §6.4/§7.4.4:
+with /JBIG2Globals threading and SDREFAGG=1 refinement/aggregate
+symbols (§6.5.8.2: REFAGGNINST == 1 refines an earlier input/new
+symbol via IAAI/IAID/IARDX/IARDY on the shared decoder;
+REFAGGNINST > 1 decodes a NESTED TEXT REGION of that many instances
+onto the new bitmap with the dictionary's retained context tables,
+§6.5.8.2.1 Table 17), TEXT REGION segments (T.88 §6.4/§7.4.4:
 strip decoding with the Annex A integer arithmetic procedures IADT /
 IAFS / IADS / IAIT / IAEX / IADH / IADW and the IAID symbol-ID tree,
 plus per-instance SBREFINE refinement per §6.4.11 — the
@@ -36,10 +38,9 @@ pattern stamping; HMMR pattern dictionaries and halftone bitplanes
 decode through the same T.6 coder — one decoder across every
 bitplane without restart, per §C.5; HENABLESKIP derives the §6.6.5.1
 skip bitmap from the grid geometry and the generic coder never codes
-the skipped pixels). Huffman-coded symbol/text variants, intermediate
-regions and multi-instance aggregate coding (REFAGGNINST > 1) are
-out of scope and surface as missing rasters (UserError), never wrong
-pixels.
+the skipped pixels). Huffman-coded symbol/text variants and
+intermediate regions are out of scope and surface as missing rasters
+(UserError), never wrong pixels.
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (including MQ-coder
@@ -1058,11 +1059,12 @@ def decode_symbol_dict(
 ) -> "list[np.ndarray]":
     """Symbol dictionary segment data -> exported symbol bitmaps
     (decode order). Arithmetic coding only (SDHUFF=0); new symbols
-    are either generic-coded (SDREFAGG=0, GB template 0 at nominal
-    AT) or refinement-coded against an earlier symbol (SDREFAGG=1
-    with REFAGGNINST=1 per §6.5.8.2.2 — the refine-a-glyph flow; true
-    aggregates of several instances fail closed); everything else
-    fails closed."""
+    are generic-coded (SDREFAGG=0, GB template 0 at nominal AT),
+    refinement-coded against an earlier symbol (SDREFAGG=1 with
+    REFAGGNINST=1, §6.5.8.2.2 — the refine-a-glyph flow), or
+    aggregate-coded as a nested text region of REFAGGNINST instances
+    (§6.5.8.2.1 — ligatures built from earlier glyphs); everything
+    else fails closed."""
 
     if len(payload) < 18:
         raise UserError("JBIG2: truncated symbol dictionary.")
@@ -1089,10 +1091,12 @@ def decode_symbol_dict(
     mq = MQDecoder(payload[at_end + 8 :])
     iadh, iadw, iaex = ArithCtx(), ArithCtx(), ArithCtx()
     if sdrefagg:
-        iaai, iardx, iardy = ArithCtx(), ArithCtx(), ArithCtx()
+        iaai = ArithCtx()
         symlen = _symcodelen(len(input_syms) + numnew)
-        iaid = ArithCtx(1 << (symlen + 1))
-        grctx = ArithCtx(1 << 13)
+        # §6.5.8.2.1: the text-decode context tables are created once
+        # per dictionary and retained across every aggregate symbol
+        # (the single-refinement path shares IAID/IARDX/IARDY/GR too)
+        tctxs = _text_ctxs(symlen)
     newsyms: list[np.ndarray] = []
     hcheight = 0
     while len(newsyms) < numnew:
@@ -1113,32 +1117,37 @@ def decode_symbol_dict(
             if not sdrefagg:
                 newsyms.append(decode_generic(b"", symwidth, hcheight, mq=mq))
                 continue
-            # §6.5.8.2: every new symbol refines an already-decoded
-            # one (input or earlier-new), addressed by IAID with
-            # IARDX/IARDY offsets; REFAGGNINST > 1 would nest a text
-            # region, which no production dictionary emits
+            # §6.5.8.2: each new symbol is either ONE refinement of an
+            # already-decoded symbol (REFAGGNINST == 1) or a nested
+            # text region of REFAGGNINST instances composed onto the
+            # new bitmap (§6.5.8.2.1, Table 17 parameters)
             nrefs = decode_int(mq, iaai)
-            if nrefs != 1:
-                raise UserError(
-                    "JBIG2: aggregate symbol coding (REFAGGNINST != 1) "
-                    "unsupported."
-                )
-            sid = decode_iaid(mq, iaid, symlen)
-            rdx = decode_int(mq, iardx)
-            rdy = decode_int(mq, iardy)
-            if rdx is None or rdy is None:
-                raise UserError("JBIG2: OOB refinement offset.")
-            avail = len(input_syms) + len(newsyms)
-            if sid >= avail:
-                raise UserError("JBIG2: refinement symbol ID out of range.")
-            refsym = (
-                input_syms[sid] if sid < len(input_syms)
-                else newsyms[sid - len(input_syms)]
-            )
-            newsyms.append(decode_refinement(
-                b"", symwidth, hcheight, refsym, template=sdrtemplate,
-                mq=mq, grctx=grctx, refdx=rdx, refdy=rdy,
-            ))
+            if nrefs is None or nrefs < 1:
+                raise UserError("JBIG2: bad aggregate instance count.")
+            avail_syms = input_syms + newsyms
+            if nrefs == 1:
+                sid = decode_iaid(mq, tctxs["iaid"], symlen)
+                rdx = decode_int(mq, tctxs["iardx"])
+                rdy = decode_int(mq, tctxs["iardy"])
+                if rdx is None or rdy is None:
+                    raise UserError("JBIG2: OOB refinement offset.")
+                if sid >= len(avail_syms):
+                    raise UserError(
+                        "JBIG2: refinement symbol ID out of range."
+                    )
+                newsyms.append(decode_refinement(
+                    b"", symwidth, hcheight, avail_syms[sid],
+                    template=sdrtemplate,
+                    mq=mq, grctx=tctxs["gr"], refdx=rdx, refdy=rdy,
+                ))
+            else:
+                if nrefs > 1 << 16:
+                    raise UserError("JBIG2: implausible aggregate count.")
+                newsyms.append(_decode_text_bitmap(
+                    mq, tctxs, avail_syms, symwidth, hcheight, nrefs,
+                    symlen, sbstrips=1, refcorner=1, dsoffset=0,
+                    defpixel=0, sbrefine=1, sbrtemplate=sdrtemplate,
+                ))
 
     # export flags: alternating non-export/export run lengths (§6.5.10)
     allsyms = list(input_syms) + newsyms
@@ -1165,23 +1174,24 @@ def encode_symbol_dict(
     """Symbol bitmaps (already sorted by (height, width)) -> symbol
     dictionary segment data exporting all of them in order.
 
-    With ``refs`` (parallel to ``syms``: for each new symbol, the
-    index of its reference in the combined input+new space) the
-    dictionary is SDREFAGG=1: every symbol is refinement-coded
-    against that reference at offset (0, 0). ``input_syms`` are the
-    bitmaps arriving from referred dictionaries (they shift the IAID
-    space and the export runs; the segment layer threads the same
-    list to the decoder)."""
+    With ``refs`` (parallel to ``syms``) the dictionary is
+    SDREFAGG=1: an int entry refinement-codes the symbol against that
+    combined-space reference at offset (0, 0); a list entry of
+    (y, x, sid) tuples codes the symbol as an AGGREGATE — a nested
+    text region of those instances OR-composed onto the new bitmap
+    (§6.5.8.2.1; the instance list must reproduce the bitmap
+    exactly). ``input_syms`` are the bitmaps arriving from referred
+    dictionaries (they shift the IAID space and the export runs; the
+    segment layer threads the same list to the decoder)."""
 
     mq = MQEncoder()
     iadh, iadw, iaex = ArithCtx(), ArithCtx(), ArithCtx()
     n = len(syms)
     n_input = len(input_syms) if input_syms else 0
     if refs is not None:
-        iaai, iardx, iardy = ArithCtx(), ArithCtx(), ArithCtx()
+        iaai = ArithCtx()
         symlen = _symcodelen(n_input + n)
-        iaid = ArithCtx(1 << (symlen + 1))
-        grctx = ArithCtx(1 << 13)
+        tctxs = _text_ctxs(symlen)
     hc = 0
     i = 0
     while i < n:
@@ -1195,6 +1205,11 @@ def encode_symbol_dict(
             sw = wdt
             if refs is None:
                 encode_generic(syms[i], mq=mq)
+            elif isinstance(refs[i], (list, tuple)):
+                _encode_aggregate(
+                    mq, tctxs, iaai, syms, input_syms or [], i,
+                    refs[i], symlen,
+                )
             else:
                 sid = refs[i]
                 if not (0 <= sid < n_input + i):
@@ -1203,14 +1218,14 @@ def encode_symbol_dict(
                         "the symbol."
                     )
                 encode_int(mq, iaai, 1)
-                encode_iaid(mq, iaid, sid, symlen)
-                encode_int(mq, iardx, 0)
-                encode_int(mq, iardy, 0)
+                encode_iaid(mq, tctxs["iaid"], sid, symlen)
+                encode_int(mq, tctxs["iardx"], 0)
+                encode_int(mq, tctxs["iardy"], 0)
                 refsym = (
                     input_syms[sid] if sid < n_input
                     else syms[sid - n_input]
                 )
-                encode_refinement(syms[i], refsym, mq=mq, grctx=grctx)
+                encode_refinement(syms[i], refsym, mq=mq, grctx=tctxs["gr"])
             i += 1
         encode_int(mq, iadw, None)  # OOB closes the height class
     encode_int(mq, iaex, n_input)  # initial non-export run
@@ -1278,22 +1293,51 @@ def decode_text_region(
     sbstrips = 1 << logstrips
     symlen = _symcodelen(len(syms))
     mq = MQDecoder(payload[cursor:])
-    iadt, iafs, iads, iait = ArithCtx(), ArithCtx(), ArithCtx(), ArithCtx()
-    iaid = ArithCtx(1 << (symlen + 1))
-    if sbrefine:
-        iari, iardw, iardh = ArithCtx(), ArithCtx(), ArithCtx()
-        iardx, iardy = ArithCtx(), ArithCtx()
-        grctx = ArithCtx(1 << 13)
+    ctxs = _text_ctxs(symlen)
+    region = _decode_text_bitmap(
+        mq, ctxs, syms, w, h, numinstances, symlen,
+        sbstrips=sbstrips, refcorner=refcorner, dsoffset=dsoffset,
+        defpixel=defpixel, sbrefine=sbrefine, sbrtemplate=sbrtemplate,
+    )
+    return region, x, y
+
+
+def _text_ctxs(symlen: int) -> dict:
+    """One text-region decode's adaptive context tables (also created
+    once per SDREFAGG symbol dictionary and retained across its
+    aggregate symbols, §6.5.8.2.1)."""
+
+    return {
+        "iadt": ArithCtx(), "iafs": ArithCtx(), "iads": ArithCtx(),
+        "iait": ArithCtx(), "iaid": ArithCtx(1 << (symlen + 1)),
+        "iari": ArithCtx(), "iardw": ArithCtx(), "iardh": ArithCtx(),
+        "iardx": ArithCtx(), "iardy": ArithCtx(),
+        "gr": ArithCtx(1 << 13),
+    }
+
+
+def _decode_text_bitmap(
+    mq: MQDecoder, ctxs: dict, syms: "list[np.ndarray]",
+    w: int, h: int, numinstances: int, symlen: int, *,
+    sbstrips: int = 1, refcorner: int = 1, dsoffset: int = 0,
+    defpixel: int = 0, sbrefine: int = 0, sbrtemplate: int = 0,
+) -> np.ndarray:
+    """T.88 §6.4 strip decode onto a fresh (h, w) bitmap, reading from
+    a shared MQ decoder with the caller's context tables — the common
+    core of immediate text regions and §6.5.8.2.1 aggregate symbols.
+    Reads EXACTLY the symbols the procedure defines (no trailing strip
+    terminator after the final instance), which is what lets it sit
+    inside a dictionary's bitstream."""
 
     region = np.full((h, w), defpixel, np.uint8)
-    dt0 = decode_int(mq, iadt)
+    dt0 = decode_int(mq, ctxs["iadt"])
     if dt0 is None:
         raise UserError("JBIG2: OOB initial strip delta.")
     stript = -dt0 * sbstrips
     firsts = 0
     ninst = 0
     while ninst < numinstances:
-        dt = decode_int(mq, iadt)
+        dt = decode_int(mq, ctxs["iadt"])
         if dt is None:
             raise UserError("JBIG2: OOB strip delta.")
         stript += dt * sbstrips
@@ -1301,34 +1345,34 @@ def decode_text_region(
         curs = 0
         while ninst < numinstances:
             if first:
-                dfs = decode_int(mq, iafs)
+                dfs = decode_int(mq, ctxs["iafs"])
                 if dfs is None:
                     raise UserError("JBIG2: OOB first-S delta.")
                 firsts += dfs
                 curs = firsts
                 first = False
             else:
-                ids = decode_int(mq, iads)
+                ids = decode_int(mq, ctxs["iads"])
                 if ids is None:
                     break  # strip done
                 curs += ids + dsoffset
-            curt = decode_int(mq, iait) if sbstrips > 1 else 0
+            curt = decode_int(mq, ctxs["iait"]) if sbstrips > 1 else 0
             if curt is None:
                 raise UserError("JBIG2: OOB T offset.")
             tcoord = stript + curt
-            sid = decode_iaid(mq, iaid, symlen)
+            sid = decode_iaid(mq, ctxs["iaid"], symlen)
             if sid >= len(syms):
                 raise UserError("JBIG2: symbol ID out of range.")
             bm = syms[sid]
             hi, wi = bm.shape
-            if sbrefine and decode_int(mq, iari):
+            if sbrefine and decode_int(mq, ctxs["iari"]):
                 # §6.4.11: the instance is refinement-coded against
                 # its symbol; RDW/RDH resize it, the reference sits at
                 # the centered offset (RDW>>1 + RDX, RDH>>1 + RDY)
-                rdw = decode_int(mq, iardw)
-                rdh = decode_int(mq, iardh)
-                rdx = decode_int(mq, iardx)
-                rdy = decode_int(mq, iardy)
+                rdw = decode_int(mq, ctxs["iardw"])
+                rdh = decode_int(mq, ctxs["iardh"])
+                rdx = decode_int(mq, ctxs["iardx"])
+                rdy = decode_int(mq, ctxs["iardy"])
                 if None in (rdw, rdh, rdx, rdy):
                     raise UserError("JBIG2: OOB instance refinement field.")
                 nw, nh = wi + rdw, hi + rdh
@@ -1336,7 +1380,7 @@ def decode_text_region(
                     raise UserError("JBIG2: invalid refined instance size.")
                 bm = decode_refinement(
                     b"", nw, nh, bm, template=sbrtemplate,
-                    mq=mq, grctx=grctx,
+                    mq=mq, grctx=ctxs["gr"],
                     refdx=(rdw >> 1) + rdx, refdy=(rdh >> 1) + rdy,
                 )
                 hi, wi = bm.shape
@@ -1350,7 +1394,72 @@ def decode_text_region(
                 region[ys:ye, xs:xe] |= bm[ys - y0 : ye - y0, xs - x0 : xe - x0]
             curs += wi - 1
             ninst += 1
-    return region, x, y
+    return region
+
+
+def _encode_aggregate(
+    mq: MQEncoder, tctxs: dict, iaai: ArithCtx,
+    syms: "list[np.ndarray]", input_syms: "list[np.ndarray]",
+    i: int, instances: "list[tuple[int, int, int]]", symlen: int,
+) -> None:
+    """Encoder mirror of the §6.5.8.2.1 aggregate path: the new
+    symbol ``syms[i]`` is coded as a nested text region of (y, x,
+    sid) instances (combined input+new sid space, all preceding
+    ``i``), OR-composed at TOPLEFT corners with SBSTRIPS=1 and no
+    per-instance refinement. Emits EXACTLY the symbols
+    _decode_text_bitmap reads (no trailing strip terminator) and
+    verifies the composition reproduces the bitmap."""
+
+    target = syms[i]
+    h, w = target.shape
+    n_input = len(input_syms)
+    check = np.zeros((h, w), np.uint8)
+    inst = sorted(instances, key=lambda t: (t[0], t[1], t[2]))
+    for y0, x0, sid in inst:
+        if not (0 <= sid < n_input + i):
+            raise UserError(
+                "JBIG2 encoder: aggregate instance must reference a "
+                "preceding symbol."
+            )
+        bm = input_syms[sid] if sid < n_input else syms[sid - n_input]
+        hh, ww = bm.shape
+        ys, xs = max(y0, 0), max(x0, 0)
+        ye, xe = min(y0 + hh, h), min(x0 + ww, w)
+        if ye > ys and xe > xs:
+            check[ys:ye, xs:xe] |= bm[ys - y0 : ye - y0, xs - x0 : xe - x0]
+    if not np.array_equal(check, target):
+        raise UserError(
+            "JBIG2 encoder: aggregate instances do not reproduce the "
+            "symbol."
+        )
+    encode_int(mq, iaai, len(inst))
+    encode_int(mq, tctxs["iadt"], 0)  # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    j = 0
+    n = len(inst)
+    while j < n:
+        yrow = inst[j][0]
+        if j:
+            encode_int(mq, tctxs["iads"], None)  # close previous strip
+        encode_int(mq, tctxs["iadt"], yrow - stript)
+        stript = yrow
+        curs = 0
+        first = True
+        while j < n and inst[j][0] == yrow:
+            y0, x0, sid = inst[j]
+            if first:
+                encode_int(mq, tctxs["iafs"], x0 - firsts)
+                firsts = x0
+                first = False
+            else:
+                encode_int(mq, tctxs["iads"], x0 - curs)
+            curs = x0
+            encode_iaid(mq, tctxs["iaid"], sid, symlen)
+            encode_int(mq, tctxs["iari"], 0)  # SBREFINE=1: RI gate
+            bm = input_syms[sid] if sid < n_input else syms[sid - n_input]
+            curs += bm.shape[1] - 1
+            j += 1
 
 
 def encode_text_region(

@@ -798,3 +798,43 @@ def test_henableskip_halftone():
     assert len(enc_sk) < len(enc_ns)
     with pytest.raises(UserError):
         encode_jbig2_halftone(gray, mmr=True, enableskip=True)
+
+
+def test_refagg_aggregate_symbols():
+    """REFAGGNINST > 1 (§6.5.8.2.1): a new symbol decodes as a nested
+    text region of earlier-symbol instances (ligature construction)
+    on the dictionary's shared decoder and retained context tables;
+    mixes with single-refinement entries in one dictionary."""
+
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        decode_symbol_dict, encode_symbol_dict,
+    )
+
+    base = sorted([_glyph(8, 5, i) for i in range(3)],
+                  key=lambda b: (b.shape[0], b.shape[1]))
+    out_a = decode_symbol_dict(encode_symbol_dict(base), [])
+    lig = np.zeros((8, 11), np.uint8)
+    lig[:, :5] |= out_a[1]
+    lig[:, 6:11] |= out_a[2]
+    ref0 = out_a[0].copy()
+    ref0[0, 0] ^= 1
+    enc = encode_symbol_dict(
+        [ref0, lig], refs=[0, [(0, 0, 1), (0, 6, 2)]], input_syms=out_a
+    )
+    out_b = decode_symbol_dict(enc, out_a)
+    assert np.array_equal(out_b[0], ref0)
+    assert np.array_equal(out_b[1], lig)
+    # aggregate referencing a NEW symbol of the same dictionary
+    double = np.zeros((8, 10), np.uint8)
+    double[:, :5] |= ref0
+    double[:, 5:] |= ref0
+    enc2 = encode_symbol_dict(
+        [ref0, double], refs=[0, [(0, 0, 3), (0, 5, 3)]],
+        input_syms=out_a,
+    )
+    assert np.array_equal(decode_symbol_dict(enc2, out_a)[1], double)
+    # encoder validation: instances must reproduce the bitmap exactly
+    with pytest.raises(UserError, match="reproduce"):
+        encode_symbol_dict(
+            [ref0, lig], refs=[0, [(0, 0, 1)]], input_syms=out_a
+        )
