@@ -38,9 +38,12 @@ pattern stamping; HMMR pattern dictionaries and halftone bitplanes
 decode through the same T.6 coder — one decoder across every
 bitplane without restart, per §C.5; HENABLESKIP derives the §6.6.5.1
 skip bitmap from the grid geometry and the generic coder never codes
-the skipped pixels). Huffman-coded symbol/text variants and
-intermediate regions are out of scope and surface as missing rasters
-(UserError), never wrong pixels.
+the skipped pixels), and the INTERMEDIATE region organization (§8.2:
+types 4/20/36/40 retained in an auxiliary buffer keyed by segment
+number, consumed as the reference of a later refinement region
+instead of compositing onto the page). Huffman-coded symbol/text
+variants are the one remaining out-of-scope subset and surface as
+missing rasters (UserError), never wrong pixels.
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (including MQ-coder
@@ -1598,7 +1601,7 @@ def _segment(
 def encode_jbig2_embedded(
     img: np.ndarray, tpgdon: bool = False, mmr: bool = False,
     template: int = 0, refine: bool = False, gr_template: int = 0,
-    tpgron: bool = False,
+    tpgron: bool = False, intermediate: bool = False,
 ) -> bytes:
     """0/1 bitmap -> embedded JBIG2 stream: page info + immediate
     generic region + end-of-page. ``mmr`` codes the region with T.6
@@ -1608,8 +1611,15 @@ def encode_jbig2_embedded(
     refine-to-lossless shape: the generic region carries a degraded
     base (isolated pixels dropped) and an immediate generic refinement
     region (type 42, GR template ``gr_template``) re-codes the page to
-    the exact input against that base."""
+    the exact input against that base. With ``intermediate`` the base
+    is an INTERMEDIATE generic region (type 36, §8.2) that never
+    touches the page — the refinement refers to it by segment number
+    and its output is the page's only content."""
 
+    if intermediate and not refine:
+        raise UserError(
+            "JBIG2 encoder: intermediate base requires refine=True."
+        )
     h, w = img.shape
     img = img.astype(np.uint8)
     page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00" + b"\x00\x00"
@@ -1639,7 +1649,9 @@ def encode_jbig2_embedded(
         + b"\x00"  # external combination operator: OR
         + body
     )
-    out = _segment(0, 48, page_info) + _segment(1, 38, region)
+    out = _segment(0, 48, page_info) + _segment(
+        1, 36 if intermediate else 38, region
+    )
     if refine:
         gr_body = (
             bytes([gr_template | (0x02 if tpgron else 0)])  # GR flags
@@ -1652,7 +1664,9 @@ def encode_jbig2_embedded(
             + b"\x04"  # external combination operator: REPLACE
             + gr_body
         )
-        out += _segment(2, 42, gr_region)
+        out += _segment(
+            2, 42, gr_region, refs=(1,) if intermediate else ()
+        )
         return out + _segment(3, 49, b"")  # end of page
     return out + _segment(2, 49, b"")  # end of page
 
@@ -1756,10 +1770,17 @@ def _walk_segments(
     sym_dicts: "dict[int, list[np.ndarray]]",
     pat_dicts: "dict[int, list[np.ndarray]]",
     page: "np.ndarray | None",
+    aux: "dict[int, np.ndarray] | None" = None,
 ) -> "np.ndarray | None":
     """Walk one embedded-organization segment stream, updating the
     shared symbol/pattern dictionary tables and compositing onto
-    ``page``."""
+    ``page``. INTERMEDIATE region segments (types 4/20/36/40, T.88
+    §8.2) land in ``aux`` keyed by segment number instead of the
+    page; a later refinement region that refers to one uses it as its
+    reference bitmap."""
+
+    if aux is None:
+        aux = {}
 
     pos = 0
     n = len(data)
@@ -1798,14 +1819,15 @@ def _walk_segments(
                 input_syms.extend(sym_dicts.get(r, []))
             sym_dicts[num] = decode_symbol_dict(payload, input_syms)
         elif seg_type in (4, 6, 7):  # text region
-            if seg_type == 4:
-                raise UserError("JBIG2: intermediate text regions unsupported.")
             syms: list[np.ndarray] = []
             for r in refs:
                 syms.extend(sym_dicts.get(r, []))
             if not syms:
                 raise UserError("JBIG2: text region with no symbol dictionary.")
             bits, rx, ry = decode_text_region(payload, syms)
+            if seg_type == 4:  # intermediate: retained, not composited
+                aux[num] = bits
+                continue
             rh, rw = bits.shape
             if page is None:
                 page = np.zeros((rh, rw), np.uint8)
@@ -1841,13 +1863,16 @@ def _walk_segments(
                         payload[18 + nat :], rw, rh, template, at,
                         tpgdon=tpgdon,
                     )
+            if seg_type == 36:  # intermediate: retained, not composited
+                aux[num] = bits
+                continue
             if page is None:
                 page = np.zeros((rh, rw), np.uint8)
             ph, pw = page.shape
             y1, x1 = min(ph, ry + rh), min(pw, rx + rw)
             if y1 > ry and x1 > rx:
                 page[ry:y1, rx:x1] |= bits[: y1 - ry, : x1 - rx]
-        elif seg_type in (42, 43):  # immediate generic refinement region
+        elif seg_type in (40, 42, 43):  # generic refinement region
             rw, rh, rx, ry = struct.unpack(">IIII", payload[:16])
             grflags = payload[17]
             template = grflags & 0x01
@@ -1855,26 +1880,49 @@ def _walk_segments(
             at_len = 4 if template == 0 else 0
             if template == 0 and payload[18:22] != _NOMINAL_GR_AT:
                 raise UserError("JBIG2: non-nominal GR AT pixels unsupported.")
+            # reference: a referred INTERMEDIATE region if one exists
+            # (§6.3.2), else the page buffer under the region bbox
+            ref = next((aux[r] for r in refs if r in aux), None)
+            if ref is not None:
+                if ref.shape != (rh, rw):
+                    raise UserError(
+                        "JBIG2: refinement reference size mismatch."
+                    )
+            else:
+                if seg_type == 40:
+                    raise UserError(
+                        "JBIG2: intermediate refinement needs an "
+                        "intermediate reference."
+                    )
+                if page is None:
+                    raise UserError("JBIG2: refinement region before page info.")
+                ph, pw = page.shape
+                if ry + rh > ph or rx + rw > pw:
+                    raise UserError("JBIG2: refinement region outside the page.")
+                ref = page[ry : ry + rh, rx : rx + rw]
+            bits = decode_refinement(
+                payload[18 + at_len :], rw, rh, ref,
+                template=template, tpgron=tpgron,
+            )
+            if seg_type == 40:  # intermediate: retained
+                aux[num] = bits
+                continue
             if page is None:
                 raise UserError("JBIG2: refinement region before page info.")
             ph, pw = page.shape
             if ry + rh > ph or rx + rw > pw:
                 raise UserError("JBIG2: refinement region outside the page.")
-            # immediate refinement regions reference the page buffer
-            # under their own bbox (§6.3.2) and REPLACE it
-            ref = page[ry : ry + rh, rx : rx + rw]
-            bits = decode_refinement(
-                payload[18 + at_len :], rw, rh, ref,
-                template=template, tpgron=tpgron,
-            )
             page[ry : ry + rh, rx : rx + rw] = bits
         elif seg_type == 16:  # pattern dictionary
             pat_dicts[num] = decode_pattern_dict(payload)
-        elif seg_type in (22, 23):  # immediate halftone region
+        elif seg_type in (20, 22, 23):  # halftone region
             pats: list[np.ndarray] = []
             for r in refs:
                 pats.extend(pat_dicts.get(r, []))
             bits, rx, ry = decode_halftone_region(payload, pats)
+            if seg_type == 20:  # intermediate: retained
+                aux[num] = bits
+                continue
             rh, rw = bits.shape
             if page is None:
                 page = np.zeros((rh, rw), np.uint8)
@@ -1882,11 +1930,6 @@ def _walk_segments(
             y1, x1 = min(ph, ry + rh), min(pw, rx + rw)
             if y1 > ry and x1 > rx:
                 page[ry:y1, rx:x1] |= bits[: y1 - ry, : x1 - rx]
-        elif seg_type in (20, 40):
-            raise UserError(
-                f"JBIG2: segment type {seg_type} (intermediate "
-                "halftone/refinement region) unsupported."
-            )
         # 49/50/51/62: end-of-page/stripe/file, extension — skip
     return page
 
@@ -1896,19 +1939,20 @@ def decode_jbig2_embedded(
 ) -> np.ndarray:
     """Embedded JBIG2 stream -> (h, w) uint8 bits (1 = black).
 
-    Supports generic regions, symbol dictionaries and text regions
-    (arithmetic coding); ``globals_data`` is the /JBIG2Globals stream
-    whose segments (symbol dictionaries) are walked first and shared.
-    Halftone/refinement/Huffman variants raise UserError (missing
+    Supports generic / text / halftone / refinement regions (immediate
+    AND intermediate organizations) and symbol dictionaries;
+    ``globals_data`` is the /JBIG2Globals stream whose segments are
+    walked first and shared. Huffman variants raise UserError (missing
     raster upstream, never wrong pixels)."""
 
     sym_dicts: dict[int, list[np.ndarray]] = {}
     pat_dicts: dict[int, list[np.ndarray]] = {}
+    aux: dict[int, np.ndarray] = {}
     page = (
-        _walk_segments(globals_data, sym_dicts, pat_dicts, None)
+        _walk_segments(globals_data, sym_dicts, pat_dicts, None, aux)
         if globals_data else None
     )
-    page = _walk_segments(data, sym_dicts, pat_dicts, page)
+    page = _walk_segments(data, sym_dicts, pat_dicts, page, aux)
     if page is None:
         raise UserError("JBIG2: no page in stream.")
     return page

@@ -4,8 +4,8 @@ without TPGDON, MMR), symbol-dictionary + text-region round-trips
 (Annex A integer codecs, height classes, export runs, /JBIG2Globals
 split), refinement regions (GR templates 0/1, TPGRON), halftone
 regions (pattern dictionaries, gray-coded bitplanes), embedded segment
-streams, the /JBIG2Decode XObject path, and graceful rejection of the
-unsupported Huffman/intermediate-region subset."""
+streams, intermediate-region organization, the /JBIG2Decode XObject
+path, and graceful rejection of the unsupported Huffman subset."""
 
 from __future__ import annotations
 
@@ -838,3 +838,48 @@ def test_refagg_aggregate_symbols():
         encode_symbol_dict(
             [ref0, lig], refs=[0, [(0, 0, 1)]], input_syms=out_a
         )
+
+
+def test_intermediate_regions():
+    """Intermediate organization (T.88 8.2): an intermediate generic
+    region (type 36) never composites onto the page; the immediate
+    refinement region referring to it uses it as the reference and
+    its output is the page's only content — pixel-identical to the
+    page-referencing immediate flow."""
+
+    img = np.zeros((40, 70), np.uint8)
+    img[5:12, 4:40] = 1
+    img[20:22, ::3] = 1
+    img[np.arange(0, 40, 7), 61] = 1
+    for tpl, tpg in ((0, False), (1, True)):
+        enc = encode_jbig2_embedded(
+            img, refine=True, gr_template=tpl, tpgron=tpg,
+            intermediate=True,
+        )
+        dec = decode_jbig2_embedded(enc)
+        assert np.array_equal(dec, img), (tpl, tpg)
+        imm = encode_jbig2_embedded(
+            img, refine=True, gr_template=tpl, tpgron=tpg
+        )
+        assert np.array_equal(decode_jbig2_embedded(imm), dec)
+    # an intermediate refinement (type 40) without an intermediate
+    # reference fails closed
+    import struct
+
+    enc = bytearray(encode_jbig2_embedded(img, refine=True,
+                                          intermediate=True))
+    # flip segment 2's type byte from 42 to 40 and drop its ref so
+    # the reference resolution fails
+    at = 0
+    for _ in range(2):  # skip to the third segment header (num=2)
+        at = bytes(enc).find(struct.pack(">I", _ + 1), at)
+    # simpler: rebuild with a crafted stream is overkill — assert the
+    # decoder refuses a type-40 segment with no refs via direct walk
+    from pdf_toolkit_spark.pdfio.jbig2 import _segment
+
+    pg = struct.pack(">IIII", 8, 8, 0, 0) + b"\x00" + b"\x00\x00"
+    gr = (struct.pack(">IIII", 8, 8, 0, 0) + b"\x04"
+          + bytes([1]) + b"\x00")
+    stream = _segment(0, 48, pg) + _segment(1, 40, gr)
+    with pytest.raises(UserError, match="intermediate reference"):
+        decode_jbig2_embedded(stream)
