@@ -38,12 +38,21 @@ pattern stamping; HMMR pattern dictionaries and halftone bitplanes
 decode through the same T.6 coder — one decoder across every
 bitplane without restart, per §C.5; HENABLESKIP derives the §6.6.5.1
 skip bitmap from the grid geometry and the generic coder never codes
-the skipped pixels), and the INTERMEDIATE region organization (§8.2:
+the skipped pixels), the INTERMEDIATE region organization (§8.2:
 types 4/20/36/40 retained in an auxiliary buffer keyed by segment
 number, consumed as the reference of a later refinement region
-instead of compositing onto the page). Huffman-coded symbol/text
-variants are the one remaining out-of-scope subset and surface as
-missing rasters (UserError), never wrong pixels.
+instead of compositing onto the page), and HUFFMAN-coded symbol
+dictionaries and text regions (Annex B assigned-value prefix codes:
+SDHUFF height classes with MMR or uncompressed collective bitmaps
+per §6.5.9, SBHUFF strip data with runcode-built symbol-ID tables
+per §7.4.3.1.7, USER-SUPPLIED code tables via type-53 segments with
+the B.2 syntax, plus the spec-mandated Table B.1 for export runs and
+BMSIZE). The PREDEFINED Annex B table selections (B.2-B.15) and
+Huffman refinement coding are the one remaining out-of-scope subset
+— deliberately: no reference decoder exists in this container to
+cross-check a transcription of those tables, and a wrong table
+desyncs silently, so they surface as missing rasters (UserError),
+never wrong pixels.
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (including MQ-coder
@@ -1054,11 +1063,349 @@ def encode_jbig2_halftone(
 
 
 # ---------------------------------------------------------------------------
+# Huffman tables (T.88 Annex B): assigned-value prefix codes for the
+# SDHUFF/SBHUFF coding paths. This engine ships the spec-mandated
+# Table B.1 (export runs / BMSIZE default) and USER-SUPPLIED tables
+# via code-table segments (type 53, B.2 syntax); the other predefined
+# Annex B selections fail closed (no reference decoder exists in this
+# container to cross-check their transcription, and a wrong table
+# would desync silently — user tables round-trip verifiably).
+# ---------------------------------------------------------------------------
+
+class _BitReaderH:
+    """MSB-first bit reader for the Huffman-coded paths (no byte
+    stuffing, unlike the MQ-coder stream)."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def get(self) -> int:
+        if self.pos >= len(self.data):
+            raise UserError("JBIG2: truncated Huffman data.")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def get_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get()
+        return v
+
+    def align(self) -> int:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+        return self.pos
+
+
+class _BitWriterH:
+    """MSB-first bit writer (encoder twin of _BitReaderH)."""
+
+    __slots__ = ("out", "cur", "nb")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.cur = 0
+        self.nb = 0
+
+    def put_bits(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((value >> i) & 1)
+            self.nb += 1
+            if self.nb == 8:
+                self.out.append(self.cur)
+                self.cur = 0
+                self.nb = 0
+
+    def align(self) -> None:
+        while self.nb:
+            self.put_bits(0, 1)
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+class HuffTable:
+    """One Annex B assigned-value table: ``lines`` of (preflen,
+    rangelen, rangelow, kind) with kind in normal|lower|upper|oob.
+    Canonical codes assign per B.3: lengths ascending, table order
+    within a length — identical construction on both ends, so a table
+    segment round-trips by definition."""
+
+    def __init__(self, lines: list) -> None:
+        self.lines = [ln for ln in lines if ln[0] > 0]
+        counts: dict[int, int] = {}
+        for pl, _rl, _lo, _k in self.lines:
+            counts[pl] = counts.get(pl, 0) + 1
+        maxlen = max(counts, default=0)
+        nxt: dict[int, int] = {}
+        code = 0
+        for length in range(1, maxlen + 1):
+            code = (code + counts.get(length - 1, 0)) << 1
+            nxt[length] = code
+        by_len: dict[int, list] = {}
+        for idx, (pl, _rl, _lo, _k) in enumerate(self.lines):
+            by_len.setdefault(pl, []).append(idx)
+        codes: dict[int, tuple] = {}
+        for length in sorted(by_len):
+            for idx in by_len[length]:
+                codes[idx] = (nxt[length], length)
+                nxt[length] += 1
+        self.codes = [codes[i] for i in range(len(self.lines))]
+        #: (preflen, code) -> line index, for decode
+        self.dec = {
+            (pl, c): i
+            for i, ((c, pl)) in enumerate(self.codes)
+        }
+
+    def decode(self, br: _BitReaderH) -> "int | None":
+        length = 0
+        code = 0
+        while length <= 32:
+            code = (code << 1) | br.get()
+            length += 1
+            idx = self.dec.get((length, code))
+            if idx is not None:
+                pl, rl, lo, kind = self.lines[idx]
+                if kind == "oob":
+                    return None
+                if kind == "lower":
+                    return lo - br.get_bits(32)
+                if kind == "upper":
+                    return lo + br.get_bits(32)
+                return lo + br.get_bits(rl)
+        raise UserError("JBIG2: invalid Huffman code.")
+
+    def encode(self, bw: _BitWriterH, value: "int | None") -> None:
+        if value is None:
+            for i, (_pl, _rl, _lo, kind) in enumerate(self.lines):
+                if kind == "oob":
+                    c, pl = self.codes[i]
+                    bw.put_bits(c, pl)
+                    return
+            raise UserError("JBIG2 encoder: table has no OOB code.")
+        for i, (_pl, rl, lo, kind) in enumerate(self.lines):
+            if kind == "normal" and lo <= value < lo + (1 << rl):
+                c, pl = self.codes[i]
+                bw.put_bits(c, pl)
+                bw.put_bits(value - lo, rl)
+                return
+        for i, (_pl, _rl, lo, kind) in enumerate(self.lines):
+            if kind == "lower" and value <= lo:
+                c, pl = self.codes[i]
+                bw.put_bits(c, pl)
+                bw.put_bits(lo - value, 32)
+                return
+            if kind == "upper" and value >= lo:
+                c, pl = self.codes[i]
+                bw.put_bits(c, pl)
+                bw.put_bits(value - lo, 32)
+                return
+        raise UserError("JBIG2 encoder: value outside the table range.")
+
+
+#: Table B.1 (the spec-mandated default: export runs, BMSIZE):
+#: 0..15 in 4 bits, 16..271 in 8, 272..65807 in 16, 65808+ upper.
+_TABLE_B1 = HuffTable([
+    (1, 4, 0, "normal"),
+    (2, 8, 16, "normal"),
+    (3, 16, 272, "normal"),
+    (3, 32, 65808, "upper"),
+])
+
+
+def decode_code_table(payload: bytes) -> HuffTable:
+    """Code-table segment (type 53) data -> HuffTable (B.2 syntax:
+    flags, HTLOW/HTHIGH, then bit-packed (preflen, rangelen) lines
+    from HTLOW upward, the lower/upper range preflens, and the OOB
+    preflen when HTOOB)."""
+
+    if len(payload) < 9:
+        raise UserError("JBIG2: truncated code-table segment.")
+    flags = payload[0]
+    htoob = flags & 0x01
+    htps = ((flags >> 1) & 0x07) + 1
+    htrs = ((flags >> 4) & 0x07) + 1
+    htlow, hthigh = struct.unpack(">ii", payload[1:9])
+    if hthigh <= htlow:
+        raise UserError("JBIG2: empty code-table range.")
+    br = _BitReaderH(payload, 9)
+    lines = []
+    cur = htlow
+    while cur < hthigh:
+        pl = br.get_bits(htps)
+        rl = br.get_bits(htrs)
+        if rl > 32:
+            raise UserError("JBIG2: code-table range length > 32.")
+        lines.append((pl, rl, cur, "normal"))
+        cur += 1 << rl
+    lines.append((br.get_bits(htps), 32, htlow - 1, "lower"))
+    lines.append((br.get_bits(htps), 32, hthigh, "upper"))
+    if htoob:
+        lines.append((br.get_bits(htps), 0, 0, "oob"))
+    return HuffTable(lines)
+
+
+def encode_code_table(
+    lines: list, htlow: int, hthigh: int,
+    lower_pl: int, upper_pl: int, oob_pl: int = 0,
+) -> bytes:
+    """Encoder twin of decode_code_table. ``lines`` are (preflen,
+    rangelen) pairs tiling [htlow, hthigh) in order."""
+
+    max_pl = max([pl for pl, _ in lines] + [lower_pl, upper_pl, oob_pl])
+    max_rl = max(rl for _, rl in lines)
+    htps = max(max_pl.bit_length(), 1)
+    htrs = max(max_rl.bit_length(), 1)
+    if htps > 8 or htrs > 8:
+        raise UserError("JBIG2 encoder: code-table field width > 8.")
+    flags = (1 if oob_pl else 0) | ((htps - 1) << 1) | ((htrs - 1) << 4)
+    bw = _BitWriterH()
+    cur = htlow
+    for pl, rl in lines:
+        bw.put_bits(pl, htps)
+        bw.put_bits(rl, htrs)
+        cur += 1 << rl
+    if cur < hthigh:
+        raise UserError("JBIG2 encoder: lines do not tile the range.")
+    bw.put_bits(lower_pl, htps)
+    bw.put_bits(upper_pl, htps)
+    if oob_pl:
+        bw.put_bits(oob_pl, htps)
+    return bytes([flags]) + struct.pack(">ii", htlow, hthigh) + bw.flush()
+
+
+def _simple_table(lo: int, hi: int, oob: bool) -> bytes:
+    """A compact generic user table: one line covering [lo, hi) at
+    preflen 1, lower/upper 32-bit escapes, optional OOB — enough to
+    code ANY integer, with the common range cheap."""
+
+    span = max(1, (hi - lo - 1).bit_length() if hi - lo > 1 else 1)
+    return encode_code_table(
+        [(1, span)], lo, lo + (1 << span),
+        lower_pl=2, upper_pl=3, oob_pl=3 if oob else 0,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Symbol dictionary (T.88 §6.5 decode / §7.4.3 segment layout)
 # ---------------------------------------------------------------------------
 
+def _decode_symbol_dict_huffman(
+    payload: bytes, input_syms: "list[np.ndarray]",
+    tables: "list[HuffTable]", flags: int,
+) -> "list[np.ndarray]":
+    """SDHUFF=1 dictionary decode (§6.5.9, SDREFAGG=0): height-class
+    deltas and width deltas via Huffman tables, each height class's
+    symbols sliced out of ONE collective bitmap (BMSIZE=0 ->
+    uncompressed byte-aligned rows; else T.6 MMR of BMSIZE bytes),
+    export runs via the spec-mandated Table B.1."""
+
+    if (flags >> 1) & 0x01:
+        raise UserError("JBIG2: Huffman refinement/aggregate unsupported.")
+    dh_sel = (flags >> 2) & 0x03
+    dw_sel = (flags >> 4) & 0x03
+    bm_sel = (flags >> 6) & 0x01
+    it = iter(tables)
+
+    def _pick(sel: int, what: str) -> HuffTable:
+        if sel == 3:
+            try:
+                return next(it)
+            except StopIteration:
+                raise UserError("JBIG2: missing user code table.") from None
+        if what == "bmsize" and sel == 0:
+            return _TABLE_B1
+        raise UserError(
+            "JBIG2: predefined Huffman table selections unsupported "
+            "(user tables only)."
+        )
+
+    dh_tbl = _pick(dh_sel, "dh")
+    dw_tbl = _pick(dw_sel, "dw")
+    bm_tbl = _pick(bm_sel, "bmsize") if bm_sel else _TABLE_B1
+    numex, numnew = struct.unpack(">II", payload[2:10])
+    if numnew > 1 << 20 or numex > 1 << 20:
+        raise UserError("JBIG2: implausible symbol count.")
+    from .ccitt import decode_g4
+
+    br = _BitReaderH(payload, 10)
+    newsyms: list[np.ndarray] = []
+    hcheight = 0
+    while len(newsyms) < numnew:
+        dh = dh_tbl.decode(br)
+        if dh is None:
+            raise UserError("JBIG2: OOB height-class delta.")
+        hcheight += dh
+        symwidth = 0
+        widths: list[int] = []
+        while True:
+            dw = dw_tbl.decode(br)
+            if dw is None:
+                break
+            symwidth += dw
+            if not (0 < symwidth <= 1 << 15 and 0 < hcheight <= 1 << 15):
+                raise UserError("JBIG2: invalid symbol dimensions.")
+            if len(newsyms) + len(widths) >= numnew + 1:
+                raise UserError("JBIG2: more symbols than declared.")
+            widths.append(symwidth)
+        if not widths:
+            continue
+        bmsize = bm_tbl.decode(br)
+        if bmsize is None or bmsize < 0:
+            raise UserError("JBIG2: bad collective bitmap size.")
+        pos = br.align()
+        totw = sum(widths)
+        if bmsize == 0:
+            # uncompressed: rows padded to byte boundaries (§6.5.9)
+            rowbytes = (totw + 7) // 8
+            need = rowbytes * hcheight
+            if pos + need > len(payload):
+                raise UserError("JBIG2: truncated collective bitmap.")
+            raw = np.frombuffer(
+                payload[pos : pos + need], np.uint8
+            ).reshape(hcheight, rowbytes)
+            coll = np.unpackbits(raw, axis=1)[:, :totw]
+            pos += need
+        else:
+            if pos + bmsize > len(payload):
+                raise UserError("JBIG2: truncated collective bitmap.")
+            coll = decode_g4(payload[pos : pos + bmsize], totw, hcheight)
+            pos += bmsize
+        x = 0
+        for wd in widths:
+            newsyms.append(coll[:, x : x + wd].copy())
+            x += wd
+        br = _BitReaderH(payload, pos)
+
+    allsyms = list(input_syms) + newsyms
+    exported: list[np.ndarray] = []
+    curex, i = 0, 0
+    while i < len(allsyms):
+        run = _TABLE_B1.decode(br)
+        if run is None or run < 0 or i + run > len(allsyms):
+            raise UserError("JBIG2: bad export run length.")
+        if curex:
+            exported.extend(allsyms[i : i + run])
+        i += run
+        curex ^= 1
+    if len(exported) != numex:
+        raise UserError("JBIG2: export count mismatch.")
+    return exported
+
+
 def decode_symbol_dict(
-    payload: bytes, input_syms: "list[np.ndarray]"
+    payload: bytes, input_syms: "list[np.ndarray]",
+    tables: "list[HuffTable] | None" = None,
 ) -> "list[np.ndarray]":
     """Symbol dictionary segment data -> exported symbol bitmaps
     (decode order). Arithmetic coding only (SDHUFF=0); new symbols
@@ -1073,7 +1420,9 @@ def decode_symbol_dict(
         raise UserError("JBIG2: truncated symbol dictionary.")
     flags = int.from_bytes(payload[0:2], "big")
     if flags & 0x01:
-        raise UserError("JBIG2: Huffman symbol dictionaries unsupported.")
+        return _decode_symbol_dict_huffman(
+            payload, input_syms, list(tables or []), flags
+        )
     sdrefagg = (flags >> 1) & 0x01
     if (flags >> 8) & 0x03:
         raise UserError("JBIG2: retained coding contexts unsupported.")
@@ -1255,8 +1604,127 @@ def _symcodelen(numsyms: int) -> int:
     return max(1, (max(numsyms, 1) - 1).bit_length())
 
 
+def _decode_text_region_huffman(
+    payload: bytes, syms: "list[np.ndarray]",
+    tables: "list[HuffTable]",
+) -> "tuple[np.ndarray, int, int]":
+    """SBHUFF=1 text region (§6.4 with §7.4.4.1.2-1.7): FS/DS/DT via
+    user code tables, symbol IDs via the runcode-built per-region
+    Huffman table, strip data bit-packed MSB-first. Refinement and
+    predefined table selections fail closed."""
+
+    w, h, x, y = struct.unpack(">IIII", payload[:16])
+    tflags = int.from_bytes(payload[17:19], "big")
+    if (tflags >> 1) & 0x01:
+        raise UserError("JBIG2: Huffman refinement text coding unsupported.")
+    logstrips = (tflags >> 2) & 0x03
+    refcorner = (tflags >> 4) & 0x03
+    if (tflags >> 6) & 0x01:
+        raise UserError("JBIG2: transposed text regions unsupported.")
+    if (tflags >> 7) & 0x03:
+        raise UserError("JBIG2: only OR text composition supported.")
+    defpixel = (tflags >> 9) & 0x01
+    dsoffset = (tflags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32
+    hflags = int.from_bytes(payload[19:21], "big")
+    it = iter(tables)
+
+    def _pick(sel: int) -> HuffTable:
+        if sel == 3:
+            try:
+                return next(it)
+            except StopIteration:
+                raise UserError("JBIG2: missing user code table.") from None
+        raise UserError(
+            "JBIG2: predefined Huffman table selections unsupported "
+            "(user tables only)."
+        )
+
+    fs_tbl = _pick(hflags & 0x03)
+    ds_tbl = _pick((hflags >> 2) & 0x03)
+    dt_tbl = _pick((hflags >> 4) & 0x03)
+    (numinstances,) = struct.unpack(">I", payload[21:25])
+    if w * h > 1 << 28 or numinstances > 1 << 24:
+        raise UserError("JBIG2: implausible text region size.")
+    sbstrips = 1 << logstrips
+
+    br = _BitReaderH(payload, 25)
+    # symbol-ID code lengths via the 35-entry runcode table
+    # (§7.4.3.1.7); the stream byte-aligns after the lengths
+    runlines = []
+    for i in range(35):
+        pl = br.get_bits(5)
+        runlines.append((pl, 0, i, "normal"))
+    runtbl = HuffTable(runlines)
+    lengths: list[int] = []
+    prev = 0
+    while len(lengths) < len(syms):
+        c = runtbl.decode(br)
+        if c < 32:
+            lengths.append(c)
+            prev = c
+        elif c == 32:
+            lengths.extend([prev] * (3 + br.get_bits(2)))
+        elif c == 33:
+            lengths.extend([0] * (3 + br.get_bits(3)))
+        else:
+            lengths.extend([0] * (11 + br.get_bits(7)))
+    if len(lengths) != len(syms):
+        raise UserError("JBIG2: symbol code-length overrun.")
+    br.align()
+    id_tbl = HuffTable(
+        [(ln, 0, i, "normal") for i, ln in enumerate(lengths) if ln > 0]
+    )
+
+    region = np.full((h, w), defpixel, np.uint8)
+    dt0 = dt_tbl.decode(br)
+    if dt0 is None:
+        raise UserError("JBIG2: OOB initial strip delta.")
+    stript = -dt0 * sbstrips
+    firsts = 0
+    ninst = 0
+    while ninst < numinstances:
+        dt = dt_tbl.decode(br)
+        if dt is None:
+            raise UserError("JBIG2: OOB strip delta.")
+        stript += dt * sbstrips
+        first = True
+        curs = 0
+        while ninst < numinstances:
+            if first:
+                dfs = fs_tbl.decode(br)
+                if dfs is None:
+                    raise UserError("JBIG2: OOB first-S delta.")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = ds_tbl.decode(br)
+                if ids is None:
+                    break  # strip done
+                curs += ids + dsoffset
+            curt = br.get_bits(logstrips) if sbstrips > 1 else 0
+            tcoord = stript + curt
+            sid = id_tbl.decode(br)
+            if sid is None or sid >= len(syms):
+                raise UserError("JBIG2: symbol ID out of range.")
+            bm = syms[sid]
+            hi, wi = bm.shape
+            y0 = tcoord if refcorner in (1, 3) else tcoord - hi + 1
+            x0 = curs
+            ys, xs = max(y0, 0), max(x0, 0)
+            ye, xe = min(y0 + hi, h), min(x0 + wi, w)
+            if ye > ys and xe > xs:
+                region[ys:ye, xs:xe] |= bm[ys - y0 : ye - y0, xs - x0 : xe - x0]
+            curs += wi - 1
+            ninst += 1
+    return region, x, y
+
+
 def decode_text_region(
-    payload: bytes, syms: "list[np.ndarray]"
+    payload: bytes, syms: "list[np.ndarray]",
+    tables: "list[HuffTable] | None" = None,
 ) -> "tuple[np.ndarray, int, int]":
     """Text region segment data + symbol table -> (bitmap, x, y).
     Arithmetic coding only, optional per-instance refinement
@@ -1270,7 +1738,9 @@ def decode_text_region(
     w, h, x, y = struct.unpack(">IIII", payload[:16])
     tflags = int.from_bytes(payload[17:19], "big")
     if tflags & 0x01:
-        raise UserError("JBIG2: Huffman text regions unsupported.")
+        return _decode_text_region_huffman(
+            payload, syms, list(tables or [])
+        )
     sbrefine = (tflags >> 1) & 0x01
     logstrips = (tflags >> 2) & 0x03
     refcorner = (tflags >> 4) & 0x03
@@ -1540,6 +2010,132 @@ def encode_text_region(
     )
 
 
+def encode_symbol_dict_huffman(
+    syms: "list[np.ndarray]", n_input: int = 0, mmr: bool = True,
+) -> "tuple[list[bytes], bytes]":
+    """Symbol bitmaps (sorted by (height, width)) -> ([DH-table
+    payload, DW-table payload], SDHUFF=1 dictionary payload). Height
+    classes share ONE collective bitmap (MMR-coded, or uncompressed
+    byte-aligned rows with mmr=False); BMSIZE and export runs ride
+    Table B.1. The caller hosts the tables as type-53 segments
+    referred by the dictionary."""
+
+    t_dh = _simple_table(0, 32, oob=False)
+    t_dw = _simple_table(-16, 16, oob=True)
+    dh_tbl = decode_code_table(t_dh)
+    dw_tbl = decode_code_table(t_dw)
+    from .ccitt import encode_g4
+
+    n = len(syms)
+    bw = _BitWriterH()
+    hc = 0
+    i = 0
+    while i < n:
+        hgt = syms[i].shape[0]
+        dh_tbl.encode(bw, hgt - hc)
+        hc = hgt
+        cls = []
+        sw = 0
+        while i < n and syms[i].shape[0] == hc:
+            wdt = syms[i].shape[1]
+            dw_tbl.encode(bw, wdt - sw)
+            sw = wdt
+            cls.append(syms[i])
+            i += 1
+        dw_tbl.encode(bw, None)  # OOB closes the height class
+        coll = np.concatenate(cls, axis=1).astype(np.uint8)
+        if mmr:
+            data = encode_g4(coll)
+            _TABLE_B1.encode(bw, len(data))
+            bw.align()
+            bw.out += data
+        else:
+            _TABLE_B1.encode(bw, 0)
+            bw.align()
+            bw.out += np.packbits(coll, axis=1).tobytes()
+    _TABLE_B1.encode(bw, n_input)  # initial non-export run
+    _TABLE_B1.encode(bw, n)       # export the new symbols
+    # SDHUFF=1, SDHUFFDH=SDHUFFDW=3 (user tables), SDHUFFBMSIZE=0 (B.1)
+    flags = 0x01 | (3 << 2) | (3 << 4)
+    sd = struct.pack(">H", flags) + struct.pack(">II", n, n) + bw.flush()
+    return [t_dh, t_dw], sd
+
+
+def encode_text_region_huffman(
+    w: int, h: int,
+    instances: "list[tuple[int, int, int]]",
+    syms: "list[np.ndarray]",
+) -> "tuple[list[bytes], bytes]":
+    """Encoder twin of _decode_text_region_huffman: ([FS, DS, DT
+    table payloads], SBHUFF=1 text region payload). All symbol IDs
+    get the same code length (ceil(log2(n)), min 1), signalled with a
+    single-entry runcode table; one strip per row, TOPLEFT corners,
+    OR composition — the caller hosts the tables as type-53
+    segments."""
+
+    t_fs = _simple_table(0, 64, oob=False)
+    t_ds = _simple_table(0, 64, oob=True)
+    t_dt = _simple_table(0, 32, oob=False)
+    fs_tbl = decode_code_table(t_fs)
+    ds_tbl = decode_code_table(t_ds)
+    dt_tbl = decode_code_table(t_dt)
+    nsyms = len(syms)
+    idlen = max(1, (max(nsyms, 1) - 1).bit_length())
+    if nsyms == 1:
+        idlen = 1
+    bw = _BitWriterH()
+    # runcode lengths: runcode symbol `idlen` has code length 1, the
+    # other 34 are absent -> every symbol's length decodes as one bit
+    for i in range(35):
+        bw.put_bits(1 if i == idlen else 0, 5)
+    runtbl = HuffTable([(1, 0, idlen, "normal")])
+    for _ in range(nsyms):
+        runtbl.encode(bw, idlen)
+    bw.align()
+    id_tbl = HuffTable(
+        [(idlen, 0, i, "normal") for i in range(nsyms)]
+    )
+
+    inst = sorted(instances, key=lambda t: (t[0], t[1], t[2]))
+    dt_tbl.encode(bw, 0)  # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    i = 0
+    n = len(inst)
+    while i < n:
+        yrow = inst[i][0]
+        if i:
+            ds_tbl.encode(bw, None)  # close the previous strip
+        dt_tbl.encode(bw, yrow - stript)
+        stript = yrow
+        curs = 0
+        first = True
+        while i < n and inst[i][0] == yrow:
+            _, xcol, sid = inst[i]
+            if first:
+                fs_tbl.encode(bw, xcol - firsts)
+                firsts = xcol
+                first = False
+            else:
+                ds_tbl.encode(bw, xcol - curs)
+            curs = xcol
+            id_tbl.encode(bw, sid)
+            curs += syms[sid].shape[1] - 1
+            i += 1
+    # SBHUFF=1, REFCORNER=TOPLEFT; huffman flags: FS/DS/DT = 3 (user)
+    tflags = 0x01 | (1 << 4)
+    hflags = 3 | (3 << 2) | (3 << 4)
+    payload = (
+        struct.pack(">IIII", w, h, 0, 0)
+        + b"\x00"  # external combination operator: OR
+        + struct.pack(">H", tflags)
+        + struct.pack(">H", hflags)
+        + struct.pack(">I", n)
+        + bw.flush()
+    )
+    return [t_fs, t_ds, t_dt], payload
+
+
 def _connected_components(
     img: np.ndarray,
 ) -> "list[tuple[int, int, np.ndarray]]":
@@ -1674,6 +2270,7 @@ def encode_jbig2_embedded(
 def encode_jbig2_symbol_text(
     img: np.ndarray, split_globals: bool = False,
     refine_instances: bool = False, refagg_dict: bool = False,
+    huffman: bool = False,
 ) -> "bytes | tuple[bytes, bytes]":
     """0/1 bitmap -> embedded JBIG2 stream coded the way production
     scanned-text encoders work: connected components become a symbol
@@ -1693,7 +2290,18 @@ def encode_jbig2_symbol_text(
     dictionary: glyphs past the first become a second SDREFAGG=1
     dictionary whose symbols are refinement-coded against the first
     dictionary's export (§6.5.8.2.2), threaded as a referred
-    segment."""
+    segment.
+
+    ``huffman=True`` emits the SDHUFF/SBHUFF organization instead:
+    user code tables ride type-53 segments referred by the dictionary
+    and the text region, height classes share MMR collective bitmaps,
+    and the strip data is bit-packed — the low-memory hardware-encoder
+    profile."""
+
+    if huffman and (refine_instances or refagg_dict):
+        raise UserError(
+            "JBIG2 encoder: huffman excludes the refinement flavors."
+        )
 
     img = img.astype(np.uint8)
     h, w = img.shape
@@ -1729,6 +2337,30 @@ def encode_jbig2_symbol_text(
     inst = [(r[0], r[1], remap[r[2]]) + tuple(r[3:]) for r in inst]
 
     page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00" + b"\x00\x00"
+    if huffman:
+        gpage = 0 if split_globals else 1
+        sd_tbls, sd = encode_symbol_dict_huffman(syms)
+        tr_tbls, tr = encode_text_region_huffman(w, h, inst, syms)
+        sd_part = (
+            _segment(1, 53, sd_tbls[0], page=gpage)
+            + _segment(2, 53, sd_tbls[1], page=gpage)
+            + _segment(3, 0, sd, page=gpage, refs=(1, 2))
+        )
+        tr_part = (
+            _segment(4, 53, tr_tbls[0])
+            + _segment(5, 53, tr_tbls[1])
+            + _segment(6, 53, tr_tbls[2])
+            + _segment(7, 6, tr, refs=(3, 4, 5, 6))
+        )
+        page_stream = (
+            _segment(0, 48, page_info)
+            + (b"" if split_globals else sd_part)
+            + tr_part
+            + _segment(8, 49, b"")
+        )
+        if split_globals:
+            return sd_part, page_stream
+        return page_stream
     if refagg_dict and len(syms) > 1:
         # dictionary 1: the first glyph, generic-coded; dictionary 2:
         # every other glyph refinement-coded against it (SDREFAGG=1,
@@ -1771,6 +2403,7 @@ def _walk_segments(
     pat_dicts: "dict[int, list[np.ndarray]]",
     page: "np.ndarray | None",
     aux: "dict[int, np.ndarray] | None" = None,
+    tables: "dict[int, HuffTable] | None" = None,
 ) -> "np.ndarray | None":
     """Walk one embedded-organization segment stream, updating the
     shared symbol/pattern dictionary tables and compositing onto
@@ -1781,6 +2414,8 @@ def _walk_segments(
 
     if aux is None:
         aux = {}
+    if tables is None:
+        tables = {}
 
     pos = 0
     n = len(data)
@@ -1817,14 +2452,20 @@ def _walk_segments(
             input_syms: list[np.ndarray] = []
             for r in refs:
                 input_syms.extend(sym_dicts.get(r, []))
-            sym_dicts[num] = decode_symbol_dict(payload, input_syms)
+            custom = [tables[r] for r in refs if r in tables]
+            sym_dicts[num] = decode_symbol_dict(
+                payload, input_syms, tables=custom
+            )
+        elif seg_type == 53:  # code table (B.2)
+            tables[num] = decode_code_table(payload)
         elif seg_type in (4, 6, 7):  # text region
             syms: list[np.ndarray] = []
             for r in refs:
                 syms.extend(sym_dicts.get(r, []))
             if not syms:
                 raise UserError("JBIG2: text region with no symbol dictionary.")
-            bits, rx, ry = decode_text_region(payload, syms)
+            custom = [tables[r] for r in refs if r in tables]
+            bits, rx, ry = decode_text_region(payload, syms, tables=custom)
             if seg_type == 4:  # intermediate: retained, not composited
                 aux[num] = bits
                 continue
@@ -1948,11 +2589,12 @@ def decode_jbig2_embedded(
     sym_dicts: dict[int, list[np.ndarray]] = {}
     pat_dicts: dict[int, list[np.ndarray]] = {}
     aux: dict[int, np.ndarray] = {}
+    tables: dict[int, HuffTable] = {}
     page = (
-        _walk_segments(globals_data, sym_dicts, pat_dicts, None, aux)
+        _walk_segments(globals_data, sym_dicts, pat_dicts, None, aux, tables)
         if globals_data else None
     )
-    page = _walk_segments(data, sym_dicts, pat_dicts, page, aux)
+    page = _walk_segments(data, sym_dicts, pat_dicts, page, aux, tables)
     if page is None:
         raise UserError("JBIG2: no page in stream.")
     return page

@@ -45,7 +45,9 @@ class PageSpec:
     #: text region with a /JBIG2Globals stream), "jbig2sr" (SDREFAGG
     #: refinement-coded dictionary + SBREFINE refined instances — the
     #: lossy-cluster + refine-to-lossless symbol flow, still
-    #: bit-exact), "jpx" (lossless
+    #: bit-exact), "jbig2huf" (SDHUFF/SBHUFF Huffman organization
+    #: with user code tables — the low-memory hardware profile),
+    #: "jpx" (lossless
     #: JPEG 2000 via pdfio/jpx.py), "jpx97" (lossy 9/7 JPEG 2000,
     #: derived QCD), or "jpxq" (lossy with per-component QCC
     #: signalling); the 1-bit codecs threshold gray rasters at >127
@@ -271,13 +273,14 @@ def _image_xobject(
 ) -> bytes:
     h, w = arr.shape[:2]
     cs = "DeviceRGB" if arr.ndim == 3 else "DeviceGray"
-    if codec in ("jbig2s", "jbig2sr") and arr.ndim == 2:
+    if codec in ("jbig2s", "jbig2sr", "jbig2huf") and arr.ndim == 2:
         from .jbig2 import encode_jbig2_symbol_text
 
-        sym_kw = (
-            {"refine_instances": True, "refagg_dict": True}
-            if codec == "jbig2sr" else {}
-        )
+        sym_kw = {}
+        if codec == "jbig2sr":
+            sym_kw = {"refine_instances": True, "refagg_dict": True}
+        elif codec == "jbig2huf":
+            sym_kw = {"huffman": True}
         bits = (arr <= 127).astype(np.uint8)  # dark pixels = black
         g, data = encode_jbig2_symbol_text(
             bits, split_globals=True, **sym_kw

@@ -4,8 +4,9 @@ without TPGDON, MMR), symbol-dictionary + text-region round-trips
 (Annex A integer codecs, height classes, export runs, /JBIG2Globals
 split), refinement regions (GR templates 0/1, TPGRON), halftone
 regions (pattern dictionaries, gray-coded bitplanes), embedded segment
-streams, intermediate-region organization, the /JBIG2Decode XObject
-path, and graceful rejection of the unsupported Huffman subset."""
+streams, intermediate-region organization, Huffman coding paths
+(Annex B user tables, SDHUFF/SBHUFF), the /JBIG2Decode XObject path,
+and graceful rejection of the predefined-table Huffman subset."""
 
 from __future__ import annotations
 
@@ -883,3 +884,129 @@ def test_intermediate_regions():
     stream = _segment(0, 48, pg) + _segment(1, 40, gr)
     with pytest.raises(UserError, match="intermediate reference"):
         decode_jbig2_embedded(stream)
+
+
+# ---------------------------------------------------------------------------
+# Huffman coding paths (T.88 Annex B user tables, SDHUFF/SBHUFF)
+# ---------------------------------------------------------------------------
+
+def test_huffman_table_core():
+    """Annex B machinery: Table B.1's canonical codes, user-table
+    round-trips through the B.2 segment syntax incl. lower/upper
+    32-bit escapes and OOB, and canonical correctness with skipped
+    code lengths."""
+
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        _TABLE_B1, _BitReaderH, _BitWriterH, _simple_table,
+        decode_code_table,
+    )
+
+    assert _TABLE_B1.codes == [(0, 1), (2, 2), (6, 3), (7, 3)]
+    bw = _BitWriterH()
+    vals = [0, 5, 15, 16, 100, 271, 272, 1000, 65807, 65808, 10 ** 7]
+    for v in vals:
+        _TABLE_B1.encode(bw, v)
+    br = _BitReaderH(bw.flush())
+    assert [_TABLE_B1.decode(br) for _ in vals] == vals
+    t = decode_code_table(_simple_table(-16, 16, oob=True))
+    bw = _BitWriterH()
+    vals2 = [None, -16, -17, -1000, 0, 15, 16, 31, 99, 10 ** 6, None, -5]
+    for v in vals2:
+        t.encode(bw, v)
+    br = _BitReaderH(bw.flush())
+    assert [t.decode(br) for _ in vals2] == vals2
+
+
+@pytest.mark.parametrize("mmr", [True, False])
+def test_huffman_symbol_dict_roundtrip(mmr):
+    """SDHUFF dictionaries: user DH/DW tables, B.1 BMSIZE + export
+    runs, per-height-class collective bitmaps (MMR or uncompressed
+    byte-aligned rows)."""
+
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        decode_code_table, decode_symbol_dict, encode_symbol_dict_huffman,
+    )
+
+    syms = sorted(
+        [_glyph(7, 5, i) for i in range(3)]
+        + [_glyph(9, 4, 9), _glyph(9, 6, 10)],
+        key=lambda b: (b.shape[0], b.shape[1]),
+    )
+    tbls, sd = encode_symbol_dict_huffman(syms, mmr=mmr)
+    out = decode_symbol_dict(
+        sd, [], tables=[decode_code_table(t) for t in tbls]
+    )
+    assert all(np.array_equal(a, b) for a, b in zip(out, syms))
+
+
+def test_huffman_text_region_roundtrip():
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        decode_code_table, decode_text_region, encode_text_region_huffman,
+    )
+
+    syms = sorted([_glyph(8, 6, i) for i in range(5)],
+                  key=lambda b: (b.shape[0], b.shape[1]))
+    inst = [(2, 3, 0), (2, 12, 1), (2, 22, 4), (9, 4, 2), (9, 15, 3),
+            (20, 1, 0)]
+    tbls, tr = encode_text_region_huffman(40, 30, inst, syms)
+    bm, _, _ = decode_text_region(
+        tr, syms, tables=[decode_code_table(t) for t in tbls]
+    )
+    exp = np.zeros((30, 40), np.uint8)
+    for yy, xx, s in inst:
+        g = syms[s]
+        hh, ww = g.shape
+        ye, xe = min(30, yy + hh), min(40, xx + ww)
+        exp[yy:ye, xx:xe] |= g[: ye - yy, : xe - xx]
+    assert np.array_equal(bm, exp)
+
+
+@pytest.mark.parametrize("name", ["structured", "noise", "thin"])
+def test_huffman_symbol_text_end_to_end(name):
+    """The full SDHUFF/SBHUFF organization (type-53 table segments
+    referred by dictionary and region) through the segment walk,
+    inline and globals-split."""
+
+    from pdf_toolkit_spark.pdfio.jbig2 import encode_jbig2_symbol_text
+
+    img = _cases()[name]
+    enc = encode_jbig2_symbol_text(img, huffman=True)
+    assert np.array_equal(decode_jbig2_embedded(enc), img)
+    g, p = encode_jbig2_symbol_text(img, split_globals=True, huffman=True)
+    assert np.array_equal(decode_jbig2_embedded(p, g), img)
+
+
+def test_huffman_predefined_selections_fail_closed():
+    """Standard-table selections (we ship only B.1 + user tables)
+    and Huffman refinement stay fail-closed."""
+
+    from pdf_toolkit_spark.pdfio.jbig2 import encode_jbig2_symbol_text
+
+    img = _cases()["structured"]
+    enc = bytearray(encode_jbig2_symbol_text(img, huffman=True))
+    # the SD payload's flag halfword sits right after its segment
+    # header; flip SDHUFFDH from 3 (user) to 0 (standard B.4)
+    import struct
+    at = bytes(enc).find(struct.pack(">H", 0x01 | (3 << 2) | (3 << 4)))
+    enc[at : at + 2] = struct.pack(">H", 0x01 | (0 << 2) | (3 << 4))
+    with pytest.raises(UserError, match="predefined Huffman"):
+        decode_jbig2_embedded(bytes(enc))
+
+
+def test_jbig2huf_writer_codec_extracts_end_to_end():
+    from pdf_toolkit_spark.extract import extract_document
+    from pdf_toolkit_spark.pdfio.parser import PdfDocument
+    from pdf_toolkit_spark.pdfio.writer import PageSpec, write_pdf
+
+    rng = np.random.default_rng(88)
+    raster = np.full((120, 96), 235, np.uint8)
+    raster[20:90, 12:84] = np.where(
+        rng.random((70, 72)) > 0.6, 20, 235
+    ).astype(np.uint8)
+    pdf = write_pdf([PageSpec(raster=raster, codec="jbig2huf")])
+    assert b"JBIG2Decode" in pdf
+    gray = PdfDocument(pdf).load_page(0).scan
+    assert np.array_equal(
+        gray, np.where(raster <= 127, 0, 255).astype(np.uint8)
+    )
+    assert len(extract_document(pdf)["spans"]) > 0
