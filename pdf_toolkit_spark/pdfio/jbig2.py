@@ -1727,11 +1727,12 @@ def decode_text_region(
     tables: "list[HuffTable] | None" = None,
 ) -> "tuple[np.ndarray, int, int]":
     """Text region segment data + symbol table -> (bitmap, x, y).
-    Arithmetic coding only, optional per-instance refinement
-    (SBREFINE with IARI/IARDW/IARDH/IARDX/IARDY per §6.4.11 — the
-    instance is re-coded against its symbol at the spec's centered
-    offset and may change size), TRANSPOSED=0, OR composition — the
-    production scanned-text profile; else fails closed."""
+    Arithmetic (with optional per-instance SBREFINE refinement via
+    IARI/IARDW/IARDH/IARDX/IARDY per §6.4.11 — the instance is
+    re-coded against its symbol at the spec's centered offset and may
+    change size) or Huffman (SBHUFF=1, user ``tables``), TRANSPOSED=0,
+    OR composition — the production scanned-text profiles; else fails
+    closed."""
 
     if len(payload) < 23:
         raise UserError("JBIG2: truncated text region.")
