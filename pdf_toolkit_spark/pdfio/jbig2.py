@@ -47,12 +47,14 @@ SDHUFF height classes with MMR or uncompressed collective bitmaps
 per §6.5.9, SBHUFF strip data with runcode-built symbol-ID tables
 per §7.4.3.1.7, USER-SUPPLIED code tables via type-53 segments with
 the B.2 syntax, plus the spec-mandated Table B.1 for export runs and
-BMSIZE). The PREDEFINED Annex B table selections (B.2-B.15) and
-Huffman refinement coding are the one remaining out-of-scope subset
-— deliberately: no reference decoder exists in this container to
-cross-check a transcription of those tables, and a wrong table
-desyncs silently, so they surface as missing rasters (UserError),
-never wrong pixels.
+BMSIZE; SBREFINE composes — raw RI bits, RDW/RDH/RDX/RDY via tables,
+per-instance byte-aligned MQ refinement segments of RSIZE bytes —
+and long-form referred-segment lists per §7.2.4 carry the many table
+references). The PREDEFINED Annex B table selections (B.2-B.15) are
+the one remaining out-of-scope subset — deliberately: no reference
+decoder exists in this container to cross-check a transcription of
+those tables, and a wrong table desyncs silently, so they surface as
+missing rasters (UserError), never wrong pixels.
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (including MQ-coder
@@ -1610,13 +1612,16 @@ def _decode_text_region_huffman(
 ) -> "tuple[np.ndarray, int, int]":
     """SBHUFF=1 text region (§6.4 with §7.4.4.1.2-1.7): FS/DS/DT via
     user code tables, symbol IDs via the runcode-built per-region
-    Huffman table, strip data bit-packed MSB-first. Refinement and
-    predefined table selections fail closed."""
+    Huffman table, strip data bit-packed MSB-first. With SBREFINE,
+    each flagged instance carries RDW/RDH/RDX/RDY via tables, RSIZE
+    bytes (Table B.1 default) of a byte-aligned MQ refinement
+    segment, decoded with fresh GR contexts per instance. Predefined
+    table selections fail closed."""
 
     w, h, x, y = struct.unpack(">IIII", payload[:16])
     tflags = int.from_bytes(payload[17:19], "big")
-    if (tflags >> 1) & 0x01:
-        raise UserError("JBIG2: Huffman refinement text coding unsupported.")
+    sbrefine = (tflags >> 1) & 0x01
+    sbrtemplate = (tflags >> 15) & 0x01
     logstrips = (tflags >> 2) & 0x03
     refcorner = (tflags >> 4) & 0x03
     if (tflags >> 6) & 0x01:
@@ -1644,12 +1649,26 @@ def _decode_text_region_huffman(
     fs_tbl = _pick(hflags & 0x03)
     ds_tbl = _pick((hflags >> 2) & 0x03)
     dt_tbl = _pick((hflags >> 4) & 0x03)
-    (numinstances,) = struct.unpack(">I", payload[21:25])
+    if sbrefine:
+        rdw_tbl = _pick((hflags >> 6) & 0x03)
+        rdh_tbl = _pick((hflags >> 8) & 0x03)
+        rdx_tbl = _pick((hflags >> 10) & 0x03)
+        rdy_tbl = _pick((hflags >> 12) & 0x03)
+        rsize_tbl = (
+            _pick(3) if (hflags >> 14) & 0x01 else _TABLE_B1
+        )
+    cursor = 21
+    if sbrefine and sbrtemplate == 0:
+        if payload[cursor : cursor + 4] != _NOMINAL_GR_AT:
+            raise UserError("JBIG2: non-nominal GR AT pixels unsupported.")
+        cursor += 4
+    (numinstances,) = struct.unpack(">I", payload[cursor : cursor + 4])
+    cursor += 4
     if w * h > 1 << 28 or numinstances > 1 << 24:
         raise UserError("JBIG2: implausible text region size.")
     sbstrips = 1 << logstrips
 
-    br = _BitReaderH(payload, 25)
+    br = _BitReaderH(payload, cursor)
     # symbol-ID code lengths via the 35-entry runcode table
     # (§7.4.3.1.7); the stream byte-aligns after the lengths
     runlines = []
@@ -1711,6 +1730,30 @@ def _decode_text_region_huffman(
                 raise UserError("JBIG2: symbol ID out of range.")
             bm = syms[sid]
             hi, wi = bm.shape
+            if sbrefine and br.get():
+                # §6.4.11 with SBHUFF: RI is one raw bit; the GR data
+                # is a byte-aligned MQ segment of RSIZE bytes with
+                # per-instance contexts
+                rdw = rdw_tbl.decode(br)
+                rdh = rdh_tbl.decode(br)
+                rdx = rdx_tbl.decode(br)
+                rdy = rdy_tbl.decode(br)
+                rsize = rsize_tbl.decode(br)
+                if None in (rdw, rdh, rdx, rdy, rsize) or rsize < 0:
+                    raise UserError("JBIG2: OOB instance refinement field.")
+                nw, nh = wi + rdw, hi + rdh
+                if not (0 < nw <= 1 << 15 and 0 < nh <= 1 << 15):
+                    raise UserError("JBIG2: invalid refined instance size.")
+                pos = br.align()
+                if pos + rsize > len(payload):
+                    raise UserError("JBIG2: truncated refinement segment.")
+                bm = decode_refinement(
+                    payload[pos : pos + rsize], nw, nh, bm,
+                    template=sbrtemplate,
+                    refdx=(rdw >> 1) + rdx, refdy=(rdh >> 1) + rdy,
+                )
+                br = _BitReaderH(payload, pos + rsize)
+                hi, wi = bm.shape
             y0 = tcoord if refcorner in (1, 3) else tcoord - hi + 1
             x0 = curs
             ys, xs = max(y0, 0), max(x0, 0)
@@ -2064,22 +2107,32 @@ def encode_symbol_dict_huffman(
 
 def encode_text_region_huffman(
     w: int, h: int,
-    instances: "list[tuple[int, int, int]]",
+    instances: "list[tuple]",
     syms: "list[np.ndarray]",
 ) -> "tuple[list[bytes], bytes]":
-    """Encoder twin of _decode_text_region_huffman: ([FS, DS, DT
-    table payloads], SBHUFF=1 text region payload). All symbol IDs
-    get the same code length (ceil(log2(n)), min 1), signalled with a
+    """Encoder twin of _decode_text_region_huffman: ([table
+    payloads], SBHUFF=1 text region payload). All symbol IDs get the
+    same code length (ceil(log2(n)), min 1), signalled with a
     single-entry runcode table; one strip per row, TOPLEFT corners,
-    OR composition — the caller hosts the tables as type-53
-    segments."""
+    OR composition. An instance carrying a 4th element (a 0/1
+    bitmap) is refinement-coded against its symbol: SBREFINE=1 adds
+    RDW/RDH/RDX/RDY user tables and per-instance byte-aligned MQ
+    segments sized via Table B.1. The caller hosts the tables as
+    type-53 segments."""
 
+    sbrefine = any(len(t) > 3 and t[3] is not None for t in instances)
     t_fs = _simple_table(0, 64, oob=False)
     t_ds = _simple_table(0, 64, oob=True)
     t_dt = _simple_table(0, 32, oob=False)
     fs_tbl = decode_code_table(t_fs)
     ds_tbl = decode_code_table(t_ds)
     dt_tbl = decode_code_table(t_dt)
+    tbl_payloads = [t_fs, t_ds, t_dt]
+    if sbrefine:
+        t_rd = _simple_table(-8, 8, oob=False)
+        rd_tbl = decode_code_table(t_rd)
+        # one shared RDW/RDH/RDX/RDY table, referred four times
+        tbl_payloads += [t_rd, t_rd, t_rd, t_rd]
     nsyms = len(syms)
     idlen = max(1, (max(nsyms, 1) - 1).bit_length())
     if nsyms == 1:
@@ -2112,7 +2165,9 @@ def encode_text_region_huffman(
         curs = 0
         first = True
         while i < n and inst[i][0] == yrow:
-            _, xcol, sid = inst[i]
+            rec = inst[i]
+            xcol, sid = rec[1], rec[2]
+            rbm = rec[3] if len(rec) > 3 else None
             if first:
                 fs_tbl.encode(bw, xcol - firsts)
                 firsts = xcol
@@ -2121,20 +2176,42 @@ def encode_text_region_huffman(
                 ds_tbl.encode(bw, xcol - curs)
             curs = xcol
             id_tbl.encode(bw, sid)
-            curs += syms[sid].shape[1] - 1
+            placed_w = syms[sid].shape[1]
+            if sbrefine:
+                bw.put_bits(0 if rbm is None else 1, 1)  # raw RI bit
+                if rbm is not None:
+                    rdw = rbm.shape[1] - syms[sid].shape[1]
+                    rdh = rbm.shape[0] - syms[sid].shape[0]
+                    rd_tbl.encode(bw, rdw)
+                    rd_tbl.encode(bw, rdh)
+                    rd_tbl.encode(bw, 0)  # RDX
+                    rd_tbl.encode(bw, 0)  # RDY
+                    data = encode_refinement(
+                        rbm, syms[sid],
+                        refdx=rdw >> 1, refdy=rdh >> 1,
+                    )
+                    _TABLE_B1.encode(bw, len(data))
+                    bw.align()
+                    bw.out += data
+                    placed_w = rbm.shape[1]
+            curs += placed_w - 1
             i += 1
-    # SBHUFF=1, REFCORNER=TOPLEFT; huffman flags: FS/DS/DT = 3 (user)
-    tflags = 0x01 | (1 << 4)
+    # SBHUFF=1, REFCORNER=TOPLEFT; huffman flags: user tables (3) for
+    # FS/DS/DT and, with refinement, RDW/RDH/RDX/RDY; RSIZE via B.1
+    tflags = 0x01 | (1 << 4) | ((1 << 1) if sbrefine else 0)
     hflags = 3 | (3 << 2) | (3 << 4)
+    if sbrefine:
+        hflags |= (3 << 6) | (3 << 8) | (3 << 10) | (3 << 12)
     payload = (
         struct.pack(">IIII", w, h, 0, 0)
         + b"\x00"  # external combination operator: OR
         + struct.pack(">H", tflags)
         + struct.pack(">H", hflags)
+        + (_NOMINAL_GR_AT if sbrefine else b"")
         + struct.pack(">I", n)
         + bw.flush()
     )
-    return [t_fs, t_ds, t_dt], payload
+    return tbl_payloads, payload
 
 
 def _connected_components(
@@ -2181,13 +2258,22 @@ def _segment(
     num: int, seg_type: int, payload: bytes, page: int = 1,
     refs: "tuple[int, ...]" = (),
 ) -> bytes:
-    # short header: 1-byte page association; referred segment numbers
-    # are 1-byte (this encoder never exceeds segment number 256)
-    if len(refs) > 4 or any(r > 255 for r in refs):
-        raise UserError("JBIG2 encoder: referred-segment list too long.")
+    # 1-byte page association; referred segment numbers are 1-byte
+    # (this encoder never exceeds segment number 256). Up to 4 refs
+    # use the short count form; more use the §7.2.4 long form
+    # (0b111 + 29-bit count, then ceil((count+1)/8) retain-bit bytes)
+    if any(r > 255 for r in refs):
+        raise UserError("JBIG2 encoder: referred-segment number > 255.")
+    if len(refs) > 4:
+        count = len(refs)
+        head = struct.pack(">I", (7 << 29) | count) + bytes(
+            (count + 8) // 8
+        )
+    else:
+        head = bytes([len(refs) << 5])
     return (
         struct.pack(">IB", num, seg_type)
-        + bytes([len(refs) << 5])
+        + head
         + bytes(refs)
         + bytes([page])
         + struct.pack(">I", len(payload))
@@ -2299,9 +2385,10 @@ def encode_jbig2_symbol_text(
     and the strip data is bit-packed — the low-memory hardware-encoder
     profile."""
 
-    if huffman and (refine_instances or refagg_dict):
+    if huffman and refagg_dict:
         raise UserError(
-            "JBIG2 encoder: huffman excludes the refinement flavors."
+            "JBIG2 encoder: huffman excludes refagg_dict (SDHUFF "
+            "dictionaries carry no refinement)."
         )
 
     img = img.astype(np.uint8)
@@ -2347,17 +2434,17 @@ def encode_jbig2_symbol_text(
             + _segment(2, 53, sd_tbls[1], page=gpage)
             + _segment(3, 0, sd, page=gpage, refs=(1, 2))
         )
-        tr_part = (
-            _segment(4, 53, tr_tbls[0])
-            + _segment(5, 53, tr_tbls[1])
-            + _segment(6, 53, tr_tbls[2])
-            + _segment(7, 6, tr, refs=(3, 4, 5, 6))
+        tr_part = b"".join(
+            _segment(4 + k, 53, t) for k, t in enumerate(tr_tbls)
+        ) + _segment(
+            4 + len(tr_tbls), 6, tr,
+            refs=(3,) + tuple(4 + k for k in range(len(tr_tbls))),
         )
         page_stream = (
             _segment(0, 48, page_info)
             + (b"" if split_globals else sd_part)
             + tr_part
-            + _segment(8, 49, b"")
+            + _segment(5 + len(tr_tbls), 49, b"")
         )
         if split_globals:
             return sd_part, page_stream
@@ -2427,8 +2514,14 @@ def _walk_segments(
         ref_byte = data[pos]
         ref_count = ref_byte >> 5
         if ref_count == 7:
-            raise UserError("JBIG2: long-form referred-segment lists unsupported.")
-        pos += 1
+            # §7.2.4 long form: 29-bit count + retain-bit bytes
+            (v,) = struct.unpack(">I", data[pos : pos + 4])
+            ref_count = v & ((1 << 29) - 1)
+            if ref_count > 1 << 16:
+                raise UserError("JBIG2: implausible referred-segment count.")
+            pos += 4 + (ref_count + 8) // 8
+        else:
+            pos += 1
         ref_size = 1 if num <= 256 else (2 if num <= 65536 else 4)
         refs = [
             int.from_bytes(data[pos + i * ref_size : pos + (i + 1) * ref_size],

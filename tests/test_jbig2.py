@@ -1010,3 +1010,32 @@ def test_jbig2huf_writer_codec_extracts_end_to_end():
         gray, np.where(raster <= 127, 0, 255).astype(np.uint8)
     )
     assert len(extract_document(pdf)["spans"]) > 0
+
+
+def test_huffman_refinement_instances_and_long_form_refs():
+    """SBHUFF + SBREFINE (§6.4.11 with Huffman): raw RI bits,
+    RDW/RDH/RDX/RDY via user tables, RSIZE bytes (B.1) of
+    byte-aligned per-instance MQ refinement segments — and the text
+    region's 8-entry referred list exercises the §7.2.4 long form."""
+
+    from pdf_toolkit_spark.pdfio.jbig2 import encode_jbig2_symbol_text
+
+    rng = np.random.default_rng(37)
+    page = np.zeros((60, 120), np.uint8)
+    glyphs = [_glyph(7, 5, i) for i in range(4)]
+    pos = [(3, 4), (3, 20), (3, 40), (20, 10), (20, 30), (40, 5),
+           (40, 60)]
+    for i, (y, x) in enumerate(pos):
+        g = glyphs[i % 4].copy()
+        if i >= 4:
+            g[0, i % 5] ^= 1  # same shape class, different bits
+        page[y : y + 7, x : x + 5] |= g
+    enc = encode_jbig2_symbol_text(page, huffman=True,
+                                   refine_instances=True)
+    assert np.array_equal(decode_jbig2_embedded(enc), page)
+    g_, p_ = encode_jbig2_symbol_text(
+        page, split_globals=True, huffman=True, refine_instances=True
+    )
+    assert np.array_equal(decode_jbig2_embedded(p_, g_), page)
+    with pytest.raises(UserError):
+        encode_jbig2_symbol_text(page, huffman=True, refagg_dict=True)
