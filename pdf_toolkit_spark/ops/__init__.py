@@ -35,7 +35,7 @@ _MODULES = (
 #: correctness row in any of r01-r04 (late round-4/5 additions), so a
 #: budget-truncated harness checks them before re-checking r04 greens.
 _NEVER_DRIVER_CHECKED = (
-    "curate_domain_quota", "dedup_paragraphs",
+    "curate_domain_quota", "dedup_paragraphs", "text_perplexity_buckets",
     "text_dsir_weight", "text_pii_redact", "text_dup_substring_rate",
     "dedup_minhash_survivors", "dedup_snapshot_diff",
     "sketch_kmv_distinct", "sketch_hll_distinct",

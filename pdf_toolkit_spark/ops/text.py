@@ -734,6 +734,48 @@ def dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity tiering: within each language, rank
+    docs by the trigram-LM fluency score and split into
+    head/middle/tail thirds (the tiers CCNet samples from when
+    tilting a crawl toward fluent text). Output: (lang, bucket,
+    n_docs, mean_logp) — the mean over each tier's quantized per-doc
+    scores.
+
+    Scale shape: rides the scored relation (explode + broadcast model
+    join, see trigram_lm_score) with ONE keyed window per language
+    (ntile over a domain-bounded partition — never a global sort) and
+    a tiny final agg. Per-doc scores are already rounded to the 6-dp
+    grid, so ranking and the integer-summed tier means are
+    engine-exact (ties broken by doc_id)."""
+
+    scores = trigram_lm_score(spark, sf_dir)
+    langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logp"), F.asc("doc_id")
+    )
+    b = (
+        scores.join(langs, "doc_id")
+        .withColumn("nt", F.ntile(3).over(w))
+        .withColumn(
+            "bucket",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("nt"),
+            ),
+        )
+        .withColumn(
+            "q6", F.round(F.col("avg_logp") * 1000000).cast("bigint")
+        )
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum("q6") / F.count("*") / 1000000.0, 6
+        ).alias("mean_logp"),
+    )
+
+
 QUERIES = {
     "text_dsir_weight": dsir_weight,
     "text_pii_redact": pii_redact,
@@ -742,6 +784,7 @@ QUERIES = {
     "text_decontaminate": decontaminate,
     "text_vocab_oov": vocab_oov,
     "text_domain_mix": domain_mix,
+    "text_perplexity_buckets": perplexity_buckets,
     "text_repetition_filter": repetition_filter,
     "text_trigram_lm_score": trigram_lm_score,
     "text_quality_filter": quality_filter,
@@ -896,6 +939,25 @@ ORACLES = {
         SELECT doc_id, CAST(sum(c_d) AS BIGINT) AS n_trigrams,
                round(sum(c_d * q) / sum(c_d) / {_LM_SCALE}, 6) AS avg_logp
         FROM scored GROUP BY doc_id
+    """,
+    "text_perplexity_buckets": """
+        WITH scores AS ({LM_SCORES}),
+        ranked AS (
+            SELECT s.doc_id, d.lang, s.avg_logp,
+                   ntile(3) OVER (
+                       PARTITION BY d.lang
+                       ORDER BY s.avg_logp DESC, s.doc_id
+                   ) AS nt,
+                   CAST(round(s.avg_logp * 1000000) AS BIGINT) AS q6
+            FROM scores s JOIN documents d USING (doc_id)
+        )
+        SELECT lang,
+               CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket,
+               count(*) AS n_docs,
+               round(CAST(sum(q6) AS DOUBLE) / count(*) / 1000000.0, 6)
+                   AS mean_logp
+        FROM ranked GROUP BY lang, nt
     """,
     "text_quality_filter": f"""
         SELECT doc_id, reason IS NULL AS keep, reason AS drop_reason FROM (
@@ -1091,3 +1153,9 @@ ORACLES["text_dsir_weight"] = f"""
     FROM feats f JOIN qm q USING (b)
     GROUP BY f.doc_id
 """
+
+# the bucket oracle embeds the full LM-score oracle as its CTE (same
+# pattern as curation.py's composed oracle)
+ORACLES["text_perplexity_buckets"] = ORACLES[
+    "text_perplexity_buckets"
+].replace("{LM_SCORES}", ORACLES["text_trigram_lm_score"])
