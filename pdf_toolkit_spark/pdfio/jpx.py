@@ -32,7 +32,10 @@ decoder's per-coefficient magnitude test)
 driven by the MQ arithmetic coder shared with the JBIG2 codec
 (pdfio/jbig2.py — T.88 Annex E and T.800 Annex C publish the
 identical coder). Grayscale and RGB 8-bit (3 components with the
-reversible RCT or irreversible ICT of Annex G, or none), SOP/EPH
+reversible RCT or irreversible ICT of Annex G, or none; 4:2:0 chroma
+subsampling on the 9/7 path — SIZ XRsiz/YRsiz = 2, encoder
+box-averages and the decoder replicates back to the luma grid, the
+photographic shape), SOP/EPH
 resegmentation markers (A.8: SOP sequence numbers enforced as the
 resync check they are, EPH header terminators — in the packed-header
 stream when PPM/PPT host the headers), and POC progression-order
@@ -40,12 +43,14 @@ changes (A.6.6: per-volume packet re-enumeration with already-sent
 packets skipped; a POC leaving packets uncovered fails closed), plus
 the segmentation-symbol code-block style (D.5: every cleanup pass
 closes with 1010 in the UNIFORM context, verified on decode — the
-error-detection mode); subsampled streams, the remaining code-block
-style modes (bypass/reset/termall/causal/predictable termination),
-and semantic marker segments the decoder can't honour (COC overrides
-beyond code-block geometry and an exact-match precinct partition,
-non-maxshift RGN styles, and tile-header coding overrides) raise
-UserError (missing raster upstream, never wrong pixels).
+error-detection mode); subsampling patterns beyond 4:2:0 (and 4:2:0
+composed with the reversible path / explicit precincts / ROI), the
+remaining code-block style modes (bypass/reset/termall/causal/
+predictable termination), and semantic marker segments the decoder
+can't honour (COC overrides beyond code-block geometry and an
+exact-match precinct partition, non-maxshift RGN styles, and
+tile-header coding overrides) raise UserError (missing raster
+upstream, never wrong pixels).
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (bit-exact on the
@@ -1352,6 +1357,7 @@ def encode_jpx(
     eph: bool = False,
     poc: "list | None" = None,
     segsym: bool = False,
+    subsample: str = "444",
 ) -> bytes:
     """8-bit gray (H, W) or RGB (H, W, 3) -> JPEG 2000 codestream.
     Defaults: one layer, 64x64 code-blocks (``cb_exp`` sets other
@@ -1452,6 +1458,20 @@ def encode_jpx(
     emit_qcc = qcc or chroma_qstep is not None
     if roi and tile_size:
         raise UserError("JPX encoder: roi requires a single tile.")
+    if subsample not in ("444", "420"):
+        raise UserError("JPX encoder: subsample 444|420.")
+    use_420 = subsample == "420"
+    if use_420:
+        if gray or not irreversible:
+            raise UserError("JPX encoder: 420 needs irreversible RGB.")
+        if precincts is not None or roi:
+            raise UserError(
+                "JPX encoder: 420 excludes precincts and ROI."
+            )
+        if tile_size is not None and tile_size % (1 << (levels + 1)):
+            raise UserError(
+                "JPX encoder: 420 tiles need a multiple of 2^(levels+1)."
+            )
     #: per-component maxshift values, filled by the tile coder and
     #: signalled as main-header RGN segments
     roi_s: dict[int, int] = {}
@@ -1515,6 +1535,18 @@ def encode_jpx(
             comps = (
                 [shifted.astype(np.float64)] if gray else _ict_forward(shifted)
             )
+            if use_420:
+                # chroma decimation: edge-pad to even dims, 2x2 box
+                # average (the decoder replicates back)
+                for ci_ in (1, 2):
+                    c = comps[ci_]
+                    ph, pw = -c.shape[0] % 2, -c.shape[1] % 2
+                    if ph or pw:
+                        c = np.pad(c, ((0, ph), (0, pw)), mode="edge")
+                    comps[ci_] = (
+                        c[0::2, 0::2] + c[0::2, 1::2]
+                        + c[1::2, 0::2] + c[1::2, 1::2]
+                    ) / 4.0
             decomposed = [dwt97_forward(c, levels) for c in comps]
         else:
             comps = [shifted] if gray else _rct_forward(shifted)
@@ -1571,8 +1603,14 @@ def encode_jpx(
         # identical single-layer stream). Tag trees live per precinct
         # per band (B.10.2).
         th_t, tw_t = tile_img.shape[:2]
+
+        def _enc_cdims(ci: int) -> tuple[int, int]:
+            if use_420 and ci > 0:
+                return -(-th_t // 2), -(-tw_t // 2)
+            return th_t, tw_t
+
         layouts = {
-            ci: _precinct_layout(th_t, tw_t, levels, pps, *cb_of[ci])
+            ci: _precinct_layout(*_enc_cdims(ci), levels, pps, *cb_of[ci])
             for ci in range(ncomp)
         }
         prec_state = {}  # (ci, orient, nb, p) -> dict
@@ -1738,10 +1776,14 @@ def encode_jpx(
     # --- markers ---
     out = bytearray()
     out += b"\xff\x4f"  # SOC
+    comp_siz = (
+        bytes([7, 1, 1]) + bytes([7, 2, 2]) * 2 if use_420
+        else bytes([7, 1, 1]) * ncomp
+    )
     siz = struct.pack(
         ">HHIIIIIIIIH",
         38 + 3 * ncomp, 0, w, h, 0, 0, xt, yt, 0, 0, ncomp,
-    ) + bytes([7, 1, 1] * ncomp)
+    ) + comp_siz
     out += b"\xff\x51" + siz
     spcod = bytes([levels, xcb - 2, ycb - 2, 0x20 if segsym else 0,
                    0 if irreversible else 1])
@@ -1887,6 +1929,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     pps: "list | None" = None
     use_sop = use_eph = False
     segsym_mode = False
+    subsampled = False
     poc_entries: list = []
     mct = 0
     reversible = True
@@ -1916,10 +1959,17 @@ def decode_jpx(data: bytes) -> np.ndarray:
             )
             if ncomp not in (1, 3):
                 raise UserError("JPX: only 1- or 3-component streams.")
+            subs = []
             for ci in range(ncomp):
                 ssiz, xr, yr = seg[36 + 3 * ci : 39 + 3 * ci]
-                if ssiz != 7 or xr != 1 or yr != 1:
-                    raise UserError("JPX: only 8-bit unsigned, no subsampling.")
+                if ssiz != 7:
+                    raise UserError("JPX: only 8-bit unsigned components.")
+                subs.append((xr, yr))
+            # full resolution, or the 4:2:0 photographic shape
+            # (luma 1:1, both chroma 2:2)
+            if subs != [(1, 1)] * ncomp and subs != [(1, 1), (2, 2), (2, 2)]:
+                raise UserError("JPX: unsupported subsampling pattern.")
+            subsampled = subs[-1] != (1, 1)
             if xo or yo or xto or yto:
                 raise UserError("JPX: image/tile grids must sit at the origin.")
             if not xt or not yt:
@@ -2082,6 +2132,19 @@ def decode_jpx(data: bytes) -> np.ndarray:
             p += nppm
     if mct and ncomp != 3:
         raise UserError("JPX: component transform requires 3 components.")
+    if subsampled:
+        # 4:2:0 composes with the irreversible path and whole-band
+        # precincts only (chroma decimation is inherently lossy, and
+        # per-component precinct grids would need per-component
+        # packet enumeration)
+        if reversible:
+            raise UserError("JPX: subsampling requires the 9/7 path.")
+        if any(p != (15, 15) for p in pps):
+            raise UserError(
+                "JPX: subsampling with explicit precincts unsupported."
+            )
+        if srgn_of:
+            raise UserError("JPX: subsampling with ROI unsupported.")
     # COC overrides, validated against COD now that both are parsed:
     # code-block geometry may differ per component; levels / style /
     # wavelet / precinct changes would need per-component band and
@@ -2117,6 +2180,12 @@ def decode_jpx(data: bytes) -> np.ndarray:
     nty = -(-h // yt)
     if ntx * nty > 1 and (xt % (1 << levels) or yt % (1 << levels)):
         raise UserError("JPX: tile size must be a multiple of 2^levels.")
+    if subsampled and ntx * nty > 1 and (
+        xt % (1 << (levels + 1)) or yt % (1 << (levels + 1))
+    ):
+        raise UserError(
+            "JPX: subsampled tiles need dims a multiple of 2^(levels+1)."
+        )
     if sorted(tile_parts) != list(range(ntx * nty)):
         raise UserError("JPX: missing or out-of-range tile indices.")
 
@@ -2182,10 +2251,17 @@ def decode_jpx(data: bytes) -> np.ndarray:
         # band containers, keyed (component, orient, level)
         band_arrays: dict[tuple[int, int, int], np.ndarray] = {}
         res_bands = _resolution_bands(levels)
-        # precinct layouts per component (identical precinct grids;
-        # code-block clamps differ only through COC geometry)
+        # per-component tile dims (4:2:0 chroma at half resolution)
+        def _cdims(ci: int) -> tuple[int, int]:
+            if subsampled and ci > 0:
+                return -(-th // 2), -(-tw // 2)
+            return th, tw
+        # precinct layouts per component (identical precinct grids at
+        # full resolution; with 4:2:0 the whole-band-precinct
+        # restriction keeps one precinct per resolution everywhere,
+        # so packet enumeration over layouts[0] stays exact)
         layouts = {
-            ci: _precinct_layout(th, tw, levels, pps, *cb_comp[ci])
+            ci: _precinct_layout(*_cdims(ci), levels, pps, *cb_comp[ci])
             for ci in range(ncomp)
         }
         # per-precinct persistent Tier-2 state (tag trees advance
@@ -2200,8 +2276,9 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 return st
             akey = (ci, orient, nb)
             if akey not in band_arrays:
-                bh = _band_dims(th, nb, 0 if orient in (_LL, _HL) else 1)
-                bw_ = _band_dims(tw, nb, 0 if orient in (_LL, _LH) else 1)
+                th_c, tw_c = _cdims(ci)
+                bh = _band_dims(th_c, nb, 0 if orient in (_LL, _HL) else 1)
+                bw_ = _band_dims(tw_c, nb, 0 if orient in (_LL, _LH) else 1)
                 band_arrays[akey] = np.zeros((bh, bw_), np.int64)
             lay = layouts[ci][r]
             blocks = lay["bands"][(orient, nb)][p]
@@ -2335,8 +2412,13 @@ def decode_jpx(data: bytes) -> np.ndarray:
                     (band(ci, _HL, nb), band(ci, _LH, nb), band(ci, _HH, nb))
                 )
             tile = (dwt53_inverse if reversible else dwt97_inverse)(ll, lev_bands)
-            if tile.shape != (th, tw):
+            if tile.shape != _cdims(ci):
                 raise UserError("JPX: reconstructed tile shape mismatch.")
+            if subsampled and ci > 0:
+                # chroma upsampling by sample replication, cropped to
+                # the luma grid (the encoder box-averages 2x2 blocks)
+                tile = np.repeat(np.repeat(tile, 2, axis=0), 2, axis=1)
+                tile = tile[:th, :tw]
             planes.append(tile)
         if ncomp == 1:
             return planes[0]

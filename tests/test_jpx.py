@@ -880,6 +880,59 @@ def test_other_code_block_styles_fail_closed():
         decode_jpx(bytes(enc2))
 
 
+def test_420_subsampling():
+    """4:2:0 chroma subsampling (SIZ XRsiz/YRsiz = 2 on both chroma
+    components): encoder box-averages, decoder replicates back to the
+    luma grid — the photographic JPX shape, on the 9/7 path with
+    whole-band precincts. Bounded error on smooth content, distinctly
+    smaller streams, odd dims and tiles covered."""
+
+    x = np.linspace(0, 255, 90)
+    rgb = np.stack(
+        [np.tile(x, (71, 1)), np.tile(x[::-1], (71, 1)),
+         np.full((71, 90), 90.0)], axis=-1,
+    ).astype(np.uint8)
+    enc = encode_jpx(rgb, 2, irreversible=True, subsample="420")
+    out = decode_jpx(enc)
+    assert out.shape == rgb.shape
+    err = np.abs(out.astype(int) - rgb.astype(int))
+    assert err.max() <= 4 and err.mean() < 3
+    assert len(enc) < 0.7 * len(encode_jpx(rgb, 2, irreversible=True))
+    rgb2 = RNG.integers(0, 256, (97, 123, 3), dtype=np.uint8)
+    assert decode_jpx(
+        encode_jpx(rgb2, 2, irreversible=True, subsample="420", layers=2)
+    ).shape == rgb2.shape
+    assert decode_jpx(
+        encode_jpx(rgb[:64, :64], 2, irreversible=True, subsample="420",
+                   tile_size=32)
+    ).shape == (64, 64, 3)
+
+
+def test_420_fail_closed_combinations():
+    """4:2:0 x {reversible, precincts, ROI} fail closed on both
+    sides, as do subsampling patterns other than (1,1)/(2,2)/(2,2)."""
+
+    rgb = RNG.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    with pytest.raises(UserError):
+        encode_jpx(rgb, 2, subsample="420")  # reversible
+    with pytest.raises(UserError):
+        encode_jpx(rgb, 2, irreversible=True, subsample="420",
+                   precincts=5)
+    with pytest.raises(UserError):
+        encode_jpx(rgb, 2, irreversible=True, subsample="420", roi=True)
+    enc = bytearray(encode_jpx(rgb, 1, irreversible=True,
+                               subsample="420"))
+    at = bytes(enc).find(b"\xff\x52")
+    enc[at + 13] = 1  # wavelet byte -> reversible 5/3
+    with pytest.raises(UserError):
+        decode_jpx(bytes(enc))
+    siz_at = bytes(enc).find(b"\xff\x51")
+    enc[at + 13] = 0
+    enc[siz_at + 4 + 38 + 1] = 2  # luma XRsiz = 2: unsupported pattern
+    with pytest.raises(UserError):
+        decode_jpx(bytes(enc))
+
+
 def test_code_block_size_validation():
     """Out-of-range code-block exponents fail closed on both sides
     (T.800 A.6.1: each in 2..10, xcb+ycb <= 12)."""
