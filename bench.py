@@ -128,6 +128,7 @@ def main() -> None:
         "text_dsir_weight",
         "curate_domain_quota",
         "dedup_paragraphs",
+        "text_perplexity_buckets",
     ]
     for name in headliners:
         t0 = time.monotonic()
