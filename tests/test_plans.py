@@ -356,3 +356,15 @@ def test_paragraph_dedup_is_window_not_self_join(spark):
     assert "Generate" in plan  # the posexplode runs exactly once
     assert plan.count("Generate explode") <= 1
     assert plan.count("Generate posexplode") <= 1
+
+
+def test_perplexity_buckets_window_is_keyed(spark):
+    """The ntile ranking partitions by language — never an
+    unpartitioned global sort — and the model join stays broadcast."""
+
+    plan = explain_str(QUERIES["text_perplexity_buckets"](spark, SF_DIR))
+    assert "windowspecdefinition(lang" in plan
+    # no global-sort exchange (the one SinglePartition in the plan is
+    # the LM model's single-ROW scalar total, not a data sort)
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
