@@ -139,8 +139,9 @@ def main() -> None:
     # signatures, fingerprints, buckets, centroids) for cross-branch
     # reuse; release them explicitly so a long-lived session doesn't
     # accumulate cached corpora.
-    from pdf_toolkit_spark.ops import dedup, similarity
+    from pdf_toolkit_spark.ops import common, dedup, similarity
 
+    common.release_caches()
     dedup.release_caches()
     similarity.release_caches()
 

@@ -23,27 +23,36 @@ from . import (
 
 # Module order IS the driver's correctness-harness visit order (it
 # walks queries() in dict order and truncates on its own budget —
-# r03/r04 each cut off a suffix). Entries that have never had a driver
-# row, or fell out between rounds, go FIRST; the relational/text
-# families (driver-green in r04) absorb any truncation.
+# r03/r04 each cut off a suffix). Entries whose last driver row is
+# OLDEST go first, so every round re-covers the stalest cohort and
+# the union of recent rounds stays fully green.
 _MODULES = (
     extraction_queries, html_queries, similarity, multimodal, sketches,
     curation, dedup, relational, text,
 )
 
-#: Explicit front of the visit order: queries with NO driver
-#: correctness row in any of r01-r04 (late round-4/5 additions), so a
-#: budget-truncated harness checks them before re-checking r04 greens.
-_NEVER_DRIVER_CHECKED = (
-    "curate_domain_quota", "dedup_paragraphs", "text_perplexity_buckets",
-    "text_dsir_weight", "text_pii_redact", "text_dup_substring_rate",
-    "dedup_minhash_survivors", "dedup_snapshot_diff",
-    "sketch_kmv_distinct", "sketch_hll_distinct",
-    "sketch_sample_quantiles", "sketch_bloom_semijoin",
-    "sketch_cms_heavy_hitters",
-    "sim_label_centroids", "sim_ivf_topk_batch",
-    "mm_image_thumbnail", "mm_audio_stats", "mm_video_frame_sample",
-    "curate_survivors",
+#: Explicit front of the visit order, rotated per round: r05 checked
+#: the 50 entries that had no r01-r04 row; these 35 (the whole
+#: relational/text families) were last checked in r04, plus the
+#: round-6 perplexity rewrite (new plan => re-verify first). A
+#: budget-truncated r06 harness hits them before re-checking r05
+#: greens.
+_STALEST_COHORT = (
+    "text_perplexity_buckets",  # rewritten in round 6
+    "rel_session_range_join", "rel_funnel", "rel_retention_cohorts",
+    "rel_order_count_distribution", "rel_large_orders",
+    "rel_sessionization", "rel_stratified_sample",
+    "rel_top_customers_per_region", "rel_shipping_priority",
+    "rel_rollup_sales", "rel_pricing_summary", "rel_status_histogram",
+    "rel_resume_anti_join", "rel_positional_enum", "rel_chunk_explode",
+    "rel_zero_padded_names", "rel_ratio_filter_agg",
+    "rel_broadcast_join_agg", "rel_part_supplier_profit",
+    "text_feature_hashing", "text_decontaminate", "text_vocab_oov",
+    "text_domain_mix", "text_repetition_filter", "text_trigram_lm_score",
+    "text_quality_filter", "text_pack_sequences", "text_token_count",
+    "text_tfidf_top_terms", "text_bpe_token_count", "text_quality_score",
+    "text_lang_id", "text_lang_distribution", "text_fingerprint",
+    "text_rolling_fingerprint",
 )
 
 
@@ -51,7 +60,7 @@ def all_queries():
     out = {}
     for mod in _MODULES:
         out.update(mod.QUERIES)
-    front = {n: out[n] for n in _NEVER_DRIVER_CHECKED if n in out}
+    front = {n: out[n] for n in _STALEST_COHORT if n in out}
     front.update({n: f for n, f in out.items() if n not in front})
     return front
 

@@ -52,6 +52,31 @@ SQL_HASH32 = "(('0x' || substr(md5({e}),1,8))::BIGINT)"
 SQL_HASH60 = "(('0x' || substr(md5({e}),1,15))::BIGINT)"
 SQL_NORM = "trim(regexp_replace(lower({e}), '[^a-z0-9]+', ' ', 'g'))"
 
+#: Per-invocation persisted relations (prefix_scan intermediates and
+#: the ad-hoc cross-branch pins in text.py/sketches.py), tracked so a
+#: long-lived session can reclaim the cached storage. Mirrors
+#: dedup.py's registry, but keyless: these pins are plan-internal and
+#: never reused across calls, so a flat list suffices.
+_PERSISTED: list[DataFrame] = []
+
+
+def register_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and track it for :func:`release_caches`.
+    Unpersisting later is always safe — downstream plans that still
+    reference the relation just recompute it."""
+
+    _PERSISTED.append(df.persist())
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every relation registered via :func:`register_persist`.
+    Call between corpora (or per bench entry) in a long-lived session."""
+
+    for df in _PERSISTED:
+        df.unpersist()
+    _PERSISTED.clear()
+
 
 def prefix_scan(
     df: DataFrame,
@@ -78,8 +103,8 @@ def prefix_scan(
     The intermediate relation is persisted: the range partitioner
     samples its boundaries, so the pid→base map from pass 2 is only
     valid for the exact partitioning pass 1 produced — a recompute
-    could re-sample different boundaries. Persisting pins it (same
-    reason spark/job.py persists its shared relations).
+    could re-sample different boundaries. Persisting pins it (tracked
+    in the module registry; :func:`release_caches` reclaims it).
     """
 
     from pyspark.sql import Window
@@ -92,10 +117,12 @@ def prefix_scan(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = parts.withColumn(
-        "__local",
-        F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("bigint"),
-    ).persist()
+    local = register_persist(
+        parts.withColumn(
+            "__local",
+            F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("bigint"),
+        )
+    )
     totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__tot")).collect()
     acc, rows = 0, []
     for r in sorted(totals, key=lambda r: r["__pid"]):

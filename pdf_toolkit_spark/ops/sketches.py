@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import SQL_HASH32, hash32, table
+from .common import SQL_HASH32, hash32, register_persist, table
 
 KMV_K = 256
 
@@ -362,10 +362,9 @@ def bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no cross-branch subplan sharing — without the pin the customer
     # scan + filter would run once per reference. Both relations are
     # KB-sized (distinct keys / <=M/32 words).
-    build = (
+    build = register_persist(
         cust.filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey").distinct()
-        .persist()
     )
     js = F.explode(F.array(*[F.lit(j) for j in range(BLOOM_K)])).alias("j")
     pos = hash32(F.expr("concat('bloom', j, ':', key)")) % BLOOM_M
@@ -374,7 +373,7 @@ def bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((pos).alias("pos"))
         .distinct()
     )
-    words = (
+    words = register_persist(
         positions.select(
             F.expr(f"pos div {_BLOOM_WORD}").alias("word"),
             F.expr(
@@ -383,7 +382,6 @@ def bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("word")
         .agg(F.expr("bit_or(mask)").alias("bits"))
-        .persist()
     )
     probe = table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_custkey").alias("key")

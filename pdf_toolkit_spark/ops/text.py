@@ -15,7 +15,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import SQL_HASH32, SQL_NORM, hash32, norm_text, prefix_scan, table
+from .common import (
+    SQL_HASH32,
+    SQL_NORM,
+    hash32,
+    norm_text,
+    prefix_scan,
+    register_persist,
+    table,
+)
 
 # Language marker words: occurrences counted on the normalized text
 # with space padding so word boundaries are honest.
@@ -616,7 +624,7 @@ def dup_substring_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ~1.5% of corpus bytes while still catching long clones."""
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    wins = (
+    wins = register_persist(
         docs.where(F.length("text") >= DUPSUB_W)
         .select(
             "doc_id", "text",
@@ -635,7 +643,6 @@ def dup_substring_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("h"),
         )
-        .persist()
     )
     per_hash = wins.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
     per_doc = (
@@ -694,11 +701,10 @@ def dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))")
         ).alias("tri"),
     )
-    feats = (
+    feats = register_persist(
         tri.select("doc_id", "lang", (hash32(F.col("tri")) % DSIR_D).alias("b"))
         .groupBy("doc_id", "lang", "b")
         .agg(F.count("*").alias("c"))
-        .persist()
     )
     t_model = (
         feats.filter(F.col("lang") == "en")
@@ -740,38 +746,87 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     head/middle/tail thirds (the tiers CCNet samples from when
     tilting a crawl toward fluent text). Output: (lang, bucket,
     n_docs, mean_logp) — the mean over each tier's quantized per-doc
-    scores.
+    scores. Semantics are pinned to the oracle's
+    ``ntile(3) OVER (PARTITION BY lang ORDER BY avg_logp DESC,
+    doc_id)``.
 
-    Scale shape: rides the scored relation (explode + broadcast model
-    join, see trigram_lm_score) with ONE keyed window per language
-    (ntile over a domain-bounded partition — never a global sort) and
-    a tiny final agg. Per-doc scores are already rounded to the 6-dp
-    grid, so ranking and the integer-summed tier means are
-    engine-exact (ties broken by doc_id)."""
+    Scale shape: NO per-doc window at all. ``lang`` has a handful of
+    values, so an ntile window would sort each language's ENTIRE
+    score relation through one reducer task at scale. Instead the
+    scored relation collapses to a (lang, q6-score) histogram — one
+    map-side-combined hash aggregate bounded by the 6-dp score grid,
+    never by doc count — and the tier aggregates are computed FROM
+    the histogram: a two-pass distributed prefix scan (lang leads the
+    order, so per-language cumulative = global cumulative − the
+    language's broadcast base) gives each score cell its per-language
+    rank interval [lo, hi), which is intersected with the ntile
+    boundaries (first ``n%3`` tiles get the extra row — SQL ntile's
+    convention). Exact by construction: docs straddling a boundary
+    all carry the SAME q6 value, so which tied doc lands in which
+    tier (the oracle breaks ties by doc_id) cannot change a tier's
+    count or integer score sum."""
 
     scores = trigram_lm_score(spark, sf_dir)
     langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy(
-        F.desc("avg_logp"), F.asc("doc_id")
-    )
-    b = (
+    hist = (
         scores.join(langs, "doc_id")
-        .withColumn("nt", F.ntile(3).over(w))
-        .withColumn(
-            "bucket",
-            F.element_at(
-                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
-                F.col("nt"),
-            ),
+        .select(
+            "lang",
+            F.round(F.col("avg_logp") * 1000000).cast("bigint").alias("q6"),
         )
-        .withColumn(
-            "q6", F.round(F.col("avg_logp") * 1000000).cast("bigint")
-        )
+        .groupBy("lang", "q6")
+        .agg(F.count("*").alias("c"))
+        # descending-score order as an ascending sort key for the scan
+        .withColumn("nq", (-F.col("q6")).cast("bigint"))
     )
-    return b.groupBy("lang", "bucket").agg(
-        F.count("*").alias("n_docs"),
+    cum = prefix_scan(hist, ["lang", "nq"], "c", "lo")
+    # lang rows are contiguous in the (lang, nq) order and the
+    # exclusive prefix is monotone, so min(lo) per language is the
+    # language's base offset; n is its doc count.
+    per_lang = cum.groupBy("lang").agg(
+        F.min("lo").alias("base"), F.sum("c").alias("n")
+    )
+    third = F.floor(F.col("n") / 3).cast("bigint")
+    rem = F.col("n") % 3
+    b1 = (third + F.when(rem >= 1, 1).otherwise(0)).alias("b1")
+    b2 = (
+        third * 2 + F.when(rem >= 1, 1).otherwise(0)
+        + F.when(rem >= 2, 1).otherwise(0)
+    ).alias("b2")
+    bounds = per_lang.select("lang", "base", "n", b1, b2)
+    cells = (
+        cum.join(F.broadcast(bounds), "lang")
+        .withColumn("lo", F.col("lo") - F.col("base"))
+        .withColumn("hi", F.col("lo") + F.col("c"))
+    )
+    # overlap of the cell's rank interval [lo, hi) with each tier
+    o_head = F.greatest(F.lit(0), F.least(F.col("hi"), F.col("b1")) - F.col("lo"))
+    o_mid = F.greatest(
+        F.lit(0),
+        F.least(F.col("hi"), F.col("b2")) - F.greatest(F.col("lo"), F.col("b1")),
+    )
+    o_tail = F.greatest(
+        F.lit(0), F.col("hi") - F.greatest(F.col("lo"), F.col("b2"))
+    )
+    pairs = (
+        cells.select(
+            "lang",
+            "q6",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("head").alias("bucket"), o_head.alias("k")),
+                    F.struct(F.lit("middle").alias("bucket"), o_mid.alias("k")),
+                    F.struct(F.lit("tail").alias("bucket"), o_tail.alias("k")),
+                )
+            ).alias("e"),
+        )
+        .select("lang", "q6", F.col("e.bucket").alias("bucket"), F.col("e.k").alias("k"))
+        .where(F.col("k") > 0)
+    )
+    return pairs.groupBy("lang", "bucket").agg(
+        F.sum("k").alias("n_docs"),
         F.round(
-            F.sum("q6") / F.count("*") / 1000000.0, 6
+            F.sum(F.col("k") * F.col("q6")) / F.sum("k") / 1000000.0, 6
         ).alias("mean_logp"),
     )
 

@@ -358,13 +358,19 @@ def test_paragraph_dedup_is_window_not_self_join(spark):
     assert plan.count("Generate posexplode") <= 1
 
 
-def test_perplexity_buckets_window_is_keyed(spark):
-    """The ntile ranking partitions by language — never an
-    unpartitioned global sort — and the model join stays broadcast."""
+def test_perplexity_buckets_has_no_per_doc_window(spark):
+    """Tiering must not window over the per-doc score relation: lang
+    has a handful of values, so `ntile(3) OVER (PARTITION BY lang)`
+    funnels each language's ENTIRE corpus through one reducer at
+    scale. The shipped plan collapses scores to a (lang, q6)
+    histogram first; the only window functions are the prefix scan's
+    pid-partitioned local sums, and tier bounds come back as a
+    broadcast join."""
 
     plan = explain_str(QUERIES["text_perplexity_buckets"](spark, SF_DIR))
-    assert "windowspecdefinition(lang" in plan
-    # no global-sort exchange (the one SinglePartition in the plan is
-    # the LM model's single-ROW scalar total, not a data sort)
-    assert "rangepartitioning" not in plan
+    assert "ntile" not in plan
+    assert "windowspecdefinition(lang" not in plan
+    assert "windowspecdefinition(__pid" in plan  # the two-pass scan
     assert "CartesianProduct" not in plan
+    # per-language bounds re-enter via broadcast, never a shuffle join
+    assert "BroadcastHashJoin" in plan
