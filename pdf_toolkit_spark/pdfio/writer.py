@@ -21,6 +21,8 @@ from typing import Union
 
 import numpy as np
 
+from ..errors import UserError
+
 #: Ordered page content item: ("text", str, row, col) or
 #: ("image", np.ndarray gray, row, col). Stream order = span order.
 TextItem = tuple[str, str, int, int]
@@ -552,9 +554,17 @@ def write_pdf(
                 b"/Supplement 7 >> /DW 1000 >>"
             )
         )
-        encode_show = lambda text: "".join(  # noqa: E731
-            f"{ord(c):04x}" for c in text
-        ).encode()
+        def encode_show(text: str) -> bytes:
+            # UCS-2 is strictly 2 bytes/code: a non-BMP char would emit
+            # 5+ hex digits and silently desync the whole show string
+            # (and UniJIS-UCS2 has no codepoint for it anyway)
+            for c in text:
+                if ord(c) > 0xFFFF:
+                    raise UserError(
+                        "write_pdf: cid_font mode 'ucs2' cannot encode "
+                        f"non-BMP character U+{ord(c):06X}."
+                    )
+            return "".join(f"{ord(c):04x}" for c in text).encode()
     elif cid_mode:
         raise UserError(f"write_pdf: unknown cid_font mode {cid_mode!r}.")
     else:

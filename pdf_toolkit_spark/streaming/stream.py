@@ -741,10 +741,15 @@ def compact_epochs(spark: SparkSession, root: str, target_files: int = 8) -> int
     Crash-safe swap: the merged copy lands in a sibling
     ``.compacting`` directory with a ``_compaction_inputs.json``
     manifest (underscore-prefixed, so parquet readers ignore it)
-    before any input is removed; a crash mid-swap is recovered by the
-    next call, which finishes removing exactly the manifest's inputs
-    and renames. Returns the number of epoch directories compacted
-    (0 = nothing to do)."""
+    before any input is removed, and the manifest RIDES INSIDE the
+    directory through the rename — the compacted copy is never on
+    disk without its manifest, so every crash point is recoverable:
+    a crash before the manifest discards the partial copy; a crash
+    mid-swap re-runs the input removals (idempotent) and the rename;
+    a crash after the rename but before the in-place manifest removal
+    leaves a committed epoch dir whose stray manifest the next call
+    finishes deleting. Returns the number of epoch directories
+    compacted (0 = nothing to do)."""
 
     import glob as _glob
     import json as _json
@@ -756,17 +761,26 @@ def compact_epochs(spark: SparkSession, root: str, target_files: int = 8) -> int
 
     def _swap() -> int:
         inputs = _json.load(open(manifest))
+        target = inputs[-1]
         for d in inputs:
             if _os.path.isdir(d):
                 _shutil.rmtree(d)
-        _os.remove(manifest)
-        _os.rename(tmp, inputs[-1])
+        _os.rename(tmp, target)
+        _os.remove(f"{target}/_compaction_inputs.json")
         return len(inputs)
 
-    if _os.path.exists(manifest):  # recover an interrupted swap
-        return _swap()
-    if _os.path.isdir(tmp):  # interrupted BEFORE the manifest: discard
-        _shutil.rmtree(tmp)
+    if _os.path.isdir(tmp):
+        if _os.path.exists(manifest):  # recover an interrupted swap
+            return _swap()
+        _shutil.rmtree(tmp)  # interrupted BEFORE the manifest: discard
+    # crash AFTER the rename, BEFORE the manifest removal: the swap is
+    # complete (all inputs gone); finish by clearing the stray
+    # manifest so it never reads as this compaction's input list
+    for m in _glob.glob(f"{root}/epoch=*/_compaction_inputs.json"):
+        for d in _json.load(open(m)):
+            if d != _os.path.dirname(m) and _os.path.isdir(d):
+                _shutil.rmtree(d)
+        _os.remove(m)
 
     dirs = sorted(_glob.glob(f"{root}/epoch=*"))
     if len(dirs) < 2:

@@ -325,6 +325,20 @@ def test_ucs2_writer_roundtrips_cjk_without_tounicode():
     assert _texts(pdf) == [text]
 
 
+def test_ucs2_writer_rejects_non_bmp():
+    """A non-BMP char would emit 5+ hex digits into the 2-byte UCS-2
+    code stream — fail closed, never desync silently."""
+
+    from pdf_toolkit_spark.errors import UserError
+
+    raster = np.full((100, 80), 220, np.uint8)
+    with pytest.raises(UserError, match="non-BMP"):
+        write_pdf(
+            [PageSpec(raster=raster, items=[("text", "ok \U0001f600", 20, 10)])],
+            cid_font="ucs2",
+        )
+
+
 @pytest.mark.parametrize("doc_id", [1, 2])  # embedded + ucs2 corpus strides
 def test_cmap_corpus_doc_spans_equal_simple_font_twin(doc_id):
     plain = make_document(doc_id, seed=42, mega_every=0)

@@ -177,3 +177,63 @@ def test_sample_quantiles_shipped_plan_has_no_full_sort(spark):
     exact_plan = explain_str(
         sample_quantiles(spark, SF_DIR, include_exact=True), "formatted")
     assert exact_plan.count("Location: InMemoryFileIndex") == 2
+
+
+def test_dsir_log2_quantization_agrees_across_engines_at_boundaries(spark):
+    """The dsir_weight / trigram_lm_score quantization
+    ``sign(lr) * floor(abs(lr) * 4096 + 0.5)`` takes log2 of
+    engine-identical double arguments; the residual risk (ADVICE r05)
+    is a 1-ulp log2 implementation difference flipping a bucket
+    EXACTLY at a quantization boundary. Evidence the tolerance: sweep
+    integer quadruples (a,b,c,d), keep the ones whose
+    ``lr = log2(a/b) - log2(c/d)`` lands closest to a boundary, and
+    assert Spark (JVM log), DuckDB, and CPython agree on the
+    quantized value for every one of them."""
+
+    import math
+
+    quads = []
+    for a in range(1, 120):
+        for b in range(1, 40):
+            for c, d in ((3, 7), (11, 513), (513, 1024), (1, 512)):
+                lr = math.log2(a / b) - math.log2(c / d)
+                frac = abs(abs(lr) * 4096 + 0.5) % 1.0
+                quads.append((min(frac, 1.0 - frac), a, b, c, d))
+    quads.sort()
+    rows = [(a, b, c, d) for _, a, b, c, d in quads[:512]]
+
+    def py_q(a, b, c, d):
+        lr = math.log2(a / b) - math.log2(c / d)
+        return int(math.copysign(math.floor(abs(lr) * 4096 + 0.5), lr))
+
+    expected = {r: py_q(*r) for r in rows}
+
+    sdf = spark.createDataFrame(rows, "a long, b long, c long, d long")
+    from pyspark.sql import functions as F
+
+    lr = F.log2(F.col("a") / F.col("b")) - F.log2(F.col("c") / F.col("d"))
+    got_spark = {
+        (r["a"], r["b"], r["c"], r["d"]): int(r["q"])
+        for r in sdf.select(
+            "a", "b", "c", "d",
+            (F.signum(lr) * F.floor(F.abs(lr) * 4096 + F.lit(0.5)))
+            .cast("long").alias("q"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a BIGINT, b BIGINT, c BIGINT, d BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    got_duck = {
+        (a, b, c, d): int(q)
+        for a, b, c, d, q in con.execute(
+            """SELECT a, b, c, d,
+                      CAST(sign(log2(a/b) - log2(c/d)) *
+                           floor(abs(log2(a/b) - log2(c/d)) * 4096 + 0.5)
+                           AS BIGINT)
+               FROM t"""
+        ).fetchall()
+    }
+
+    assert got_spark == expected
+    assert got_duck == expected

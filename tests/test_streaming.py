@@ -589,6 +589,19 @@ def test_compact_epochs_preserves_rows_and_recovers(spark, tmp_path):
         == ["epoch=000000000002"]
     assert spark.read.parquet(f"{comp}/epoch=*").count() == bucket_rows
 
+    # simulate a crash AFTER the rename, BEFORE the in-place manifest
+    # removal: the committed epoch dir still carries the manifest (all
+    # inputs already gone). The next call must finish by clearing the
+    # stray manifest WITHOUT touching the data — under the old
+    # remove-manifest-then-rename ordering this state was the
+    # unrecoverable one (the copy survived with no manifest and was
+    # discarded as a pre-manifest partial).
+    survivor = f"{comp}/epoch=000000000002"
+    json.dump(inputs, open(f"{survivor}/_compaction_inputs.json", "w"))
+    assert compact_epochs(spark, comp) == 0  # nothing left to merge
+    assert not os.path.exists(f"{survivor}/_compaction_inputs.json")
+    assert spark.read.parquet(f"{comp}/epoch=*").count() == bucket_rows
+
 
 def test_stream_domain_quota_caps_per_source(spark, tmp_path):
     """Online quota: at most k docs admitted per source across
