@@ -162,6 +162,30 @@ def main() -> None:
         },
     }
     spark.stop()
+
+    # Second extraction reading at local[8]: this sandbox's memory bus
+    # collapses beyond ~8 concurrent byte-heavy workers (see
+    # BENCH/BASELINE.md), so the local[32] figure measures the bus,
+    # not the engine. local[8] is the bus-insensitive headline; a real
+    # multi-executor cluster never funnels 32 workers through one bus.
+    if cores != 8:
+        spark8 = get_spark(app_name="pdf-toolkit-spark-bench-8", cores=8)
+        spark8.sparkContext.setLogLevel("ERROR")
+        raw8 = documents_as_pdfs(spark8, sf_dir).persist()
+        raw8.count()
+        t0 = time.monotonic()
+        spans8, _ = build_pipeline(spark8, raw8, corpus_config())
+        n8 = spans8.count()
+        sec8 = time.monotonic() - t0
+        raw8.unpersist()
+        assert n8 == stats["docs"]
+        out["extraction_local8"] = {
+            "docs_per_sec": round(stats["docs"] / sec8, 2),
+            "pages_per_sec": round(stats["pages"] / sec8, 2),
+            "sec": round(sec8, 3),
+        }
+        spark8.stop()
+
     print(json.dumps(out))
 
 
