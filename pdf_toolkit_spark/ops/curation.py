@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from . import dedup as _dedup
 from . import text as _text
-from .common import SQL_HASH32, hash32, table
+from .common import SQL_HASH32, hash32, register_persist, table
 
 
 def curate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,6 +63,71 @@ def curate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: docs per source, so 18 keeps some and drops some in every domain
 QUOTA_PER_DOMAIN = 18
 
+#: hash-threshold oversampling factor: a mega-domain's pre-filter
+#: keeps ~OVERSAMPLE*K candidates in expectation, so the chance of
+#: keeping fewer than K (which the verification pass catches exactly)
+#: is Chernoff-negligible
+QUOTA_OVERSAMPLE = 4
+
+
+def _quota_over(docs: DataFrame) -> DataFrame:
+    """Exact per-domain top-K by (hash, doc_id) over any (doc_id,
+    source) relation — the engine behind :func:`domain_quota`.
+
+    Scale shape (mega-domain-proof): the keyed window never sees a
+    domain's full row set. A count pre-pass derives a per-domain hash
+    threshold t = ceil(OVERSAMPLE*K/n * 2^32) (keep-all when
+    n <= OVERSAMPLE*K); filtering ``h < t`` keeps a PREFIX of each
+    domain's (h, doc_id) order — ~OVERSAMPLE*K rows in expectation
+    regardless of domain size — so candidate ranks equal domain ranks
+    and the window sorts O(K) rows per domain even when one domain is
+    most of the corpus. Exactness is verified, not assumed: a domain
+    whose candidate count fell below min(n, K) (probability ~2^-40 at
+    OVERSAMPLE=4) is re-ranked over its full row set. The candidate
+    relation is persisted (two consumers: verification + final rank);
+    the tiny per-domain relations broadcast."""
+
+    k_cap = F.lit(QUOTA_PER_DOMAIN)
+    keep_all = QUOTA_PER_DOMAIN * QUOTA_OVERSAMPLE
+    h = hash32(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
+    withh = docs.select("doc_id", "source", h.alias("h"))
+    counts = withh.groupBy("source").agg(F.count("*").alias("n"))
+    thr = counts.select(
+        "source",
+        "n",
+        F.when(F.col("n") <= keep_all, F.lit(1 << 32))
+        .otherwise(
+            F.ceil(F.lit(float(keep_all) * (1 << 32)) / F.col("n")).cast("bigint")
+        )
+        .alias("t"),
+    )
+    cand = register_persist(
+        withh.join(F.broadcast(thr), "source")
+        .filter(F.col("h") < F.col("t"))
+        .select("doc_id", "source", "h")
+    )
+    bad = [
+        r["source"]
+        for r in (
+            cand.groupBy("source")
+            .agg(F.count("*").alias("m"))
+            .join(thr, "source", "right")
+            .filter(F.coalesce("m", F.lit(0)) < F.least("n", k_cap))
+            .select("source")
+            .collect()
+        )
+    ]
+    if bad:  # exact fallback for verification failures (~never)
+        cand = cand.filter(~F.col("source").isin(bad)).unionByName(
+            withh.filter(F.col("source").isin(bad))
+        )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= QUOTA_PER_DOMAIN)
+        .select("doc_id", "source", "rk")
+    )
+
 
 def domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quota sampling (crawl curation: cap a domain's
@@ -72,24 +137,14 @@ def domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak) — a seedless uniform sample that is stable across runs
     and engines. Output: (doc_id, source, rk) for kept docs.
 
-    Scale shape: ONE window partitioned by the domain key — a keyed
-    sort, never a global one; domains shuffle independently and the
-    plan carries (doc_id, source, 8-byte hash) only, document bytes
-    never move. A pathological mega-domain serializes only its own
-    partition; the fix at that scale is a pre-pass count + per-domain
-    hash threshold (rank r <= K approximated by h < K/n * 2^32, then
-    exact-ranked inside the survivors), which this operator's
-    deterministic hash ordering makes drop-in."""
+    Scale shape: see :func:`_quota_over` — a count pre-pass +
+    per-domain hash threshold bounds the keyed window at O(K) rows
+    per domain (verified-exact), so a mega-domain that is half the
+    crawl no longer serializes its full row set through one reducer;
+    the plan carries (doc_id, source, 8-byte hash) only, document
+    bytes never move."""
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
-    h = hash32(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
-    w = Window.partitionBy("source").orderBy("h", "doc_id")
-    return (
-        docs.withColumn("h", h)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= QUOTA_PER_DOMAIN)
-        .select("doc_id", "source", "rk")
-    )
+    return _quota_over(table(spark, sf_dir, "documents").select("doc_id", "source"))
 
 
 QUERIES = {

@@ -334,16 +334,77 @@ def test_dsir_weight_models_broadcast(spark):
 
 
 def test_domain_quota_is_group_limited_single_exchange(spark):
-    """Per-domain quota: ONE keyed exchange on the domain, and
-    Catalyst's WindowGroupLimit must apply the top-K per group on the
-    map side (partial) before the shuffle — the property that keeps a
-    quota pass cheap at crawl scale."""
+    """Per-domain quota: the final plan windows the PERSISTED
+    candidate relation (hash-threshold pre-pass output, O(K) rows per
+    domain) through ONE keyed exchange, with Catalyst's
+    WindowGroupLimit applying the top-K per group on the map side
+    (partial) before the shuffle — the properties that keep a quota
+    pass cheap at crawl scale."""
 
     plan = explain_str(QUERIES["curate_domain_quota"](spark, SF_DIR))
     detail = plan.split("\n\n(1)")[0]  # tree section only
-    assert detail.count("Exchange") == 1
-    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert "InMemoryTableScan" in detail  # windows candidates, not the scan
+    # exchanges ABOVE the cached candidate relation (the cache's own
+    # build plan — count agg + broadcast threshold — sits below it)
+    above = detail.split("InMemoryRelation")[0]
+    assert above.count("Exchange") == 1
+    assert above.count("WindowGroupLimit") >= 2  # Partial + Final
     assert "rangepartitioning" not in plan  # keyed, never a global sort
+
+
+def test_domain_quota_mega_domain_is_bounded_and_exact(spark):
+    """Mega-domain pre-pass: with one domain holding >50% of the
+    corpus, the candidate relation entering the keyed window stays
+    O(OVERSAMPLE*K) for that domain — never its full row set — and
+    the output still equals the brute-force per-domain top-K rank."""
+
+    from pyspark.sql import functions as F
+
+    from pdf_toolkit_spark.ops.common import hash32
+    from pdf_toolkit_spark.ops.curation import (
+        QUOTA_OVERSAMPLE,
+        QUOTA_PER_DOMAIN,
+        _quota_over,
+    )
+
+    n_mega, n_small = 20_000, 40
+    rows = [(i, "mega.example") for i in range(n_mega)]
+    rows += [
+        (n_mega + d * n_small + i, f"small{d}.example")
+        for d in range(5)
+        for i in range(n_small)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+
+    got = _quota_over(docs).toPandas()
+
+    # exactness vs the unfiltered window formulation
+    h = hash32(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    expected = (
+        docs.withColumn("h", h)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= QUOTA_PER_DOMAIN)
+        .select("doc_id", "source", "rk")
+        .toPandas()
+    )
+    key = lambda df: sorted(map(tuple, df[["doc_id", "source", "rk"]].values))  # noqa: E731
+    assert key(got) == key(expected)
+    assert (got["source"] == "mega.example").sum() == QUOTA_PER_DOMAIN
+
+    # boundedness: reproduce the pre-pass threshold and check the
+    # mega domain's candidate count is O(OVERSAMPLE*K), not n_mega
+    keep_all = QUOTA_PER_DOMAIN * QUOTA_OVERSAMPLE
+    t = -(-(keep_all * (1 << 32)) // n_mega)  # ceil
+    n_cand = (
+        docs.filter(F.col("source") == "mega.example")
+        .withColumn("h", h)
+        .filter(F.col("h") < F.lit(float(t)))
+        .count()
+    )
+    assert QUOTA_PER_DOMAIN <= n_cand <= 8 * keep_all, n_cand
 
 
 def test_paragraph_dedup_is_window_not_self_join(spark):
