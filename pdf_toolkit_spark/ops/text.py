@@ -331,25 +331,57 @@ def trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-term log2 values are quantized to the 2^-12 grid so the
     per-doc sums are order-independent and engine-exact."""
 
-    docs = table(spark, sf_dir, "documents").select(
+    doc_tri = _lm_doc_tri(_lm_norm(table(spark, sf_dir, "documents")))
+    return lm_score_relation(doc_tri, trigram_model_relation(doc_tri))
+
+
+def _lm_norm(docs: DataFrame) -> DataFrame:
+    """(doc_id, norm) scorable docs: normalized text with >= 3 chars."""
+
+    return docs.select(
         "doc_id", norm_text(F.col("text")).alias("norm")
     ).filter(F.length("norm") >= 3)
-    tri = docs.select(
+
+
+def _lm_doc_tri(norm_docs: DataFrame) -> DataFrame:
+    """(doc_id, tri, c_d) character-trigram counts per doc — the
+    explode + map-side-combined hash agg both the model build and the
+    scoring pass ride on."""
+
+    tri = norm_docs.select(
         "doc_id",
         F.explode(
             F.expr("transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))")
         ).alias("tri"),
     )
-    doc_tri = tri.groupBy("doc_id", "tri").agg(F.count("*").alias("c_d"))
+    return tri.groupBy("doc_id", "tri").agg(F.count("*").alias("c_d"))
+
+
+def trigram_model_relation(doc_tri: DataFrame) -> DataFrame:
+    """(tri, qlp) quantized corpus trigram model: log2 relative
+    frequency on the 2^-12 grid. Vocabulary-bounded (|charset|^3 rows)
+    so it broadcasts at any corpus size — and FREEZES: materialize it
+    once and the streaming twin scores micro-batches against the same
+    integers the batch pass used."""
+
     corpus = doc_tri.groupBy("tri").agg(F.sum("c_d").alias("c"))
     total = corpus.agg(F.sum("c").alias("t"))
     logp = F.log2(F.col("c") / F.col("t"))
     q = F.signum(logp) * F.floor(F.abs(logp) * _LM_SCALE + F.lit(0.5))
-    scored = doc_tri.join(F.broadcast(corpus), "tri").crossJoin(F.broadcast(total))
+    return corpus.crossJoin(F.broadcast(total)).select("tri", q.alias("qlp"))
+
+
+def lm_score_relation(doc_tri: DataFrame, model: DataFrame) -> DataFrame:
+    """(doc_id, n_trigrams, avg_logp) scores against a (tri, qlp)
+    model: broadcast join + one doc_id agg. Trigrams absent from the
+    model are skipped (an online doc scores over its model-known
+    trigrams; a doc with none is unscorable and dropped)."""
+
     return (
-        scored.groupBy("doc_id")
+        doc_tri.join(F.broadcast(model), "tri")
+        .groupBy("doc_id")
         .agg(
-            F.sum(F.col("c_d") * q).alias("num"),
+            F.sum(F.col("c_d") * F.col("qlp")).alias("num"),
             F.sum("c_d").cast("bigint").alias("n_trigrams"),
         )
         .select(
@@ -766,6 +798,21 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier (the oracle breaks ties by doc_id) cannot change a tier's
     count or integer score sum."""
 
+    pairs = _tier_cells(spark, sf_dir)
+    return pairs.groupBy("lang", "bucket").agg(
+        F.sum("k").alias("n_docs"),
+        F.round(
+            F.sum(F.col("k") * F.col("q6")) / F.sum("k") / 1000000.0, 6
+        ).alias("mean_logp"),
+    )
+
+
+def _tier_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, q6, bucket, k): each score-histogram cell's doc count
+    split across the ntile-3 tiers — the shared core of
+    :func:`perplexity_buckets` and :func:`perplexity_tier_thresholds`.
+    See perplexity_buckets for why this is exact and window-free."""
+
     scores = trigram_lm_score(spark, sf_dir)
     langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
     hist = (
@@ -808,7 +855,7 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_tail = F.greatest(
         F.lit(0), F.col("hi") - F.greatest(F.col("lo"), F.col("b2"))
     )
-    pairs = (
+    return (
         cells.select(
             "lang",
             "q6",
@@ -823,12 +870,50 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "q6", F.col("e.bucket").alias("bucket"), F.col("e.k").alias("k"))
         .where(F.col("k") > 0)
     )
-    return pairs.groupBy("lang", "bucket").agg(
-        F.sum("k").alias("n_docs"),
-        F.round(
-            F.sum(F.col("k") * F.col("q6")) / F.sum("k") / 1000000.0, 6
-        ).alias("mean_logp"),
+
+
+def perplexity_tier_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tier cutoffs from the corpus tiering: the lowest
+    quantized score in the head and middle tiers. Output: (lang,
+    head_min_q6, middle_min_q6) — middle_min_q6 is NULL for a
+    language too small to have a middle tier. These are the FROZEN
+    thresholds the streaming twin assigns online documents against
+    (assignment rule: q6 >= head_min -> head, else q6 >= middle_min
+    -> middle, else tail).
+
+    Scale shape: one tiny agg over the tier-split histogram cells of
+    :func:`_tier_cells` — window-free, O(distinct scores) rows."""
+
+    cells = _tier_cells(spark, sf_dir)
+    return cells.groupBy("lang").agg(
+        F.min(F.when(F.col("bucket") == "head", F.col("q6"))).alias("head_min_q6"),
+        F.min(F.when(F.col("bucket") == "middle", F.col("q6"))).alias("middle_min_q6"),
     )
+
+
+def tier_assign_relation(
+    docs: DataFrame, model: DataFrame, thresholds: DataFrame
+) -> DataFrame:
+    """(doc_id, lang, avg_logp, bucket) for any (doc_id, text, lang)
+    relation scored against a FROZEN (tri, qlp) trigram model and
+    frozen (lang, head_min_q6, middle_min_q6) cutoffs — the shared
+    core of the streaming tiering twin and its batch equality gate.
+    A language absent from the thresholds, or a score below both
+    cutoffs, lands in 'tail'; docs with < 3 normalized chars or no
+    model-known trigram are unscorable and dropped."""
+
+    scores = lm_score_relation(_lm_doc_tri(_lm_norm(docs)), model)
+    j = (
+        scores.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("q6", F.round(F.col("avg_logp") * 1000000).cast("bigint"))
+        .join(F.broadcast(thresholds), "lang", "left")
+    )
+    bucket = (
+        F.when(F.col("q6") >= F.col("head_min_q6"), "head")
+        .when(F.col("q6") >= F.col("middle_min_q6"), "middle")
+        .otherwise("tail")
+    )
+    return j.select("doc_id", "lang", "avg_logp", bucket.alias("bucket"))
 
 
 QUERIES = {
@@ -840,6 +925,7 @@ QUERIES = {
     "text_vocab_oov": vocab_oov,
     "text_domain_mix": domain_mix,
     "text_perplexity_buckets": perplexity_buckets,
+    "text_perplexity_tier_thresholds": perplexity_tier_thresholds,
     "text_repetition_filter": repetition_filter,
     "text_trigram_lm_score": trigram_lm_score,
     "text_quality_filter": quality_filter,
@@ -1209,8 +1295,30 @@ ORACLES["text_dsir_weight"] = f"""
     GROUP BY f.doc_id
 """
 
-# the bucket oracle embeds the full LM-score oracle as its CTE (same
-# pattern as curation.py's composed oracle)
-ORACLES["text_perplexity_buckets"] = ORACLES[
-    "text_perplexity_buckets"
-].replace("{LM_SCORES}", ORACLES["text_trigram_lm_score"])
+# the frozen tier cutoffs: lowest quantized score inside the head and
+# middle ntile tiers per language (NULL middle for a tier too small
+# to exist) — the oracle ranks per-doc, the Spark side derives the
+# same values from the tier-split histogram
+ORACLES["text_perplexity_tier_thresholds"] = """
+    WITH scores AS ({LM_SCORES}),
+    ranked AS (
+        SELECT d.lang,
+               ntile(3) OVER (
+                   PARTITION BY d.lang
+                   ORDER BY s.avg_logp DESC, s.doc_id
+               ) AS nt,
+               CAST(round(s.avg_logp * 1000000) AS BIGINT) AS q6
+        FROM scores s JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           min(CASE WHEN nt = 1 THEN q6 END) AS head_min_q6,
+           min(CASE WHEN nt = 2 THEN q6 END) AS middle_min_q6
+    FROM ranked GROUP BY lang
+"""
+
+# the tiering oracles embed the full LM-score oracle as their CTE
+# (same pattern as curation.py's composed oracle)
+for _n in ("text_perplexity_buckets", "text_perplexity_tier_thresholds"):
+    ORACLES[_n] = ORACLES[_n].replace(
+        "{LM_SCORES}", ORACLES["text_trigram_lm_score"]
+    )

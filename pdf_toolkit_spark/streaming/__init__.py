@@ -19,12 +19,15 @@ from .stream import (
     read_ivf_assignments,
     read_neardup_survivors,
     read_quota_admitted,
+    read_tier_assignments,
     sessionize_stream,
     stream_dedup_documents,
     stream_domain_quota,
     stream_extraction,
     stream_ivf_assign,
     stream_neardup_documents,
+    stream_perplexity_tiers,
+    tier_process_batch,
     windowed_event_counts,
 )
 
@@ -40,11 +43,14 @@ __all__ = [
     "read_ivf_assignments",
     "read_neardup_survivors",
     "read_quota_admitted",
+    "read_tier_assignments",
     "sessionize_stream",
     "stream_dedup_documents",
     "stream_domain_quota",
     "stream_extraction",
     "stream_ivf_assign",
     "stream_neardup_documents",
+    "stream_perplexity_tiers",
+    "tier_process_batch",
     "windowed_event_counts",
 ]

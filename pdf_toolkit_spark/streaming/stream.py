@@ -725,6 +725,80 @@ def read_quota_admitted(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming perplexity tiering (online CCNet-style quality routing)
+# ---------------------------------------------------------------------------
+
+def tier_process_batch(model: DataFrame, thresholds: DataFrame, out_dir: str):
+    """The foreachBatch body of ``stream_perplexity_tiers``: score
+    each micro-batch of documents against a FROZEN (tri, qlp) trigram
+    model and assign head/middle/tail against FROZEN per-language
+    cutoffs via the exact batch relation (ops/text.py
+    tier_assign_relation — broadcast model join + broadcast threshold
+    join, window-free), appending epoch-keyed partitions. Online
+    quality routing: the expensive corpus model + tercile build runs
+    once in batch (text_perplexity_tier_thresholds); new documents
+    stream into tiers without re-ranking the corpus — the same
+    freeze-per-epoch contract as stream_ivf_assign's centroids.
+    Replays rewrite their epoch directory idempotently."""
+
+    from ..ops.text import tier_assign_relation
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        tier_assign_relation(
+            batch_df.select("doc_id", "text", "lang"), model, thresholds
+        ).write.mode("overwrite").parquet(
+            f"{out_dir}/tiers/epoch={epoch_id:012d}"
+        )
+
+    return process
+
+
+def stream_perplexity_tiers(
+    spark: SparkSession,
+    input_dir: str,
+    model: DataFrame,
+    thresholds: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming tier assignment of a documents feed against a frozen
+    trigram model + frozen per-language tier cutoffs. Returns the
+    StreamingQuery."""
+
+    from pyspark.sql import types as T
+
+    in_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ])
+    stream = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    writer = (
+        stream.writeStream
+        .foreachBatch(tier_process_batch(model, thresholds, out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_tier_assignments(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(doc_id, lang, avg_logp, bucket) across all committed epochs."""
+
+    return spark.read.option("basePath", f"{out_dir}/tiers").parquet(
+        f"{out_dir}/tiers/epoch=*"
+    ).drop("epoch")
+
+
+# ---------------------------------------------------------------------------
 # Epoch compaction (streaming-sink maintenance)
 # ---------------------------------------------------------------------------
 

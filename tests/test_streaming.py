@@ -538,6 +538,52 @@ def test_stream_ivf_assign_matches_batch_cells(spark, tmp_path):
     assert len({c for _, c in got}) > 1  # vectors spread over cells
 
 
+def test_stream_perplexity_tiers_matches_batch_assignment(spark, tmp_path):
+    """Streaming tier assignment against a FROZEN trigram model +
+    frozen per-language cutoffs must equal the batch
+    tier_assign_relation over the union of both epochs' documents
+    (shared relation, same freeze-per-epoch contract as IVF ingest),
+    and the tier spread must be real (all three buckets present)."""
+
+    from pdf_toolkit_spark.ops.text import (
+        _lm_doc_tri,
+        _lm_norm,
+        perplexity_tier_thresholds,
+        tier_assign_relation,
+        trigram_model_relation,
+    )
+    from pdf_toolkit_spark.streaming import (
+        read_tier_assignments,
+        stream_perplexity_tiers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    model = trigram_model_relation(_lm_doc_tri(_lm_norm(docs))).persist()
+    thr = perplexity_tier_thresholds(spark, sf).persist()
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.mode("append").parquet(landing)
+    _await(stream_perplexity_tiers(spark, landing, model, thr, out, ckpt))
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.mode("append").parquet(landing)
+    _await(stream_perplexity_tiers(spark, landing, model, thr, out, ckpt))
+
+    got = {
+        (r["doc_id"], r["lang"], r["avg_logp"], r["bucket"])
+        for r in read_tier_assignments(spark, out).collect()
+    }
+    expected = {
+        (r["doc_id"], r["lang"], r["avg_logp"], r["bucket"])
+        for r in tier_assign_relation(docs, model, thr).collect()
+    }
+    assert got == expected
+    assert {b for *_, b in got} == {"head", "middle", "tail"}
+    model.unpersist(), thr.unpersist()
+
+
 def test_compact_epochs_preserves_rows_and_recovers(spark, tmp_path):
     """Compaction must merge epoch dirs into the max-epoch dir with
     identical rows, be a no-op when there is nothing to merge, and
