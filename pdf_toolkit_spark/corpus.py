@@ -248,22 +248,31 @@ def make_document(
         raise ValueError(doc_class)
 
     if jpeg_every and doc_id % jpeg_every == 0:
-        # cycle the six real-world scan codecs: DCT (photo scans),
+        # cycle the seven real-world scan codecs: DCT (photo scans),
         # Group-4 fax and generic-region JBIG2 (B/W scans; rasters
         # thresholded to 1-bit, so the serial oracle sees the same
         # binarization), lossless JPEG 2000 (archival masters), lossy
-        # 9/7 JPEG 2000 (the dominant archival-scan profile), and
+        # 9/7 JPEG 2000 (the dominant archival-scan profile),
         # symbol/text-region JBIG2 with a /JBIG2Globals dictionary
-        # (what production scanned-text encoders emit). Mega docs fall
-        # back to DCT on the jpx/jbig2s slots: the pure-Python EBCOT /
-        # component coders at ~150-220 noise pages per doc would
-        # dominate fixture generation for no extra coverage (the
-        # chunked path x codecs is covered by the portrait and spread
-        # classes).
-        codec = ("jpeg", "ccitt", "jbig2", "jpx", "jpx97", "jbig2s")[
-            (doc_id // jpeg_every) % 6
-        ]
-        if codec in ("jpx", "jpx97", "jbig2s") and doc_class == "mega_pdf":
+        # (what production scanned-text encoders emit), and SDHUFF
+        # symbol JBIG2 with the predefined Annex B table selections
+        # (the fax-era hardware-encoder profile). Mega docs fall
+        # back to DCT on the jpx/symbol-jbig2 slots: the pure-Python
+        # EBCOT / component coders at ~150-220 noise pages per doc
+        # would dominate fixture generation for no extra coverage
+        # (the chunked path x codecs is covered by the portrait and
+        # spread classes).
+        # slot order matters: odd slots land on the content-bearing
+        # outer_bar class (doc_id%6==3), so the three codecs that need
+        # actual glyphs/content — the two symbol-JBIG2 organizations
+        # and lossless JPX — sit at slots 1/3/5
+        codec = (
+            "jpeg", "jbig2hufstd", "jbig2", "jpx", "jpx97", "jbig2s", "ccitt",
+        )[(doc_id // jpeg_every) % 7]
+        if (
+            codec in ("jpx", "jpx97", "jbig2s", "jbig2hufstd")
+            and doc_class == "mega_pdf"
+        ):
             codec = "jpeg"
         for page in pages:
             page.codec = codec

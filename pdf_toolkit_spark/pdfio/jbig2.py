@@ -1066,12 +1066,13 @@ def encode_jbig2_halftone(
 
 # ---------------------------------------------------------------------------
 # Huffman tables (T.88 Annex B): assigned-value prefix codes for the
-# SDHUFF/SBHUFF coding paths. This engine ships the spec-mandated
-# Table B.1 (export runs / BMSIZE default) and USER-SUPPLIED tables
-# via code-table segments (type 53, B.2 syntax); the other predefined
-# Annex B selections fail closed (no reference decoder exists in this
-# container to cross-check their transcription, and a wrong table
-# would desync silently — user tables round-trip verifiably).
+# SDHUFF/SBHUFF coding paths. This engine ships the predefined Annex
+# B tables B.1-B.6, B.8, B.9, B.11-B.15 (transcriptions double-
+# checked structurally: Kraft-complete AND exact range tiling, pinned
+# in tests) plus USER-SUPPLIED tables via code-table segments (type
+# 53, B.2 syntax). B.7 and B.10 fail closed: their candidate
+# transcriptions break the completeness check every other table
+# passes, and a wrong table would desync silently.
 # ---------------------------------------------------------------------------
 
 class _BitReaderH:
@@ -1224,6 +1225,119 @@ _TABLE_B1 = HuffTable([
     (3, 32, 65808, "upper"),
 ])
 
+#: T.88 Annex B predefined tables B.2-B.15 (B.1 above), as (preflen,
+#: rangelen, rangelow, kind) in SPEC ROW ORDER — canonical code
+#: assignment is lengths-ascending then table order, so the order is
+#: part of the definition. Every shipped transcription passes two
+#: independent structural checks pinned in tests/test_jbig2.py: the
+#: code is Kraft-COMPLETE (sum 2^-len == 1 — a single wrong prefix
+#: length breaks it) and the normal ranges tile their span exactly.
+#: B.7 and B.10 fail those cross-checks against this author's sources
+#: and stay fail-closed rather than risk a silent desync (see
+#: _std_table).
+_STD_LINES: "dict[int, list]" = {
+    1: _TABLE_B1.lines,
+    2: [
+        (1, 0, 0, "normal"), (2, 0, 1, "normal"), (3, 0, 2, "normal"),
+        (4, 3, 3, "normal"), (5, 6, 11, "normal"),
+        (6, 32, 75, "upper"), (6, 0, 0, "oob"),
+    ],
+    3: [
+        (8, 8, -256, "normal"), (1, 0, 0, "normal"), (2, 0, 1, "normal"),
+        (3, 0, 2, "normal"), (4, 3, 3, "normal"), (5, 6, 11, "normal"),
+        (8, 32, -257, "lower"), (7, 32, 75, "upper"), (6, 0, 0, "oob"),
+    ],
+    4: [
+        (1, 0, 1, "normal"), (2, 0, 2, "normal"), (3, 0, 3, "normal"),
+        (4, 3, 4, "normal"), (5, 6, 12, "normal"), (5, 32, 76, "upper"),
+    ],
+    5: [
+        (7, 8, -255, "normal"), (1, 0, 1, "normal"), (2, 0, 2, "normal"),
+        (3, 0, 3, "normal"), (4, 3, 4, "normal"), (5, 6, 12, "normal"),
+        (7, 32, -256, "lower"), (6, 32, 76, "upper"),
+    ],
+    6: [
+        (5, 10, -2048, "normal"), (4, 9, -1024, "normal"),
+        (4, 8, -512, "normal"), (4, 7, -256, "normal"),
+        (5, 6, -128, "normal"), (5, 5, -64, "normal"),
+        (4, 5, -32, "normal"), (2, 7, 0, "normal"),
+        (3, 7, 128, "normal"), (3, 8, 256, "normal"),
+        (4, 9, 512, "normal"), (4, 10, 1024, "normal"),
+        (6, 32, -2049, "lower"), (6, 32, 2048, "upper"),
+    ],
+    8: [
+        (8, 3, -15, "normal"), (9, 1, -7, "normal"), (8, 1, -5, "normal"),
+        (9, 0, -3, "normal"), (7, 0, -2, "normal"), (4, 0, -1, "normal"),
+        (2, 1, 0, "normal"), (5, 0, 2, "normal"), (6, 0, 3, "normal"),
+        (3, 4, 4, "normal"), (6, 1, 20, "normal"), (4, 4, 22, "normal"),
+        (4, 5, 38, "normal"), (5, 6, 70, "normal"), (5, 7, 134, "normal"),
+        (6, 7, 262, "normal"), (7, 8, 390, "normal"), (6, 10, 646, "normal"),
+        (9, 32, -16, "lower"), (9, 32, 1670, "upper"), (2, 0, 0, "oob"),
+    ],
+    9: [
+        (8, 4, -31, "normal"), (9, 2, -15, "normal"), (8, 2, -11, "normal"),
+        (9, 1, -7, "normal"), (7, 1, -5, "normal"), (4, 1, -3, "normal"),
+        (3, 1, -1, "normal"), (3, 1, 1, "normal"), (5, 1, 3, "normal"),
+        (6, 1, 5, "normal"), (3, 5, 7, "normal"), (6, 2, 39, "normal"),
+        (4, 5, 43, "normal"), (4, 6, 75, "normal"), (5, 7, 139, "normal"),
+        (5, 8, 267, "normal"), (6, 8, 523, "normal"), (7, 9, 779, "normal"),
+        (6, 11, 1291, "normal"),
+        (9, 32, -32, "lower"), (9, 32, 3339, "upper"), (2, 0, 0, "oob"),
+    ],
+    11: [
+        (1, 0, 1, "normal"), (2, 1, 2, "normal"), (4, 0, 4, "normal"),
+        (4, 1, 5, "normal"), (5, 1, 7, "normal"), (5, 2, 9, "normal"),
+        (6, 2, 13, "normal"), (7, 2, 17, "normal"), (7, 3, 21, "normal"),
+        (7, 4, 29, "normal"), (7, 5, 45, "normal"), (7, 6, 77, "normal"),
+        (7, 32, 141, "upper"),
+    ],
+    12: [
+        (1, 0, 1, "normal"), (2, 0, 2, "normal"), (3, 1, 3, "normal"),
+        (5, 0, 5, "normal"), (5, 1, 6, "normal"), (6, 1, 8, "normal"),
+        (7, 0, 10, "normal"), (7, 1, 11, "normal"), (7, 2, 13, "normal"),
+        (7, 3, 17, "normal"), (7, 4, 25, "normal"), (8, 5, 41, "normal"),
+        (8, 32, 73, "upper"),
+    ],
+    13: [
+        (1, 0, 1, "normal"), (3, 0, 2, "normal"), (4, 0, 3, "normal"),
+        (5, 0, 4, "normal"), (4, 1, 5, "normal"), (3, 3, 7, "normal"),
+        (6, 1, 15, "normal"), (6, 2, 17, "normal"), (6, 3, 21, "normal"),
+        (6, 4, 29, "normal"), (6, 5, 45, "normal"), (7, 6, 77, "normal"),
+        (7, 32, 141, "upper"),
+    ],
+    14: [
+        (3, 0, -2, "normal"), (3, 0, -1, "normal"), (1, 0, 0, "normal"),
+        (3, 0, 1, "normal"), (3, 0, 2, "normal"),
+    ],
+    15: [
+        (7, 4, -24, "normal"), (6, 2, -8, "normal"), (5, 1, -4, "normal"),
+        (4, 0, -2, "normal"), (3, 0, -1, "normal"), (1, 0, 0, "normal"),
+        (3, 0, 1, "normal"), (4, 0, 2, "normal"), (5, 1, 3, "normal"),
+        (6, 2, 5, "normal"), (7, 4, 9, "normal"),
+        (7, 32, -25, "lower"), (7, 32, 25, "upper"),
+    ],
+}
+
+_STD_CACHE: "dict[int, HuffTable]" = {1: _TABLE_B1}
+
+
+def _std_table(n: int) -> HuffTable:
+    """Predefined Annex B table B.n; fails closed for B.7 and B.10,
+    whose transcriptions could not be double-verified offline (their
+    candidate line sets break the Kraft-completeness check every
+    other Annex B table satisfies — shipping a guess would desync
+    silently)."""
+
+    lines = _STD_LINES.get(n)
+    if lines is None:
+        raise UserError(
+            f"JBIG2: predefined Huffman table B.{n} unsupported."
+        )
+    t = _STD_CACHE.get(n)
+    if t is None:
+        t = _STD_CACHE[n] = HuffTable(lines)
+    return t
+
 
 def decode_code_table(payload: bytes) -> HuffTable:
     """Code-table segment (type 53) data -> HuffTable (B.2 syntax:
@@ -1319,22 +1433,23 @@ def _decode_symbol_dict_huffman(
     bm_sel = (flags >> 6) & 0x01
     it = iter(tables)
 
-    def _pick(sel: int, what: str) -> HuffTable:
-        if sel == 3:
-            try:
-                return next(it)
-            except StopIteration:
-                raise UserError("JBIG2: missing user code table.") from None
-        if what == "bmsize" and sel == 0:
-            return _TABLE_B1
-        raise UserError(
-            "JBIG2: predefined Huffman table selections unsupported "
-            "(user tables only)."
-        )
+    def _user() -> HuffTable:
+        try:
+            return next(it)
+        except StopIteration:
+            raise UserError("JBIG2: missing user code table.") from None
 
-    dh_tbl = _pick(dh_sel, "dh")
-    dw_tbl = _pick(dw_sel, "dw")
-    bm_tbl = _pick(bm_sel, "bmsize") if bm_sel else _TABLE_B1
+    def _pick(sel: int, std: "tuple[int, ...]") -> HuffTable:
+        # §7.4.3.1.1: selection 3 = user table, else predefined B.n
+        if sel == 3:
+            return _user()
+        if sel >= len(std):
+            raise UserError("JBIG2: reserved Huffman table selection.")
+        return _std_table(std[sel])
+
+    dh_tbl = _pick(dh_sel, (4, 5))
+    dw_tbl = _pick(dw_sel, (2, 3))
+    bm_tbl = _user() if bm_sel else _TABLE_B1
     numex, numnew = struct.unpack(">II", payload[2:10])
     if numnew > 1 << 20 or numex > 1 << 20:
         raise UserError("JBIG2: implausible symbol count.")
@@ -1635,27 +1750,30 @@ def _decode_text_region_huffman(
     hflags = int.from_bytes(payload[19:21], "big")
     it = iter(tables)
 
-    def _pick(sel: int) -> HuffTable:
-        if sel == 3:
-            try:
-                return next(it)
-            except StopIteration:
-                raise UserError("JBIG2: missing user code table.") from None
-        raise UserError(
-            "JBIG2: predefined Huffman table selections unsupported "
-            "(user tables only)."
-        )
+    def _user() -> HuffTable:
+        try:
+            return next(it)
+        except StopIteration:
+            raise UserError("JBIG2: missing user code table.") from None
 
-    fs_tbl = _pick(hflags & 0x03)
-    ds_tbl = _pick((hflags >> 2) & 0x03)
-    dt_tbl = _pick((hflags >> 4) & 0x03)
+    def _pick(sel: int, std: "tuple[int, ...]") -> HuffTable:
+        # §7.4.4.1.1: selection 3 = user table, else predefined B.n
+        if sel == 3:
+            return _user()
+        if sel >= len(std):
+            raise UserError("JBIG2: reserved Huffman table selection.")
+        return _std_table(std[sel])
+
+    fs_tbl = _pick(hflags & 0x03, (6, 7))
+    ds_tbl = _pick((hflags >> 2) & 0x03, (8, 9, 10))
+    dt_tbl = _pick((hflags >> 4) & 0x03, (11, 12, 13))
     if sbrefine:
-        rdw_tbl = _pick((hflags >> 6) & 0x03)
-        rdh_tbl = _pick((hflags >> 8) & 0x03)
-        rdx_tbl = _pick((hflags >> 10) & 0x03)
-        rdy_tbl = _pick((hflags >> 12) & 0x03)
+        rdw_tbl = _pick((hflags >> 6) & 0x03, (14, 15))
+        rdh_tbl = _pick((hflags >> 8) & 0x03, (14, 15))
+        rdx_tbl = _pick((hflags >> 10) & 0x03, (14, 15))
+        rdy_tbl = _pick((hflags >> 12) & 0x03, (14, 15))
         rsize_tbl = (
-            _pick(3) if (hflags >> 14) & 0x01 else _TABLE_B1
+            _user() if (hflags >> 14) & 0x01 else _TABLE_B1
         )
     cursor = 21
     if sbrefine and sbrtemplate == 0:
@@ -2056,18 +2174,26 @@ def encode_text_region(
 
 def encode_symbol_dict_huffman(
     syms: "list[np.ndarray]", n_input: int = 0, mmr: bool = True,
+    std_tables: bool = False,
 ) -> "tuple[list[bytes], bytes]":
     """Symbol bitmaps (sorted by (height, width)) -> ([DH-table
     payload, DW-table payload], SDHUFF=1 dictionary payload). Height
     classes share ONE collective bitmap (MMR-coded, or uncompressed
     byte-aligned rows with mmr=False); BMSIZE and export runs ride
     Table B.1. The caller hosts the tables as type-53 segments
-    referred by the dictionary."""
+    referred by the dictionary. ``std_tables=True`` selects the
+    predefined Annex B tables instead (DH selection 0 = B.4, DW
+    selection 0 = B.2 — valid here because the (height, width) sort
+    makes every DH >= 1 and every in-class DW >= 0) and returns no
+    table payloads — the profile fax-era hardware encoders emit."""
 
-    t_dh = _simple_table(0, 32, oob=False)
-    t_dw = _simple_table(-16, 16, oob=True)
-    dh_tbl = decode_code_table(t_dh)
-    dw_tbl = decode_code_table(t_dw)
+    if std_tables:
+        dh_tbl, dw_tbl = _std_table(4), _std_table(2)
+    else:
+        t_dh = _simple_table(0, 32, oob=False)
+        t_dw = _simple_table(-16, 16, oob=True)
+        dh_tbl = decode_code_table(t_dh)
+        dw_tbl = decode_code_table(t_dw)
     from .ccitt import encode_g4
 
     n = len(syms)
@@ -2099,16 +2225,19 @@ def encode_symbol_dict_huffman(
             bw.out += np.packbits(coll, axis=1).tobytes()
     _TABLE_B1.encode(bw, n_input)  # initial non-export run
     _TABLE_B1.encode(bw, n)       # export the new symbols
-    # SDHUFF=1, SDHUFFDH=SDHUFFDW=3 (user tables), SDHUFFBMSIZE=0 (B.1)
-    flags = 0x01 | (3 << 2) | (3 << 4)
+    # SDHUFF=1; DH/DW selections: 3/3 (user tables) or 0/0 (B.4/B.2);
+    # SDHUFFBMSIZE=0 (B.1) either way
+    sel = 0 if std_tables else 3
+    flags = 0x01 | (sel << 2) | (sel << 4)
     sd = struct.pack(">H", flags) + struct.pack(">II", n, n) + bw.flush()
-    return [t_dh, t_dw], sd
+    return ([] if std_tables else [t_dh, t_dw]), sd
 
 
 def encode_text_region_huffman(
     w: int, h: int,
     instances: "list[tuple]",
     syms: "list[np.ndarray]",
+    std_tables: bool = False,
 ) -> "tuple[list[bytes], bytes]":
     """Encoder twin of _decode_text_region_huffman: ([table
     payloads], SBHUFF=1 text region payload). All symbol IDs get the
@@ -2121,18 +2250,26 @@ def encode_text_region_huffman(
     type-53 segments."""
 
     sbrefine = any(len(t) > 3 and t[3] is not None for t in instances)
-    t_fs = _simple_table(0, 64, oob=False)
-    t_ds = _simple_table(0, 64, oob=True)
-    t_dt = _simple_table(0, 32, oob=False)
-    fs_tbl = decode_code_table(t_fs)
-    ds_tbl = decode_code_table(t_ds)
-    dt_tbl = decode_code_table(t_dt)
-    tbl_payloads = [t_fs, t_ds, t_dt]
-    if sbrefine:
-        t_rd = _simple_table(-8, 8, oob=False)
-        rd_tbl = decode_code_table(t_rd)
-        # one shared RDW/RDH/RDX/RDY table, referred four times
-        tbl_payloads += [t_rd, t_rd, t_rd, t_rd]
+    if std_tables:
+        # predefined Annex B selections: FS=B.6, DS=B.8, DT=B.11,
+        # RD*=B.15 — each covers any value via its range escapes
+        # (B.11 has no value 0, so STRIPT seeds at -1; see below)
+        fs_tbl, ds_tbl, dt_tbl = _std_table(6), _std_table(8), _std_table(11)
+        rd_tbl = _std_table(15)
+        tbl_payloads: "list[bytes]" = []
+    else:
+        t_fs = _simple_table(0, 64, oob=False)
+        t_ds = _simple_table(0, 64, oob=True)
+        t_dt = _simple_table(0, 32, oob=False)
+        fs_tbl = decode_code_table(t_fs)
+        ds_tbl = decode_code_table(t_ds)
+        dt_tbl = decode_code_table(t_dt)
+        tbl_payloads = [t_fs, t_ds, t_dt]
+        if sbrefine:
+            t_rd = _simple_table(-8, 8, oob=False)
+            rd_tbl = decode_code_table(t_rd)
+            # one shared RDW/RDH/RDX/RDY table, referred four times
+            tbl_payloads += [t_rd, t_rd, t_rd, t_rd]
     nsyms = len(syms)
     idlen = max(1, (max(nsyms, 1) - 1).bit_length())
     if nsyms == 1:
@@ -2151,8 +2288,14 @@ def encode_text_region_huffman(
     )
 
     inst = sorted(instances, key=lambda t: (t[0], t[1], t[2]))
-    dt_tbl.encode(bw, 0)  # STRIPT starts at 0
-    stript = 0
+    if std_tables:
+        # B.11 codes 1.. only: seed STRIPT at -1 so every strip delta
+        # (first one included) is >= 1 for strictly increasing rows
+        dt_tbl.encode(bw, 1)
+        stript = -1
+    else:
+        dt_tbl.encode(bw, 0)  # STRIPT starts at 0
+        stript = 0
     firsts = 0
     i = 0
     n = len(inst)
@@ -2197,11 +2340,14 @@ def encode_text_region_huffman(
             curs += placed_w - 1
             i += 1
     # SBHUFF=1, REFCORNER=TOPLEFT; huffman flags: user tables (3) for
-    # FS/DS/DT and, with refinement, RDW/RDH/RDX/RDY; RSIZE via B.1
+    # FS/DS/DT — or predefined selections 0 (B.6/B.8/B.11) with
+    # std_tables — and, with refinement, RDW/RDH/RDX/RDY (user, or
+    # selection 1 = B.15); RSIZE via B.1 either way
     tflags = 0x01 | (1 << 4) | ((1 << 1) if sbrefine else 0)
-    hflags = 3 | (3 << 2) | (3 << 4)
+    sel, rsel = (0, 1) if std_tables else (3, 3)
+    hflags = sel | (sel << 2) | (sel << 4)
     if sbrefine:
-        hflags |= (3 << 6) | (3 << 8) | (3 << 10) | (3 << 12)
+        hflags |= (rsel << 6) | (rsel << 8) | (rsel << 10) | (rsel << 12)
     payload = (
         struct.pack(">IIII", w, h, 0, 0)
         + b"\x00"  # external combination operator: OR
@@ -2357,7 +2503,7 @@ def encode_jbig2_embedded(
 def encode_jbig2_symbol_text(
     img: np.ndarray, split_globals: bool = False,
     refine_instances: bool = False, refagg_dict: bool = False,
-    huffman: bool = False,
+    huffman: bool = False, std_tables: bool = False,
 ) -> "bytes | tuple[bytes, bytes]":
     """0/1 bitmap -> embedded JBIG2 stream coded the way production
     scanned-text encoders work: connected components become a symbol
@@ -2427,24 +2573,29 @@ def encode_jbig2_symbol_text(
     page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00" + b"\x00\x00"
     if huffman:
         gpage = 0 if split_globals else 1
-        sd_tbls, sd = encode_symbol_dict_huffman(syms)
-        tr_tbls, tr = encode_text_region_huffman(w, h, inst, syms)
-        sd_part = (
-            _segment(1, 53, sd_tbls[0], page=gpage)
-            + _segment(2, 53, sd_tbls[1], page=gpage)
-            + _segment(3, 0, sd, page=gpage, refs=(1, 2))
+        sd_tbls, sd = encode_symbol_dict_huffman(syms, std_tables=std_tables)
+        tr_tbls, tr = encode_text_region_huffman(
+            w, h, inst, syms, std_tables=std_tables
         )
-        tr_part = b"".join(
-            _segment(4 + k, 53, t) for k, t in enumerate(tr_tbls)
+        sd_part = b"".join(
+            _segment(1 + k, 53, t, page=gpage) for k, t in enumerate(sd_tbls)
         ) + _segment(
-            4 + len(tr_tbls), 6, tr,
-            refs=(3,) + tuple(4 + k for k in range(len(tr_tbls))),
+            1 + len(sd_tbls), 0, sd, page=gpage,
+            refs=tuple(1 + k for k in range(len(sd_tbls))),
+        )
+        sd_num = 1 + len(sd_tbls)
+        tr_part = b"".join(
+            _segment(sd_num + 1 + k, 53, t) for k, t in enumerate(tr_tbls)
+        ) + _segment(
+            sd_num + 1 + len(tr_tbls), 6, tr,
+            refs=(sd_num,)
+            + tuple(sd_num + 1 + k for k in range(len(tr_tbls))),
         )
         page_stream = (
             _segment(0, 48, page_info)
             + (b"" if split_globals else sd_part)
             + tr_part
-            + _segment(5 + len(tr_tbls), 49, b"")
+            + _segment(sd_num + 2 + len(tr_tbls), 49, b"")
         )
         if split_globals:
             return sd_part, page_stream

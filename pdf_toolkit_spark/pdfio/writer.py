@@ -49,7 +49,9 @@ class PageSpec:
     #: lossy-cluster + refine-to-lossless symbol flow, still
     #: bit-exact), "jbig2huf" (SDHUFF/SBHUFF Huffman organization
     #: with user code tables — the low-memory hardware profile),
-    #: "jpx" (lossless
+    #: "jbig2hufstd" (SDHUFF/SBHUFF with the predefined Annex B
+    #: table selections B.4/B.2/B.6/B.8/B.11 — what fax-era hardware
+    #: encoders actually emit), "jpx" (lossless
     #: JPEG 2000 via pdfio/jpx.py), "jpx97" (lossy 9/7 JPEG 2000,
     #: derived QCD), or "jpxq" (lossy with per-component QCC
     #: signalling); the 1-bit codecs threshold gray rasters at >127
@@ -275,7 +277,7 @@ def _image_xobject(
 ) -> bytes:
     h, w = arr.shape[:2]
     cs = "DeviceRGB" if arr.ndim == 3 else "DeviceGray"
-    if codec in ("jbig2s", "jbig2sr", "jbig2huf") and arr.ndim == 2:
+    if codec in ("jbig2s", "jbig2sr", "jbig2huf", "jbig2hufstd") and arr.ndim == 2:
         from .jbig2 import encode_jbig2_symbol_text
 
         sym_kw = {}
@@ -283,6 +285,8 @@ def _image_xobject(
             sym_kw = {"refine_instances": True, "refagg_dict": True}
         elif codec == "jbig2huf":
             sym_kw = {"huffman": True}
+        elif codec == "jbig2hufstd":
+            sym_kw = {"huffman": True, "std_tables": True}
         bits = (arr <= 127).astype(np.uint8)  # dark pixels = black
         g, data = encode_jbig2_symbol_text(
             bits, split_globals=True, **sym_kw

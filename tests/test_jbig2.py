@@ -99,11 +99,11 @@ def test_malformed_symbol_segments_fail_closed():
     seg = struct.pack(">IB", 0, 0) + b"\x00" + b"\x01" + struct.pack(">I", 0)
     with pytest.raises(UserError, match="truncated"):
         decode_jbig2_embedded(seg)
-    # Huffman-coded dictionaries (SDHUFF=1) stay out of scope
-    payload = b"\x00\x01" + b"\x00" * 16
+    # the SDHUFF x SDREFAGG combination stays out of scope
+    payload = b"\x00\x03" + b"\x00" * 16
     seg = (struct.pack(">IB", 0, 0) + b"\x00" + b"\x01"
            + struct.pack(">I", len(payload)) + payload)
-    with pytest.raises(UserError, match="Huffman"):
+    with pytest.raises(UserError, match="Huffman refinement/aggregate"):
         decode_jbig2_embedded(seg)
 
 
@@ -961,39 +961,93 @@ def test_huffman_text_region_roundtrip():
     assert np.array_equal(bm, exp)
 
 
+@pytest.mark.parametrize("std", [False, True])
 @pytest.mark.parametrize("name", ["structured", "noise", "thin"])
-def test_huffman_symbol_text_end_to_end(name):
-    """The full SDHUFF/SBHUFF organization (type-53 table segments
-    referred by dictionary and region) through the segment walk,
-    inline and globals-split."""
+def test_huffman_symbol_text_end_to_end(name, std):
+    """The full SDHUFF/SBHUFF organization through the segment walk,
+    inline and globals-split — with user code tables (type-53
+    segments referred by dictionary and region) and with the
+    predefined Annex B selections (B.4/B.2 dictionary, B.6/B.8/B.11
+    text region; no table segments at all)."""
 
     from pdf_toolkit_spark.pdfio.jbig2 import encode_jbig2_symbol_text
 
     img = _cases()[name]
-    enc = encode_jbig2_symbol_text(img, huffman=True)
+    enc = encode_jbig2_symbol_text(img, huffman=True, std_tables=std)
     assert np.array_equal(decode_jbig2_embedded(enc), img)
-    g, p = encode_jbig2_symbol_text(img, split_globals=True, huffman=True)
+    g, p = encode_jbig2_symbol_text(
+        img, split_globals=True, huffman=True, std_tables=std
+    )
     assert np.array_equal(decode_jbig2_embedded(p, g), img)
+    if std:  # predefined selections carry no type-53 segments
+        assert b"\x35" not in enc[:1] and len(enc) < len(
+            encode_jbig2_symbol_text(img, huffman=True)
+        )
 
 
-def test_huffman_predefined_selections_fail_closed():
-    """Standard-table selections (we ship only B.1 + user tables)
-    and Huffman refinement stay fail-closed."""
+def test_huffman_std_tables_refined_instances_end_to_end():
+    """Predefined selections compose with SBREFINE: RDW/RDH/RDX/RDY
+    ride B.15 (selection 1), RSIZE rides B.1, and the refined page
+    stays bit-exact."""
 
     from pdf_toolkit_spark.pdfio.jbig2 import encode_jbig2_symbol_text
 
     img = _cases()["structured"]
-    enc = bytearray(encode_jbig2_symbol_text(img, huffman=True))
-    # the SD payload's flag halfword sits right after its segment
-    # header; flip SDHUFFDH from 3 (user) to 0 (standard B.4)
-    import struct
-    at = bytes(enc).find(struct.pack(">H", 0x01 | (3 << 2) | (3 << 4)))
-    enc[at : at + 2] = struct.pack(">H", 0x01 | (0 << 2) | (3 << 4))
-    with pytest.raises(UserError, match="predefined Huffman"):
-        decode_jbig2_embedded(bytes(enc))
+    enc = encode_jbig2_symbol_text(
+        img, huffman=True, std_tables=True, refine_instances=True
+    )
+    assert np.array_equal(decode_jbig2_embedded(enc), img)
 
 
-def test_jbig2huf_writer_codec_extracts_end_to_end():
+def test_standard_tables_are_structurally_valid():
+    """Transcription double-check for every shipped Annex B table:
+    the prefix code is Kraft-COMPLETE (sum 2^-len == 1 — one wrong
+    prefix length breaks it), normal ranges tile their span exactly,
+    and the lower/upper escapes sit flush against the span ends. Plus
+    the spec's published B.1 code words as an absolute anchor."""
+
+    from fractions import Fraction
+
+    from pdf_toolkit_spark.pdfio.jbig2 import _STD_LINES, _std_table
+
+    assert sorted(_STD_LINES) == [1, 2, 3, 4, 5, 6, 8, 9, 11, 12, 13, 14, 15]
+    for n, lines in _STD_LINES.items():
+        assert sum(Fraction(1, 2 ** pl) for pl, *_ in lines if pl > 0) == 1, n
+        normals = sorted((lo, rl) for pl, rl, lo, k in lines if k == "normal")
+        for (lo, rl), (nlo, _) in zip(normals, normals[1:]):
+            assert lo + (1 << rl) == nlo, n
+        for pl, rl, lo, k in lines:
+            if k == "lower":
+                assert lo == normals[0][0] - 1, n
+            if k == "upper":
+                assert lo == normals[-1][0] + (1 << normals[-1][1]), n
+    # B.1's published code words: 0, 10, 110, 111
+    assert _std_table(1).codes == [(0, 1), (2, 2), (6, 3), (7, 3)]
+
+
+def test_huffman_b7_b10_selections_fail_closed():
+    """The two Annex B tables whose transcriptions could not be
+    double-verified offline (B.7, B.10) stay fail-closed: flipping a
+    text region's FS selection to 1 (B.7) or DS to 2 (B.10) raises,
+    never desyncs silently."""
+
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        decode_text_region, encode_text_region_huffman,
+    )
+
+    syms = [_glyph(8, 6, i) for i in range(3)]
+    inst = [(2, 3, 0), (2, 12, 1), (9, 4, 2)]
+    _, tr = encode_text_region_huffman(40, 30, inst, syms, std_tables=True)
+    for patch, name in ((0x01, "B.7"), (0x02 << 2, "B.10")):
+        bad = bytearray(tr)
+        hflags = int.from_bytes(tr[19:21], "big")
+        bad[19:21] = (hflags | patch).to_bytes(2, "big")
+        with pytest.raises(UserError, match=rf"{name} unsupported"):
+            decode_text_region(bytes(bad), syms, tables=[])
+
+
+@pytest.mark.parametrize("codec", ["jbig2huf", "jbig2hufstd"])
+def test_jbig2huf_writer_codec_extracts_end_to_end(codec):
     from pdf_toolkit_spark.extract import extract_document
     from pdf_toolkit_spark.pdfio.parser import PdfDocument
     from pdf_toolkit_spark.pdfio.writer import PageSpec, write_pdf
@@ -1003,7 +1057,7 @@ def test_jbig2huf_writer_codec_extracts_end_to_end():
     raster[20:90, 12:84] = np.where(
         rng.random((70, 72)) > 0.6, 20, 235
     ).astype(np.uint8)
-    pdf = write_pdf([PageSpec(raster=raster, codec="jbig2huf")])
+    pdf = write_pdf([PageSpec(raster=raster, codec=codec)])
     assert b"JBIG2Decode" in pdf
     gray = PdfDocument(pdf).load_page(0).scan
     assert np.array_equal(

@@ -51,14 +51,15 @@ def test_mega_pdf_went_through_chunked_path(spans_by_doc):
 def test_span_sequence_equality_jpeg_corpus(spark):
     """The same equality gate over a scan-codec corpus: every 3rd
     doc's rasters ship as baseline JPEG, Group-4 fax, generic-region
-    JBIG2, lossless JPEG 2000, lossy 9/7 JPEG 2000 or symbol/text
-    JBIG2 with /JBIG2Globals (cycling) — the dominant real-world scan
+    JBIG2, lossless JPEG 2000, lossy 9/7 JPEG 2000, symbol/text
+    JBIG2 with /JBIG2Globals, or SDHUFF symbol JBIG2 with predefined
+    Annex B tables (cycling) — the dominant real-world scan
     encodings. Distributed decode must equal the serial oracle
     pixel-for-pixel (media_refs hash decoded pixels; for the lossy
     codecs both engines decode the SAME bytes, so equality is exact
     even though the codec is not)."""
 
-    n = 18  # coded docs 0,3,...,15 cycle all six codecs over 2-D rasters
+    n = 21  # coded docs 0,3,...,18 cycle all seven codecs over 2-D rasters
     input_df = corpus_dataframe(spark, n, seed=42, mega_every=0, jpeg_every=3)
     spans_df, _ = build_pipeline(spark, input_df, CFG)
     rows = {r["doc_id"]: [s.asDict() for s in r["spans"]] for r in spans_df.collect()}
@@ -77,6 +78,11 @@ def test_span_sequence_equality_jpeg_corpus(spark):
     # an irreversible SPcod transform byte
     doc12 = make_document(12, seed=42, mega_every=0, jpeg_every=3)
     assert b"JPXDecode" in doc12["pdf_bytes"]
+    # slot 1 (doc 3, outer_bar content) is the predefined-table SDHUFF
+    # profile: a /JBIG2Globals symbol dictionary coded with the Annex
+    # B standard tables (no type-53 code-table segments)
+    doc3 = make_document(3, seed=42, mega_every=0, jpeg_every=3)
+    assert b"JBIG2Globals" in doc3["pdf_bytes"]
 
 
 def test_span_sequence_equality_cid_corpus(spark):
