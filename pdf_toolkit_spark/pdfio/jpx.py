@@ -41,16 +41,19 @@ resync check they are, EPH header terminators — in the packed-header
 stream when PPM/PPT host the headers), and POC progression-order
 changes (A.6.6: per-volume packet re-enumeration with already-sent
 packets skipped; a POC leaving packets uncovered fails closed), plus
-the segmentation-symbol code-block style (D.5: every cleanup pass
-closes with 1010 in the UNIFORM context, verified on decode — the
-error-detection mode); subsampling patterns beyond 4:2:0 (and 4:2:0
-composed with the reversible path / explicit precincts / ROI), the
-remaining code-block style modes (bypass/reset/termall/causal/
-predictable termination), and semantic marker segments the decoder
-can't honour (COC overrides beyond code-block geometry and an
-exact-match precinct partition, non-maxshift RGN styles, and
-tile-header coding overrides) raise UserError (missing raster
-upstream, never wrong pixels).
+the code-block style modes (Table A.19): segmentation symbols (D.5:
+every cleanup pass closes with 1010 in the UNIFORM context, verified
+on decode), selective arithmetic bypass (D.6: raw SPP/MRP from the
+11th pass with bit stuffing), per-pass context reset, per-pass
+termination, and vertically causal contexts — the multi-segment
+B.10.7 packet layout those modes force is carried on both ends;
+subsampling patterns beyond 4:2:0 (and 4:2:0 composed with the
+reversible path / explicit precincts / ROI), predictable termination
+(0x10), and semantic marker segments the decoder can't honour (COC
+overrides beyond code-block geometry and an exact-match precinct
+partition, non-maxshift RGN styles, and tile-header coding
+overrides) raise UserError (missing raster upstream, never wrong
+pixels).
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (bit-exact on the
@@ -737,6 +740,624 @@ def t1_decode(
 
 
 # ---------------------------------------------------------------------------
+# Code-block style modes (T.800 Table A.19): selective arithmetic
+# bypass, per-pass context reset, per-pass termination, vertically
+# causal contexts. These change the ENTROPY-STREAM LAYOUT (multiple
+# codeword segments per block, raw bit runs), so they get their own
+# Tier-1 twin — the style-0 hot path above stays fully inlined.
+# Predictable termination (0x10) remains fail-closed.
+# ---------------------------------------------------------------------------
+
+_CB_BYPASS, _CB_RESET, _CB_TERMALL, _CB_CAUSAL = 0x01, 0x02, 0x04, 0x08
+_CB_PREDTERM, _CB_SEGSYM = 0x10, 0x20
+#: the modes that change the codeword-segment layout / contexts
+_CB_STYLED = _CB_BYPASS | _CB_RESET | _CB_TERMALL | _CB_CAUSAL
+
+
+def _pass_kind(i: int) -> int:
+    """Coding-pass type by absolute index: 0=SPP, 1=MRP, 2=CUP (the
+    block's first pass is the MSB plane's cleanup)."""
+
+    return 2 if i == 0 else (i - 1) % 3
+
+
+def _is_raw_pass(style: int, i: int) -> bool:
+    """D.6 selective bypass: SPP and MRP passes from the 11th coding
+    pass on are raw-coded; cleanup passes stay MQ."""
+
+    return bool(style & _CB_BYPASS) and i >= 10 and _pass_kind(i) != 2
+
+
+def _term_after(style: int, i: int) -> bool:
+    """Does a codeword-segment termination follow pass i? TERMALL
+    terminates every pass; bypass terminates before entering each raw
+    run (the cleanup closing pass 10 onward) and after each raw
+    SPP+MRP pair — the boundaries B.10.7 signals per-segment lengths
+    for."""
+
+    if style & _CB_TERMALL:
+        return True
+    if style & _CB_BYPASS:
+        k = _pass_kind(i)
+        if i >= 9 and k == 2:
+            return True
+        if i >= 10 and k == 1:
+            return True
+    return False
+
+
+def _seg_partition(style: int, base: int, n: int) -> "list[tuple[int, bool]]":
+    """Split a packet contribution of ``n`` passes starting at
+    absolute pass ``base`` into codeword segments: (pass count,
+    ends-with-termination) per segment, in order."""
+
+    parts: list[tuple[int, bool]] = []
+    cnt = 0
+    for i in range(base, base + n):
+        cnt += 1
+        if _term_after(style, i):
+            parts.append((cnt, True))
+            cnt = 0
+    if cnt:
+        parts.append((cnt, False))
+    return parts
+
+
+class _RawWriter:
+    """D.6 raw (bypass) bit packer: MSB-first with bit stuffing — the
+    byte after an 0xFF carries only 7 data bits (MSB forced 0). The
+    flush pads with zeros and never leaves a trailing 0xFF."""
+
+    __slots__ = ("out", "cur", "nb")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.cur = 0
+        self.nb = 0
+
+    def _limit(self) -> int:
+        return 7 if self.out and self.out[-1] == 0xFF else 8
+
+    def put(self, bit: int) -> None:
+        self.cur = (self.cur << 1) | bit
+        self.nb += 1
+        if self.nb == self._limit():
+            self.out.append(self.cur)
+            self.cur = 0
+            self.nb = 0
+
+    def flush(self) -> bytes:
+        if self.nb:
+            self.out.append(self.cur << (self._limit() - self.nb))
+            self.cur = 0
+            self.nb = 0
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0)
+        return bytes(self.out)
+
+
+class _RawReader:
+    """Decoder twin of _RawWriter; reads 0 past the end (the encoder
+    zero-pads its final byte)."""
+
+    __slots__ = ("data", "pos", "cur", "nb")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.cur = 0
+        self.nb = 0
+
+    def get(self) -> int:
+        if self.nb == 0:
+            if self.pos >= len(self.data):
+                return 0
+            stuffed = self.pos > 0 and self.data[self.pos - 1] == 0xFF
+            self.cur = self.data[self.pos] & (0x7F if stuffed else 0xFF)
+            self.pos += 1
+            self.nb = 7 if stuffed else 8
+        self.nb -= 1
+        return (self.cur >> self.nb) & 1
+
+
+class _MQSegEncoder:
+    """MQ encoder whose CONTEXT state survives segment terminations
+    (T.800 termination without the reset mode keeps the probability
+    estimates; the a/c/ct registers restart per segment)."""
+
+    def __init__(self) -> None:
+        self.cxi, self.cxm = _fresh_cx()
+        self._restart()
+
+    def _restart(self) -> None:
+        self.a, self.c, self.ct = 0x8000, 0, 12
+        self.out = bytearray([0])  # dummy BPST-1 byte, stripped
+
+    def reset_ctx(self) -> None:
+        self.cxi, self.cxm = _fresh_cx()
+
+    def _byteout(self) -> None:
+        out = self.out
+        if out[-1] == 0xFF:
+            out.append((self.c >> 20) & 0xFF)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif not (self.c & 0x8000000):
+            out.append((self.c >> 19) & 0xFF)
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:
+            out[-1] += 1
+            if out[-1] == 0xFF:
+                self.c &= 0x7FFFFFF
+                out.append((self.c >> 20) & 0xFF)
+                self.c &= 0xFFFFF
+                self.ct = 7
+            else:
+                out.append((self.c >> 19) & 0xFF)
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def encode_many(self, decisions) -> None:
+        cxi, cxm = self.cxi, self.cxm
+        qeq, nmps, nlps, sw = _QE_Q, _QE_NMPS, _QE_NLPS, _QE_SW
+        a, c, ct = self.a, self.c, self.ct
+        for v in decisions:
+            cx = v & 0xFF
+            i = cxi[cx]
+            mps = cxm[cx]
+            qe = qeq[i]
+            a -= qe
+            if (v >> 8) == mps:
+                if a & 0x8000:
+                    c += qe
+                    continue
+                if a < qe:
+                    a = qe
+                else:
+                    c += qe
+                cxi[cx] = nmps[i]
+            else:
+                if a < qe:
+                    c += qe
+                else:
+                    a = qe
+                if sw[i]:
+                    cxm[cx] = 1 - mps
+                cxi[cx] = nlps[i]
+            while True:
+                a = (a << 1) & 0xFFFF
+                c = (c << 1) & 0xFFFFFFFF
+                ct -= 1
+                if ct == 0:
+                    self.c, self.ct = c, ct
+                    self._byteout()
+                    c, ct = self.c, self.ct
+                if a & 0x8000:
+                    break
+        self.a, self.c, self.ct = a, c, ct
+
+    def terminate(self) -> bytes:
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        seg = bytes(self.out[1:])
+        # a trailing 0xFF would emulate a marker with whatever byte
+        # follows; the decoder's BYTEIN feeds 1s past the end anyway
+        while seg and seg[-1] == 0xFF:
+            seg = seg[:-1]
+        self._restart()
+        return seg
+
+
+class _MQSegReader:
+    """MQ decoder twin of _MQSegEncoder: INITDEC per segment, context
+    state shared across segments."""
+
+    def __init__(self) -> None:
+        self.cxi, self.cxm = _fresh_cx()
+        self.start(b"")
+
+    def start(self, data: bytes) -> None:
+        self.data = data
+        self.n = len(data)
+        self.bp, self.c, self.ct, self.a = _mqd_init(data)
+
+    def reset_ctx(self) -> None:
+        self.cxi, self.cxm = _fresh_cx()
+
+    def bit(self, cx: int) -> int:
+        ii = self.cxi[cx]
+        qe = _QE_Q[ii]
+        self.a -= qe
+        ch = (self.c >> 16) & 0xFFFF
+        if ch >= qe and self.a & 0x8000:
+            self.c -= qe << 16
+            return self.cxm[cx]
+        d, self.a, self.c, self.ct, self.bp = _mqd_slow(
+            self.data, self.n, self.bp, self.c, self.ct, self.a, qe, ii,
+            cx, self.cxi, self.cxm, ch,
+        )
+        return d
+
+
+def t1_encode_styled(
+    coeffs: np.ndarray, orient: int, style: int, segsym: bool = False,
+) -> "tuple[list[bytes], int, int]":
+    """EBCOT Tier-1 encode with code-block style modes -> (codeword
+    segments, npasses, numbps). One bytes object per terminated unit
+    (Tier-2 signals a length per segment, B.10.7). Vertically causal
+    mode codes every 4-row stripe as if the next stripe were entirely
+    insignificant (contexts, eligibility, run mode, and sign contexts
+    all mask the below-stripe row)."""
+
+    h, w = coeffs.shape
+    maxmag = int(np.abs(coeffs).max(initial=0))
+    if maxmag == 0:
+        return [], 0, 0
+    numbps = maxmag.bit_length()
+    stride = w + 2
+    sig = bytearray((h + 2) * stride)
+    sgn = [0] * ((h + 2) * stride)
+    nbr = bytearray((h + 2) * stride)
+    refined = bytearray(h * w)
+    tmag = np.abs(coeffs).ravel().tolist()
+    tneg = (coeffs < 0).ravel().tolist()
+    zlut = _ZC_LUTS[orient]
+    causal = bool(style & _CB_CAUSAL)
+
+    def zc(j: int, last: bool):
+        hn = sig[j - 1] + sig[j + 1]
+        vn = sig[j - stride] + (0 if last else sig[j + stride])
+        dn = sig[j - stride - 1] + sig[j - stride + 1] + (
+            0 if last else sig[j + stride - 1] + sig[j + stride + 1]
+        )
+        return hn, vn, dn
+
+    def scx(j: int, last: bool) -> int:
+        hc = sgn[j - 1] + sgn[j + 1]
+        hc = -1 if hc < -1 else (1 if hc > 1 else hc)
+        vc = sgn[j - stride] + (0 if last else sgn[j + stride])
+        vc = -1 if vc < -1 else (1 if vc > 1 else vc)
+        return (hc + 1) * 3 + (vc + 1)
+
+    passes: "list[tuple[bool, list[int]]]" = []
+    pass_i = 0
+    for bp_i in range(numbps - 1, -1, -1):
+        bit = 1 << bp_i
+        visited = bytearray(h * w)
+        if bp_i != numbps - 1:
+            # significance propagation
+            raw = _is_raw_pass(style, pass_i)
+            dec: list[int] = []
+            push = dec.append
+            for y0 in range(0, h, 4):
+                y1 = min(y0 + 4, h)
+                for x in range(w):
+                    i0 = y0 * w + x
+                    j0 = (y0 + 1) * stride + x + 1
+                    for y in range(y0, y1):
+                        j = j0 + (y - y0) * stride
+                        if sig[j]:
+                            continue
+                        last = causal and y - y0 == 3
+                        hn, vn, dn = zc(j, last)
+                        if hn + vn + dn == 0:
+                            continue
+                        i = i0 + (y - y0) * w
+                        d = 1 if tmag[i] & bit else 0
+                        if raw:
+                            push(d)
+                            if d:
+                                push(1 if tneg[i] else 0)
+                        else:
+                            push(zlut[hn * 15 + vn * 5 + dn] | (d << 8))
+                            if d:
+                                k = scx(j, last)
+                                push(_SC_CTXL[k] | ((tneg[i] ^ _SC_XORL[k]) << 8))
+                        if d:
+                            _set_sig(sig, sgn, nbr, j, stride, tneg[i])
+                        visited[i] = 1
+            passes.append((raw, dec))
+            pass_i += 1
+            # magnitude refinement
+            raw = _is_raw_pass(style, pass_i)
+            dec = []
+            push = dec.append
+            for y0 in range(0, h, 4):
+                y1 = min(y0 + 4, h)
+                for x in range(w):
+                    i0 = y0 * w + x
+                    j0 = (y0 + 1) * stride + x + 1
+                    for y in range(y0, y1):
+                        j = j0 + (y - y0) * stride
+                        i = i0 + (y - y0) * w
+                        if not sig[j] or visited[i]:
+                            continue
+                        b_ = 1 if tmag[i] & bit else 0
+                        if raw:
+                            push(b_)
+                        else:
+                            if refined[i]:
+                                cx = 16
+                            else:
+                                hn, vn, dn = zc(j, causal and y - y0 == 3)
+                                cx = 15 if hn + vn + dn else 14
+                            push(cx | (b_ << 8))
+                        refined[i] = 1
+            passes.append((raw, dec))
+            pass_i += 1
+        # cleanup (always MQ)
+        dec = []
+        push = dec.append
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                i0 = y0 * w + x
+                j0 = (y0 + 1) * stride + x + 1
+                y = y0
+                nrows = min(4, h - y0)
+                if nrows == 4:
+                    run_ok = True
+                    for k in range(4):
+                        j = j0 + k * stride
+                        if sig[j] or visited[i0 + k * w]:
+                            run_ok = False
+                            break
+                        hn, vn, dn = zc(j, causal and k == 3)
+                        if hn + vn + dn:
+                            run_ok = False
+                            break
+                    if run_ok:
+                        r = -1
+                        for k in range(4):
+                            if tmag[i0 + k * w] & bit:
+                                r = k
+                                break
+                        if r < 0:
+                            push(_CX_RUN)
+                            continue
+                        push(_CX_RUN | (1 << 8))
+                        push(_CX_UNI | (((r >> 1) & 1) << 8))
+                        push(_CX_UNI | ((r & 1) << 8))
+                        i = i0 + r * w
+                        j = j0 + r * stride
+                        k = scx(j, causal and r == 3)
+                        push(_SC_CTXL[k] | ((tneg[i] ^ _SC_XORL[k]) << 8))
+                        _set_sig(sig, sgn, nbr, j, stride, tneg[i])
+                        y = y0 + r + 1
+                for yy in range(y, y0 + nrows):
+                    j = j0 + (yy - y0) * stride
+                    i = i0 + (yy - y0) * w
+                    if sig[j] or visited[i]:
+                        continue
+                    last = causal and yy - y0 == 3
+                    hn, vn, dn = zc(j, last)
+                    d = 1 if tmag[i] & bit else 0
+                    push(zlut[hn * 15 + vn * 5 + dn] | (d << 8))
+                    if d:
+                        k = scx(j, last)
+                        push(_SC_CTXL[k] | ((tneg[i] ^ _SC_XORL[k]) << 8))
+                        _set_sig(sig, sgn, nbr, j, stride, tneg[i])
+        if segsym:
+            for b_ in (1, 0, 1, 0):
+                push(_CX_UNI | (b_ << 8))
+        passes.append((False, dec))
+        pass_i += 1
+
+    npasses = pass_i
+    segments: "list[bytes]" = []
+    enc = _MQSegEncoder()
+    rawbuf: "_RawWriter | None" = None
+    for i, (is_raw, data) in enumerate(passes):
+        if is_raw:
+            if rawbuf is None:
+                rawbuf = _RawWriter()
+            for b_ in data:
+                rawbuf.put(b_)
+        else:
+            enc.encode_many(data)
+        if _term_after(style, i) or i == npasses - 1:
+            if is_raw:
+                segments.append(rawbuf.flush())
+                rawbuf = None
+            else:
+                segments.append(enc.terminate())
+        if style & _CB_RESET:
+            enc.reset_ctx()
+    return segments, npasses, numbps
+
+
+def t1_decode_styled(
+    segs: "list[bytes]", h: int, w: int, orient: int, numbps: int,
+    npasses: int, style: int, segsym: bool = False,
+) -> np.ndarray:
+    """Decoder twin of t1_encode_styled: walks the same pass
+    structure, starting a fresh codeword segment (MQ INITDEC or raw
+    reader) after every termination; MQ context state persists across
+    segments unless the reset mode clears it per pass."""
+
+    stride = w + 2
+    sig = bytearray((h + 2) * stride)
+    sgn = [0] * ((h + 2) * stride)
+    nbr = bytearray((h + 2) * stride)
+    refined = bytearray(h * w)
+    mag = [0] * (h * w)
+    zlut = _ZC_LUTS[orient]
+    causal = bool(style & _CB_CAUSAL)
+
+    def zc(j: int, last: bool):
+        hn = sig[j - 1] + sig[j + 1]
+        vn = sig[j - stride] + (0 if last else sig[j + stride])
+        dn = sig[j - stride - 1] + sig[j - stride + 1] + (
+            0 if last else sig[j + stride - 1] + sig[j + stride + 1]
+        )
+        return hn, vn, dn
+
+    def scx(j: int, last: bool) -> int:
+        hc = sgn[j - 1] + sgn[j + 1]
+        hc = -1 if hc < -1 else (1 if hc > 1 else hc)
+        vc = sgn[j - stride] + (0 if last else sgn[j + stride])
+        vc = -1 if vc < -1 else (1 if vc > 1 else vc)
+        return (hc + 1) * 3 + (vc + 1)
+
+    mq = _MQSegReader()
+    rawr: "_RawReader | None" = None
+    seg_i = 0
+    need_new = True
+
+    def begin_pass(i: int) -> bool:
+        nonlocal seg_i, need_new, rawr
+        is_raw = _is_raw_pass(style, i)
+        if need_new:
+            if seg_i >= len(segs):
+                raise UserError("JPX: missing codeword segment.")
+            s = bytes(segs[seg_i])
+            seg_i += 1
+            if is_raw:
+                rawr = _RawReader(s)
+            else:
+                mq.start(s)
+            need_new = False
+        return is_raw
+
+    def end_pass(i: int) -> None:
+        nonlocal need_new
+        if style & _CB_RESET:
+            mq.reset_ctx()
+        if _term_after(style, i):
+            need_new = True
+
+    done = 0
+    plane = numbps - 1
+    kinds = ("cup",)
+    while done < npasses and plane >= 0:
+        bit = 1 << plane
+        visited = bytearray(h * w)
+        for which in kinds:
+            if done >= npasses:
+                break
+            is_raw = begin_pass(done)
+            if which == "spp":
+                for y0 in range(0, h, 4):
+                    y1 = min(y0 + 4, h)
+                    for x in range(w):
+                        i0 = y0 * w + x
+                        j0 = (y0 + 1) * stride + x + 1
+                        for y in range(y0, y1):
+                            j = j0 + (y - y0) * stride
+                            if sig[j]:
+                                continue
+                            last = causal and y - y0 == 3
+                            hn, vn, dn = zc(j, last)
+                            if hn + vn + dn == 0:
+                                continue
+                            i = i0 + (y - y0) * w
+                            if is_raw:
+                                d = rawr.get()
+                                if d:
+                                    neg = bool(rawr.get())
+                                    _set_sig(sig, sgn, nbr, j, stride, neg)
+                                    mag[i] = bit
+                            else:
+                                d = mq.bit(zlut[hn * 15 + vn * 5 + dn])
+                                if d:
+                                    k = scx(j, last)
+                                    sb = mq.bit(_SC_CTXL[k])
+                                    neg = bool(sb ^ _SC_XORL[k])
+                                    _set_sig(sig, sgn, nbr, j, stride, neg)
+                                    mag[i] = bit
+                            visited[i] = 1
+            elif which == "mrp":
+                for y0 in range(0, h, 4):
+                    y1 = min(y0 + 4, h)
+                    for x in range(w):
+                        i0 = y0 * w + x
+                        j0 = (y0 + 1) * stride + x + 1
+                        for y in range(y0, y1):
+                            j = j0 + (y - y0) * stride
+                            i = i0 + (y - y0) * w
+                            if not sig[j] or visited[i]:
+                                continue
+                            if is_raw:
+                                d = rawr.get()
+                            else:
+                                if refined[i]:
+                                    cx = 16
+                                else:
+                                    hn, vn, dn = zc(j, causal and y - y0 == 3)
+                                    cx = 15 if hn + vn + dn else 14
+                                d = mq.bit(cx)
+                            refined[i] = 1
+                            if d:
+                                mag[i] |= bit
+            else:  # cleanup — always MQ
+                for y0 in range(0, h, 4):
+                    for x in range(w):
+                        i0 = y0 * w + x
+                        j0 = (y0 + 1) * stride + x + 1
+                        y = y0
+                        nrows = min(4, h - y0)
+                        if nrows == 4:
+                            run_ok = True
+                            for k in range(4):
+                                j = j0 + k * stride
+                                if sig[j] or visited[i0 + k * w]:
+                                    run_ok = False
+                                    break
+                                hn, vn, dn = zc(j, causal and k == 3)
+                                if hn + vn + dn:
+                                    run_ok = False
+                                    break
+                            if run_ok:
+                                if not mq.bit(_CX_RUN):
+                                    continue
+                                r = (mq.bit(_CX_UNI) << 1) | mq.bit(_CX_UNI)
+                                i = i0 + r * w
+                                j = j0 + r * stride
+                                k = scx(j, causal and r == 3)
+                                sb = mq.bit(_SC_CTXL[k])
+                                neg = bool(sb ^ _SC_XORL[k])
+                                _set_sig(sig, sgn, nbr, j, stride, neg)
+                                mag[i] = bit
+                                y = y0 + r + 1
+                        for yy in range(y, y0 + nrows):
+                            j = j0 + (yy - y0) * stride
+                            i = i0 + (yy - y0) * w
+                            if sig[j] or visited[i]:
+                                continue
+                            last = causal and yy - y0 == 3
+                            hn, vn, dn = zc(j, last)
+                            d = mq.bit(zlut[hn * 15 + vn * 5 + dn])
+                            if d:
+                                k = scx(j, last)
+                                sb = mq.bit(_SC_CTXL[k])
+                                neg = bool(sb ^ _SC_XORL[k])
+                                _set_sig(sig, sgn, nbr, j, stride, neg)
+                                mag[i] = bit
+                if segsym:
+                    sym = 0
+                    for _four in range(4):
+                        sym = (sym << 1) | mq.bit(_CX_UNI)
+                    if sym != 0b1010:
+                        raise UserError("JPX: segmentation symbol mismatch.")
+            end_pass(done)
+            done += 1
+        plane -= 1
+        kinds = ("spp", "mrp", "cup")
+    out = np.array(mag, np.int64).reshape(h, w)
+    signs = np.array(
+        [sgn[(y + 1) * stride + 1 : (y + 1) * stride + 1 + w] for y in range(h)],
+        np.int64,
+    )
+    return (out * np.where(signs == 0, 1, signs)).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
 # 5/3 reversible DWT (T.800 Annex F lifting)
 # ---------------------------------------------------------------------------
 
@@ -1358,6 +1979,7 @@ def encode_jpx(
     poc: "list | None" = None,
     segsym: bool = False,
     subsample: str = "444",
+    cblk_style: int = 0,
 ) -> bytes:
     """8-bit gray (H, W) or RGB (H, W, 3) -> JPEG 2000 codestream.
     Defaults: one layer, 64x64 code-blocks (``cb_exp`` sets other
@@ -1395,6 +2017,12 @@ def encode_jpx(
         raise UserError("JPX encoder: tile_size must be a multiple of 2^levels.")
     if not (1 <= layers <= 255):
         raise UserError("JPX encoder: 1-255 quality layers.")
+    if cblk_style & ~_CB_STYLED:
+        raise UserError("JPX encoder: unsupported code-block style bits.")
+    if cblk_style and layers != 1:
+        # multi-segment contributions + layer cuts compound; the
+        # production profiles pair the speed modes with single-layer
+        raise UserError("JPX encoder: styled code-blocks require layers=1.")
     xcb, ycb = (cb_exp, cb_exp) if isinstance(cb_exp, int) else cb_exp
     if not (2 <= xcb <= 10 and 2 <= ycb <= 10 and xcb + ycb <= 12):
         raise UserError(
@@ -1636,12 +2264,22 @@ def encode_jpx(
                         for bi, (y0, x0, ch, cw, _by, _bx) in enumerate(
                             blocks
                         ):
-                            seg, npasses, numbps, wm = t1_encode(
-                                np.ascontiguousarray(
-                                    arr[y0 : y0 + ch, x0 : x0 + cw]
-                                ).astype(np.int32),
-                                orient, return_marks=True, segsym=segsym,
-                            )
+                            blk_arr = np.ascontiguousarray(
+                                arr[y0 : y0 + ch, x0 : x0 + cw]
+                            ).astype(np.int32)
+                            segments = None
+                            if cblk_style:
+                                segments, npasses, numbps = t1_encode_styled(
+                                    blk_arr, orient, cblk_style,
+                                    segsym=segsym,
+                                )
+                                seg = b"".join(segments)
+                                wm = [len(seg)]
+                            else:
+                                seg, npasses, numbps, wm = t1_encode(
+                                    blk_arr, orient, return_marks=True,
+                                    segsym=segsym,
+                                )
                             if numbps > mb:
                                 raise UserError(
                                     "JPX encoder: magnitude exceeds Mb."
@@ -1664,6 +2302,7 @@ def encode_jpx(
                             coded.append(
                                 {"seg": seg, "npasses": npasses,
                                  "numbps": numbps, "wm": wm, "cuts": cuts,
+                                 "segments": segments,
                                  "lblock": 3, "included": False}
                             )
                         st = {"nx": nxp, "ny": nyp, "coded": coded, "mb": mb}
@@ -1737,6 +2376,29 @@ def encode_jpx(
                               if cut < blk["npasses"]
                               else len(blk["seg"]))
                         _encode_npasses(bw, np_l)
+                        if blk["segments"] is not None:
+                            # styled block (single layer): one length
+                            # per codeword segment (B.10.7), all read
+                            # with this block's shared Lblock
+                            parts = _seg_partition(cblk_style, prev, np_l)
+                            lens = [len(s) for s in blk["segments"]]
+                            while any(
+                                max(1, ln).bit_length()
+                                > blk["lblock"]
+                                + int(math.floor(math.log2(cnt)))
+                                for ln, (cnt, _t) in zip(lens, parts)
+                            ):
+                                bw.put(1)
+                                blk["lblock"] += 1
+                            bw.put(0)
+                            for ln, (cnt, _t) in zip(lens, parts):
+                                bw.put_bits(
+                                    ln,
+                                    blk["lblock"]
+                                    + int(math.floor(math.log2(cnt))),
+                                )
+                            body += b"".join(blk["segments"])
+                            continue
                         nbits = blk["lblock"] + int(
                             math.floor(math.log2(np_l))
                         )
@@ -1785,7 +2447,7 @@ def encode_jpx(
         38 + 3 * ncomp, 0, w, h, 0, 0, xt, yt, 0, 0, ncomp,
     ) + comp_siz
     out += b"\xff\x51" + siz
-    spcod = bytes([levels, xcb - 2, ycb - 2, 0x20 if segsym else 0,
+    spcod = bytes([levels, xcb - 2, ycb - 2, (0x20 if segsym else 0) | cblk_style,
                    0 if irreversible else 1])
     prec_bytes = (
         bytes((py_ << 4) | px_ for px_, py_ in pps) if use_prec else b""
@@ -1811,7 +2473,7 @@ def encode_jpx(
         out += b"\xff\x53" + struct.pack(
             ">HBB", 9 + len(prec_bytes), ci, 1 if use_prec else 0
         ) + bytes(
-            [levels, xo - 2, yo - 2, 0x20 if segsym else 0,
+            [levels, xo - 2, yo - 2, (0x20 if segsym else 0) | cblk_style,
              0 if irreversible else 1]
         ) + prec_bytes
     n_sub = 3 * levels + 1
@@ -1929,6 +2591,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     pps: "list | None" = None
     use_sop = use_eph = False
     segsym_mode = False
+    cb_style = 0
     subsampled = False
     poc_entries: list = []
     mct = 0
@@ -1997,12 +2660,14 @@ def decode_jpx(data: bytes) -> np.ndarray:
             xcb, ycb = seg[6] + 2, seg[7] + 2
             if not (2 <= xcb <= 10 and 2 <= ycb <= 10 and xcb + ycb <= 12):
                 raise UserError("JPX: code-block exponents out of range.")
-            # Scb (Table A.19): only the segmentation-symbol mode
-            # (0x20) is honoured; bypass/reset/termall/causal/
-            # predictable-termination change the entropy-stream layout
-            if seg[8] & ~0x20:
+            # Scb (Table A.19): segmentation symbols, selective
+            # bypass, per-pass context reset, per-pass termination and
+            # vertically causal contexts are honoured (the styled
+            # Tier-1 twin); predictable termination stays fail-closed
+            if seg[8] & ~(_CB_STYLED | _CB_SEGSYM):
                 raise UserError("JPX: code-block style modes unsupported.")
-            segsym_mode = bool(seg[8] & 0x20)
+            cb_style = seg[8] & _CB_STYLED
+            segsym_mode = bool(seg[8] & _CB_SEGSYM)
             if seg[9] not in (0, 1):
                 raise UserError("JPX: unknown wavelet transform.")
             reversible = seg[9] == 1
@@ -2160,7 +2825,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
         xo, yo = sp[2] + 2, sp[3] + 2
         if not (2 <= xo <= 10 and 2 <= yo <= 10 and xo + yo <= 12):
             raise UserError("JPX: COC code-block exponents out of range.")
-        if sp[4] != (0x20 if segsym_mode else 0):
+        if sp[4] != ((0x20 if segsym_mode else 0) | cb_style):
             raise UserError("JPX: COC code-block style override.")
         if sp[5] != (1 if reversible else 0):
             raise UserError("JPX: COC wavelet override.")
@@ -2288,7 +2953,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 "mb": mb_of[(ci, orient, nb)],
                 "blk": [
                     {"included": False, "numbps": 0, "lblock": 3,
-                     "npasses": 0, "segs": bytearray()}
+                     "npasses": 0, "segs": [bytearray()], "open": True}
                     for _ in blocks
                 ],
             }
@@ -2350,9 +3015,18 @@ def decode_jpx(data: bytes) -> np.ndarray:
                         np_l = _decode_npasses(br)
                         while br.get():
                             blk["lblock"] += 1
-                        nbits = blk["lblock"] + int(math.floor(math.log2(np_l)))
-                        seg_len = br.get_bits(nbits)
-                        contribs.append((blk, np_l, seg_len))
+                        # one length per codeword segment (B.10.7);
+                        # style 0 partitions to a single open segment,
+                        # reproducing the classic single-length read
+                        lens = []
+                        for cnt, term in _seg_partition(
+                            cb_style, blk["npasses"], np_l
+                        ):
+                            nbits = blk["lblock"] + int(
+                                math.floor(math.log2(cnt))
+                            )
+                            lens.append((br.get_bits(nbits), term))
+                        contribs.append((blk, np_l, lens))
             if hbr is None:
                 pos = br.align()
             else:
@@ -2368,9 +3042,16 @@ def decode_jpx(data: bytes) -> np.ndarray:
                     if hbr.data[hbr.pos : hbr.pos + 2] != b"\xff\x92":
                         raise UserError("JPX: missing EPH marker.")
                     hbr.pos += 2
-            for blk, np_l, seg_len in contribs:
-                blk["segs"] += tile_data[pos : pos + seg_len]
-                pos += seg_len
+            for blk, np_l, lens in contribs:
+                for seg_len, term in lens:
+                    if blk["open"]:
+                        blk["segs"][-1] += tile_data[pos : pos + seg_len]
+                    else:
+                        blk["segs"].append(
+                            bytearray(tile_data[pos : pos + seg_len])
+                        )
+                    blk["open"] = not term
+                    pos += seg_len
                 blk["npasses"] += np_l
 
         for (ci, orient, nb, _p), st in prec_state.items():
@@ -2380,10 +3061,17 @@ def decode_jpx(data: bytes) -> np.ndarray:
             ):
                 if not blk["npasses"]:
                     continue
-                coeffs = t1_decode(
-                    bytes(blk["segs"]), ch, cw, orient,
-                    blk["numbps"], blk["npasses"], segsym=segsym_mode,
-                )
+                if cb_style:
+                    coeffs = t1_decode_styled(
+                        [bytes(s) for s in blk["segs"]], ch, cw, orient,
+                        blk["numbps"], blk["npasses"], cb_style,
+                        segsym=segsym_mode,
+                    )
+                else:
+                    coeffs = t1_decode(
+                        bytes(blk["segs"][0]), ch, cw, orient,
+                        blk["numbps"], blk["npasses"], segsym=segsym_mode,
+                    )
                 arr[y0 : y0 + ch, x0 : x0 + cw] = coeffs
 
         def band(ci: int, orient: int, nb: int) -> np.ndarray:

@@ -53,8 +53,10 @@ class PageSpec:
     #: table selections B.4/B.2/B.6/B.8/B.11 — what fax-era hardware
     #: encoders actually emit), "jpx" (lossless
     #: JPEG 2000 via pdfio/jpx.py), "jpx97" (lossy 9/7 JPEG 2000,
-    #: derived QCD), or "jpxq" (lossy with per-component QCC
-    #: signalling); the 1-bit codecs threshold gray rasters at >127
+    #: derived QCD), "jpxq" (lossy with per-component QCC
+    #: signalling), or "jpxbyp" (lossy 9/7 with the selective-bypass
+    #: + vertically-causal code-block styles — production encoders'
+    #: speed knobs); the 1-bit codecs threshold gray rasters at >127
     codec: str = "flate"
 
 
@@ -373,10 +375,19 @@ def _image_xobject(
             f"/Length {len(data)} >>\nstream\n"
         ).encode()
         return head + data + b"\nendstream"
-    if codec in ("jpx", "jpx97", "jpxq"):
+    if codec in ("jpx", "jpx97", "jpxq", "jpxbyp"):
         from .jpx import encode_jpx
 
-        if codec == "jpxq":
+        if codec == "jpxbyp":
+            # production speed profile (the Kakadu/OpenJPEG default
+            # knobs for fast archival scans): selective arithmetic
+            # bypass + vertically causal contexts on the 9/7 path
+            data = encode_jpx(
+                np.ascontiguousarray(arr, dtype=np.uint8), levels=2,
+                irreversible=True, qstep=1.0 / 16,
+                cblk_style=0x01 | 0x08,
+            )
+        elif codec == "jpxq":
             # per-component quantization signalling (QCC): coarse
             # chroma for RGB; grayscale has one component, so the
             # fixture degrades to the plain expounded lossy shape

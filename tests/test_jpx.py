@@ -861,17 +861,26 @@ def test_segmentation_symbols():
 
 
 def test_other_code_block_styles_fail_closed():
-    """Bypass/reset/termall/causal/predictable-termination change the
-    entropy-stream layout: they fail closed, as does a COC whose style
-    byte differs from COD's."""
+    """Predictable termination (0x10) and reserved style bits still
+    fail closed, as does a COC whose style byte differs from COD's.
+    (Bypass/reset/termall/causal are decoded since round 6 — flipping
+    them on a stream coded without them must error or mis-verify,
+    never silently return the original pixels.)"""
 
     g = RNG.integers(0, 256, (24, 24), dtype=np.uint8)
     enc = bytearray(encode_jpx(g, 1))
     cod_at = bytes(enc).find(b"\xff\x52")
-    for bad in (0x01, 0x02, 0x04, 0x08, 0x10, 0x40):
+    for bad in (0x10, 0x40):
         enc[cod_at + 12] = bad
         with pytest.raises(UserError):
             decode_jpx(bytes(enc))
+    for flipped in (0x01, 0x04):
+        enc[cod_at + 12] = flipped
+        try:
+            d = decode_jpx(bytes(enc))
+            assert not np.array_equal(d, g)
+        except UserError:
+            pass
     rgb = RNG.integers(0, 256, (24, 24, 3), dtype=np.uint8)
     enc2 = bytearray(encode_jpx(rgb, 1, segsym=True, coc_cb={1: 4}))
     at = bytes(enc2).find(b"\xff\x53")
@@ -1129,3 +1138,57 @@ def test_rgn_unsupported_style_fails_closed():
     with pytest.raises(UserError, match="single tile"):
         encode_jpx(RNG.integers(0, 256, (80, 80), dtype=np.uint8),
                    1, roi=True, tile_size=64)
+
+
+@pytest.mark.parametrize("style", [0x01, 0x02, 0x04, 0x08, 0x03, 0x05, 0x09, 0x0F])
+def test_code_block_styles_roundtrip_lossless(style):
+    """Bypass / reset / termall / vertically-causal code-block styles
+    (and their combinations): the reversible path stays bit-exact
+    through the multi-segment Tier-2 layout (one length per codeword
+    segment, B.10.7)."""
+
+    img = RNG.integers(0, 256, (75, 90), dtype=np.uint8)
+    enc = encode_jpx(img, levels=3, cblk_style=style)
+    assert np.array_equal(decode_jpx(enc), img)
+    rgb = RNG.integers(0, 256, (48, 52, 3), dtype=np.uint8)
+    enc = encode_jpx(rgb, levels=2, cblk_style=style)
+    assert np.array_equal(decode_jpx(enc), rgb)
+
+
+def test_code_block_styles_compose_with_other_features():
+    """The styled path composes with segsym, 9/7, tiles, small code
+    blocks, and explicit precincts."""
+
+    img = RNG.integers(0, 256, (96, 96), dtype=np.uint8)
+    enc = encode_jpx(img, levels=2, cblk_style=0x0F, segsym=True)
+    assert np.array_equal(decode_jpx(enc), img)
+    enc = encode_jpx(img, levels=2, cblk_style=0x01 | 0x08,
+                     irreversible=True, qstep=1.0 / 64)
+    assert np.abs(decode_jpx(enc).astype(int) - img.astype(int)).max() <= 4
+    enc = encode_jpx(img, levels=2, cblk_style=0x01, tile_size=32)
+    assert np.array_equal(decode_jpx(enc), img)
+    enc = encode_jpx(img, levels=2, cblk_style=0x05, cb_exp=3)
+    assert np.array_equal(decode_jpx(enc), img)
+    enc = encode_jpx(img, levels=1, cblk_style=0x09, precincts=(6, 6))
+    assert np.array_equal(decode_jpx(enc), img)
+
+
+def test_styled_encoder_requires_single_layer():
+    img = RNG.integers(0, 256, (32, 32), dtype=np.uint8)
+    with pytest.raises(UserError, match="layers=1"):
+        encode_jpx(img, levels=1, cblk_style=0x01, layers=3)
+
+
+def test_jpxbyp_writer_codec_extracts_end_to_end():
+    """The bypass+causal speed profile (production encoders' default
+    knobs) through the writer, parser, and serial pipeline."""
+
+    from pdf_toolkit_spark.extract import extract_document
+    from pdf_toolkit_spark.pdfio.writer import PageSpec, write_pdf
+
+    raster = _cases()["text_page"]
+    pdf_bytes = write_pdf([PageSpec(raster=raster, codec="jpxbyp")])
+    assert b"JPXDecode" in pdf_bytes
+    parsed = PdfDocument(pdf_bytes).load_page(0)
+    assert np.abs(parsed.scan.astype(int) - raster.astype(int)).max() <= 4
+    assert len(extract_document(pdf_bytes)["spans"]) > 0
