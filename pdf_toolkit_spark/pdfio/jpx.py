@@ -2086,19 +2086,21 @@ def encode_jpx(
     emit_qcc = qcc or chroma_qstep is not None
     if roi and tile_size:
         raise UserError("JPX encoder: roi requires a single tile.")
-    if subsample not in ("444", "420"):
-        raise UserError("JPX encoder: subsample 444|420.")
-    use_420 = subsample == "420"
-    if use_420:
-        if gray or not irreversible:
-            raise UserError("JPX encoder: 420 needs irreversible RGB.")
+    if subsample not in ("444", "420", "422"):
+        raise UserError("JPX encoder: subsample 444|420|422.")
+    use_sub = subsample != "444"
+    sub_x = 2 if use_sub else 1
+    sub_y = 2 if subsample == "420" else 1
+    if use_sub:
+        if gray:
+            raise UserError("JPX encoder: subsampling needs RGB.")
         if precincts is not None or roi:
             raise UserError(
-                "JPX encoder: 420 excludes precincts and ROI."
+                "JPX encoder: subsampling excludes precincts and ROI."
             )
         if tile_size is not None and tile_size % (1 << (levels + 1)):
             raise UserError(
-                "JPX encoder: 420 tiles need a multiple of 2^(levels+1)."
+                "JPX encoder: subsampled tiles need a multiple of 2^(levels+1)."
             )
     #: per-component maxshift values, filled by the tile coder and
     #: signalled as main-header RGN segments
@@ -2163,21 +2165,33 @@ def encode_jpx(
             comps = (
                 [shifted.astype(np.float64)] if gray else _ict_forward(shifted)
             )
-            if use_420:
-                # chroma decimation: edge-pad to even dims, 2x2 box
-                # average (the decoder replicates back)
-                for ci_ in (1, 2):
-                    c = comps[ci_]
-                    ph, pw = -c.shape[0] % 2, -c.shape[1] % 2
-                    if ph or pw:
-                        c = np.pad(c, ((0, ph), (0, pw)), mode="edge")
-                    comps[ci_] = (
-                        c[0::2, 0::2] + c[0::2, 1::2]
-                        + c[1::2, 0::2] + c[1::2, 1::2]
-                    ) / 4.0
-            decomposed = [dwt97_forward(c, levels) for c in comps]
         else:
             comps = [shifted] if gray else _rct_forward(shifted)
+        if use_sub:
+            # chroma decimation: edge-pad to the sampling grid, box
+            # average over sub_y x sub_x (the decoder replicates
+            # back); integer components use a rounded integer mean so
+            # the 5/3 path stays integral
+            for ci_ in (1, 2):
+                c = comps[ci_]
+                ph, pw = -c.shape[0] % sub_y, -c.shape[1] % sub_x
+                if ph or pw:
+                    c = np.pad(c, ((0, ph), (0, pw)), mode="edge")
+                blocks = [
+                    c[dy::sub_y, dx::sub_x]
+                    for dy in range(sub_y)
+                    for dx in range(sub_x)
+                ]
+                total = blocks[0].copy()
+                for b_ in blocks[1:]:
+                    total += b_
+                if irreversible:
+                    comps[ci_] = total / float(len(blocks))
+                else:
+                    comps[ci_] = (total + len(blocks) // 2) // len(blocks)
+        if irreversible:
+            decomposed = [dwt97_forward(c, levels) for c in comps]
+        else:
             decomposed = [dwt53_forward(c, levels) for c in comps]
 
         def band_array(ci: int, orient: int, nb: int) -> np.ndarray:
@@ -2233,8 +2247,8 @@ def encode_jpx(
         th_t, tw_t = tile_img.shape[:2]
 
         def _enc_cdims(ci: int) -> tuple[int, int]:
-            if use_420 and ci > 0:
-                return -(-th_t // 2), -(-tw_t // 2)
+            if use_sub and ci > 0:
+                return -(-th_t // sub_y), -(-tw_t // sub_x)
             return th_t, tw_t
 
         layouts = {
@@ -2439,7 +2453,7 @@ def encode_jpx(
     out = bytearray()
     out += b"\xff\x4f"  # SOC
     comp_siz = (
-        bytes([7, 1, 1]) + bytes([7, 2, 2]) * 2 if use_420
+        bytes([7, 1, 1]) + bytes([7, sub_x, sub_y]) * 2 if use_sub
         else bytes([7, 1, 1]) * ncomp
     )
     siz = struct.pack(
@@ -2593,6 +2607,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     segsym_mode = False
     cb_style = 0
     subsampled = False
+    csub_x = csub_y = 1
     poc_entries: list = []
     mct = 0
     reversible = True
@@ -2628,11 +2643,15 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 if ssiz != 7:
                     raise UserError("JPX: only 8-bit unsigned components.")
                 subs.append((xr, yr))
-            # full resolution, or the 4:2:0 photographic shape
-            # (luma 1:1, both chroma 2:2)
-            if subs != [(1, 1)] * ncomp and subs != [(1, 1), (2, 2), (2, 2)]:
+            # full resolution, or the photographic chroma shapes:
+            # 4:2:0 (both chroma 2,2) / 4:2:2 (both chroma 2,1)
+            if subs != [(1, 1)] * ncomp and subs not in (
+                [(1, 1), (2, 2), (2, 2)],
+                [(1, 1), (2, 1), (2, 1)],
+            ):
                 raise UserError("JPX: unsupported subsampling pattern.")
             subsampled = subs[-1] != (1, 1)
+            csub_x, csub_y = subs[-1]
             if xo or yo or xto or yto:
                 raise UserError("JPX: image/tile grids must sit at the origin.")
             if not xt or not yt:
@@ -2798,12 +2817,10 @@ def decode_jpx(data: bytes) -> np.ndarray:
     if mct and ncomp != 3:
         raise UserError("JPX: component transform requires 3 components.")
     if subsampled:
-        # 4:2:0 composes with the irreversible path and whole-band
-        # precincts only (chroma decimation is inherently lossy, and
-        # per-component precinct grids would need per-component
-        # packet enumeration)
-        if reversible:
-            raise UserError("JPX: subsampling requires the 9/7 path.")
+        # chroma subsampling composes with whole-band precincts only
+        # (per-component precinct grids would need per-component
+        # packet enumeration); both wavelet paths decode — the 5/3
+        # keeps the decimated chroma planes bit-exact
         if any(p != (15, 15) for p in pps):
             raise UserError(
                 "JPX: subsampling with explicit precincts unsupported."
@@ -2916,10 +2933,11 @@ def decode_jpx(data: bytes) -> np.ndarray:
         # band containers, keyed (component, orient, level)
         band_arrays: dict[tuple[int, int, int], np.ndarray] = {}
         res_bands = _resolution_bands(levels)
-        # per-component tile dims (4:2:0 chroma at half resolution)
+        # per-component tile dims (subsampled chroma at reduced
+        # resolution per the SIZ XRsiz/YRsiz factors)
         def _cdims(ci: int) -> tuple[int, int]:
             if subsampled and ci > 0:
-                return -(-th // 2), -(-tw // 2)
+                return -(-th // csub_y), -(-tw // csub_x)
             return th, tw
         # precinct layouts per component (identical precinct grids at
         # full resolution; with 4:2:0 the whole-band-precinct
@@ -3104,8 +3122,10 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 raise UserError("JPX: reconstructed tile shape mismatch.")
             if subsampled and ci > 0:
                 # chroma upsampling by sample replication, cropped to
-                # the luma grid (the encoder box-averages 2x2 blocks)
-                tile = np.repeat(np.repeat(tile, 2, axis=0), 2, axis=1)
+                # the luma grid (the encoder box-averages the blocks)
+                tile = np.repeat(
+                    np.repeat(tile, csub_y, axis=0), csub_x, axis=1
+                )
                 tile = tile[:th, :tw]
             planes.append(tile)
         if ncomp == 1:

@@ -918,12 +918,10 @@ def test_420_subsampling():
 
 
 def test_420_fail_closed_combinations():
-    """4:2:0 x {reversible, precincts, ROI} fail closed on both
-    sides, as do subsampling patterns other than (1,1)/(2,2)/(2,2)."""
+    """Subsampling x {precincts, ROI} fail closed on both sides, as
+    do patterns other than 4:4:4 / 4:2:0 / 4:2:2."""
 
     rgb = RNG.integers(0, 256, (32, 32, 3), dtype=np.uint8)
-    with pytest.raises(UserError):
-        encode_jpx(rgb, 2, subsample="420")  # reversible
     with pytest.raises(UserError):
         encode_jpx(rgb, 2, irreversible=True, subsample="420",
                    precincts=5)
@@ -931,15 +929,52 @@ def test_420_fail_closed_combinations():
         encode_jpx(rgb, 2, irreversible=True, subsample="420", roi=True)
     enc = bytearray(encode_jpx(rgb, 1, irreversible=True,
                                subsample="420"))
-    at = bytes(enc).find(b"\xff\x52")
-    enc[at + 13] = 1  # wavelet byte -> reversible 5/3
-    with pytest.raises(UserError):
-        decode_jpx(bytes(enc))
     siz_at = bytes(enc).find(b"\xff\x51")
-    enc[at + 13] = 0
     enc[siz_at + 4 + 38 + 1] = 2  # luma XRsiz = 2: unsupported pattern
     with pytest.raises(UserError):
         decode_jpx(bytes(enc))
+
+
+def test_422_subsampling_both_paths():
+    """4:2:2 chroma subsampling (chroma XRsiz=2, YRsiz=1 — the video/
+    scanner shape): bounded error on smooth content on both wavelet
+    paths, smaller streams, odd dims and tiles covered."""
+
+    x = np.linspace(0, 255, 90)
+    rgb = np.stack(
+        [np.tile(x, (71, 1)), np.tile(x[::-1], (71, 1)),
+         np.full((71, 90), 90.0)], axis=-1,
+    ).astype(np.uint8)
+    for kw in ({"irreversible": True}, {}):
+        enc = encode_jpx(rgb, 2, subsample="422", **kw)
+        out = decode_jpx(enc)
+        assert out.shape == rgb.shape
+        err = np.abs(out.astype(int) - rgb.astype(int))
+        assert err.max() <= 4 and err.mean() < 3, kw
+    rgb2 = RNG.integers(0, 256, (97, 123, 3), dtype=np.uint8)
+    assert decode_jpx(encode_jpx(rgb2, 2, subsample="422")).shape == rgb2.shape
+    assert decode_jpx(
+        encode_jpx(rgb[:64, :64], 2, subsample="422", tile_size=32)
+    ).shape == (64, 64, 3)
+
+
+def test_reversible_subsampling_chroma_planes_bit_exact():
+    """Chroma subsampling on the 5/3 path: the decimation is the only
+    loss — a chroma-constant image (RCT chroma identically zero)
+    round-trips BIT-EXACT, for both 4:2:0 and 4:2:2, incl. tiles."""
+
+    g = RNG.integers(0, 256, (70, 91), dtype=np.uint8)
+    grayrgb = np.stack([g] * 3, axis=-1)
+    for sub in ("420", "422"):
+        assert np.array_equal(
+            decode_jpx(encode_jpx(grayrgb, 2, subsample=sub)), grayrgb
+        ), sub
+    assert np.array_equal(
+        decode_jpx(
+            encode_jpx(grayrgb[:64, :64], 2, subsample="420", tile_size=32)
+        ),
+        grayrgb[:64, :64],
+    )
 
 
 def test_code_block_size_validation():
