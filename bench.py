@@ -129,6 +129,8 @@ def main() -> None:
         "curate_domain_quota",
         "dedup_paragraphs",
         "text_perplexity_buckets",
+        # round-6 additions
+        "text_perplexity_tier_thresholds",
     ]
     for name in headliners:
         t0 = time.monotonic()

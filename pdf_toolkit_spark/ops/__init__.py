@@ -39,6 +39,7 @@ _MODULES = (
 #: greens.
 _STALEST_COHORT = (
     "text_perplexity_buckets",  # rewritten in round 6
+    "text_perplexity_tier_thresholds",  # new in round 6: never checked
     "rel_session_range_join", "rel_funnel", "rel_retention_cohorts",
     "rel_order_count_distribution", "rel_large_orders",
     "rel_sessionization", "rel_stratified_sample",

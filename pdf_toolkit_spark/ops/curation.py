@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from . import dedup as _dedup
 from . import text as _text
-from .common import SQL_HASH32, hash32, register_persist, table
+from .common import SQL_HASH32, SQL_NORM, hash32, norm_text, register_persist, table
 
 
 def curate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,9 +147,63 @@ def domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quota_over(table(spark, sf_dir, "documents").select("doc_id", "source"))
 
 
+#: mixture temperature: weight ∝ share^(1/2) — the multilingual-LM
+#: standard (temperature sampling with T=2 flattens the head so small
+#: domains are not starved)
+MIX_SCALE = 1 << 20
+
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting (the data-mixing step after
+    curation — XLM-R / mT5-style temperature sampling): each domain's
+    sampling weight is proportional to the square root of its token
+    count, normalized over domains, so high-resource domains are
+    down-weighted and the tail still trains. Output: (source, n_docs,
+    n_tokens, weight, epochs_at_weight) where epochs_at_weight is the
+    implied per-domain repetition factor when sampling a corpus-sized
+    budget at these weights.
+
+    Engine-exactness: IEEE sqrt is correctly rounded in BOTH engines
+    (unlike log/exp), and the per-domain sqrt is quantized to a 2^20
+    integer grid BEFORE the cross-domain sum, so the normalization
+    denominator is an exact integer in any aggregation order.
+
+    Scale shape: one map-side-combined (source) aggregate over a
+    two-column scan, then arithmetic over #domains rows."""
+
+    docs = table(spark, sf_dir, "documents")
+    norm = norm_text(F.col("text"))
+    n_tokens = F.when(norm == "", 0).otherwise(F.size(F.split(norm, " ")))
+    per = docs.select("source", n_tokens.alias("nt")).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+    )
+    q = F.floor(F.sqrt(F.col("n_tokens")) * MIX_SCALE).cast("bigint")
+    quant = per.select("source", "n_docs", "n_tokens", q.alias("qs"))
+    total = quant.agg(
+        F.sum("qs").alias("tq"), F.sum("n_tokens").alias("tt")
+    )
+    w = F.col("qs") / F.col("tq")
+    return (
+        quant.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(w, 6).alias("weight"),
+            # repetitions of this domain when a corpus-sized token
+            # budget is drawn at weight w: w * total_tokens / n_tokens
+            F.round(
+                w * F.col("tt") / F.col("n_tokens"), 6
+            ).alias("epochs_at_weight"),
+        )
+    )
+
+
 QUERIES = {
     "curate_survivors": curate_survivors,
     "curate_domain_quota": domain_quota,
+    "curate_mixture_weights": mixture_weights,
 }
 
 ORACLES = {
@@ -186,3 +240,24 @@ ORACLES = {
         ) t WHERE rk <= {QUOTA_PER_DOMAIN}
     """,
 }
+
+_CUR_N = SQL_NORM.format(e="text")
+_CUR_NT = f"CASE WHEN {_CUR_N} = '' THEN 0 ELSE len(string_split({_CUR_N}, ' ')) END"
+
+ORACLES["curate_mixture_weights"] = f"""
+    WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum({_CUR_NT}) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    quant AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(floor(sqrt(n_tokens) * {MIX_SCALE}) AS BIGINT) AS qs
+        FROM per
+    ),
+    tot AS (SELECT sum(qs) AS tq, sum(n_tokens) AS tt FROM quant)
+    SELECT source, n_docs, n_tokens,
+           round(qs / tq, 6) AS weight,
+           round(qs / tq * tt / n_tokens, 6) AS epochs_at_weight
+    FROM quant, tot
+"""

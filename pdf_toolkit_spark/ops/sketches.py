@@ -559,3 +559,165 @@ ORACLES["sketch_cms_heavy_hitters"] = f"""
     GROUP BY p.user_id
     ORDER BY exact_cnt DESC, user_id ASC
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV theta-sketch set operations (union / intersection / Jaccard)
+# ---------------------------------------------------------------------------
+
+#: sketch size for the set-op estimator — small enough that both
+#: partitions fill their sketch at every test SF (no partial-sketch
+#: branch), large enough for useful accuracy
+KMVSET_K = 64
+
+
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations over two customer populations
+    (pre-1995 vs 1995+ orderers): per-group KMV sketches combined
+    into union / intersection / Jaccard estimates next to their exact
+    values — the dataset-overlap primitive (how much does crawl B add
+    over crawl A?) that never compares the full key sets. Estimators
+    per Beyer et al. 2007 / the DataSketches theta framework:
+    theta = min(theta_A, theta_B); hashes below theta form a uniform
+    rate-theta sample of the union, so est_inter = |both sketches,
+    h < theta| / theta and jaccard = that count over all sampled
+    hashes.
+
+    Scale shape: per-group K smallest distinct hashes via a keyed
+    row_number window (rank <= K => WindowGroupLimit caps every map
+    partition at K rows per group before the exchange); everything
+    after operates on <= 2K rows crossed with one broadcast theta
+    row. The exact-count branch exists for the oracle's accuracy
+    check — it is the full distinct shuffle the sketch avoids at
+    100 TB."""
+
+    pairs = (
+        table(spark, sf_dir, "orders")
+        .select(
+            hash32(F.col("o_custkey").cast("string")).alias("h"),
+            (F.col("o_orderdate") < "1995-01-01").alias("is_a"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    kmv = register_persist(
+        pairs.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("is_a").orderBy("h")),
+        ).filter(F.col("rk") <= KMVSET_K)
+    )
+    thetas = (
+        kmv.groupBy()
+        .agg(
+            F.max(F.when(F.col("is_a"), F.col("h"))).alias("tha"),
+            F.max(F.when(~F.col("is_a"), F.col("h"))).alias("thb"),
+        )
+    )
+    th = F.least(F.col("tha"), F.col("thb"))
+    below = (
+        kmv.crossJoin(F.broadcast(thetas))
+        .filter(F.col("h") < th)
+        .groupBy("h")
+        .agg(F.count("*").alias("ng"))
+        .agg(
+            F.count("*").alias("n_below"),
+            F.coalesce(
+                F.sum(F.when(F.col("ng") == 2, 1).otherwise(0)), F.lit(0)
+            ).alias("n_inter"),
+        )
+    )
+    u_kth = (
+        kmv.select("h").distinct().orderBy("h").limit(KMVSET_K)
+        .agg(F.max("h").alias("thu"))
+    )
+    exact = (
+        pairs.groupBy("h")
+        .agg(
+            F.max(F.col("is_a").cast("int")).alias("ha"),
+            F.max((~F.col("is_a")).cast("int")).alias("hb"),
+        )
+        .agg(
+            F.sum("ha").cast("bigint").alias("exact_a"),
+            F.sum("hb").cast("bigint").alias("exact_b"),
+            F.count("*").alias("exact_union"),
+            F.sum(F.col("ha") * F.col("hb")).cast("bigint").alias("exact_inter"),
+        )
+    )
+    two32 = float(1 << 32)
+    est = lambda kth: F.round(F.lit((KMVSET_K - 1) * two32) / kth, 4)  # noqa: E731
+    return (
+        thetas.crossJoin(below).crossJoin(u_kth).crossJoin(exact)
+        .select(
+            F.lit(KMVSET_K).alias("k"),
+            est(F.col("tha")).alias("est_a"),
+            est(F.col("thb")).alias("est_b"),
+            est(F.col("thu")).alias("est_union"),
+            F.round(F.col("n_inter") * two32 / th, 4).alias("est_inter"),
+            F.when(
+                F.col("n_below") > 0,
+                F.round(F.col("n_inter") / F.col("n_below"), 6),
+            ).alias("jaccard_est"),
+            "exact_a", "exact_b", "exact_union", "exact_inter",
+        )
+    )
+
+
+QUERIES["sketch_kmv_set_ops"] = kmv_set_ops
+
+_HCUST = SQL_HASH32.format(e="o_custkey::VARCHAR")
+
+ORACLES["sketch_kmv_set_ops"] = f"""
+    WITH pairs AS (
+        SELECT DISTINCT {_HCUST} AS h,
+               o_orderdate < DATE '1995-01-01' AS is_a
+        FROM orders
+    ),
+    km AS (
+        SELECT h, is_a FROM (
+            SELECT h, is_a,
+                   row_number() OVER (PARTITION BY is_a ORDER BY h) AS rk
+            FROM pairs
+        ) t WHERE rk <= {KMVSET_K}
+    ),
+    th AS (
+        SELECT max(CASE WHEN is_a THEN h END) AS tha,
+               max(CASE WHEN NOT is_a THEN h END) AS thb
+        FROM km
+    ),
+    below AS (
+        SELECT km.h, count(*) AS ng
+        FROM km, th WHERE km.h < least(tha, thb) GROUP BY km.h
+    ),
+    bstats AS (
+        SELECT count(*) AS n_below,
+               coalesce(sum(CASE WHEN ng = 2 THEN 1 ELSE 0 END), 0) AS n_inter
+        FROM below
+    ),
+    uk AS (
+        SELECT max(h) AS thu FROM (
+            SELECT DISTINCT h FROM km ORDER BY h LIMIT {KMVSET_K}
+        ) u
+    ),
+    ex AS (
+        SELECT CAST(sum(ha) AS BIGINT) AS exact_a,
+               CAST(sum(hb) AS BIGINT) AS exact_b,
+               count(*) AS exact_union,
+               CAST(sum(ha * hb) AS BIGINT) AS exact_inter
+        FROM (
+            SELECT h, max(CASE WHEN is_a THEN 1 ELSE 0 END) AS ha,
+                   max(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS hb
+            FROM pairs GROUP BY h
+        ) g
+    )
+    SELECT {KMVSET_K} AS k,
+           round({(KMVSET_K - 1)} * 4294967296.0 / tha, 4) AS est_a,
+           round({(KMVSET_K - 1)} * 4294967296.0 / thb, 4) AS est_b,
+           round({(KMVSET_K - 1)} * 4294967296.0 / thu, 4) AS est_union,
+           round(n_inter * 4294967296.0 / least(tha, thb), 4) AS est_inter,
+           CASE WHEN n_below > 0
+                THEN round(CAST(n_inter AS DOUBLE) / n_below, 6) END
+               AS jaccard_est,
+           exact_a, exact_b, exact_union, exact_inter
+    FROM th, bstats, uk, ex
+"""

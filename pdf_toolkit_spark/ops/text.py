@@ -567,6 +567,49 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: linear-classifier weight range: zero-mean integers in [-CLF_W, CLF_W]
+CLF_W = 1000
+
+
+def classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality gate run AS A QUERY — the
+    production pattern for cheap model-based curation (score every
+    document with an exported linear text classifier, keep the
+    positive class). Weights here are deterministic hash-derived
+    zero-mean integers standing in for trained parameters: the
+    plumbing (tokenize, look up per-token weight, sum, threshold) is
+    exactly what a real exported linear model needs, and integer
+    logits keep the oracle value-exact. Output: (doc_id, n_tokens,
+    logit, keep); docs with no tokens are unscorable and dropped.
+
+    Scale shape: explode + per-token weight computed INLINE (one md5
+    — no model join at all) + one doc_id hash agg with map-side
+    combine; pure whole-stage codegen. Swapping in real weights turns
+    the inline hash into a broadcast join against the exported
+    vocabulary (the dsir_weight shape)."""
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", norm_text(F.col("text")).alias("norm")
+    )
+    words = docs.filter(F.col("norm") != "").select(
+        "doc_id", F.explode(F.split("norm", " ")).alias("word")
+    )
+    wgt = (
+        hash32(F.concat(F.lit("clfw:"), F.col("word"))) % (2 * CLF_W + 1)
+    ) - CLF_W
+    scored = (
+        words.select("doc_id", wgt.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w").alias("logit"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_tokens", "logit", (F.col("logit") > 0).alias("keep")
+    )
+
+
 #: PII regexes — a deliberately portable subset (char classes, bounded
 #: repeats, literal escapes) so Java regex (Spark) and RE2 (DuckDB)
 #: agree match-for-match. No lookaround, no backreferences.
@@ -920,6 +963,7 @@ QUERIES = {
     "text_dsir_weight": dsir_weight,
     "text_pii_redact": pii_redact,
     "text_dup_substring_rate": dup_substring_rate,
+    "text_classifier_filter": classifier_filter,
     "text_feature_hashing": feature_hashing,
     "text_decontaminate": decontaminate,
     "text_vocab_oov": vocab_oov,
@@ -957,6 +1001,18 @@ _C_EN, _C_ES, _C_DE, _C_FR = (_occ_sql(w) for w in ("the", "la", "der", "le"))
 _BEST = f"greatest({_C_EN}, {_C_ES}, {_C_DE}, {_C_FR})"
 
 ORACLES = {
+    "text_classifier_filter": f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split({_N}, ' ')) AS word
+            FROM documents WHERE {_N} != ''
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum({SQL_HASH32.format(e="'clfw:' || word")}
+                        % {2 * CLF_W + 1} - {CLF_W}) AS BIGINT) AS logit,
+               CAST(sum({SQL_HASH32.format(e="'clfw:' || word")}
+                        % {2 * CLF_W + 1} - {CLF_W}) AS BIGINT) > 0 AS keep
+        FROM words GROUP BY doc_id
+    """,
     "text_feature_hashing": f"""
         WITH words AS (
             SELECT doc_id, unnest(string_split({_N}, ' ')) AS word

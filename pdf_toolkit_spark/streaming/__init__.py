@@ -14,10 +14,12 @@ from .stream import (
     funnel_stream,
     ivf_assign_process_batch,
     neardup_process_batch,
+    pack_process_batch,
     purchase_attribution_stream,
     read_deduped,
     read_ivf_assignments,
     read_neardup_survivors,
+    read_packed_sequences,
     read_quota_admitted,
     read_tier_assignments,
     sessionize_stream,
@@ -26,6 +28,7 @@ from .stream import (
     stream_extraction,
     stream_ivf_assign,
     stream_neardup_documents,
+    stream_pack_sequences,
     stream_perplexity_tiers,
     tier_process_batch,
     windowed_event_counts,
@@ -38,10 +41,12 @@ __all__ = [
     "funnel_stream",
     "ivf_assign_process_batch",
     "neardup_process_batch",
+    "pack_process_batch",
     "purchase_attribution_stream",
     "read_deduped",
     "read_ivf_assignments",
     "read_neardup_survivors",
+    "read_packed_sequences",
     "read_quota_admitted",
     "read_tier_assignments",
     "sessionize_stream",
@@ -50,6 +55,7 @@ __all__ = [
     "stream_extraction",
     "stream_ivf_assign",
     "stream_neardup_documents",
+    "stream_pack_sequences",
     "stream_perplexity_tiers",
     "tier_process_batch",
     "windowed_event_counts",

@@ -725,6 +725,122 @@ def read_quota_admitted(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming sequence packing (online concat-and-chunk with carried offset)
+# ---------------------------------------------------------------------------
+
+def pack_process_batch(spark: SparkSession, out_dir: str):
+    """The foreachBatch body of ``stream_pack_sequences``: GPT-style
+    concat-and-chunk packing of a documents feed, online. Each epoch
+    computes its batch-local exclusive token prefix (the same two-pass
+    distributed prefix scan as the batch operator — no SinglePartition
+    window) and shifts it by the RUNNING TOTAL carried from strictly
+    earlier epochs, so offsets and training-window ids are globally
+    consistent across micro-batches and restarts. State is one bigint
+    per epoch (the cumulative token count) in an epoch-keyed parquet —
+    replay of epoch N rereads the state of N-1 and rewrites its own
+    directories idempotently. For a feed delivered in doc_id order the
+    result equals the batch ``text_pack_sequences`` exactly (pinned in
+    tests)."""
+
+    import glob as _glob
+
+    from ..ops.common import prefix_scan, release_caches
+    from ..ops.text import PACK_BUDGET
+
+    state_root = f"{out_dir}/state"
+
+    def _carry(epoch_id: int) -> int:
+        dirs = [
+            e for e in _glob.glob(f"{state_root}/epoch=*")
+            if int(e.rsplit("=", 1)[1]) < epoch_id
+        ]
+        if not dirs:
+            return 0
+        latest = max(dirs, key=lambda e: int(e.rsplit("=", 1)[1]))
+        return spark.read.parquet(latest).collect()[0]["total"]
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..ops.common import norm_text
+
+        norm = norm_text(F.col("text"))
+        n_tokens = F.when(norm == "", 0).otherwise(
+            F.size(F.split(norm, " "))
+        )
+        toks = batch_df.select("doc_id", n_tokens.alias("n_tokens"))
+        carry = _carry(epoch_id)
+        packed = prefix_scan(toks, ["doc_id"], "n_tokens", "local")
+        out = packed.select(
+            "doc_id",
+            "n_tokens",
+            (F.col("local") + F.lit(carry)).alias("start_offset"),
+            F.floor((F.col("local") + F.lit(carry)) / PACK_BUDGET)
+            .cast("bigint")
+            .alias("window_id"),
+        ).persist()
+        try:
+            out.write.mode("overwrite").parquet(
+                f"{out_dir}/packed/epoch={epoch_id:012d}"
+            )
+            total = carry + (
+                out.agg(F.sum("n_tokens").cast("bigint").alias("s"))
+                .collect()[0]["s"]
+                or 0
+            )
+            spark.createDataFrame(
+                [(int(total),)], schema="total bigint"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{state_root}/epoch={epoch_id:012d}"
+            )
+        finally:
+            out.unpersist()
+            release_caches()  # the prefix scan's per-batch pin
+
+    return process
+
+
+def stream_pack_sequences(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming sequence packing of a documents feed with a carried
+    global token offset. Returns the StreamingQuery."""
+
+    from pyspark.sql import types as T
+
+    in_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ])
+    stream = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    writer = (
+        stream.writeStream
+        .foreachBatch(pack_process_batch(spark, out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_packed_sequences(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, start_offset, window_id) across epochs."""
+
+    return spark.read.option("basePath", f"{out_dir}/packed").parquet(
+        f"{out_dir}/packed/epoch=*"
+    ).drop("epoch")
+
+
+# ---------------------------------------------------------------------------
 # Streaming perplexity tiering (online CCNet-style quality routing)
 # ---------------------------------------------------------------------------
 

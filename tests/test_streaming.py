@@ -538,6 +538,54 @@ def test_stream_ivf_assign_matches_batch_cells(spark, tmp_path):
     assert len({c for _, c in got}) > 1  # vectors spread over cells
 
 
+def test_stream_pack_sequences_matches_batch_and_replays(spark, tmp_path):
+    """Online packing with a carried token offset: for a doc_id-ordered
+    feed, the union over epochs must equal batch text_pack_sequences
+    row-for-row (offsets AND window ids global across the epoch
+    boundary), and replaying an epoch must change nothing."""
+
+    from pdf_toolkit_spark.ops.text import pack_sequences
+    from pdf_toolkit_spark.streaming import (
+        pack_process_batch,
+        read_packed_sequences,
+        stream_pack_sequences,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.mode("append").parquet(landing)
+    _await(stream_pack_sequences(spark, landing, out, ckpt))
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.mode("append").parquet(landing)
+    _await(stream_pack_sequences(spark, landing, out, ckpt))
+
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    got = key(
+        (r["doc_id"], r["n_tokens"], r["start_offset"], r["window_id"])
+        for r in read_packed_sequences(spark, out).collect()
+    )
+    expected = key(
+        (r["doc_id"], r["n_tokens"], r["start_offset"], r["window_id"])
+        for r in pack_sequences(spark, sf).collect()
+    )
+    assert got == expected
+    # offsets really cross the epoch boundary (second epoch starts
+    # at the first epoch's total, not at zero)
+    assert sum(1 for _, _, off, _ in got if off == 0) == 1
+
+    # replay the last epoch: output identical
+    process = pack_process_batch(spark, out)
+    process(docs.filter(F.col("doc_id") > mid), 1)
+    assert key(
+        (r["doc_id"], r["n_tokens"], r["start_offset"], r["window_id"])
+        for r in read_packed_sequences(spark, out).collect()
+    ) == expected
+
+
 def test_stream_perplexity_tiers_matches_batch_assignment(spark, tmp_path):
     """Streaming tier assignment against a FROZEN trigram model +
     frozen per-language cutoffs must equal the batch
