@@ -131,6 +131,9 @@ def main() -> None:
         "text_perplexity_buckets",
         # round-6 additions
         "text_perplexity_tier_thresholds",
+        "text_classifier_filter",
+        "sketch_kmv_set_ops",
+        "curate_mixture_weights",
     ]
     for name in headliners:
         t0 = time.monotonic()

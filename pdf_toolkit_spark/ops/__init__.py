@@ -39,7 +39,9 @@ _MODULES = (
 #: greens.
 _STALEST_COHORT = (
     "text_perplexity_buckets",  # rewritten in round 6
-    "text_perplexity_tier_thresholds",  # new in round 6: never checked
+    # new in round 6: never driver-checked
+    "text_perplexity_tier_thresholds", "text_classifier_filter",
+    "sketch_kmv_set_ops", "curate_mixture_weights",
     "rel_session_range_join", "rel_funnel", "rel_retention_cohorts",
     "rel_order_count_distribution", "rel_large_orders",
     "rel_sessionization", "rel_stratified_sample",
