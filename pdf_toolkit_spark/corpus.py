@@ -269,8 +269,14 @@ def make_document(
         codec = (
             "jpeg", "jbig2hufstd", "jbig2", "jpx", "jpx97", "jbig2s", "ccitt",
         )[(doc_id // jpeg_every) % 7]
+        if codec == "jbig2hufstd" and (doc_id // (jpeg_every * 7)) % 2:
+            # successive visits to the SDHUFF slot alternate the
+            # predefined-table profile: B.4/B.2/B.6/B.8/B.11, then
+            # the alternate B.5/B.3/B.7/B.10/B.13 selections
+            codec = "jbig2hufalt"
         if (
-            codec in ("jpx", "jpx97", "jbig2s", "jbig2hufstd")
+            codec in ("jpx", "jpx97", "jbig2s", "jbig2hufstd",
+                      "jbig2hufalt")
             and doc_class == "mega_pdf"
         ):
             codec = "jpeg"

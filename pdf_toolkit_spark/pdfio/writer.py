@@ -51,7 +51,9 @@ class PageSpec:
     #: with user code tables — the low-memory hardware profile),
     #: "jbig2hufstd" (SDHUFF/SBHUFF with the predefined Annex B
     #: table selections B.4/B.2/B.6/B.8/B.11 — what fax-era hardware
-    #: encoders actually emit), "jpx" (lossless
+    #: encoders actually emit), "jbig2hufalt" (the alternate
+    #: predefined selections B.5/B.3/B.7/B.10/B.13, covering the
+    #: signed/wide companion tables), "jpx" (lossless
     #: JPEG 2000 via pdfio/jpx.py), "jpx97" (lossy 9/7 JPEG 2000,
     #: derived QCD), "jpxq" (lossy with per-component QCC
     #: signalling), or "jpxbyp" (lossy 9/7 with the selective-bypass
@@ -279,7 +281,9 @@ def _image_xobject(
 ) -> bytes:
     h, w = arr.shape[:2]
     cs = "DeviceRGB" if arr.ndim == 3 else "DeviceGray"
-    if codec in ("jbig2s", "jbig2sr", "jbig2huf", "jbig2hufstd") and arr.ndim == 2:
+    if codec in (
+        "jbig2s", "jbig2sr", "jbig2huf", "jbig2hufstd", "jbig2hufalt"
+    ) and arr.ndim == 2:
         from .jbig2 import encode_jbig2_symbol_text
 
         sym_kw = {}
@@ -289,6 +293,8 @@ def _image_xobject(
             sym_kw = {"huffman": True}
         elif codec == "jbig2hufstd":
             sym_kw = {"huffman": True, "std_tables": True}
+        elif codec == "jbig2hufalt":
+            sym_kw = {"huffman": True, "std_tables": "alt"}
         bits = (arr <= 127).astype(np.uint8)  # dark pixels = black
         g, data = encode_jbig2_symbol_text(
             bits, split_globals=True, **sym_kw

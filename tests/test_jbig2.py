@@ -961,14 +961,16 @@ def test_huffman_text_region_roundtrip():
     assert np.array_equal(bm, exp)
 
 
-@pytest.mark.parametrize("std", [False, True])
+@pytest.mark.parametrize("std", [False, True, "alt"])
 @pytest.mark.parametrize("name", ["structured", "noise", "thin"])
 def test_huffman_symbol_text_end_to_end(name, std):
     """The full SDHUFF/SBHUFF organization through the segment walk,
     inline and globals-split — with user code tables (type-53
-    segments referred by dictionary and region) and with the
+    segments referred by dictionary and region), with the primary
     predefined Annex B selections (B.4/B.2 dictionary, B.6/B.8/B.11
-    text region; no table segments at all)."""
+    text region; no table segments at all), and with the alternate
+    predefined selections (B.5/B.3 dictionary, B.7/B.10/B.13 text
+    region) so every Annex B table decodes end-to-end."""
 
     from pdf_toolkit_spark.pdfio.jbig2 import encode_jbig2_symbol_text
 
@@ -1002,17 +1004,21 @@ def test_huffman_std_tables_refined_instances_end_to_end():
 def test_standard_tables_are_structurally_valid():
     """Transcription double-check for every shipped Annex B table:
     the prefix code is Kraft-COMPLETE (sum 2^-len == 1 — one wrong
-    prefix length breaks it), normal ranges tile their span exactly,
-    and the lower/upper escapes sit flush against the span ends. Plus
-    the spec's published B.1 code words as an absolute anchor."""
+    prefix length breaks it) for every table except B.10, whose
+    published code genuinely leaves 14/256 of the code space
+    unassigned (pinned EXACTLY, so a mistranscription still trips);
+    normal ranges tile their span exactly, and the lower/upper
+    escapes sit flush against the span ends. Plus the spec's
+    published B.1 code words as an absolute anchor."""
 
     from fractions import Fraction
 
     from pdf_toolkit_spark.pdfio.jbig2 import _STD_LINES, _std_table
 
-    assert sorted(_STD_LINES) == [1, 2, 3, 4, 5, 6, 8, 9, 11, 12, 13, 14, 15]
+    assert sorted(_STD_LINES) == list(range(1, 16))
     for n, lines in _STD_LINES.items():
-        assert sum(Fraction(1, 2 ** pl) for pl, *_ in lines if pl > 0) == 1, n
+        kraft = sum(Fraction(1, 2 ** pl) for pl, *_ in lines if pl > 0)
+        assert kraft == (Fraction(121, 128) if n == 10 else 1), n
         normals = sorted((lo, rl) for pl, rl, lo, k in lines if k == "normal")
         for (lo, rl), (nlo, _) in zip(normals, normals[1:]):
             assert lo + (1 << rl) == nlo, n
@@ -1025,28 +1031,52 @@ def test_standard_tables_are_structurally_valid():
     assert _std_table(1).codes == [(0, 1), (2, 2), (6, 3), (7, 3)]
 
 
-def test_huffman_b7_b10_selections_fail_closed():
-    """The two Annex B tables whose transcriptions could not be
-    double-verified offline (B.7, B.10) stay fail-closed: flipping a
-    text region's FS selection to 1 (B.7) or DS to 2 (B.10) raises,
-    never desyncs silently."""
+def test_huffman_alt_selections_exercise_b7_b10_b13():
+    """The alternate predefined profile signals FS=1 (B.7), DS=2
+    (B.10), DT=2 (B.13) in the huffman flags and decodes bit-exact —
+    the encoder-forced round-trip that verifies the B.7/B.10
+    transcriptions the way user tables are verified. B.10's OOB (a
+    2-bit code alongside its two 2-bit range lines) closes every
+    strip, and its 32-bit lower escape carries the negative deltas a
+    sparse instance layout produces."""
 
     from pdf_toolkit_spark.pdfio.jbig2 import (
         decode_text_region, encode_text_region_huffman,
     )
 
     syms = [_glyph(8, 6, i) for i in range(3)]
-    inst = [(2, 3, 0), (2, 12, 1), (9, 4, 2)]
-    _, tr = encode_text_region_huffman(40, 30, inst, syms, std_tables=True)
-    for patch, name in ((0x01, "B.7"), (0x02 << 2, "B.10")):
-        bad = bytearray(tr)
-        hflags = int.from_bytes(tr[19:21], "big")
-        bad[19:21] = (hflags | patch).to_bytes(2, "big")
-        with pytest.raises(UserError, match=rf"{name} unsupported"):
-            decode_text_region(bytes(bad), syms, tables=[])
+    # spread instances so DS deltas exercise B.10 normals AND its
+    # range rows, with a strip restart in between (OOB fires twice)
+    inst = [(2, 3, 0), (2, 200, 1), (9, 4, 2), (9, 150, 0)]
+    tbls, tr = encode_text_region_huffman(
+        220, 30, inst, syms, std_tables="alt"
+    )
+    assert tbls == []  # predefined selections carry no table segments
+    hflags = int.from_bytes(tr[19:21], "big")
+    assert (hflags & 0x03, (hflags >> 2) & 0x03, (hflags >> 4) & 0x03) \
+        == (1, 2, 2)
+    bm, _, _ = decode_text_region(tr, syms, tables=[])
+    exp = np.zeros((30, 220), np.uint8)
+    for y, x, sid in inst:
+        g = syms[sid]
+        exp[y:y + g.shape[0], x:x + g.shape[1]] |= g
+    assert np.array_equal(bm, exp)
 
 
-@pytest.mark.parametrize("codec", ["jbig2huf", "jbig2hufstd"])
+def test_huffman_alt_refined_instances_end_to_end():
+    """B.7/B.10/B.13 compose with SBREFINE exactly like the primary
+    selections (RD* still ride B.15, RSIZE B.1)."""
+
+    from pdf_toolkit_spark.pdfio.jbig2 import encode_jbig2_symbol_text
+
+    img = _cases()["structured"]
+    enc = encode_jbig2_symbol_text(
+        img, huffman=True, std_tables="alt", refine_instances=True
+    )
+    assert np.array_equal(decode_jbig2_embedded(enc), img)
+
+
+@pytest.mark.parametrize("codec", ["jbig2huf", "jbig2hufstd", "jbig2hufalt"])
 def test_jbig2huf_writer_codec_extracts_end_to_end(codec):
     from pdf_toolkit_spark.extract import extract_document
     from pdf_toolkit_spark.pdfio.parser import PdfDocument
