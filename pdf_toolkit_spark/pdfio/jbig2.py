@@ -50,11 +50,15 @@ the B.2 syntax, plus the spec-mandated Table B.1 for export runs and
 BMSIZE; SBREFINE composes — raw RI bits, RDW/RDH/RDX/RDY via tables,
 per-instance byte-aligned MQ refinement segments of RSIZE bytes —
 and long-form referred-segment lists per §7.2.4 carry the many table
-references). The PREDEFINED Annex B table selections (B.2-B.15) are
-the one remaining out-of-scope subset — deliberately: no reference
-decoder exists in this container to cross-check a transcription of
-those tables, and a wrong table desyncs silently, so they surface as
-missing rasters (UserError), never wrong pixels.
+references). ALL PREDEFINED Annex B table selections (B.1-B.15) ship
+— transcriptions pinned by exact-tiling + Kraft structural checks
+and encoder-forced round-trips — and SDHUFF dictionaries compose
+with SDREFAGG=1 (§6.5.8.2.2 with SDHUFF: ID in raw SBSYMCODELEN
+bits, RDX/RDY via Table B.15, BMSIZE via Table B.1, byte-aligned
+fresh-context MQ refinement segments). The one remaining fail-closed
+subset is SDHUFF multi-instance aggregates (REFAGGNINST > 1 — a
+nested Huffman text region inside the dictionary), which surfaces as
+a missing raster (UserError), never wrong pixels.
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (including MQ-coder
@@ -1441,17 +1445,28 @@ def _decode_symbol_dict_huffman(
     payload: bytes, input_syms: "list[np.ndarray]",
     tables: "list[HuffTable]", flags: int,
 ) -> "list[np.ndarray]":
-    """SDHUFF=1 dictionary decode (§6.5.9, SDREFAGG=0): height-class
-    deltas and width deltas via Huffman tables, each height class's
-    symbols sliced out of ONE collective bitmap (BMSIZE=0 ->
-    uncompressed byte-aligned rows; else T.6 MMR of BMSIZE bytes),
-    export runs via the spec-mandated Table B.1."""
+    """SDHUFF=1 dictionary decode (§6.5.9): height-class deltas and
+    width deltas via Huffman tables. With SDREFAGG=0 each height
+    class's symbols are sliced out of ONE collective bitmap
+    (BMSIZE=0 -> uncompressed byte-aligned rows; else T.6 MMR of
+    BMSIZE bytes); with SDREFAGG=1 each symbol is refinement-coded
+    against an earlier input/new symbol (§6.5.8.2.2 with SDHUFF: ID
+    in SBSYMCODELEN raw bits, RDX/RDY via Table B.15, BMSIZE via
+    Table B.1, then a byte-aligned MQ refinement segment with fresh
+    contexts — multi-instance aggregates fail closed). Export runs
+    ride the spec-mandated Table B.1."""
 
-    if (flags >> 1) & 0x01:
-        raise UserError("JBIG2: Huffman refinement/aggregate unsupported.")
+    sdrefagg = (flags >> 1) & 0x01
+    sdrtemplate = (flags >> 12) & 0x01
     dh_sel = (flags >> 2) & 0x03
     dw_sel = (flags >> 4) & 0x03
     bm_sel = (flags >> 6) & 0x01
+    agg_sel = (flags >> 7) & 0x01
+    pos0 = 2
+    if sdrefagg and sdrtemplate == 0:
+        if payload[2:6] != _NOMINAL_GR_AT:
+            raise UserError("JBIG2: non-nominal GR AT pixels unsupported.")
+        pos0 = 6
     it = iter(tables)
 
     def _user() -> HuffTable:
@@ -1471,14 +1486,17 @@ def _decode_symbol_dict_huffman(
     dh_tbl = _pick(dh_sel, (4, 5))
     dw_tbl = _pick(dw_sel, (2, 3))
     bm_tbl = _user() if bm_sel else _TABLE_B1
-    numex, numnew = struct.unpack(">II", payload[2:10])
+    agg_tbl = (_user() if agg_sel else _TABLE_B1) if sdrefagg else None
+    numex, numnew = struct.unpack(">II", payload[pos0 : pos0 + 8])
     if numnew > 1 << 20 or numex > 1 << 20:
         raise UserError("JBIG2: implausible symbol count.")
     from .ccitt import decode_g4
 
-    br = _BitReaderH(payload, 10)
+    br = _BitReaderH(payload, pos0 + 8)
     newsyms: list[np.ndarray] = []
     hcheight = 0
+    symlen = _symcodelen(len(input_syms) + numnew) if sdrefagg else 0
+    rd_tbl = _std_table(15) if sdrefagg else None
     while len(newsyms) < numnew:
         dh = dh_tbl.decode(br)
         if dh is None:
@@ -1493,10 +1511,43 @@ def _decode_symbol_dict_huffman(
             symwidth += dw
             if not (0 < symwidth <= 1 << 15 and 0 < hcheight <= 1 << 15):
                 raise UserError("JBIG2: invalid symbol dimensions.")
-            if len(newsyms) + len(widths) >= numnew + 1:
+            if len(newsyms) + len(widths) >= numnew + (0 if sdrefagg else 1):
                 raise UserError("JBIG2: more symbols than declared.")
+            if sdrefagg:
+                # §6.5.8.2 with SDHUFF=1: the symbol is coded
+                # individually right here (no collective bitmap)
+                nrefs = agg_tbl.decode(br)
+                if nrefs is None or nrefs < 1:
+                    raise UserError("JBIG2: bad aggregate instance count.")
+                if nrefs != 1:
+                    raise UserError(
+                        "JBIG2: Huffman multi-instance aggregates "
+                        "unsupported."
+                    )
+                sid = br.get_bits(symlen)
+                rdx = rd_tbl.decode(br)
+                rdy = rd_tbl.decode(br)
+                bmsize = _TABLE_B1.decode(br)
+                if rdx is None or rdy is None or bmsize is None or \
+                        bmsize < 0:
+                    raise UserError("JBIG2: OOB refinement field.")
+                avail = input_syms + newsyms
+                if sid >= len(avail):
+                    raise UserError(
+                        "JBIG2: refinement symbol ID out of range."
+                    )
+                pos = br.align()
+                if pos + bmsize > len(payload):
+                    raise UserError("JBIG2: truncated refinement segment.")
+                newsyms.append(decode_refinement(
+                    payload[pos : pos + bmsize], symwidth, hcheight,
+                    avail[sid], template=sdrtemplate,
+                    refdx=rdx, refdy=rdy,
+                ))
+                br = _BitReaderH(payload, pos + bmsize)
+                continue
             widths.append(symwidth)
-        if not widths:
+        if sdrefagg or not widths:
             continue
         bmsize = bm_tbl.decode(br)
         if bmsize is None or bmsize < 0:
@@ -2196,6 +2247,8 @@ def encode_text_region(
 def encode_symbol_dict_huffman(
     syms: "list[np.ndarray]", n_input: int = 0, mmr: bool = True,
     std_tables: "bool | str" = False,
+    refs: "list[int] | None" = None,
+    input_syms: "list[np.ndarray] | None" = None,
 ) -> "tuple[list[bytes], bytes]":
     """Symbol bitmaps (sorted by (height, width)) -> ([DH-table
     payload, DW-table payload], SDHUFF=1 dictionary payload). Height
@@ -2223,6 +2276,16 @@ def encode_symbol_dict_huffman(
     from .ccitt import encode_g4
 
     n = len(syms)
+    if input_syms:
+        n_input = len(input_syms)
+    if refs is not None:
+        # SDREFAGG=1 twin (§6.5.8.2.2 with SDHUFF): no collective
+        # bitmaps — each symbol rides AGGINST=1 (Table B.1), its
+        # reference ID in SBSYMCODELEN raw bits, RDX/RDY=0 via Table
+        # B.15, then a byte-aligned fresh-context MQ refinement
+        # segment sized via Table B.1
+        symlen = _symcodelen(n_input + n)
+        rd_tbl = _std_table(15)
     bw = _BitWriterH()
     hc = 0
     i = 0
@@ -2236,9 +2299,31 @@ def encode_symbol_dict_huffman(
             wdt = syms[i].shape[1]
             dw_tbl.encode(bw, wdt - sw)
             sw = wdt
-            cls.append(syms[i])
+            if refs is not None:
+                sid = refs[i]
+                if not (0 <= sid < n_input + i):
+                    raise UserError(
+                        "JBIG2 encoder: refinement reference must "
+                        "precede the symbol."
+                    )
+                refsym = (
+                    input_syms[sid] if sid < n_input
+                    else syms[sid - n_input]
+                )
+                _TABLE_B1.encode(bw, 1)  # REFAGGNINST
+                bw.put_bits(sid, symlen)
+                rd_tbl.encode(bw, 0)  # RDX
+                rd_tbl.encode(bw, 0)  # RDY
+                data = encode_refinement(syms[i], refsym)
+                _TABLE_B1.encode(bw, len(data))
+                bw.align()
+                bw.out += data
+            else:
+                cls.append(syms[i])
             i += 1
         dw_tbl.encode(bw, None)  # OOB closes the height class
+        if refs is not None:
+            continue
         coll = np.concatenate(cls, axis=1).astype(np.uint8)
         if mmr:
             data = encode_g4(coll)
@@ -2252,10 +2337,18 @@ def encode_symbol_dict_huffman(
     _TABLE_B1.encode(bw, n_input)  # initial non-export run
     _TABLE_B1.encode(bw, n)       # export the new symbols
     # SDHUFF=1; DH/DW selections: 3/3 (user tables), 0/0 (B.4/B.2),
-    # or 1/1 (B.5/B.3, "alt"); SDHUFFBMSIZE=0 (B.1) either way
+    # or 1/1 (B.5/B.3, "alt"); SDHUFFBMSIZE=0 and SDHUFFAGGINST=0
+    # (both B.1) either way; SDREFAGG adds bit 1 + nominal GR AT
     sel = (1 if std_tables == "alt" else 0) if std_tables else 3
     flags = 0x01 | (sel << 2) | (sel << 4)
-    sd = struct.pack(">H", flags) + struct.pack(">II", n, n) + bw.flush()
+    if refs is not None:
+        flags |= 0x02
+    sd = (
+        struct.pack(">H", flags)
+        + (_NOMINAL_GR_AT if refs is not None else b"")
+        + struct.pack(">II", n, n)
+        + bw.flush()
+    )
     return ([] if std_tables else [t_dh, t_dw]), sd
 
 
@@ -2565,19 +2658,15 @@ def encode_jbig2_symbol_text(
     dictionary: glyphs past the first become a second SDREFAGG=1
     dictionary whose symbols are refinement-coded against the first
     dictionary's export (§6.5.8.2.2), threaded as a referred
-    segment.
+    segment — in the arithmetic organization and, composed with
+    ``huffman=True``, in the SDHUFF one (byte-aligned fresh-context
+    refinement segments per §6.5.8.2.2-with-SDHUFF).
 
     ``huffman=True`` emits the SDHUFF/SBHUFF organization instead:
     user code tables ride type-53 segments referred by the dictionary
     and the text region, height classes share MMR collective bitmaps,
     and the strip data is bit-packed — the low-memory hardware-encoder
     profile."""
-
-    if huffman and refagg_dict:
-        raise UserError(
-            "JBIG2 encoder: huffman excludes refagg_dict (SDHUFF "
-            "dictionaries carry no refinement)."
-        )
 
     img = img.astype(np.uint8)
     h, w = img.shape
@@ -2615,29 +2704,54 @@ def encode_jbig2_symbol_text(
     page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00" + b"\x00\x00"
     if huffman:
         gpage = 0 if split_globals else 1
-        sd_tbls, sd = encode_symbol_dict_huffman(syms, std_tables=std_tables)
+        # with refagg_dict the dictionary splits like the arithmetic
+        # flow: glyphs past the first become a second SDHUFF+SDREFAGG
+        # dictionary refinement-coded against the first's export
+        # (§6.5.8.2.2 with SDHUFF), threaded as a referred segment
+        if refagg_dict and len(syms) > 1:
+            parts = [
+                (syms[:1], None, None),
+                (syms[1:], [0] * (len(syms) - 1), syms[:1]),
+            ]
+        else:
+            parts = [(syms, None, None)]
+        num = 1
+        sd_part = b""
+        sd_nums: "list[int]" = []
+        for part_syms, part_refs, part_in in parts:
+            p_tbls, p_sd = encode_symbol_dict_huffman(
+                part_syms, std_tables=std_tables,
+                refs=part_refs, input_syms=part_in,
+            )
+            t_nums = []
+            for t in p_tbls:
+                sd_part += _segment(num, 53, t, page=gpage)
+                t_nums.append(num)
+                num += 1
+            sd_part += _segment(
+                num, 0, p_sd, page=gpage,
+                refs=tuple(sd_nums[-1:]) + tuple(t_nums),
+            )
+            sd_nums.append(num)
+            num += 1
         tr_tbls, tr = encode_text_region_huffman(
             w, h, inst, syms, std_tables=std_tables
         )
-        sd_part = b"".join(
-            _segment(1 + k, 53, t, page=gpage) for k, t in enumerate(sd_tbls)
-        ) + _segment(
-            1 + len(sd_tbls), 0, sd, page=gpage,
-            refs=tuple(1 + k for k in range(len(sd_tbls))),
+        tr_part = b""
+        trt_nums = []
+        for t in tr_tbls:
+            tr_part += _segment(num, 53, t)
+            trt_nums.append(num)
+            num += 1
+        tr_part += _segment(
+            num, 6, tr, refs=tuple(sd_nums) + tuple(trt_nums)
         )
-        sd_num = 1 + len(sd_tbls)
-        tr_part = b"".join(
-            _segment(sd_num + 1 + k, 53, t) for k, t in enumerate(tr_tbls)
-        ) + _segment(
-            sd_num + 1 + len(tr_tbls), 6, tr,
-            refs=(sd_num,)
-            + tuple(sd_num + 1 + k for k in range(len(tr_tbls))),
-        )
+        num += 1
         page_stream = (
             _segment(0, 48, page_info)
             + (b"" if split_globals else sd_part)
             + tr_part
-            + _segment(sd_num + 2 + len(tr_tbls), 49, b"")
+            + _segment(num, 49, b"")
         )
         if split_globals:
             return sd_part, page_stream

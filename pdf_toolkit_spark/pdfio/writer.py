@@ -53,7 +53,10 @@ class PageSpec:
     #: table selections B.4/B.2/B.6/B.8/B.11 — what fax-era hardware
     #: encoders actually emit), "jbig2hufalt" (the alternate
     #: predefined selections B.5/B.3/B.7/B.10/B.13, covering the
-    #: signed/wide companion tables), "jpx" (lossless
+    #: signed/wide companion tables), "jbig2hufsr" (SDHUFF x
+    #: SDREFAGG: a split dictionary whose second half is
+    #: refinement-coded against the first, Huffman organization),
+    #: "jpx" (lossless
     #: JPEG 2000 via pdfio/jpx.py), "jpx97" (lossy 9/7 JPEG 2000,
     #: derived QCD), "jpxq" (lossy with per-component QCC
     #: signalling), or "jpxbyp" (lossy 9/7 with the selective-bypass
@@ -282,7 +285,8 @@ def _image_xobject(
     h, w = arr.shape[:2]
     cs = "DeviceRGB" if arr.ndim == 3 else "DeviceGray"
     if codec in (
-        "jbig2s", "jbig2sr", "jbig2huf", "jbig2hufstd", "jbig2hufalt"
+        "jbig2s", "jbig2sr", "jbig2huf", "jbig2hufstd", "jbig2hufalt",
+        "jbig2hufsr",
     ) and arr.ndim == 2:
         from .jbig2 import encode_jbig2_symbol_text
 
@@ -295,6 +299,9 @@ def _image_xobject(
             sym_kw = {"huffman": True, "std_tables": True}
         elif codec == "jbig2hufalt":
             sym_kw = {"huffman": True, "std_tables": "alt"}
+        elif codec == "jbig2hufsr":
+            sym_kw = {"huffman": True, "refagg_dict": True,
+                      "std_tables": True}
         bits = (arr <= 127).astype(np.uint8)  # dark pixels = black
         g, data = encode_jbig2_symbol_text(
             bits, split_globals=True, **sym_kw
