@@ -32,10 +32,10 @@ decoder's per-coefficient magnitude test)
 driven by the MQ arithmetic coder shared with the JBIG2 codec
 (pdfio/jbig2.py — T.88 Annex E and T.800 Annex C publish the
 identical coder). Grayscale and RGB 8-bit (3 components with the
-reversible RCT or irreversible ICT of Annex G, or none; 4:2:0 chroma
-subsampling on the 9/7 path — SIZ XRsiz/YRsiz = 2, encoder
-box-averages and the decoder replicates back to the luma grid, the
-photographic shape), SOP/EPH
+reversible RCT or irreversible ICT of Annex G, or none; 4:2:0 and
+4:2:2 chroma subsampling on both wavelet paths — SIZ XRsiz/YRsiz of
+2, encoder box-averages and the decoder replicates back to the luma
+grid, the photographic shapes), SOP/EPH
 resegmentation markers (A.8: SOP sequence numbers enforced as the
 resync check they are, EPH header terminators — in the packed-header
 stream when PPM/PPT host the headers), and POC progression-order
@@ -46,10 +46,12 @@ every cleanup pass closes with 1010 in the UNIFORM context, verified
 on decode), selective arithmetic bypass (D.6: raw SPP/MRP from the
 11th pass with bit stuffing), per-pass context reset, per-pass
 termination, and vertically causal contexts — the multi-segment
-B.10.7 packet layout those modes force is carried on both ends;
-subsampling patterns beyond 4:2:0 (and 4:2:0 composed with the
-reversible path / explicit precincts / ROI), predictable termination
-(0x10), and semantic marker segments the decoder can't honour (COC
+B.10.7 packet layout those modes force is carried on both ends — and
+predictable termination (0x10: the D.4.2.2 MQ flush and alternating
+raw spacer pad on encode; decode is layout-neutral so the plain
+readers handle it, without the optional corruption check);
+subsampling patterns beyond 4:2:0/4:2:2
+and semantic marker segments the decoder can't honour (COC
 overrides beyond code-block geometry and an exact-match precinct
 partition, non-maxshift RGN styles, and tile-header coding
 overrides) raise UserError (missing raster upstream, never wrong
@@ -745,7 +747,10 @@ def t1_decode(
 # causal contexts. These change the ENTROPY-STREAM LAYOUT (multiple
 # codeword segments per block, raw bit runs), so they get their own
 # Tier-1 twin — the style-0 hot path above stays fully inlined.
-# Predictable termination (0x10) remains fail-closed.
+# Predictable termination (0x10) is layout-neutral: it only pins the
+# spacer bits each termination emits (D.4.2.2 for MQ segments, the
+# alternating raw pad), so decode needs no twin — the encoder emits
+# the predictable flush and round-trips pin it.
 # ---------------------------------------------------------------------------
 
 _CB_BYPASS, _CB_RESET, _CB_TERMALL, _CB_CAUSAL = 0x01, 0x02, 0x04, 0x08
@@ -826,13 +831,24 @@ class _RawWriter:
             self.cur = 0
             self.nb = 0
 
-    def flush(self) -> bytes:
+    def flush(self, pterm: bool = False) -> bytes:
         if self.nb:
-            self.out.append(self.cur << (self._limit() - self.nb))
+            pad = self._limit() - self.nb
+            filler = 0
+            if pterm:
+                # predictable termination pads raw segments with the
+                # alternating 0,1,0,1... spacer sequence (D.4.2) so a
+                # decoder can detect corruption; plain termination
+                # zero-pads (either way the reader consumes exact
+                # bit counts, so decode is identical)
+                for k in range(pad):
+                    if k & 1:
+                        filler |= 1 << (pad - 1 - k)
+            self.out.append((self.cur << pad) | filler)
             self.cur = 0
             self.nb = 0
         if self.out and self.out[-1] == 0xFF:
-            self.out.append(0)
+            self.out.append(0x2A if pterm else 0)
         return bytes(self.out)
 
 
@@ -937,7 +953,14 @@ class _MQSegEncoder:
                     break
         self.a, self.c, self.ct = a, c, ct
 
-    def terminate(self) -> bytes:
+    def terminate(self, pterm: bool = False) -> bytes:
+        # this IS the Annex D FLUSH (SETBITS + two byteouts + drop a
+        # terminal 0xFF), which is exactly what "predictable
+        # termination" (Scb 0x10) mandates for every termination —
+        # the mode forbids the optimal-truncation shortenings some
+        # encoders apply, it does not define a different flush; so
+        # pterm needs no separate MQ branch (raw segments differ:
+        # see _RawWriter.flush)
         tempc = self.c + self.a
         self.c |= 0xFFFF
         if self.c >= tempc:
@@ -1163,10 +1186,10 @@ def t1_encode_styled(
             enc.encode_many(data)
         if _term_after(style, i) or i == npasses - 1:
             if is_raw:
-                segments.append(rawbuf.flush())
+                segments.append(rawbuf.flush(pterm=bool(style & _CB_PREDTERM)))
                 rawbuf = None
             else:
-                segments.append(enc.terminate())
+                segments.append(enc.terminate(pterm=bool(style & _CB_PREDTERM)))
         if style & _CB_RESET:
             enc.reset_ctx()
     return segments, npasses, numbps
@@ -2017,7 +2040,7 @@ def encode_jpx(
         raise UserError("JPX encoder: tile_size must be a multiple of 2^levels.")
     if not (1 <= layers <= 255):
         raise UserError("JPX encoder: 1-255 quality layers.")
-    if cblk_style & ~_CB_STYLED:
+    if cblk_style & ~(_CB_STYLED | _CB_PREDTERM):
         raise UserError("JPX encoder: unsupported code-block style bits.")
     if cblk_style and layers != 1:
         # multi-segment contributions + layer cuts compound; the
@@ -2680,12 +2703,15 @@ def decode_jpx(data: bytes) -> np.ndarray:
             if not (2 <= xcb <= 10 and 2 <= ycb <= 10 and xcb + ycb <= 12):
                 raise UserError("JPX: code-block exponents out of range.")
             # Scb (Table A.19): segmentation symbols, selective
-            # bypass, per-pass context reset, per-pass termination and
-            # vertically causal contexts are honoured (the styled
-            # Tier-1 twin); predictable termination stays fail-closed
-            if seg[8] & ~(_CB_STYLED | _CB_SEGSYM):
+            # bypass, per-pass context reset, per-pass termination,
+            # vertically causal contexts (the styled Tier-1 twin) and
+            # predictable termination (layout-neutral: segment bounds
+            # come from explicit Tier-2 lengths, so the plain MQ/raw
+            # readers decode PTERM streams bit-exactly; the optional
+            # spacer-bit corruption check is not performed)
+            if seg[8] & ~(_CB_STYLED | _CB_SEGSYM | _CB_PREDTERM):
                 raise UserError("JPX: code-block style modes unsupported.")
-            cb_style = seg[8] & _CB_STYLED
+            cb_style = seg[8] & (_CB_STYLED | _CB_PREDTERM)
             segsym_mode = bool(seg[8] & _CB_SEGSYM)
             if seg[9] not in (0, 1):
                 raise UserError("JPX: unknown wavelet transform.")

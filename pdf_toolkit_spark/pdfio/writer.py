@@ -392,13 +392,14 @@ def _image_xobject(
         from .jpx import encode_jpx
 
         if codec == "jpxbyp":
-            # production speed profile (the Kakadu/OpenJPEG default
-            # knobs for fast archival scans): selective arithmetic
-            # bypass + vertically causal contexts on the 9/7 path
+            # production speed/resilience profile (the Kakadu/
+            # OpenJPEG default knobs for fast archival scans):
+            # selective arithmetic bypass + vertically causal
+            # contexts + predictable termination on the 9/7 path
             data = encode_jpx(
                 np.ascontiguousarray(arr, dtype=np.uint8), levels=2,
                 irreversible=True, qstep=1.0 / 16,
-                cblk_style=0x01 | 0x08,
+                cblk_style=0x01 | 0x08 | 0x10,
             )
         elif codec == "jpxq":
             # per-component quantization signalling (QCC): coarse

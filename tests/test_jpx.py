@@ -861,19 +861,21 @@ def test_segmentation_symbols():
 
 
 def test_other_code_block_styles_fail_closed():
-    """Predictable termination (0x10) and reserved style bits still
-    fail closed, as does a COC whose style byte differs from COD's.
-    (Bypass/reset/termall/causal are decoded since round 6 — flipping
-    them on a stream coded without them must error or mis-verify,
-    never silently return the original pixels.)"""
+    """Reserved style bits fail closed. Flipping layout-changing
+    styles (bypass/termall) on a stream coded without them must error
+    or mis-verify, never silently return the original pixels; flipping
+    predictable termination ON is layout-neutral by construction (the
+    engine's flush is the Annex D FLUSH either way), so the stream
+    still decodes bit-exactly."""
 
     g = RNG.integers(0, 256, (24, 24), dtype=np.uint8)
     enc = bytearray(encode_jpx(g, 1))
     cod_at = bytes(enc).find(b"\xff\x52")
-    for bad in (0x10, 0x40):
-        enc[cod_at + 12] = bad
-        with pytest.raises(UserError):
-            decode_jpx(bytes(enc))
+    enc[cod_at + 12] = 0x40
+    with pytest.raises(UserError):
+        decode_jpx(bytes(enc))
+    enc[cod_at + 12] = 0x10
+    assert np.array_equal(decode_jpx(bytes(enc)), g)
     for flipped in (0x01, 0x04):
         enc[cod_at + 12] = flipped
         try:
@@ -1175,12 +1177,19 @@ def test_rgn_unsupported_style_fails_closed():
                    1, roi=True, tile_size=64)
 
 
-@pytest.mark.parametrize("style", [0x01, 0x02, 0x04, 0x08, 0x03, 0x05, 0x09, 0x0F])
+@pytest.mark.parametrize(
+    "style",
+    [0x01, 0x02, 0x04, 0x08, 0x03, 0x05, 0x09, 0x0F,
+     0x10, 0x14, 0x11, 0x15, 0x1F],
+)
 def test_code_block_styles_roundtrip_lossless(style):
-    """Bypass / reset / termall / vertically-causal code-block styles
-    (and their combinations): the reversible path stays bit-exact
-    through the multi-segment Tier-2 layout (one length per codeword
-    segment, B.10.7)."""
+    """Bypass / reset / termall / vertically-causal / predictable-
+    termination code-block styles (and their combinations): the
+    reversible path stays bit-exact through the multi-segment Tier-2
+    layout (one length per codeword segment, B.10.7). Predictable
+    termination is layout-neutral — the flush is the Annex D FLUSH
+    either way — so its segments decode with the same readers; with
+    bypass it pins the alternating raw spacer pad too."""
 
     img = RNG.integers(0, 256, (75, 90), dtype=np.uint8)
     enc = encode_jpx(img, levels=3, cblk_style=style)
@@ -1215,8 +1224,9 @@ def test_styled_encoder_requires_single_layer():
 
 
 def test_jpxbyp_writer_codec_extracts_end_to_end():
-    """The bypass+causal speed profile (production encoders' default
-    knobs) through the writer, parser, and serial pipeline."""
+    """The bypass+causal+predictable-termination speed profile
+    (production encoders' default error-resilience knobs) through the
+    writer, parser, and serial pipeline."""
 
     from pdf_toolkit_spark.extract import extract_document
     from pdf_toolkit_spark.pdfio.writer import PageSpec, write_pdf
