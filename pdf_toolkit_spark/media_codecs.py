@@ -132,3 +132,146 @@ def decode_y4m(payload: bytes) -> tuple[int, np.ndarray]:
     if not frames:
         return fps, np.zeros((0, h, w), np.uint8)
     return fps, np.stack(frames)
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF form 'AVI ', classic pre-OpenDML layout) with one
+# uncompressed 8-bit grayscale DIB 'vids' stream — the container
+# structure is from the public RIFF/AVI documentation: LIST hdrl
+# (avih MainAVIHeader + LIST strl (strh AVIStreamHeader + strf
+# BITMAPINFOHEADER + palette)), LIST movi ('00db' device-independent
+# bitmap chunks, rows bottom-up at 4-byte-aligned stride), idx1.
+# ---------------------------------------------------------------------------
+
+def _chunk(fourcc: bytes, data: bytes) -> bytes:
+    """RIFF chunk: fourcc + LE32 size + data + odd-size pad byte."""
+
+    return fourcc + struct.pack("<I", len(data)) + data + (
+        b"\x00" if len(data) & 1 else b""
+    )
+
+
+def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(n_frames, h, w) uint8 grayscale frames -> AVI bytes (one
+    'DIB ' video stream, 8 bpp with a grayscale RGBQUAD palette,
+    BI_RGB). DIB convention: rows stored bottom-up, each row padded
+    to a 4-byte boundary."""
+
+    if frames.dtype != np.uint8 or frames.ndim != 3:
+        raise UserError("avi encoder: (n, h, w) uint8 frames required.")
+    n, h, w = frames.shape
+    if not (n and h and w and fps > 0):
+        raise UserError("avi encoder: empty stream.")
+    stride = (w + 3) & ~3
+    framesize = stride * h
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        framesize * fps,   # dwMaxBytesPerSec
+        0,                 # dwPaddingGranularity
+        0x10,              # dwFlags: AVIF_HASINDEX
+        n, 0, 1,           # dwTotalFrames, dwInitialFrames, dwStreams
+        framesize,         # dwSuggestedBufferSize
+        w, h, 0, 0, 0, 0,  # dwWidth, dwHeight, dwReserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"DIB ",
+        0, 0, 0, 0,        # dwFlags, wPriority, wLanguage, dwInitialFrames
+        1, fps,            # dwScale, dwRate (rate/scale = fps)
+        0, n,              # dwStart, dwLength (frames)
+        framesize,         # dwSuggestedBufferSize
+        0xFFFFFFFF,        # dwQuality (default)
+        0,                 # dwSampleSize (0: one sample per chunk)
+        0, 0, w, h,        # rcFrame
+    )
+    bih = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 8,    # biSize, biWidth, biHeight, biPlanes, biBitCount
+        0,                 # biCompression = BI_RGB
+        framesize, 0, 0,
+        256, 0,            # biClrUsed, biClrImportant
+    )
+    pal = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    strl = _chunk(b"LIST", b"strl" + _chunk(b"strh", strh)
+                  + _chunk(b"strf", bih + pal))
+    hdrl = _chunk(b"LIST", b"hdrl" + _chunk(b"avih", avih) + strl)
+    padded = np.zeros((n, h, stride), np.uint8)
+    padded[:, :, :w] = frames
+    movi_body = b"movi"
+    idx = b""
+    for i in range(n):
+        dib = padded[i, ::-1].tobytes()  # bottom-up rows
+        # idx1 offsets are relative to the 'movi' fourcc
+        idx += b"00db" + struct.pack("<III", 0x10, len(movi_body), len(dib))
+        movi_body += _chunk(b"00db", dib)
+    movi = _chunk(b"LIST", movi_body)
+    body = b"AVI " + hdrl + movi + _chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> "tuple[int, np.ndarray]":
+    """AVI bytes -> (fps, (n_frames, h, w) uint8 frames). Scope: one
+    uncompressed 8-bit DIB 'vids' stream (BI_RGB); compressed
+    handlers and other sample formats raise UserError (missing media
+    upstream, never wrong pixels). Frames are taken from the movi
+    '##db' chunks in stream order; the bottom-up padded-stride DIB
+    rows are unflipped back to top-down unpadded planes."""
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise UserError("avi: not a RIFF AVI stream.")
+    w = h = nf = None
+    fps = None
+    bits = comp = None
+    frames_raw: "list[bytes]" = []
+
+    def walk(data: bytes) -> None:
+        nonlocal w, h, nf, fps, bits, comp
+        pos = 0
+        while pos + 8 <= len(data):
+            fcc = data[pos : pos + 4]
+            (sz,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body = data[pos + 8 : pos + 8 + sz]
+            if len(body) < sz:
+                raise UserError("avi: truncated chunk.")
+            if fcc == b"LIST":
+                walk(body[4:])
+            elif fcc == b"avih":
+                if sz < 40:
+                    raise UserError("avi: short avih.")
+                vals = struct.unpack("<10I", body[:40])
+                nf, w, h = vals[4], vals[8], vals[9]
+            elif fcc == b"strh":
+                if sz < 48:
+                    raise UserError("avi: short strh.")
+                if body[:4] == b"vids":
+                    scale, rate = struct.unpack("<II", body[20:28])
+                    if not scale or rate % scale:
+                        raise UserError("avi: non-integer frame rate.")
+                    fps = rate // scale
+            elif fcc == b"strf" and bits is None:
+                if sz < 40:
+                    raise UserError("avi: short strf.")
+                bits, comp = struct.unpack("<H", body[14:16])[0], \
+                    struct.unpack("<I", body[16:20])[0]
+            elif fcc[2:4] in (b"db", b"dc"):
+                frames_raw.append(body)
+            pos += 8 + sz + (sz & 1)
+
+    walk(payload[12:])
+    if w is None or fps is None or bits is None:
+        raise UserError("avi: missing hdrl headers.")
+    if comp != 0 or bits != 8:
+        raise UserError("avi: only uncompressed 8-bit DIB frames.")
+    stride = (w + 3) & ~3
+    frames = []
+    for raw in frames_raw:
+        if len(raw) < stride * h:
+            raise UserError("avi: truncated frame chunk.")
+        arr = np.frombuffer(raw[: stride * h], np.uint8).reshape(h, stride)
+        frames.append(arr[::-1, :w])
+    if nf is not None and nf != len(frames):
+        raise UserError("avi: frame count mismatch.")
+    if not frames:
+        return fps, np.zeros((0, h, w), np.uint8)
+    return fps, np.stack(frames)

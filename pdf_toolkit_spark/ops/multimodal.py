@@ -2,10 +2,11 @@
 processed with Arrow-batched ``mapInPandas``.
 
 The decode dispatch is REAL for every format the engine owns a codec
-for — PNG and JPEG (pdfio/), PCM WAV and YUV4MPEG2 (media_codecs.py) —
-and a deterministic sha256 STUB only for payloads with no recognizable
-container (disclosed; ``fake_decode_header``). Non-WAVE RIFF (AVI)
-raises. The Spark-side plumbing is what matters at scale: binary column
+for — PNG and JPEG (pdfio/), PCM WAV, YUV4MPEG2 and uncompressed-DIB
+AVI (media_codecs.py) — and a deterministic sha256 STUB only for
+payloads with no recognizable container (disclosed;
+``fake_decode_header``). RIFF forms besides WAVE/AVI raise. The
+Spark-side plumbing is what matters at scale: binary column
 through Arrow batches, explicit output schema, small batch sizes,
 content-addressed output refs — swapping in an ffmpeg call changes
 nothing structurally.
@@ -101,8 +102,20 @@ def decode_header(payload: bytes) -> dict:
             "height": int(frames.shape[1] if len(frames) else 0),
             "thumb_ref": "sha256:" + hashlib.sha256(payload).hexdigest()[:16],
         }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from ..media_codecs import decode_avi
+
+        fps, frames = decode_avi(payload)
+        return {
+            "format": "avi",
+            "width": int(frames.shape[2] if len(frames) else 0),
+            "height": int(frames.shape[1] if len(frames) else 0),
+            "thumb_ref": "sha256:" + hashlib.sha256(payload).hexdigest()[:16],
+        }
     if payload[:4] == b"RIFF":
-        raise NotImplementedError("no codec for non-WAVE RIFF (AVI) in this build")
+        raise NotImplementedError(
+            "no codec for this RIFF form (not WAVE/AVI) in this build"
+        )
     return fake_decode_header(payload)
 
 
@@ -396,6 +409,52 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(sample, schema=VIDEO_SCHEMA)
 
 
+def avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AVI container path: a deterministic gradient clip per doc
+    round-trips through the engine's RIFF/AVI parser (bottom-up DIB
+    rows at 4-byte-aligned stride — widths are drawn so most need
+    real pad handling), then every FRAME_EVERY-th frame reduces to
+    its pixel sum. Same pipeline shape as the y4m leg with an
+    independent container and parameter draw, and the same exact
+    arithmetic oracle form. Output: (doc_id, frame_no, fps,
+    frame_sum)."""
+
+    import numpy as np
+
+    from ..media_codecs import decode_avi, encode_avi
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k: [] for k in ("doc_id", "frame_no", "fps", "frame_sum")}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                d = hashlib.sha256(bytes(payload)).digest()
+                w, h = 5 + d[7] % 19, 6 + d[8] % 15
+                nf = 3 + d[9] % 8
+                a, b, c = d[10], 1 + d[11] % 7, 1 + d[12] % 7
+                e = 1 + d[13] % 11
+                grid = (
+                    a
+                    + b * np.arange(w)[None, None, :]
+                    + c * np.arange(h)[None, :, None]
+                    + e * np.arange(nf)[:, None, None]
+                ) % 256
+                fps, frames = decode_avi(
+                    encode_avi(grid.astype(np.uint8), fps=30)
+                )  # REAL parse
+                for f in range(0, len(frames), FRAME_EVERY):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_no"].append(f)
+                    out["fps"].append(int(fps))
+                    out["frame_sum"].append(int(frames[f].astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(sample, schema=VIDEO_SCHEMA)
+
+
 QUERIES = {
     "mm_media_metadata": media_metadata,
     "mm_media_format_histogram": media_format_histogram,
@@ -404,6 +463,7 @@ QUERIES = {
     "mm_image_thumbnail": image_thumbnail,
     "mm_audio_stats": audio_stats,
     "mm_video_frame_sample": video_frame_sample,
+    "mm_avi_frame_sample": avi_frame_sample,
 }
 
 #: Exact DuckDB oracles: the stub decoder is sha256-derived, and DuckDB
@@ -504,6 +564,39 @@ ORACLES: dict[str, str] = {
                  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y)
         )
         SELECT doc_id, f AS frame_no, 24 AS fps,
+               CAST(sum(px) AS BIGINT) AS frame_sum
+        FROM cells GROUP BY doc_id, f
+    """,
+    # AVI leg: same arithmetic-oracle form with an independent
+    # parameter draw (sha256 bytes 7-13); the container's bottom-up
+    # padded-stride rows cancel in the round-trip, so the pixel sums
+    # are pure gradient arithmetic.
+    "mm_avi_frame_sample": f"""
+        WITH p AS (
+            SELECT doc_id,
+                   5 + ('0x' || substr(sha256(text), 15, 2))::INT % 19 AS w,
+                   6 + ('0x' || substr(sha256(text), 17, 2))::INT % 15 AS h,
+                   3 + ('0x' || substr(sha256(text), 19, 2))::INT % 8 AS nf,
+                   ('0x' || substr(sha256(text), 21, 2))::INT AS a,
+                   1 + ('0x' || substr(sha256(text), 23, 2))::INT % 7 AS b,
+                   1 + ('0x' || substr(sha256(text), 25, 2))::INT % 7 AS c,
+                   1 + ('0x' || substr(sha256(text), 27, 2))::INT % 11 AS e
+            FROM documents
+        ),
+        fr AS (
+            SELECT doc_id, w, h, a, b, c, e, CAST(f AS INT) AS f
+            FROM p, LATERAL (
+                SELECT unnest(generate_series(0, nf - 1, {FRAME_EVERY})) AS f
+            )
+        ),
+        cells AS (
+            SELECT doc_id, f,
+                   (a + b * x + c * y + e * f) % 256 AS px
+            FROM fr,
+                 LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x),
+                 LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y)
+        )
+        SELECT doc_id, f AS frame_no, 30 AS fps,
                CAST(sum(px) AS BIGINT) AS frame_sum
         FROM cells GROUP BY doc_id, f
     """,

@@ -86,3 +86,72 @@ def test_y4m_rejects_bad_streams():
         decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 Cmono\nFRAME\n\x00\x00")  # truncated
     with pytest.raises(UserError):
         decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C444\nFRAME\n" + bytes(48))
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF 'AVI ', uncompressed 8-bit DIB frames)
+# ---------------------------------------------------------------------------
+
+def test_avi_roundtrip_shapes_and_strides():
+    """Round-trip across widths that do and don't need the DIB 4-byte
+    row pad, single- and multi-frame, plus the bottom-up row flip."""
+
+    from pdf_toolkit_spark.media_codecs import decode_avi, encode_avi
+
+    for n, h, w in ((5, 9, 13), (1, 4, 4), (7, 17, 31), (3, 8, 1), (2, 2, 64)):
+        fr = RNG.integers(0, 256, (n, h, w), dtype=np.uint8)
+        fps, out = decode_avi(encode_avi(fr, fps=30))
+        assert fps == 30 and out.shape == (n, h, w)
+        assert np.array_equal(out, fr), (n, h, w)
+
+
+def test_avi_container_structure():
+    """The emitted container really is classic AVI: RIFF form 'AVI ',
+    hdrl with avih/strh/strf, a movi LIST of 00db chunks, and an idx1
+    index — so third-party readers see a conventional layout."""
+
+    from pdf_toolkit_spark.media_codecs import encode_avi
+
+    fr = RNG.integers(0, 256, (3, 6, 10), dtype=np.uint8)
+    data = encode_avi(fr, fps=12)
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    for tag in (b"hdrl", b"avih", b"strh", b"strf", b"movi", b"00db",
+                b"idx1", b"vids", b"DIB "):
+        assert tag in data, tag
+    assert data.count(b"00db") == 3 + 3  # movi chunks + idx1 entries
+
+
+def test_avi_rejects_unsupported_streams():
+    from pdf_toolkit_spark.media_codecs import decode_avi, encode_avi
+
+    with pytest.raises(UserError):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")  # not an AVI form
+    fr = RNG.integers(0, 256, (2, 4, 4), dtype=np.uint8)
+    data = bytearray(encode_avi(fr))
+    at = bytes(data).find(b"strf") + 8 + 16  # biCompression field
+    data[at:at + 4] = b"MJPG"
+    with pytest.raises(UserError, match="uncompressed 8-bit"):
+        decode_avi(bytes(data))
+    # truncated frame chunk fails closed, never wrong pixels
+    data = bytearray(encode_avi(fr))
+    at = bytes(data).find(b"00db") + 4
+    import struct as _s
+    (sz,) = _s.unpack("<I", data[at:at + 4])
+    data[at:at + 4] = _s.pack("<I", sz - 4)
+    with pytest.raises(UserError):
+        decode_avi(bytes(data))
+
+
+def test_decode_header_dispatches_avi():
+    """The multimodal header dispatch recognizes AVI payloads and
+    returns real geometry; other RIFF forms still raise."""
+
+    from pdf_toolkit_spark.media_codecs import encode_avi
+    from pdf_toolkit_spark.ops.multimodal import decode_header
+
+    fr = RNG.integers(0, 256, (4, 7, 11), dtype=np.uint8)
+    meta = decode_header(encode_avi(fr, fps=24))
+    assert meta["format"] == "avi"
+    assert (meta["width"], meta["height"]) == (11, 7)
+    with pytest.raises(NotImplementedError):
+        decode_header(b"RIFF\x08\x00\x00\x00ACONdata")
