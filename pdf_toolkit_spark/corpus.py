@@ -274,8 +274,13 @@ def make_document(
             # predefined-table profile: B.4/B.2/B.6/B.8/B.11, then
             # the alternate B.5/B.3/B.7/B.10/B.13 selections
             codec = "jbig2hufalt"
+        if codec == "jpx" and (doc_id // (jpeg_every * 7)) % 2:
+            # successive visits to the lossless-JPX slot alternate the
+            # per-component COC override profile (depth/geometry/style
+            # re-specified per component — still lossless)
+            codec = "jpxcoc"
         if (
-            codec in ("jpx", "jpx97", "jbig2s", "jbig2hufstd",
+            codec in ("jpx", "jpxcoc", "jpx97", "jbig2s", "jbig2hufstd",
                       "jbig2hufalt")
             and doc_class == "mega_pdf"
         ):

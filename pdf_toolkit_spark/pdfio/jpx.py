@@ -13,7 +13,12 @@ inclusion and zero-bitplane tag trees, code-blocks clamped to the
 precinct per B.7 — the layout production archival encoders emit)
 as well as the default whole-subband maximal precincts, code-blocks
 at any legal geometry (square or rectangular, exponents 2..10 with
-xcb+ycb <= 12, per-component COC geometry overrides per A.6.2),
+xcb+ycb <= 12), FULL per-component COC overrides per A.6.2 —
+code-block geometry, decomposition depth, precinct partition,
+code-block style and wavelet may each differ per component (each
+component walks its own band/resolution/precinct state and packet
+enumeration; a wavelet split requires MCT off, since the component
+transform binds components 0-2 to one domain) —
 BOTH wavelet paths — the
 reversible 5/3 (Annex F lifting, no-quantization QCD) and the
 irreversible 9/7 (Annex F.4 float lifting, Annex E scalar
@@ -49,13 +54,14 @@ termination, and vertically causal contexts — the multi-segment
 B.10.7 packet layout those modes force is carried on both ends — and
 predictable termination (0x10: the D.4.2.2 MQ flush and alternating
 raw spacer pad on encode; decode is layout-neutral so the plain
-readers handle it, without the optional corruption check);
-subsampling patterns beyond 4:2:0/4:2:2
-and semantic marker segments the decoder can't honour (COC
-overrides beyond code-block geometry and an exact-match precinct
-partition, non-maxshift RGN styles, and tile-header coding
-overrides) raise UserError (missing raster upstream, never wrong
-pixels).
+readers handle it, without the optional corruption check).
+Chroma subsampling composes with explicit precincts, position-major
+progressions (anchors project through the sampling factors) and ROI.
+Fail-closed remainder: subsampling patterns beyond 4:2:0/4:2:2,
+non-maxshift RGN styles (Srgn != 0 is RESERVED in 15444-1 — no
+conforming Part-1 stream carries one), and tile-part-header coding
+overrides (COD/COC/QCD/QCC inside an SOT header) raise UserError
+(missing raster upstream, never wrong pixels).
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (bit-exact on the
@@ -1830,6 +1836,7 @@ def _resolution_bands(levels: int):
 
 def _precinct_layout(
     th: int, tw: int, levels: int, pps: list, xcb: int, ycb: int,
+    scale: tuple = (1, 1),
 ):
     """Precinct partition of an origin-0 tile (T.800 B.6), per
     resolution r=0..levels.
@@ -1838,10 +1845,14 @@ def _precinct_layout(
     Code-blocks are clamped to the precinct (B.7: effective exponent
     min(xcb, PPx - 1) for r > 0, min(xcb, PPx) at r = 0) and anchored
     at the band origin, so precinct boundaries never split a block.
+    ``scale`` is the component's (YRsiz, XRsiz) sampling factor:
+    position anchors project through it to the REFERENCE grid so the
+    position-major progressions (B.12) interleave subsampled
+    components at their true image coordinates.
 
     Returns a list over r of dicts:
       n     -- precinct count npx * npy (raster order on the res grid)
-      pos   -- per precinct, the projected tile-coordinate anchor
+      pos   -- per precinct, the projected reference-grid anchor
                (y, x) used by the position-major progressions (B.12)
       bands -- {(orient, nb): per-precinct list of code-block cell
                rects (y0, x0, ch, cw, by, bx) in raster order, where
@@ -1849,6 +1860,7 @@ def _precinct_layout(
       grid  -- {(orient, nb): per-precinct (nx, ny) block-grid dims}
     """
 
+    sy, sx = scale
     out = []
     for r, bands in enumerate(_resolution_bands(levels)):
         ppx, ppy = pps[r]
@@ -1861,7 +1873,7 @@ def _precinct_layout(
         cbx = min(xcb, ppx - shift)
         cby = min(ycb, ppy - shift)
         pos = [
-            (py << (ppy + levels - r), px << (ppx + levels - r))
+            ((py << (ppy + levels - r)) * sy, (px << (ppx + levels - r)) * sx)
             for py in range(npy) for px in range(npx)
         ]
         entry = {"n": n, "pos": pos, "bands": {}, "grid": {}}
@@ -1917,22 +1929,25 @@ def _prog_sort(pk: list, prog_code: int) -> None:
         pk.sort(key=lambda t: (t[2], t[4], t[5], t[1], t[0]))
 
 
-def _packet_order(prog_code: int, layers: int, ncomp: int, layout: list):
+def _packet_order(prog_code: int, layers: int, layouts: dict):
     """Packet visit order for one tile under a B.12 progression:
-    tuples (layer, r, ci, p)."""
+    tuples (layer, r, ci, p). ``layouts`` maps each component to its
+    own precinct layout (per-component decomposition depths, precinct
+    partitions and sampling factors enumerate independently; a
+    component contributes packets only at the resolutions it has)."""
 
     pk = []
-    for r, entry in enumerate(layout):
-        for p in range(entry["n"]):
-            y, x = entry["pos"][p]
-            for ci in range(ncomp):
+    for ci in sorted(layouts):
+        for r, entry in enumerate(layouts[ci]):
+            for p in range(entry["n"]):
+                y, x = entry["pos"][p]
                 for l in range(layers):
                     pk.append((l, r, ci, p, y, x))
     _prog_sort(pk, prog_code)
     return [(l, r, ci, p) for l, r, ci, p, _y, _x in pk]
 
 
-def _poc_order(entries: list, layers: int, ncomp: int, layout: list):
+def _poc_order(entries: list, layers: int, layouts: dict):
     """Packet visit order under POC progression-order changes (T.800
     A.6.6 / B.12): each volume (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc,
     Ppoc) enumerates its progression over layers < LYEpoc, RSpoc <=
@@ -1943,13 +1958,15 @@ def _poc_order(entries: list, layers: int, ncomp: int, layout: list):
 
     seen: set = set()
     out = []
+    ncomp = len(layouts)
     for rs, cs, lye, re_, ce, pcode in entries:
         sub = []
-        for r in range(rs, min(re_, len(layout))):
-            entry = layout[r]
-            for p in range(entry["n"]):
-                y, x = entry["pos"][p]
-                for ci in range(cs, min(ce, ncomp)):
+        for ci in range(cs, min(ce, ncomp)):
+            layout = layouts[ci]
+            for r in range(rs, min(re_, len(layout))):
+                entry = layout[r]
+                for p in range(entry["n"]):
+                    y, x = entry["pos"][p]
                     for l in range(min(lye, layers)):
                         sub.append((l, r, ci, p, y, x))
         _prog_sort(sub, pcode)
@@ -1958,7 +1975,9 @@ def _poc_order(entries: list, layers: int, ncomp: int, layout: list):
             if k not in seen:
                 seen.add(k)
                 out.append(k)
-    total = layers * ncomp * sum(e["n"] for e in layout)
+    total = layers * sum(
+        e["n"] for lay in layouts.values() for e in lay
+    )
     if len(out) != total:
         raise UserError("JPX: POC leaves packets uncovered.")
     return out
@@ -2003,6 +2022,8 @@ def encode_jpx(
     segsym: bool = False,
     subsample: str = "444",
     cblk_style: int = 0,
+    coc: "dict[int, dict] | None" = None,
+    no_mct: bool = False,
 ) -> bytes:
     """8-bit gray (H, W) or RGB (H, W, 3) -> JPEG 2000 codestream.
     Defaults: one layer, 64x64 code-blocks (``cb_exp`` sets other
@@ -2034,18 +2055,12 @@ def encode_jpx(
     if not (0 <= levels <= 5):
         raise UserError("JPX encoder: 0-5 decomposition levels.")
     h, w = img.shape[:2]
-    if tile_size is not None and (
-        tile_size <= 0 or tile_size % (1 << levels)
-    ):
-        raise UserError("JPX encoder: tile_size must be a multiple of 2^levels.")
+    if tile_size is not None and tile_size <= 0:
+        raise UserError("JPX encoder: tile_size must be positive.")
     if not (1 <= layers <= 255):
         raise UserError("JPX encoder: 1-255 quality layers.")
     if cblk_style & ~(_CB_STYLED | _CB_PREDTERM):
         raise UserError("JPX encoder: unsupported code-block style bits.")
-    if cblk_style and layers != 1:
-        # multi-segment contributions + layer cuts compound; the
-        # production profiles pair the speed modes with single-layer
-        raise UserError("JPX encoder: styled code-blocks require layers=1.")
     xcb, ycb = (cb_exp, cb_exp) if isinstance(cb_exp, int) else cb_exp
     if not (2 <= xcb <= 10 and 2 <= ycb <= 10 and xcb + ycb <= 12):
         raise UserError(
@@ -2066,19 +2081,16 @@ def encode_jpx(
     # explicit precinct partition (B.6): int / (PPx, PPy) applied to
     # every resolution, or a per-resolution list (r=0 first); None
     # keeps the maximal whole-band precincts and omits the signalling
-    use_prec = precincts is not None
-    if not use_prec:
-        pps = [(15, 15)] * (levels + 1)
-    else:
-        if isinstance(precincts, (int, tuple)):
-            plist = [precincts] * (levels + 1)
+    def _parse_prec(pv_in, lv: int) -> list:
+        if isinstance(pv_in, (int, tuple)):
+            plist = [pv_in] * (lv + 1)
         else:
-            plist = list(precincts)
-        if len(plist) != levels + 1:
+            plist = list(pv_in)
+        if len(plist) != lv + 1:
             raise UserError(
                 "JPX encoder: precincts needs one entry per resolution."
             )
-        pps = []
+        ps = []
         for r, pv in enumerate(plist):
             px_, py_ = (pv, pv) if isinstance(pv, int) else pv
             if not (0 <= px_ <= 15 and 0 <= py_ <= 15) or (
@@ -2088,25 +2100,91 @@ def encode_jpx(
                     "JPX encoder: precinct exponents in 0..15 "
                     "(1..15 above r=0)."
                 )
-            pps.append((px_, py_))
+            ps.append((px_, py_))
+        return ps
+
+    use_prec = precincts is not None
+    pps = (
+        _parse_prec(precincts, levels) if use_prec
+        else [(15, 15)] * (levels + 1)
+    )
     ncomp_early = 1 if img.ndim == 2 else 3
+    # per-component coding parameters: the COD defaults, overridden
+    # per component by ``coc`` ({ci: {levels/cb/style/reversible/
+    # precincts}}) and the legacy ``coc_cb`` geometry shorthand —
+    # every overridden component gets a COC marker segment (A.6.2)
+    base_rev = not irreversible
     cb_of = {ci: (xcb, ycb) for ci in range(ncomp_early)}
+    lev_of = {ci: levels for ci in range(ncomp_early)}
+    rev_of = {ci: base_rev for ci in range(ncomp_early)}
+    style_of = {ci: cblk_style for ci in range(ncomp_early)}
+    pps_of = {ci: pps for ci in range(ncomp_early)}
+    use_prec_of = {ci: use_prec for ci in range(ncomp_early)}
+    coc_all: dict[int, dict] = {}
     for ci, ov in (coc_cb or {}).items():
+        coc_all.setdefault(ci, {})["cb"] = ov
+    for ci, ov in (coc or {}).items():
+        coc_all.setdefault(ci, {}).update(ov)
+    for ci, ov in coc_all.items():
         if not (0 <= ci < ncomp_early):
-            raise UserError("JPX encoder: coc_cb component out of range.")
-        xo, yo = (ov, ov) if isinstance(ov, int) else ov
-        if not (2 <= xo <= 10 and 2 <= yo <= 10 and xo + yo <= 12):
+            raise UserError("JPX encoder: coc component out of range.")
+        if unknown := set(ov) - {
+            "cb", "levels", "style", "reversible", "precincts"
+        }:
             raise UserError(
-                "JPX encoder: coc_cb exponents in 2..10, sum <= 12."
+                f"JPX encoder: unknown coc keys {sorted(unknown)}."
             )
-        cb_of[ci] = (xo, yo)
+        if "cb" in ov:
+            v = ov["cb"]
+            xo, yo = (v, v) if isinstance(v, int) else v
+            if not (2 <= xo <= 10 and 2 <= yo <= 10 and xo + yo <= 12):
+                raise UserError(
+                    "JPX encoder: coc_cb exponents in 2..10, sum <= 12."
+                )
+            cb_of[ci] = (xo, yo)
+        if "levels" in ov:
+            if not (0 <= ov["levels"] <= 5):
+                raise UserError("JPX encoder: 0-5 decomposition levels.")
+            lev_of[ci] = ov["levels"]
+        if "style" in ov:
+            if ov["style"] & ~(_CB_STYLED | _CB_PREDTERM):
+                raise UserError(
+                    "JPX encoder: unsupported code-block style bits."
+                )
+            style_of[ci] = ov["style"]
+        if "reversible" in ov:
+            rev_of[ci] = bool(ov["reversible"])
+        if "precincts" in ov:
+            if ov["precincts"] is None:
+                pps_of[ci] = [(15, 15)] * (lev_of[ci] + 1)
+                use_prec_of[ci] = False
+            else:
+                pps_of[ci] = _parse_prec(ov["precincts"], lev_of[ci])
+                use_prec_of[ci] = True
+        elif lev_of[ci] != levels:
+            # the inherited partition must cover this depth
+            pps_of[ci] = (
+                _parse_prec(precincts, lev_of[ci]) if use_prec
+                else [(15, 15)] * (lev_of[ci] + 1)
+            )
+    max_lev = max(lev_of.values())
+    if any(style_of.values()) and layers != 1:
+        # multi-segment contributions + layer cuts compound; the
+        # production profiles pair the speed modes with single-layer
+        raise UserError("JPX encoder: styled code-blocks require layers=1.")
+    if tile_size is not None and tile_size % (1 << max_lev):
+        raise UserError("JPX encoder: tile_size must be a multiple of 2^levels.")
+    mixed_rev = len(set(rev_of.values())) > 1
+    if mixed_rev and not no_mct:
+        raise UserError(
+            "JPX encoder: mixed per-component wavelets require no_mct."
+        )
     xt = yt = tile_size if tile_size else max(w, h)
     gray = img.ndim == 2
-    if chroma_qstep is not None and (gray or not irreversible):
+    if chroma_qstep is not None and (gray or rev_of[1] or rev_of[2]):
         raise UserError("JPX encoder: chroma_qstep needs irreversible RGB.")
     if qcc and gray:
         raise UserError("JPX encoder: qcc needs a 3-component image.")
-    emit_qcc = qcc or chroma_qstep is not None
     if roi and tile_size:
         raise UserError("JPX encoder: roi requires a single tile.")
     if subsample not in ("444", "420", "422"):
@@ -2117,66 +2195,70 @@ def encode_jpx(
     if use_sub:
         if gray:
             raise UserError("JPX encoder: subsampling needs RGB.")
-        if precincts is not None or roi:
-            raise UserError(
-                "JPX encoder: subsampling excludes precincts and ROI."
-            )
-        if tile_size is not None and tile_size % (1 << (levels + 1)):
+        if tile_size is not None and tile_size % (1 << (max_lev + 1)):
             raise UserError(
                 "JPX encoder: subsampled tiles need a multiple of 2^(levels+1)."
             )
     #: per-component maxshift values, filled by the tile coder and
     #: signalled as main-header RGN segments
     roi_s: dict[int, int] = {}
-    mct = 0 if gray else 1
+    mct = 0 if (gray or no_mct) else 1
     ncomp = 1 if gray else 3
-    if irreversible:
-        # ICT keeps every component inside the 8-bit nominal range
+    # any per-component divergence in wavelet or depth changes the
+    # quantization body, so those components must signal a QCC
+    emit_qcc = qcc or chroma_qstep is not None or any(
+        rev_of[ci] != rev_of[0] or lev_of[ci] != lev_of[0]
+        for ci in range(ncomp)
+    )
+    # nominal per-component dynamic range Rb (E.1): 8-bit samples,
+    # expanded by the RCT difference channels; ICT and untransformed
+    # components stay at the sample depth
+    if gray or mct == 0:
         eps_base_of = [8] * ncomp
-        step_c = [qstep] * ncomp
-        if chroma_qstep is not None:
-            step_c[1] = step_c[2] = chroma_qstep
-        #: per-band (eps, mu, step) keyed (component, orient, nb):
-        #: rb = 8 + gain. The signalled step is the QUANTIZER's step
-        #: too, so encoder and decoder divide/multiply the identical
-        #: double.
-        band_keys = [k for bands in _resolution_bands(levels) for k in bands]
-        quant_of = {}
-        for ci in range(ncomp):
-            if qcd_style == "derived":
-                # style 1 (E-5): one signalled pair for the LL band;
-                # every band at level nb derives eps0 - levels + nb
-                eps0, mu0 = _step_to_eps_mu(step_c[ci], eps_base_of[ci])
-                if eps0 - levels < 1:
-                    raise UserError(
-                        "JPX encoder: derived QCD step too coarse for levels."
-                    )
-                for orient, nb in band_keys:
-                    rb = eps_base_of[ci] + _GAIN[orient]
-                    eps = eps0 - levels + nb if levels else eps0
-                    quant_of[(ci, orient, nb)] = (
-                        eps, mu0, _eps_mu_to_step(eps, mu0, rb)
-                    )
-            elif qcd_style == "expounded":
-                for orient, nb in band_keys:
-                    rb = eps_base_of[ci] + _GAIN[orient]
-                    eps, mu = _step_to_eps_mu(step_c[ci], rb)
-                    quant_of[(ci, orient, nb)] = (
-                        eps, mu, _eps_mu_to_step(eps, mu, rb)
-                    )
-            else:
-                raise UserError("JPX encoder: qcd_style derived|expounded.")
+    elif not base_rev:
+        eps_base_of = [8] * ncomp  # ICT keeps the 8-bit nominal range
+    elif emit_qcc:
+        eps_base_of = [8, 9, 9]
     else:
-        # RCT: Y averages the components (8-bit span) while Cb/Cr are
-        # differences (9 bits). A single QCD must cover the widest
-        # component; with QCC the Y component signals its true span.
-        if gray:
-            eps_base_of = [8]
-        elif emit_qcc:
-            eps_base_of = [8, 9, 9]
+        # a single QCD must cover the widest component (Cb/Cr: 9 bits)
+        eps_base_of = [9, 9, 9]
+    if qcd_style not in ("derived", "expounded"):
+        raise UserError("JPX encoder: qcd_style derived|expounded.")
+    step_c = [qstep] * ncomp
+    if chroma_qstep is not None:
+        step_c[1] = step_c[2] = chroma_qstep
+    #: per-band (eps, mu, step) keyed (component, orient, nb) for the
+    #: quantized (9/7) components: rb = Rb + gain. The signalled step
+    #: is the QUANTIZER's step too, so encoder and decoder
+    #: divide/multiply the identical double.
+    quant_of = {}
+    for ci in range(ncomp):
+        if rev_of[ci]:
+            continue
+        band_keys = [
+            k for bands in _resolution_bands(lev_of[ci]) for k in bands
+        ]
+        if qcd_style == "derived":
+            # style 1 (E-5): one signalled pair for the LL band;
+            # every band at level nb derives eps0 - levels + nb
+            eps0, mu0 = _step_to_eps_mu(step_c[ci], eps_base_of[ci])
+            if eps0 - lev_of[ci] < 1:
+                raise UserError(
+                    "JPX encoder: derived QCD step too coarse for levels."
+                )
+            for orient, nb in band_keys:
+                rb = eps_base_of[ci] + _GAIN[orient]
+                eps = eps0 - lev_of[ci] + nb if lev_of[ci] else eps0
+                quant_of[(ci, orient, nb)] = (
+                    eps, mu0, _eps_mu_to_step(eps, mu0, rb)
+                )
         else:
-            eps_base_of = [9, 9, 9]
-        quant_of = None
+            for orient, nb in band_keys:
+                rb = eps_base_of[ci] + _GAIN[orient]
+                eps, mu = _step_to_eps_mu(step_c[ci], rb)
+                quant_of[(ci, orient, nb)] = (
+                    eps, mu, _eps_mu_to_step(eps, mu, rb)
+                )
 
     def _tile_stream(tile_img: np.ndarray) -> bytes:
         """One tile's concatenated packet bytes (LRCP with 1 layer and
@@ -2184,12 +2266,22 @@ def encode_jpx(
         component within each resolution)."""
 
         shifted = tile_img.astype(np.int64) - 128  # DC level shift (B.1.1)
-        if irreversible:
-            comps = (
-                [shifted.astype(np.float64)] if gray else _ict_forward(shifted)
-            )
+        if gray:
+            comps = [
+                shifted.astype(np.float64) if not rev_of[0] else shifted
+            ]
+        elif mct == 0:
+            # untransformed planes: each component in its own wavelet
+            # domain (float for 9/7, integer for 5/3)
+            comps = [
+                shifted[..., ci].astype(np.float64)
+                if not rev_of[ci] else shifted[..., ci]
+                for ci in range(3)
+            ]
+        elif not base_rev:
+            comps = _ict_forward(shifted)
         else:
-            comps = [shifted] if gray else _rct_forward(shifted)
+            comps = _rct_forward(shifted)
         if use_sub:
             # chroma decimation: edge-pad to the sampling grid, box
             # average over sub_y x sub_x (the decoder replicates
@@ -2208,14 +2300,16 @@ def encode_jpx(
                 total = blocks[0].copy()
                 for b_ in blocks[1:]:
                     total += b_
-                if irreversible:
+                if not rev_of[ci_]:
                     comps[ci_] = total / float(len(blocks))
                 else:
                     comps[ci_] = (total + len(blocks) // 2) // len(blocks)
-        if irreversible:
-            decomposed = [dwt97_forward(c, levels) for c in comps]
-        else:
-            decomposed = [dwt53_forward(c, levels) for c in comps]
+        decomposed = [
+            (dwt53_forward if rev_of[ci] else dwt97_forward)(
+                c, lev_of[ci]
+            )
+            for ci, c in enumerate(comps)
+        ]
 
         def band_array(ci: int, orient: int, nb: int) -> np.ndarray:
             ll, lev_bands = decomposed[ci]
@@ -2224,7 +2318,7 @@ def encode_jpx(
             else:
                 hl, lh, hh = lev_bands[len(lev_bands) - nb]
                 arr = (hl, lh, hh)[orient - 1]
-            if not irreversible:
+            if rev_of[ci]:
                 return arr
             step = quant_of[(ci, orient, nb)][2]
             return (np.sign(arr) * np.floor(np.abs(arr) / step)).astype(np.int64)
@@ -2236,8 +2330,8 @@ def encode_jpx(
         roi_arrays = None
         if roi:
             roi_arrays = {}
-            for bands_ in _resolution_bands(levels):
-                for ci_ in range(ncomp):
+            for ci_ in range(ncomp):
+                for bands_ in _resolution_bands(lev_of[ci_]):
                     for orient_, nb_ in bands_:
                         roi_arrays[(ci_, orient_, nb_)] = band_array(
                             ci_, orient_, nb_
@@ -2274,13 +2368,21 @@ def encode_jpx(
                 return -(-th_t // sub_y), -(-tw_t // sub_x)
             return th_t, tw_t
 
+        def _enc_scale(ci: int) -> tuple:
+            if use_sub and ci > 0:
+                return (sub_y, sub_x)
+            return (1, 1)
+
         layouts = {
-            ci: _precinct_layout(*_enc_cdims(ci), levels, pps, *cb_of[ci])
+            ci: _precinct_layout(
+                *_enc_cdims(ci), lev_of[ci], pps_of[ci], *cb_of[ci],
+                scale=_enc_scale(ci),
+            )
             for ci in range(ncomp)
         }
         prec_state = {}  # (ci, orient, nb, p) -> dict
-        for r, bands in enumerate(_resolution_bands(levels)):
-            for ci in range(ncomp):
+        for ci in range(ncomp):
+            for r, bands in enumerate(_resolution_bands(lev_of[ci])):
                 lay = layouts[ci][r]
                 for orient, nb in bands:
                     arr = (
@@ -2288,7 +2390,7 @@ def encode_jpx(
                         if roi_arrays is not None
                         else band_array(ci, orient, nb)
                     )
-                    if irreversible:
+                    if not rev_of[ci]:
                         mb = _GUARD_BITS + quant_of[(ci, orient, nb)][0] - 1
                     else:
                         mb = _GUARD_BITS + (eps_base_of[ci] + _GAIN[orient]) - 1
@@ -2305,9 +2407,9 @@ def encode_jpx(
                                 arr[y0 : y0 + ch, x0 : x0 + cw]
                             ).astype(np.int32)
                             segments = None
-                            if cblk_style:
+                            if style_of[ci]:
                                 segments, npasses, numbps = t1_encode_styled(
-                                    blk_arr, orient, cblk_style,
+                                    blk_arr, orient, style_of[ci],
                                     segsym=segsym,
                                 )
                                 seg = b"".join(segments)
@@ -2351,14 +2453,16 @@ def encode_jpx(
                         prec_state[(ci, orient, nb, p)] = st
 
         packets = []
-        res_list = _resolution_bands(levels)
+        res_list_of = {
+            ci: _resolution_bands(lev_of[ci]) for ci in range(ncomp)
+        }
         pkt_order = (
-            _poc_order(poc_entries, layers, ncomp, layouts[0])
+            _poc_order(poc_entries, layers, layouts)
             if poc_entries
-            else _packet_order(prog_code, layers, ncomp, layouts[0])
+            else _packet_order(prog_code, layers, layouts)
         )
         for layer, _ri, ci, p in pkt_order:
-            bands = res_list[_ri]
+            bands = res_list_of[ci][_ri]
             bw = _BitWriter()
             body = bytearray()
             contribs = []  # (block, np_l, lo, hi)
@@ -2417,7 +2521,7 @@ def encode_jpx(
                             # styled block (single layer): one length
                             # per codeword segment (B.10.7), all read
                             # with this block's shared Lblock
-                            parts = _seg_partition(cblk_style, prev, np_l)
+                            parts = _seg_partition(style_of[ci], prev, np_l)
                             lens = [len(s) for s in blk["segments"]]
                             while any(
                                 max(1, ln).bit_length()
@@ -2502,42 +2606,53 @@ def encode_jpx(
             for rs, cs, lye, re_, ce, pp in poc_entries
         )
         out += b"\xff\x5f" + struct.pack(">H", 2 + len(body)) + body
-    for ci in sorted(coc_cb or {}):
-        # COC (A.6.2): Ccoc 1 byte (Csiz < 257), Scoc mirrors COD's
-        # precinct flag (the decoder only honours an exact-match
-        # partition), SPcoc mirrors SPcod with the overridden geometry
+    for ci in sorted(coc_all):
+        # COC (A.6.2): Ccoc 1 byte (Csiz < 257), Scoc carries the
+        # component's own precinct flag, SPcoc mirrors SPcod with the
+        # component's geometry / depth / style / wavelet / partition
         xo, yo = cb_of[ci]
+        cprec_bytes = (
+            bytes((py_ << 4) | px_ for px_, py_ in pps_of[ci])
+            if use_prec_of[ci] else b""
+        )
         out += b"\xff\x53" + struct.pack(
-            ">HBB", 9 + len(prec_bytes), ci, 1 if use_prec else 0
+            ">HBB", 9 + len(cprec_bytes), ci, 1 if use_prec_of[ci] else 0
         ) + bytes(
-            [levels, xo - 2, yo - 2, (0x20 if segsym else 0) | cblk_style,
-             0 if irreversible else 1]
-        ) + prec_bytes
-    n_sub = 3 * levels + 1
-    order = [( _LL, levels if levels else 0 )]
-    for r in range(1, levels + 1):
-        nb = levels - r + 1
-        order += [(_HL, nb), (_LH, nb), (_HH, nb)]
+            [lev_of[ci], xo - 2, yo - 2,
+             (0x20 if segsym else 0) | style_of[ci],
+             1 if rev_of[ci] else 0]
+        ) + cprec_bytes
+
+    def _band_keys_enc(lv: int) -> list:
+        bo = [(_LL, lv if lv else 0)]
+        for r in range(1, lv + 1):
+            nb = lv - r + 1
+            bo += [(_HL, nb), (_LH, nb), (_HH, nb)]
+        return bo
+
     def _quant_body(ci: int) -> bytearray:
         """Sqcd/Sqcc + SPqcd/SPqcc for one component (shared layout,
-        T.800 A.6.4/A.6.5)."""
+        T.800 A.6.4/A.6.5), over that component's own band list."""
 
-        if irreversible and qcd_style == "derived":
+        order = _band_keys_enc(lev_of[ci])
+        if not rev_of[ci] and qcd_style == "derived":
             # scalar derived (style 1), 2 guard bits; the single
             # signalled pair is the LL band's (exponent << 11 | mantissa)
-            eps, mu, _step = quant_of[(ci, _LL, levels if levels else 0)]
+            eps, mu, _step = quant_of[
+                (ci, _LL, lev_of[ci] if lev_of[ci] else 0)
+            ]
             body = bytearray([(_GUARD_BITS << 5) | 0x01])
             body += struct.pack(">H", (eps << 11) | mu)
-        elif irreversible:
+        elif not rev_of[ci]:
             # scalar expounded (style 2), 2 guard bits; 16-bit
             # (exponent << 11 | mantissa) per band
             body = bytearray([(_GUARD_BITS << 5) | 0x02])
-            for orient, nb in order[:n_sub]:
+            for orient, nb in order:
                 eps, mu, _step = quant_of[(ci, orient, nb)]
                 body += struct.pack(">H", (eps << 11) | mu)
         else:
             body = bytearray([0x40])  # no quantization, 2 guard bits
-            for orient, _nb in order[:n_sub]:
+            for orient, _nb in order:
                 body.append((eps_base_of[ci] + _GAIN[orient]) << 3)
         return body
 
@@ -2842,54 +2957,65 @@ def decode_jpx(data: bytes) -> np.ndarray:
             p += nppm
     if mct and ncomp != 3:
         raise UserError("JPX: component transform requires 3 components.")
-    if subsampled:
-        # chroma subsampling composes with whole-band precincts only
-        # (per-component precinct grids would need per-component
-        # packet enumeration); both wavelet paths decode — the 5/3
-        # keeps the decimated chroma planes bit-exact
-        if any(p != (15, 15) for p in pps):
-            raise UserError(
-                "JPX: subsampling with explicit precincts unsupported."
-            )
-        if srgn_of:
-            raise UserError("JPX: subsampling with ROI unsupported.")
-    # COC overrides, validated against COD now that both are parsed:
-    # code-block geometry may differ per component; levels / style /
-    # wavelet / precinct changes would need per-component band and
-    # resolution state, so they fail closed
+    # COC overrides (A.6.2), validated against COD now that both are
+    # parsed: every SPcod field may differ per component — geometry,
+    # decomposition depth, wavelet, code-block style, precinct
+    # partition. Each component carries its own band/resolution
+    # state and enumerates its own packets (per-component layouts in
+    # _packet_order), so all of them are honoured.
     cb_comp = {ci: (xcb, ycb) for ci in range(ncomp)}
+    lev_of = {ci: levels for ci in range(ncomp)}
+    rev_of = {ci: reversible for ci in range(ncomp)}
+    style_of = {ci: cb_style for ci in range(ncomp)}
+    segsym_of = {ci: segsym_mode for ci in range(ncomp)}
+    pps_of = {ci: pps for ci in range(ncomp)}
     for ci, sp in coc_raw.items():
         if len(sp) < 6:
             raise UserError("JPX: truncated COC segment.")
         if sp[0] not in (0, 1):
             raise UserError("JPX: unknown COC style flags.")
-        if sp[1] != levels:
-            raise UserError("JPX: COC decomposition-level override.")
+        lv = sp[1]
+        if lv > 5:
+            raise UserError("JPX: more than 5 decomposition levels.")
         xo, yo = sp[2] + 2, sp[3] + 2
         if not (2 <= xo <= 10 and 2 <= yo <= 10 and xo + yo <= 12):
             raise UserError("JPX: COC code-block exponents out of range.")
-        if sp[4] != ((0x20 if segsym_mode else 0) | cb_style):
-            raise UserError("JPX: COC code-block style override.")
-        if sp[5] != (1 if reversible else 0):
-            raise UserError("JPX: COC wavelet override.")
-        # per-component precinct grids would need per-component
-        # packet enumeration: only an exact match of COD's partition
-        # is honoured, anything else fails closed
-        coc_pps = (
-            [(b & 0x0F, b >> 4) for b in sp[6 : 6 + levels + 1]]
-            if sp[0] else [(15, 15)] * (levels + 1)
-        )
-        if sp[0] and len(coc_pps) != levels + 1:
-            raise UserError("JPX: truncated COC precinct sizes.")
-        if coc_pps != pps:
-            raise UserError("JPX: COC precinct override.")
+        if sp[4] & ~(_CB_STYLED | _CB_SEGSYM | _CB_PREDTERM):
+            raise UserError("JPX: code-block style modes unsupported.")
+        if sp[5] not in (0, 1):
+            raise UserError("JPX: unknown wavelet transform.")
+        if sp[0]:
+            pb = sp[6 : 6 + lv + 1]
+            if len(pb) != lv + 1:
+                raise UserError("JPX: truncated COC precinct sizes.")
+            cpps = []
+            for r, b in enumerate(pb):
+                px_, py_ = b & 0x0F, b >> 4
+                if r and (px_ < 1 or py_ < 1):
+                    raise UserError(
+                        "JPX: precinct exponent 0 only legal at r=0."
+                    )
+                cpps.append((px_, py_))
+        else:
+            cpps = [(15, 15)] * (lv + 1)
         cb_comp[ci] = (xo, yo)
+        lev_of[ci] = lv
+        rev_of[ci] = sp[5] == 1
+        style_of[ci] = sp[4] & (_CB_STYLED | _CB_PREDTERM)
+        segsym_of[ci] = bool(sp[4] & _CB_SEGSYM)
+        pps_of[ci] = cpps
+    max_lev = max(lev_of.values())
+    if mct and len(set(rev_of.values())) > 1:
+        # the component transform binds components 0-2 to one domain
+        # (RCT integer / ICT float); a per-component wavelet split
+        # under MCT has no coherent inverse
+        raise UserError("JPX: MCT with mixed per-component wavelets.")
     ntx = -(-w // xt)
     nty = -(-h // yt)
-    if ntx * nty > 1 and (xt % (1 << levels) or yt % (1 << levels)):
+    if ntx * nty > 1 and (xt % (1 << max_lev) or yt % (1 << max_lev)):
         raise UserError("JPX: tile size must be a multiple of 2^levels.")
     if subsampled and ntx * nty > 1 and (
-        xt % (1 << (levels + 1)) or yt % (1 << (levels + 1))
+        xt % (1 << (max_lev + 1)) or yt % (1 << (max_lev + 1))
     ):
         raise UserError(
             "JPX: subsampled tiles need dims a multiple of 2^(levels+1)."
@@ -2904,16 +3030,21 @@ def decode_jpx(data: bytes) -> np.ndarray:
     # derivation for style 1).
     if qcd_tbl is None:
         raise UserError("JPX: missing QCD.")
-    band_order = [(_LL, levels if levels else 0)]
-    for r in range(1, levels + 1):
-        nb = levels - r + 1
-        band_order += [(_HL, nb), (_LH, nb), (_HH, nb)]
+
+    def _band_keys(lv: int) -> list:
+        bo = [(_LL, lv if lv else 0)]
+        for r_ in range(1, lv + 1):
+            nb_ = lv - r_ + 1
+            bo += [(_HL, nb_), (_LH, nb_), (_HH, nb_)]
+        return bo
+
     step_of: dict[tuple[int, int, int], float] = {}
     mb_of: dict[tuple[int, int, int], int] = {}
     for ci in range(ncomp):
+        band_order = _band_keys(lev_of[ci])
         style, guard, exps, pairs = qcc_tbl.get(ci, qcd_tbl)
         if style == 0:
-            if not reversible:
+            if not rev_of[ci]:
                 raise UserError(
                     "JPX: 9/7 stream without quantization signalling."
                 )
@@ -2922,14 +3053,14 @@ def decode_jpx(data: bytes) -> np.ndarray:
             for i, key in enumerate(band_order):
                 mb_of[(ci,) + key] = guard + exps[i] - 1
             continue
-        if reversible:
+        if rev_of[ci]:
             raise UserError("JPX: quantized QCD/QCC with the reversible 5/3.")
         if style == 1:  # derived: one pair, exponents scale by level
             if not pairs:
                 raise UserError("JPX: empty derived QCD/QCC.")
             eps0, mu0 = pairs[0]
             pair_of = {
-                (orient, nb): (eps0 - levels + nb, mu0)
+                (orient, nb): (eps0 - lev_of[ci] + nb, mu0)
                 for orient, nb in band_order
             }
         else:  # expounded: one pair per band
@@ -2945,7 +3076,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     # at the encoder, so every band of that component carries SPrgn
     # extra magnitude bitplanes
     for ci, s in srgn_of.items():
-        for key in band_order:
+        for key in _band_keys(lev_of[ci]):
             mb_of[(ci,) + key] += s
 
     def _tile_pixels(
@@ -2958,19 +3089,26 @@ def decode_jpx(data: bytes) -> np.ndarray:
 
         # band containers, keyed (component, orient, level)
         band_arrays: dict[tuple[int, int, int], np.ndarray] = {}
-        res_bands = _resolution_bands(levels)
+        res_bands_of = {ci: _resolution_bands(lev_of[ci]) for ci in range(ncomp)}
         # per-component tile dims (subsampled chroma at reduced
         # resolution per the SIZ XRsiz/YRsiz factors)
         def _cdims(ci: int) -> tuple[int, int]:
             if subsampled and ci > 0:
                 return -(-th // csub_y), -(-tw // csub_x)
             return th, tw
-        # precinct layouts per component (identical precinct grids at
-        # full resolution; with 4:2:0 the whole-band-precinct
-        # restriction keeps one precinct per resolution everywhere,
-        # so packet enumeration over layouts[0] stays exact)
+        # precinct layouts per component: each component enumerates
+        # its own precinct grid (subsampled chroma on its reduced
+        # tile, anchors projected to the reference grid via the
+        # sampling factors so position-major progressions interleave)
+        def _scale(ci: int) -> tuple:
+            if subsampled and ci > 0:
+                return (csub_y, csub_x)
+            return (1, 1)
         layouts = {
-            ci: _precinct_layout(*_cdims(ci), levels, pps, *cb_comp[ci])
+            ci: _precinct_layout(
+                *_cdims(ci), lev_of[ci], pps_of[ci], *cb_comp[ci],
+                scale=_scale(ci),
+            )
             for ci in range(ncomp)
         }
         # per-precinct persistent Tier-2 state (tag trees advance
@@ -3008,9 +3146,9 @@ def decode_jpx(data: bytes) -> np.ndarray:
             return st
 
         order = (
-            _poc_order(poc_entries, layers, ncomp, layouts[0])
+            _poc_order(poc_entries, layers, layouts)
             if poc_entries
-            else _packet_order(prog, layers, ncomp, layouts[0])
+            else _packet_order(prog, layers, layouts)
         )
 
         pos = 0
@@ -3019,7 +3157,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
         hbr = _BitReader(ppt, 0) if ppt is not None else None
         nsop = 0
         for layer, r, ci, p in order:
-            bands = res_bands[r]
+            bands = res_bands_of[ci][r]
             for orient, nb in bands:
                 _ensure(ci, orient, nb, r, p)
             if use_sop:
@@ -3064,7 +3202,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
                         # reproducing the classic single-length read
                         lens = []
                         for cnt, term in _seg_partition(
-                            cb_style, blk["npasses"], np_l
+                            style_of[ci], blk["npasses"], np_l
                         ):
                             nbits = blk["lblock"] + int(
                                 math.floor(math.log2(cnt))
@@ -3105,16 +3243,16 @@ def decode_jpx(data: bytes) -> np.ndarray:
             ):
                 if not blk["npasses"]:
                     continue
-                if cb_style:
+                if style_of[ci]:
                     coeffs = t1_decode_styled(
                         [bytes(s) for s in blk["segs"]], ch, cw, orient,
-                        blk["numbps"], blk["npasses"], cb_style,
-                        segsym=segsym_mode,
+                        blk["numbps"], blk["npasses"], style_of[ci],
+                        segsym=segsym_of[ci],
                     )
                 else:
                     coeffs = t1_decode(
                         bytes(blk["segs"][0]), ch, cw, orient,
-                        blk["numbps"], blk["npasses"], segsym=segsym_mode,
+                        blk["numbps"], blk["npasses"], segsym=segsym_of[ci],
                     )
                 arr[y0 : y0 + ch, x0 : x0 + cw] = coeffs
 
@@ -3126,7 +3264,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 # undo the encoder's upshift; backgrounds pass through
                 mag = np.abs(q)
                 q = np.where(mag >= (1 << s), np.sign(q) * (mag >> s), q)
-            if reversible:
+            if rev_of[ci]:
                 return q
             # Annex E dequantization with the midpoint reconstruction
             # parameter r=0.5 (the floor quantizer's expectation)
@@ -3137,13 +3275,16 @@ def decode_jpx(data: bytes) -> np.ndarray:
 
         planes = []
         for ci in range(ncomp):
-            ll = band(ci, _LL, levels if levels else 0)
+            lv = lev_of[ci]
+            ll = band(ci, _LL, lv if lv else 0)
             lev_bands = []
-            for nb in range(levels, 0, -1):
+            for nb in range(lv, 0, -1):
                 lev_bands.append(
                     (band(ci, _HL, nb), band(ci, _LH, nb), band(ci, _HH, nb))
                 )
-            tile = (dwt53_inverse if reversible else dwt97_inverse)(ll, lev_bands)
+            tile = (dwt53_inverse if rev_of[ci] else dwt97_inverse)(
+                ll, lev_bands
+            )
             if tile.shape != _cdims(ci):
                 raise UserError("JPX: reconstructed tile shape mismatch.")
             if subsampled and ci > 0:
@@ -3155,9 +3296,17 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 tile = tile[:th, :tw]
             planes.append(tile)
         if ncomp == 1:
-            return planes[0]
+            return np.rint(planes[0]) if not rev_of[0] else planes[0]
         if mct:
-            return (_rct_inverse if reversible else _ict_inverse)(*planes)
+            # MCT forbids mixed wavelets (validated above): one domain
+            comp = (_rct_inverse if rev_of[0] else _ict_inverse)(*planes)
+            return np.rint(comp) if not rev_of[0] else comp
+        # untransformed components round independently: a 9/7 plane
+        # reconstructs to floats, a 5/3 plane is already integral
+        planes = [
+            np.rint(p_) if not rev_of[ci] else p_
+            for ci, p_ in enumerate(planes)
+        ]
         return np.stack(planes, axis=-1)
 
     shape = (h, w) if ncomp == 1 else (h, w, 3)
@@ -3171,8 +3320,6 @@ def decode_jpx(data: bytes) -> np.ndarray:
             bytes(tile_parts[ti]), th, tw,
             ppt=bytes(tile_ppt[ti]) if ti in tile_ppt else None,
         )
-    if not reversible:
-        out = np.rint(out)
     return np.clip(out + 128, 0, 255).astype(np.uint8)
 
 

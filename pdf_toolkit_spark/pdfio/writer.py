@@ -59,7 +59,8 @@ class PageSpec:
     #: "jpx" (lossless
     #: JPEG 2000 via pdfio/jpx.py), "jpx97" (lossy 9/7 JPEG 2000,
     #: derived QCD), "jpxq" (lossy with per-component QCC
-    #: signalling), or "jpxbyp" (lossy 9/7 with the selective-bypass
+    #: signalling), "jpxcoc" (lossless with per-component COC
+    #: depth/geometry/style overrides), or "jpxbyp" (lossy 9/7 with the selective-bypass
     #: + vertically-causal code-block styles — production encoders'
     #: speed knobs); the 1-bit codecs threshold gray rasters at >127
     codec: str = "flate"
@@ -388,10 +389,28 @@ def _image_xobject(
             f"/Length {len(data)} >>\nstream\n"
         ).encode()
         return head + data + b"\nendstream"
-    if codec in ("jpx", "jpx97", "jpxq", "jpxbyp"):
+    if codec in ("jpx", "jpx97", "jpxq", "jpxbyp", "jpxcoc"):
         from .jpx import encode_jpx
 
-        if codec == "jpxbyp":
+        if codec == "jpxcoc":
+            # per-component COC override profile (T.800 A.6.2): the
+            # COD signals a shallow default; COC segments re-specify
+            # depth, code-block geometry and the bypass style per
+            # component (RGB: the production luma-fine/chroma-coarse
+            # split; grayscale: a full COC re-specification of the
+            # single component). Lossless, so spans stay exact.
+            if arr.ndim == 3:
+                data = encode_jpx(
+                    np.ascontiguousarray(arr, dtype=np.uint8), levels=3,
+                    coc={1: {"levels": 2, "cb": 4},
+                         2: {"levels": 2, "cb": 4, "style": 0x01}},
+                )
+            else:
+                data = encode_jpx(
+                    np.ascontiguousarray(arr, dtype=np.uint8), levels=2,
+                    coc={0: {"levels": 3, "cb": 5, "style": 0x01}},
+                )
+        elif codec == "jpxbyp":
             # production speed/resilience profile (the Kakadu/
             # OpenJPEG default knobs for fast archival scans):
             # selective arithmetic bypass + vertically causal
