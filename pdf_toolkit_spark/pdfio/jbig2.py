@@ -55,10 +55,12 @@ references). ALL PREDEFINED Annex B table selections (B.1-B.15) ship
 and encoder-forced round-trips — and SDHUFF dictionaries compose
 with SDREFAGG=1 (§6.5.8.2.2 with SDHUFF: ID in raw SBSYMCODELEN
 bits, RDX/RDY via Table B.15, BMSIZE via Table B.1, byte-aligned
-fresh-context MQ refinement segments). The one remaining fail-closed
-subset is SDHUFF multi-instance aggregates (REFAGGNINST > 1 — a
-nested Huffman text region inside the dictionary), which surfaces as
-a missing raster (UserError), never wrong pixels.
+fresh-context MQ refinement segments) INCLUDING multi-instance
+aggregates (REFAGGNINST > 1, §6.5.8.2.1 with SDHUFF=1: a nested
+Huffman text region read inline from the dictionary bit stream with
+the Table 17 fixed parameters — SBSTRIPS=1, TOPLEFT, B.6/B.8/B.11
+deltas, B.15/B.1 refinement fields, raw SBSYMCODELEN-bit IDs per
+§6.5.8.2.3). No symbol-dictionary coding shape remains fail-closed.
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (including MQ-coder
@@ -1441,6 +1443,86 @@ def _simple_table(lo: int, hi: int, oob: bool) -> bytes:
 # Symbol dictionary (T.88 §6.5 decode / §7.4.3 segment layout)
 # ---------------------------------------------------------------------------
 
+def _decode_agg_text_huffman(
+    br: "_BitReaderH", payload: bytes, syms: "list[np.ndarray]",
+    w: int, h: int, ninst: int, symlen: int, sbrtemplate: int,
+) -> np.ndarray:
+    """Nested SDHUFF aggregate (§6.5.8.2.1 with SDHUFF=1,
+    REFAGGNINST > 1): a text region decoded INLINE from the
+    dictionary's bit stream with the Table 17 parameters — SBSTRIPS=1,
+    TOPLEFT corner, DSOFFSET=0, SBDEFPIXEL=0, fixed predefined tables
+    (FS=B.6, DS=B.8, DT=B.11, RDW/RDH/RDX/RDY=B.15, RSIZE=B.1) and
+    symbol IDs in SBSYMCODELEN raw bits (§6.5.8.2.3). SBREFINE=1, so
+    each instance carries an RI bit; refined instances ride a
+    byte-aligned MQ segment like the standalone Huffman text region.
+    The reader advances in place (the dictionary continues after)."""
+
+    fs_tbl, ds_tbl = _std_table(6), _std_table(8)
+    dt_tbl, rd_tbl = _std_table(11), _std_table(15)
+    region = np.zeros((h, w), np.uint8)
+    dt0 = dt_tbl.decode(br)
+    if dt0 is None:
+        raise UserError("JBIG2: OOB aggregate strip delta.")
+    stript = -dt0
+    firsts = 0
+    n = 0
+    while n < ninst:
+        dt = dt_tbl.decode(br)
+        if dt is None:
+            raise UserError("JBIG2: OOB aggregate strip delta.")
+        stript += dt
+        first = True
+        curs = 0
+        while n < ninst:
+            if first:
+                dfs = fs_tbl.decode(br)
+                if dfs is None:
+                    raise UserError("JBIG2: OOB aggregate first-S delta.")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = ds_tbl.decode(br)
+                if ids is None:
+                    break  # strip done
+                curs += ids  # DSOFFSET = 0
+            sid = br.get_bits(symlen)
+            if sid >= len(syms):
+                raise UserError("JBIG2: aggregate symbol ID out of range.")
+            bm = syms[sid]
+            hi, wi = bm.shape
+            if br.get():  # RI (SBREFINE=1 per Table 17)
+                rdw = rd_tbl.decode(br)
+                rdh = rd_tbl.decode(br)
+                rdx = rd_tbl.decode(br)
+                rdy = rd_tbl.decode(br)
+                rsize = _TABLE_B1.decode(br)
+                if None in (rdw, rdh, rdx, rdy, rsize) or rsize < 0:
+                    raise UserError("JBIG2: OOB aggregate refinement field.")
+                nw, nh = wi + rdw, hi + rdh
+                if not (0 < nw <= 1 << 15 and 0 < nh <= 1 << 15):
+                    raise UserError("JBIG2: invalid refined instance size.")
+                pos = br.align()
+                if pos + rsize > len(payload):
+                    raise UserError("JBIG2: truncated refinement segment.")
+                bm = decode_refinement(
+                    payload[pos : pos + rsize], nw, nh, bm,
+                    template=sbrtemplate,
+                    refdx=(rdw >> 1) + rdx, refdy=(rdh >> 1) + rdy,
+                )
+                br.pos = pos + rsize
+                br.bit = 0
+                hi, wi = bm.shape
+            y0, x0 = stript, curs  # TOPLEFT
+            ys, xs = max(y0, 0), max(x0, 0)
+            ye, xe = min(y0 + hi, h), min(x0 + wi, w)
+            if ye > ys and xe > xs:
+                region[ys:ye, xs:xe] |= bm[ys - y0 : ye - y0, xs - x0 : xe - x0]
+            curs += wi - 1
+            n += 1
+    return region
+
+
 def _decode_symbol_dict_huffman(
     payload: bytes, input_syms: "list[np.ndarray]",
     tables: "list[HuffTable]", flags: int,
@@ -1453,8 +1535,10 @@ def _decode_symbol_dict_huffman(
     against an earlier input/new symbol (§6.5.8.2.2 with SDHUFF: ID
     in SBSYMCODELEN raw bits, RDX/RDY via Table B.15, BMSIZE via
     Table B.1, then a byte-aligned MQ refinement segment with fresh
-    contexts — multi-instance aggregates fail closed). Export runs
-    ride the spec-mandated Table B.1."""
+    contexts) or aggregate-coded as a nested inline Huffman text
+    region of REFAGGNINST instances (§6.5.8.2.1,
+    _decode_agg_text_huffman). Export runs ride the spec-mandated
+    Table B.1."""
 
     sdrefagg = (flags >> 1) & 0x01
     sdrtemplate = (flags >> 12) & 0x01
@@ -1519,11 +1603,16 @@ def _decode_symbol_dict_huffman(
                 nrefs = agg_tbl.decode(br)
                 if nrefs is None or nrefs < 1:
                     raise UserError("JBIG2: bad aggregate instance count.")
+                if nrefs > 1 << 16:
+                    raise UserError("JBIG2: implausible aggregate count.")
                 if nrefs != 1:
-                    raise UserError(
-                        "JBIG2: Huffman multi-instance aggregates "
-                        "unsupported."
-                    )
+                    # §6.5.8.2.1: nested Huffman text region of nrefs
+                    # instances, read inline from this bit stream
+                    newsyms.append(_decode_agg_text_huffman(
+                        br, payload, input_syms + newsyms,
+                        symwidth, hcheight, nrefs, symlen, sdrtemplate,
+                    ))
+                    continue
                 sid = br.get_bits(symlen)
                 rdx = rd_tbl.decode(br)
                 rdy = rd_tbl.decode(br)
@@ -2244,6 +2333,75 @@ def encode_text_region(
     )
 
 
+def _encode_agg_text_huffman(
+    bw: "_BitWriterH", syms: "list[np.ndarray]",
+    input_syms: "list[np.ndarray]", i: int,
+    instances: "list[tuple[int, int, int]]", symlen: int,
+) -> None:
+    """Encoder mirror of _decode_agg_text_huffman: the new symbol
+    ``syms[i]`` rides REFAGGNINST=len(instances) (Table B.1) and a
+    nested Huffman text region of (y, x, sid) instances — SBSTRIPS=1
+    with the initial STRIPT at -1 (Table B.11 cannot code a zero
+    delta), TOPLEFT corners, RI=0, IDs in SBSYMCODELEN raw bits.
+    Verifies the composition reproduces the bitmap exactly."""
+
+    target = syms[i]
+    h, w = target.shape
+    n_input = len(input_syms)
+    check = np.zeros((h, w), np.uint8)
+    inst = sorted(instances, key=lambda t: (t[0], t[1], t[2]))
+    if len(inst) < 2:
+        raise UserError(
+            "JBIG2 encoder: Huffman aggregates need >= 2 instances."
+        )
+    for y0, x0, sid in inst:
+        if not (0 <= sid < n_input + i):
+            raise UserError(
+                "JBIG2 encoder: aggregate instance must reference a "
+                "preceding symbol."
+            )
+        bm = input_syms[sid] if sid < n_input else syms[sid - n_input]
+        hh, ww = bm.shape
+        ys, xs = max(y0, 0), max(x0, 0)
+        ye, xe = min(y0 + hh, h), min(x0 + ww, w)
+        if ye > ys and xe > xs:
+            check[ys:ye, xs:xe] |= bm[ys - y0 : ye - y0, xs - x0 : xe - x0]
+    if not np.array_equal(check, target):
+        raise UserError(
+            "JBIG2 encoder: aggregate instances do not reproduce the "
+            "symbol."
+        )
+    fs_tbl, ds_tbl, dt_tbl = _std_table(6), _std_table(8), _std_table(11)
+    _TABLE_B1.encode(bw, len(inst))  # REFAGGNINST
+    dt_tbl.encode(bw, 1)  # initial: STRIPT = -1
+    stript = -1
+    firsts = 0
+    j = 0
+    ncount = len(inst)
+    while j < ncount:
+        yrow = inst[j][0]
+        if j:
+            ds_tbl.encode(bw, None)  # OOB closes the previous strip
+        dt_tbl.encode(bw, yrow - stript)
+        stript = yrow
+        first = True
+        curs = 0
+        while j < ncount and inst[j][0] == yrow:
+            y0, x0, sid = inst[j]
+            if first:
+                fs_tbl.encode(bw, x0 - firsts)
+                firsts = x0
+                first = False
+            else:
+                ds_tbl.encode(bw, x0 - curs)
+            curs = x0
+            bw.put_bits(sid, symlen)
+            bw.put_bits(0, 1)  # RI = 0 (SBREFINE=1 gate)
+            bm = input_syms[sid] if sid < n_input else syms[sid - n_input]
+            curs += bm.shape[1] - 1
+            j += 1
+
+
 def encode_symbol_dict_huffman(
     syms: "list[np.ndarray]", n_input: int = 0, mmr: bool = True,
     std_tables: "bool | str" = False,
@@ -2299,7 +2457,11 @@ def encode_symbol_dict_huffman(
             wdt = syms[i].shape[1]
             dw_tbl.encode(bw, wdt - sw)
             sw = wdt
-            if refs is not None:
+            if refs is not None and isinstance(refs[i], (list, tuple)):
+                _encode_agg_text_huffman(
+                    bw, syms, input_syms or [], i, refs[i], symlen,
+                )
+            elif refs is not None:
                 sid = refs[i]
                 if not (0 <= sid < n_input + i):
                     raise UserError(

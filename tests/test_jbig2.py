@@ -6,9 +6,8 @@ split), refinement regions (GR templates 0/1, TPGRON), halftone
 regions (pattern dictionaries, gray-coded bitplanes), embedded segment
 streams, intermediate-region organization, Huffman coding paths
 (Annex B user AND all fifteen predefined tables, SDHUFF/SBHUFF,
-SDHUFF x SDREFAGG refinement dictionaries), the /JBIG2Decode XObject
-path, and graceful rejection of the remaining out-of-scope subset
-(Huffman multi-instance aggregates)."""
+SDHUFF x SDREFAGG refinement dictionaries, SDHUFF multi-instance
+aggregates), and the /JBIG2Decode XObject path."""
 
 from __future__ import annotations
 
@@ -1116,34 +1115,109 @@ def test_huffman_refagg_dict_end_to_end(std):
     assert np.array_equal(decode_jbig2_embedded(p, g), img)
 
 
-def test_huffman_multi_instance_aggregate_fails_closed():
-    """REFAGGNINST > 1 under SDHUFF (a nested Huffman text region
-    inside the dictionary) stays fail-closed — patch the encoder's
-    AGGINST=1 Table B.1 code (0, one bit) to 2 (Table B.1 codes 2 as
-    10 0010: same leading 0 prefix won't do, so rebuild the stream
-    by hand is overkill; instead assert the decoder refuses a count
-    of 2 by encoding it directly)."""
+def test_huffman_multi_instance_aggregate_roundtrip():
+    """REFAGGNINST > 1 under SDHUFF (§6.5.8.2.1 with SDHUFF=1): a new
+    symbol decodes as a nested Huffman text region of earlier-symbol
+    instances read INLINE from the dictionary bit stream — Table 17
+    parameters (SBSTRIPS=1, TOPLEFT, fixed B.6/B.8/B.11 tables, raw
+    SBSYMCODELEN-bit IDs). Single-strip, multi-strip, overlap, and
+    mixing with single-refinement entries all round-trip."""
 
     from pdf_toolkit_spark.pdfio.jbig2 import (
-        _BitWriterH, _TABLE_B1, _std_table, decode_symbol_dict,
-        encode_refinement, _NOMINAL_GR_AT,
+        decode_code_table, decode_symbol_dict, encode_symbol_dict_huffman,
     )
+
+    rng = np.random.default_rng(3)
+    a = (rng.random((8, 6)) < 0.5).astype(np.uint8)
+    b = (rng.random((8, 5)) < 0.5).astype(np.uint8)
+    lig = np.zeros((8, 14), np.uint8)
+    lig[:, 0:6] |= a
+    lig[:, 8:13] |= b
+    lig[:, 3:8] |= b  # overlapping middle instance
+    tbls, sd = encode_symbol_dict_huffman(
+        [lig], refs=[[(0, 0, 0), (0, 3, 1), (0, 8, 1)]],
+        input_syms=[a, b],
+    )
+    out = decode_symbol_dict(
+        sd, [a, b], tables=[decode_code_table(t) for t in tbls]
+    )
+    assert np.array_equal(out[0], lig)
+    # multi-strip (instances on three different rows), std tables,
+    # mixed with a single-refinement entry; the aggregate may also
+    # reference the NEW refined symbol (index n_input + 0)
+    ref0 = a.copy()
+    ref0[0, 0] ^= 1
+    tall = np.zeros((20, 10), np.uint8)
+    tall[0:8, 0:6] |= ref0
+    tall[10:18, 2:7] |= b
+    tall[12:20, 4:10] |= a
+    tbls, sd = encode_symbol_dict_huffman(
+        [ref0, tall],
+        refs=[0, [(0, 0, 2), (10, 2, 1), (12, 4, 0)]],
+        input_syms=[a, b], std_tables=True,
+    )
+    out = decode_symbol_dict(sd, [a, b], tables=[])
+    assert np.array_equal(out[0], ref0)
+    assert np.array_equal(out[1], tall)
+    # encoder validation: instances must reproduce the bitmap
+    with pytest.raises(UserError, match="reproduce"):
+        encode_symbol_dict_huffman(
+            [lig], refs=[[(0, 0, 0), (0, 8, 1)]], input_syms=[a, b],
+        )
+
+
+def test_huffman_aggregate_segment_stream_end_to_end():
+    """A full SDHUFF segment stream whose dictionary carries a
+    multi-instance aggregate ligature: dict 1 exports the base
+    glyphs, dict 2 aggregate-codes the ligature against them across
+    the segment boundary, the Huffman text region places all three —
+    decoded page equals the hand-composed expectation."""
+
     import struct as _struct
 
-    base = np.ones((4, 4), np.uint8)
-    bw = _BitWriterH()
-    # height class: DH=4 (B.4), DW=4 (B.2), then AGGINST=2
-    _std_table(4).encode(bw, 4)
-    _std_table(2).encode(bw, 4)
-    _TABLE_B1.encode(bw, 2)  # REFAGGNINST = 2 -> must fail closed
-    payload = (
-        _struct.pack(">H", 0x01 | 0x02)  # SDHUFF | SDREFAGG, sel 0/0
-        + _NOMINAL_GR_AT
-        + _struct.pack(">II", 1, 1)
-        + bw.flush()
-    ).ljust(20, b"\x00")  # pad past the truncation guard
-    with pytest.raises(UserError, match="multi-instance aggregates"):
-        decode_symbol_dict(payload, [base], tables=[])
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        _segment, encode_symbol_dict_huffman, encode_text_region_huffman,
+    )
+
+    rng = np.random.default_rng(7)
+    a = (rng.random((8, 5)) < 0.4).astype(np.uint8)
+    b = (rng.random((8, 6)) < 0.4).astype(np.uint8)
+    lig = np.zeros((8, 12), np.uint8)
+    lig[:, 0:5] |= a
+    lig[:, 6:12] |= b
+    w, h = 64, 32
+    syms = [a, b, lig]
+    inst = [(4, 2, 0), (4, 20, 1), (18, 10, 2)]
+    expected = np.zeros((h, w), np.uint8)
+    for y0, x0, sid in inst:
+        bm = syms[sid]
+        expected[y0 : y0 + bm.shape[0], x0 : x0 + bm.shape[1]] |= bm
+    _t1, sd1 = encode_symbol_dict_huffman([a, b], std_tables=True)
+    _t2, sd2 = encode_symbol_dict_huffman(
+        [lig], refs=[[(0, 0, 0), (0, 6, 1)]], input_syms=[a, b],
+        std_tables=True,
+    )
+    tr_tbls, tr = encode_text_region_huffman(w, h, inst, syms)
+    page_info = _struct.pack(">IIII", w, h, 0, 0) + b"\x00" + b"\x00\x00"
+    num = 1
+    stream = _segment(0, 48, page_info)
+    stream += _segment(num, 0, sd1)
+    sd1_num = num
+    num += 1
+    stream += _segment(num, 0, sd2, refs=(sd1_num,))
+    sd2_num = num
+    num += 1
+    trt_nums = []
+    for t in tr_tbls:
+        stream += _segment(num, 53, t)
+        trt_nums.append(num)
+        num += 1
+    stream += _segment(
+        num, 6, tr, refs=(sd1_num, sd2_num) + tuple(trt_nums)
+    )
+    num += 1
+    stream += _segment(num, 49, b"")
+    assert np.array_equal(decode_jbig2_embedded(stream), expected)
 
 
 def test_huffman_alt_refined_instances_end_to_end():
