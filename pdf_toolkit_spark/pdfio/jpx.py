@@ -57,11 +57,17 @@ raw spacer pad on encode; decode is layout-neutral so the plain
 readers handle it, without the optional corruption check).
 Chroma subsampling composes with explicit precincts, position-major
 progressions (anchors project through the sampling factors) and ROI.
-Fail-closed remainder: subsampling patterns beyond 4:2:0/4:2:2,
-non-maxshift RGN styles (Srgn != 0 is RESERVED in 15444-1 — no
-conforming Part-1 stream carries one), and tile-part-header coding
-overrides (COD/COC/QCD/QCC inside an SOT header) raise UserError
-(missing raster upstream, never wrong pixels).
+Tile-part-header coding overrides decode too: COD/COC/QCD/QCC/RGN/POC
+inside a first-tile-part (TPsot=0) header re-resolve that tile's
+parameter bundle under the A.6 precedence — COC(tile) > COD(tile) >
+COC(main) > COD(main), QCC(tile) > QCD(tile) > QCC(main) > QCD(main),
+per-component RGN override, tile POC replacing the main POC — while
+other tiles keep the main-header state (the encoder emits main-header
+signalling only; the override decode path is pinned by spliced
+two-encoder streams in tests). Fail-closed remainder: subsampling
+patterns beyond 4:2:0/4:2:2 and non-maxshift RGN styles (Srgn != 0 is
+RESERVED in 15444-1 — no conforming Part-1 stream carries one) raise
+UserError (missing raster upstream, never wrong pixels).
 
 Both directions are implemented from the public spec; correctness
 evidence is exhaustive encode->decode round-trips (bit-exact on the
@@ -2723,6 +2729,84 @@ def encode_jpx(
     return bytes(out)
 
 
+def _parse_cod_seg(seg: bytes) -> dict:
+    """COD marker segment body (A.6.1) -> coding-style state dict —
+    shared by the main header and tile-part headers (a tile-part COD
+    replaces the main one for that tile)."""
+
+    if len(seg) < 10:
+        raise UserError("JPX: truncated COD segment.")
+    scod = seg[0]
+    if scod & ~0x07:
+        raise UserError("JPX: unknown Scod flags.")
+    prog, layers, mct = seg[1], struct.unpack(">H", seg[2:4])[0], seg[4]
+    if not layers:
+        raise UserError("JPX: zero quality layers.")
+    # T.800 B.12 progression orders: all five; the position-major
+    # ones sort on projected precinct anchors
+    if prog > 4:
+        raise UserError("JPX: unsupported progression order.")
+    if mct not in (0, 1):
+        raise UserError("JPX: unknown component transform.")
+    levels = seg[5]
+    if levels > 5:
+        raise UserError("JPX: more than 5 decomposition levels.")
+    xcb, ycb = seg[6] + 2, seg[7] + 2
+    if not (2 <= xcb <= 10 and 2 <= ycb <= 10 and xcb + ycb <= 12):
+        raise UserError("JPX: code-block exponents out of range.")
+    # Scb (Table A.19): segmentation symbols, selective bypass,
+    # per-pass context reset, per-pass termination, vertically causal
+    # contexts (the styled Tier-1 twin) and predictable termination
+    # (layout-neutral: segment bounds come from explicit Tier-2
+    # lengths, so the plain MQ/raw readers decode PTERM streams
+    # bit-exactly; the optional spacer-bit check is not performed)
+    if seg[8] & ~(_CB_STYLED | _CB_SEGSYM | _CB_PREDTERM):
+        raise UserError("JPX: code-block style modes unsupported.")
+    if seg[9] not in (0, 1):
+        raise UserError("JPX: unknown wavelet transform.")
+    if scod & 0x01:  # explicit precincts (B.6): one byte per
+        # resolution, low nibble PPx, high nibble PPy, r=0 up
+        pb = seg[10 : 10 + levels + 1]
+        if len(pb) != levels + 1:
+            raise UserError("JPX: truncated COD precinct sizes.")
+        pps = []
+        for r, b in enumerate(pb):
+            px_, py_ = b & 0x0F, b >> 4
+            if r and (px_ < 1 or py_ < 1):
+                raise UserError(
+                    "JPX: precinct exponent 0 only legal at r=0."
+                )
+            pps.append((px_, py_))
+    else:
+        pps = [(15, 15)] * (levels + 1)  # maximal: whole band
+    return {
+        "use_sop": bool(scod & 0x02), "use_eph": bool(scod & 0x04),
+        "prog": prog, "layers": layers, "mct": mct, "levels": levels,
+        "xcb": xcb, "ycb": ycb,
+        "cb_style": seg[8] & (_CB_STYLED | _CB_PREDTERM),
+        "segsym": bool(seg[8] & _CB_SEGSYM),
+        "reversible": seg[9] == 1, "pps": pps,
+    }
+
+
+def _parse_poc_seg(seg: bytes) -> list:
+    """POC marker segment body (A.6.6) -> progression volumes; 7-byte
+    entries for Csiz < 257: RSpoc, CSpoc, LYEpoc(2), REpoc, CEpoc,
+    Ppoc."""
+
+    if len(seg) % 7 or not seg:
+        raise UserError("JPX: malformed POC segment.")
+    out = []
+    for k in range(0, len(seg), 7):
+        rs, cs = seg[k], seg[k + 1]
+        (lye,) = struct.unpack(">H", seg[k + 2 : k + 4])
+        re_, ce, pp = seg[k + 4], seg[k + 5], seg[k + 6]
+        if pp > 4 or rs >= re_ or cs >= ce or lye == 0:
+            raise UserError("JPX: invalid POC entry.")
+        out.append((rs, cs, lye, re_, ce, pp))
+    return out
+
+
 def decode_jpx(data: bytes) -> np.ndarray:
     """Lossless or 9/7 JPEG 2000 codestream -> (H, W) uint8 gray or
     (H, W, 3) uint8 RGB (3 components; inverse RCT/ICT when the COD
@@ -2738,17 +2822,10 @@ def decode_jpx(data: bytes) -> np.ndarray:
     w = h = None
     xt = yt = None
     ncomp = None
-    levels = None
-    xcb = ycb = _CB_EXP
-    pps: "list | None" = None
-    use_sop = use_eph = False
-    segsym_mode = False
-    cb_style = 0
+    cod_main: "dict | None" = None
     subsampled = False
     csub_x = csub_y = 1
     poc_entries: list = []
-    mct = 0
-    reversible = True
     qcd_tbl: tuple | None = None
     qcc_tbl: dict[int, tuple] = {}
     tile_parts: dict[int, bytearray] = {}
@@ -2758,6 +2835,9 @@ def decode_jpx(data: bytes) -> np.ndarray:
     sot_order: list[int] = []
     srgn_of: dict[int, int] = {}
     coc_raw: dict[int, bytes] = {}
+    # first-tile-part (TPsot=0) header coding/quant overrides, raw:
+    # {isot: [(marker, seg body), ...]} — resolved per tile below
+    tile_ovr: dict[int, list] = {}
     while pos + 2 <= len(data):
         marker = data[pos : pos + 2]
         pos += 2
@@ -2797,55 +2877,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
             w, h = xs, ys
             pos += ln
         elif marker == b"\xff\x52":  # COD
-            scod = seg[0]
-            if scod & ~0x07:
-                raise UserError("JPX: unknown Scod flags.")
-            use_sop = bool(scod & 0x02)  # SOP markers before packets
-            use_eph = bool(scod & 0x04)  # EPH after packet headers
-            prog, layers, mct = seg[1], struct.unpack(">H", seg[2:4])[0], seg[4]
-            if not layers:
-                raise UserError("JPX: zero quality layers.")
-            # T.800 B.12 progression orders: all five; the
-            # position-major ones sort on projected precinct anchors
-            if prog > 4:
-                raise UserError("JPX: unsupported progression order.")
-            if mct not in (0, 1):
-                raise UserError("JPX: unknown component transform.")
-            levels = seg[5]
-            if levels > 5:
-                raise UserError("JPX: more than 5 decomposition levels.")
-            xcb, ycb = seg[6] + 2, seg[7] + 2
-            if not (2 <= xcb <= 10 and 2 <= ycb <= 10 and xcb + ycb <= 12):
-                raise UserError("JPX: code-block exponents out of range.")
-            # Scb (Table A.19): segmentation symbols, selective
-            # bypass, per-pass context reset, per-pass termination,
-            # vertically causal contexts (the styled Tier-1 twin) and
-            # predictable termination (layout-neutral: segment bounds
-            # come from explicit Tier-2 lengths, so the plain MQ/raw
-            # readers decode PTERM streams bit-exactly; the optional
-            # spacer-bit corruption check is not performed)
-            if seg[8] & ~(_CB_STYLED | _CB_SEGSYM | _CB_PREDTERM):
-                raise UserError("JPX: code-block style modes unsupported.")
-            cb_style = seg[8] & (_CB_STYLED | _CB_PREDTERM)
-            segsym_mode = bool(seg[8] & _CB_SEGSYM)
-            if seg[9] not in (0, 1):
-                raise UserError("JPX: unknown wavelet transform.")
-            reversible = seg[9] == 1
-            if scod & 0x01:  # explicit precincts (B.6): one byte per
-                # resolution, low nibble PPx, high nibble PPy, r=0 up
-                pb = seg[10 : 10 + levels + 1]
-                if len(pb) != levels + 1:
-                    raise UserError("JPX: truncated COD precinct sizes.")
-                pps = []
-                for r, b in enumerate(pb):
-                    px_, py_ = b & 0x0F, b >> 4
-                    if r and (px_ < 1 or py_ < 1):
-                        raise UserError(
-                            "JPX: precinct exponent 0 only legal at r=0."
-                        )
-                    pps.append((px_, py_))
-            else:
-                pps = [(15, 15)] * (levels + 1)  # maximal: whole band
+            cod_main = _parse_cod_seg(seg)
             pos += ln
         elif marker == b"\xff\x53":  # COC: per-component coding style
             if ncomp is None:
@@ -2868,29 +2900,22 @@ def decode_jpx(data: bytes) -> np.ndarray:
             qcc_tbl[seg[0]] = _parse_quant(seg[1:])
             pos += ln
         elif marker == b"\xff\x5f":  # POC: progression order changes
-            if len(seg) % 7 or not seg:
-                raise UserError("JPX: malformed POC segment.")
-            # 7-byte entries for Csiz < 257: RSpoc, CSpoc, LYEpoc(2),
-            # REpoc, CEpoc, Ppoc
-            for k in range(0, len(seg), 7):
-                rs, cs = seg[k], seg[k + 1]
-                (lye,) = struct.unpack(">H", seg[k + 2 : k + 4])
-                re_, ce, pp = seg[k + 4], seg[k + 5], seg[k + 6]
-                if pp > 4 or rs >= re_ or cs >= ce or lye == 0:
-                    raise UserError("JPX: invalid POC entry.")
-                poc_entries.append((rs, cs, lye, re_, ce, pp))
+            poc_entries.extend(_parse_poc_seg(seg))
             pos += ln
         elif marker == b"\xff\x60":  # PPM: packed headers (main header)
             ppm_present = True
             ppm_buf.extend(seg[1:])  # skip Zppm index byte
             pos += ln
         elif marker == b"\xff\x90":  # SOT
-            isot, psot, _tpsot, _tnsot = struct.unpack(">HIBB", seg[:8])
+            isot, psot, tpsot, _tnsot = struct.unpack(">HIBB", seg[:8])
             sot_order.append(isot)
             pos += ln
             # tile-part header segments before SOD: PPT collects packed
             # packet headers (B.10.5, Zppt encounter order); PLT/COM
-            # are informational; coding/quant overrides fail closed
+            # are informational; COD/COC/QCD/QCC/RGN/POC override the
+            # main header for this tile (A.6: legal in the FIRST
+            # tile-part only; resolved with the spec's precedence
+            # after the walk)
             hdr_len = 0
             while data[pos : pos + 2] != b"\xff\x93":
                 m2 = data[pos : pos + 2]
@@ -2903,6 +2928,18 @@ def decode_jpx(data: bytes) -> np.ndarray:
                     )
                 elif m2 in (b"\xff\x58", b"\xff\x64"):  # PLT / COM
                     pass
+                elif m2 in (
+                    b"\xff\x52", b"\xff\x53", b"\xff\x5c", b"\xff\x5d",
+                    b"\xff\x5e", b"\xff\x5f",
+                ):
+                    if tpsot != 0:
+                        raise UserError(
+                            "JPX: coding override in a non-first "
+                            "tile-part."
+                        )
+                    tile_ovr.setdefault(isot, []).append(
+                        (m2, data[pos + 4 : pos + 2 + ln2])
+                    )
                 else:
                     raise UserError(
                         f"JPX: unsupported tile-part header segment "
@@ -2926,18 +2963,9 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 raise UserError("JPX: only the maxshift ROI style (Srgn=0).")
             srgn_of[seg[0]] = seg[2]
             pos += ln
-        elif marker in (
-            b"\xff\x53",  # COC: per-component coding style override
-            b"\xff\x5f",  # POC: progression order change
-        ):
-            # semantic segments that change how packets decode: skipping
-            # them would produce WRONG pixels — fail closed instead
-            raise UserError(
-                f"JPX: unsupported marker segment 0x{marker.hex()}."
-            )
         else:
             pos += ln  # COM/TLM/PLM/PLT/CRG: informational, skip
-    if w is None or levels is None or not tile_parts:
+    if w is None or cod_main is None or not tile_parts:
         raise UserError("JPX: missing SIZ/COD/tile data.")
     if ppm_present:
         # PPM (B.10.4): (Nppm, headers) chunks, one per tile-part in
@@ -2955,63 +2983,190 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 ppm_buf[p : p + nppm]
             )
             p += nppm
-    if mct and ncomp != 3:
-        raise UserError("JPX: component transform requires 3 components.")
-    # COC overrides (A.6.2), validated against COD now that both are
-    # parsed: every SPcod field may differ per component — geometry,
-    # decomposition depth, wavelet, code-block style, precinct
-    # partition. Each component carries its own band/resolution
-    # state and enumerates its own packets (per-component layouts in
-    # _packet_order), so all of them are honoured.
-    cb_comp = {ci: (xcb, ycb) for ci in range(ncomp)}
-    lev_of = {ci: levels for ci in range(ncomp)}
-    rev_of = {ci: reversible for ci in range(ncomp)}
-    style_of = {ci: cb_style for ci in range(ncomp)}
-    segsym_of = {ci: segsym_mode for ci in range(ncomp)}
-    pps_of = {ci: pps for ci in range(ncomp)}
-    for ci, sp in coc_raw.items():
-        if len(sp) < 6:
-            raise UserError("JPX: truncated COC segment.")
-        if sp[0] not in (0, 1):
-            raise UserError("JPX: unknown COC style flags.")
-        lv = sp[1]
-        if lv > 5:
-            raise UserError("JPX: more than 5 decomposition levels.")
-        xo, yo = sp[2] + 2, sp[3] + 2
-        if not (2 <= xo <= 10 and 2 <= yo <= 10 and xo + yo <= 12):
-            raise UserError("JPX: COC code-block exponents out of range.")
-        if sp[4] & ~(_CB_STYLED | _CB_SEGSYM | _CB_PREDTERM):
-            raise UserError("JPX: code-block style modes unsupported.")
-        if sp[5] not in (0, 1):
-            raise UserError("JPX: unknown wavelet transform.")
-        if sp[0]:
-            pb = sp[6 : 6 + lv + 1]
-            if len(pb) != lv + 1:
-                raise UserError("JPX: truncated COC precinct sizes.")
-            cpps = []
-            for r, b in enumerate(pb):
-                px_, py_ = b & 0x0F, b >> 4
-                if r and (px_ < 1 or py_ < 1):
+    def _band_keys(lv: int) -> list:
+        bo = [(_LL, lv if lv else 0)]
+        for r_ in range(1, lv + 1):
+            nb_ = lv - r_ + 1
+            bo += [(_HL, nb_), (_LH, nb_), (_HH, nb_)]
+        return bo
+
+    def _resolve_params(
+        cod: dict, coc_in: dict, qcd_in: "tuple | None", qcc_in: dict,
+        srgn_in: dict, poc_in: list,
+    ) -> dict:
+        """One coding state (main header, or a tile's after the A.6
+        precedence merge) -> the resolved per-component parameter
+        bundle: COC overrides validated against the COD (A.6.2 —
+        every SPcod field may differ per component; each component
+        carries its own band/resolution state and enumerates its own
+        packets), per-band Mb and quantizer steps (each component
+        uses its QCC when present, the QCD otherwise; Annex E steps
+        for the quantized styles), and ROI bitplane shifts."""
+
+        if cod["mct"] and ncomp != 3:
+            raise UserError(
+                "JPX: component transform requires 3 components."
+            )
+        cb_comp = {ci: (cod["xcb"], cod["ycb"]) for ci in range(ncomp)}
+        lev_of = {ci: cod["levels"] for ci in range(ncomp)}
+        rev_of = {ci: cod["reversible"] for ci in range(ncomp)}
+        style_of = {ci: cod["cb_style"] for ci in range(ncomp)}
+        segsym_of = {ci: cod["segsym"] for ci in range(ncomp)}
+        pps_of = {ci: cod["pps"] for ci in range(ncomp)}
+        for ci, sp in coc_in.items():
+            if len(sp) < 6:
+                raise UserError("JPX: truncated COC segment.")
+            if sp[0] not in (0, 1):
+                raise UserError("JPX: unknown COC style flags.")
+            lv = sp[1]
+            if lv > 5:
+                raise UserError("JPX: more than 5 decomposition levels.")
+            xo, yo = sp[2] + 2, sp[3] + 2
+            if not (2 <= xo <= 10 and 2 <= yo <= 10 and xo + yo <= 12):
+                raise UserError(
+                    "JPX: COC code-block exponents out of range."
+                )
+            if sp[4] & ~(_CB_STYLED | _CB_SEGSYM | _CB_PREDTERM):
+                raise UserError("JPX: code-block style modes unsupported.")
+            if sp[5] not in (0, 1):
+                raise UserError("JPX: unknown wavelet transform.")
+            if sp[0]:
+                pb = sp[6 : 6 + lv + 1]
+                if len(pb) != lv + 1:
+                    raise UserError("JPX: truncated COC precinct sizes.")
+                cpps = []
+                for r, b in enumerate(pb):
+                    px_, py_ = b & 0x0F, b >> 4
+                    if r and (px_ < 1 or py_ < 1):
+                        raise UserError(
+                            "JPX: precinct exponent 0 only legal at r=0."
+                        )
+                    cpps.append((px_, py_))
+            else:
+                cpps = [(15, 15)] * (lv + 1)
+            cb_comp[ci] = (xo, yo)
+            lev_of[ci] = lv
+            rev_of[ci] = sp[5] == 1
+            style_of[ci] = sp[4] & (_CB_STYLED | _CB_PREDTERM)
+            segsym_of[ci] = bool(sp[4] & _CB_SEGSYM)
+            pps_of[ci] = cpps
+        if cod["mct"] and len(set(rev_of.values())) > 1:
+            # the component transform binds components 0-2 to one
+            # domain (RCT integer / ICT float); a per-component
+            # wavelet split under MCT has no coherent inverse
+            raise UserError("JPX: MCT with mixed per-component wavelets.")
+        if qcd_in is None:
+            raise UserError("JPX: missing QCD.")
+        step_of: dict[tuple[int, int, int], float] = {}
+        mb_of: dict[tuple[int, int, int], int] = {}
+        for ci in range(ncomp):
+            band_order = _band_keys(lev_of[ci])
+            style, guard, exps, pairs = qcc_in.get(ci, qcd_in)
+            if style == 0:
+                if not rev_of[ci]:
                     raise UserError(
-                        "JPX: precinct exponent 0 only legal at r=0."
+                        "JPX: 9/7 stream without quantization signalling."
                     )
-                cpps.append((px_, py_))
-        else:
-            cpps = [(15, 15)] * (lv + 1)
-        cb_comp[ci] = (xo, yo)
-        lev_of[ci] = lv
-        rev_of[ci] = sp[5] == 1
-        style_of[ci] = sp[4] & (_CB_STYLED | _CB_PREDTERM)
-        segsym_of[ci] = bool(sp[4] & _CB_SEGSYM)
-        pps_of[ci] = cpps
-    max_lev = max(lev_of.values())
-    if mct and len(set(rev_of.values())) > 1:
-        # the component transform binds components 0-2 to one domain
-        # (RCT integer / ICT float); a per-component wavelet split
-        # under MCT has no coherent inverse
-        raise UserError("JPX: MCT with mixed per-component wavelets.")
+                if len(exps) < len(band_order):
+                    raise UserError("JPX: QCD/QCC exponent list too short.")
+                for i, key in enumerate(band_order):
+                    mb_of[(ci,) + key] = guard + exps[i] - 1
+                continue
+            if rev_of[ci]:
+                raise UserError(
+                    "JPX: quantized QCD/QCC with the reversible 5/3."
+                )
+            if style == 1:  # derived: one pair, exponents scale by level
+                if not pairs:
+                    raise UserError("JPX: empty derived QCD/QCC.")
+                eps0, mu0 = pairs[0]
+                pair_of = {
+                    (orient, nb): (eps0 - lev_of[ci] + nb, mu0)
+                    for orient, nb in band_order
+                }
+            else:  # expounded: one pair per band
+                if len(pairs) < len(band_order):
+                    raise UserError("JPX: QCD/QCC step list too short.")
+                pair_of = dict(zip(band_order, pairs))
+            for key, (eps, mu) in pair_of.items():
+                if eps < 1:
+                    raise UserError("JPX: invalid derived QCD/QCC exponent.")
+                mb_of[(ci,) + key] = guard + eps - 1
+                step_of[(ci,) + key] = _eps_mu_to_step(
+                    eps, mu, 8 + _GAIN[key[0]]
+                )
+        # RGN maxshift (Annex H): ROI coefficients were scaled up by
+        # SPrgn at the encoder, so every band of that component
+        # carries SPrgn extra magnitude bitplanes
+        for ci, s in srgn_in.items():
+            for key in _band_keys(lev_of[ci]):
+                mb_of[(ci,) + key] += s
+        return {
+            "lev_of": lev_of, "rev_of": rev_of, "style_of": style_of,
+            "segsym_of": segsym_of, "pps_of": pps_of, "cb_comp": cb_comp,
+            "mb_of": mb_of, "step_of": step_of, "srgn": dict(srgn_in),
+            "max_lev": max(lev_of.values()), "mct": cod["mct"],
+            "prog": cod["prog"], "layers": cod["layers"],
+            "use_sop": cod["use_sop"], "use_eph": cod["use_eph"],
+            "poc": list(poc_in),
+        }
+
     ntx = -(-w // xt)
     nty = -(-h // yt)
+    if sorted(tile_parts) != list(range(ntx * nty)):
+        raise UserError("JPX: missing or out-of-range tile indices.")
+    # per-tile parameter bundles: tiles with first-tile-part header
+    # overrides resolve their own state under the A.6 precedence —
+    # COC(tile) > COD(tile) > COC(main) > COD(main), QCC(tile) >
+    # QCD(tile) > QCC(main) > QCD(main), RGN(tile) > RGN(main) per
+    # component, a tile POC replacing the main POC wholesale
+    P_of: dict[int, dict] = {}
+    for ti, segs in tile_ovr.items():
+        cod_segs = [s for m, s in segs if m == b"\xff\x52"]
+        qcd_segs = [s for m, s in segs if m == b"\xff\x5c"]
+        if len(cod_segs) > 1 or len(qcd_segs) > 1:
+            raise UserError("JPX: duplicate tile-part COD/QCD.")
+        cod_t = _parse_cod_seg(cod_segs[0]) if cod_segs else cod_main
+        coc_t = {} if cod_segs else dict(coc_raw)
+        qcd_t = _parse_quant(qcd_segs[0]) if qcd_segs else qcd_tbl
+        qcc_t = {} if qcd_segs else dict(qcc_tbl)
+        srgn_t = dict(srgn_of)
+        poc_t: "list | None" = None
+        for m, sg in segs:
+            if m == b"\xff\x53":
+                if sg[0] >= ncomp:
+                    raise UserError("JPX: COC component index out of range.")
+                coc_t[sg[0]] = sg[1:]
+            elif m == b"\xff\x5d":
+                if sg[0] >= ncomp:
+                    raise UserError("JPX: QCC component index out of range.")
+                qcc_t[sg[0]] = _parse_quant(sg[1:])
+            elif m == b"\xff\x5e":
+                if sg[0] >= ncomp:
+                    raise UserError("JPX: RGN component index out of range.")
+                if sg[1] != 0:
+                    raise UserError(
+                        "JPX: only the maxshift ROI style (Srgn=0)."
+                    )
+                srgn_t[sg[0]] = sg[2]
+            elif m == b"\xff\x5f":
+                poc_t = (poc_t or []) + _parse_poc_seg(sg)
+        P_of[ti] = _resolve_params(
+            cod_t, coc_t, qcd_t, qcc_t, srgn_t,
+            poc_t if poc_t is not None else poc_entries,
+        )
+    # the main bundle covers every tile without its own overrides;
+    # a stream whose tiles all carry their own QCD may omit the main
+    # one, so resolve lazily
+    P_main: "dict | None" = None
+    if any(ti not in P_of for ti in range(ntx * nty)):
+        P_main = _resolve_params(
+            cod_main, coc_raw, qcd_tbl, qcc_tbl, srgn_of, poc_entries
+        )
+    max_lev = max(
+        [p["max_lev"] for p in P_of.values()]
+        + ([P_main["max_lev"]] if P_main is not None else [])
+    )
     if ntx * nty > 1 and (xt % (1 << max_lev) or yt % (1 << max_lev)):
         raise UserError("JPX: tile size must be a multiple of 2^levels.")
     if subsampled and ntx * nty > 1 and (
@@ -3020,73 +3175,23 @@ def decode_jpx(data: bytes) -> np.ndarray:
         raise UserError(
             "JPX: subsampled tiles need dims a multiple of 2^(levels+1)."
         )
-    if sorted(tile_parts) != list(range(ntx * nty)):
-        raise UserError("JPX: missing or out-of-range tile indices.")
-
-    # per-band Mb, keyed (component, orient, level): each component
-    # uses its QCC table when present (T.800 A.6.5 — QCC overrides QCD
-    # for that component), the QCD otherwise. For the quantized styles
-    # also the Annex E step size per band (E-3, with E-5's exponent
-    # derivation for style 1).
-    if qcd_tbl is None:
-        raise UserError("JPX: missing QCD.")
-
-    def _band_keys(lv: int) -> list:
-        bo = [(_LL, lv if lv else 0)]
-        for r_ in range(1, lv + 1):
-            nb_ = lv - r_ + 1
-            bo += [(_HL, nb_), (_LH, nb_), (_HH, nb_)]
-        return bo
-
-    step_of: dict[tuple[int, int, int], float] = {}
-    mb_of: dict[tuple[int, int, int], int] = {}
-    for ci in range(ncomp):
-        band_order = _band_keys(lev_of[ci])
-        style, guard, exps, pairs = qcc_tbl.get(ci, qcd_tbl)
-        if style == 0:
-            if not rev_of[ci]:
-                raise UserError(
-                    "JPX: 9/7 stream without quantization signalling."
-                )
-            if len(exps) < len(band_order):
-                raise UserError("JPX: QCD/QCC exponent list too short.")
-            for i, key in enumerate(band_order):
-                mb_of[(ci,) + key] = guard + exps[i] - 1
-            continue
-        if rev_of[ci]:
-            raise UserError("JPX: quantized QCD/QCC with the reversible 5/3.")
-        if style == 1:  # derived: one pair, exponents scale by level
-            if not pairs:
-                raise UserError("JPX: empty derived QCD/QCC.")
-            eps0, mu0 = pairs[0]
-            pair_of = {
-                (orient, nb): (eps0 - lev_of[ci] + nb, mu0)
-                for orient, nb in band_order
-            }
-        else:  # expounded: one pair per band
-            if len(pairs) < len(band_order):
-                raise UserError("JPX: QCD/QCC step list too short.")
-            pair_of = dict(zip(band_order, pairs))
-        for key, (eps, mu) in pair_of.items():
-            if eps < 1:
-                raise UserError("JPX: invalid derived QCD/QCC exponent.")
-            mb_of[(ci,) + key] = guard + eps - 1
-            step_of[(ci,) + key] = _eps_mu_to_step(eps, mu, 8 + _GAIN[key[0]])
-    # RGN maxshift (Annex H): ROI coefficients were scaled up by SPrgn
-    # at the encoder, so every band of that component carries SPrgn
-    # extra magnitude bitplanes
-    for ci, s in srgn_of.items():
-        for key in _band_keys(lev_of[ci]):
-            mb_of[(ci,) + key] += s
 
     def _tile_pixels(
-        tile_data: bytes, th: int, tw: int, ppt: "bytes | None" = None,
+        tile_data: bytes, th: int, tw: int, P: dict,
+        ppt: "bytes | None" = None,
     ) -> np.ndarray:
         """One tile's packets -> composed (th, tw[, 3]) pixel array
-        (float, DC-shifted domain). Band extents use the origin-0
+        (float, DC-shifted domain) under the tile's resolved
+        parameter bundle ``P``. Band extents use the origin-0
         formula, exact because tile origins are multiples of
         2^levels (validated above)."""
 
+        lev_of, rev_of = P["lev_of"], P["rev_of"]
+        style_of, segsym_of = P["style_of"], P["segsym_of"]
+        pps_of, cb_comp = P["pps_of"], P["cb_comp"]
+        mb_of, step_of, srgn_of = P["mb_of"], P["step_of"], P["srgn"]
+        prog, layers, poc_entries = P["prog"], P["layers"], P["poc"]
+        use_sop, use_eph, mct = P["use_sop"], P["use_eph"], P["mct"]
         # band containers, keyed (component, orient, level)
         band_arrays: dict[tuple[int, int, int], np.ndarray] = {}
         res_bands_of = {ci: _resolution_bands(lev_of[ci]) for ci in range(ncomp)}
@@ -3317,7 +3422,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
         th = min(yt, h - ty0)
         tw = min(xt, w - tx0)
         out[ty0 : ty0 + th, tx0 : tx0 + tw] = _tile_pixels(
-            bytes(tile_parts[ti]), th, tw,
+            bytes(tile_parts[ti]), th, tw, P_of.get(ti, P_main),
             ppt=bytes(tile_ppt[ti]) if ti in tile_ppt else None,
         )
     return np.clip(out + 128, 0, 255).astype(np.uint8)

@@ -1197,9 +1197,10 @@ def test_ppt_packed_headers_roundtrip():
     assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 3
 
 
-def test_tile_header_overrides_fail_closed():
-    """A COD inside a tile-part header would change how that tile
-    decodes — fail closed, never wrong pixels."""
+def test_tile_header_malformed_cod_fails_closed():
+    """Tile-part COD segments are honoured (see
+    test_tile_part_header_overrides) — a MALFORMED one (truncated
+    SPcod) still fails closed, never wrong pixels."""
 
     import struct
 
@@ -1213,7 +1214,7 @@ def test_tile_header_overrides_fail_closed():
     patched = bytearray(patched)
     (psot,) = struct.unpack(">I", patched[sot + 6 : sot + 10])
     patched[sot + 6 : sot + 10] = struct.pack(">I", psot + len(fake_cod))
-    with pytest.raises(UserError, match="tile-part header"):
+    with pytest.raises(UserError, match="truncated COD"):
         decode_jpx(bytes(patched))
 
 
@@ -1318,6 +1319,150 @@ def test_styled_encoder_requires_single_layer():
     img = RNG.integers(0, 256, (32, 32), dtype=np.uint8)
     with pytest.raises(UserError, match="layers=1"):
         encode_jpx(img, levels=1, cblk_style=0x01, layers=3)
+
+
+def _split_codestream(enc: bytes):
+    """(main segments [(marker, full bytes)], tiles [(isot, [header
+    segment bytes], body)]) — test-side splicer for building
+    tile-part-header override streams from encoder output."""
+
+    import struct as _struct
+
+    pos = 2
+    main, tiles = [], []
+    while pos < len(enc):
+        m = enc[pos : pos + 2]
+        if m == b"\xff\xd9":
+            break
+        ln = int.from_bytes(enc[pos + 2 : pos + 4], "big")
+        if m == b"\xff\x90":
+            seg = enc[pos + 4 : pos + 2 + ln]
+            isot, psot, _tp, _tn = _struct.unpack(">HIBB", seg[:8])
+            pos += 2 + ln
+            hdr = []
+            while enc[pos : pos + 2] != b"\xff\x93":
+                ln2 = int.from_bytes(enc[pos + 2 : pos + 4], "big")
+                hdr.append(enc[pos : pos + 2 + ln2])
+                pos += 2 + ln2
+            pos += 2
+            hdr_len = sum(len(x) for x in hdr)
+            end = pos + (psot - 12 - hdr_len - 2)
+            tiles.append((isot, hdr, enc[pos:end]))
+            pos = end
+        else:
+            main.append((m, enc[pos : pos + 2 + ln]))
+            pos += 2 + ln
+    return main, tiles
+
+
+def _assemble_codestream(main, tiles, tpsot=None) -> bytes:
+    import struct as _struct
+
+    out = b"\xff\x4f" + b"".join(s for _m, s in main)
+    for isot, hdr, body in tiles:
+        hdr_b = b"".join(hdr)
+        psot = 12 + len(hdr_b) + 2 + len(body)
+        out += b"\xff\x90" + _struct.pack(
+            ">HHIBB", 10, isot, psot, tpsot or 0, 1
+        )
+        out += hdr_b + b"\xff\x93" + body
+    return out + b"\xff\xd9"
+
+
+def _main_seg(main, marker: bytes) -> bytes:
+    return next(s for m, s in main if m == marker)
+
+
+def test_tile_part_header_overrides():
+    """COD/QCD/COC/RGN in a first-tile-part header override the main
+    header for THAT tile (T.800 A.6 precedence). Built by splicing:
+    main header from stream A, tile header + body from stream B coded
+    under different parameters — the decoder must reproduce B's
+    pixels for the overridden tile and A's for the rest."""
+
+    g = RNG.integers(0, 256, (64, 64), dtype=np.uint8)
+    # tile QCD override: 2x2 tile grid, visibly coarse main quant;
+    # tile 1 (top-right) carries B's fine QCD and B's body
+    A = encode_jpx(g, 2, tile_size=32, irreversible=True, qstep=1.0)
+    B = encode_jpx(g, 2, tile_size=32, irreversible=True, qstep=1.0 / 64)
+    out_a, out_b = decode_jpx(A), decode_jpx(B)
+    assert not np.array_equal(out_a, out_b)  # quant difference is visible
+    ma, ta = _split_codestream(A)
+    mb, tb = _split_codestream(B)
+    ta[1] = (ta[1][0], [_main_seg(mb, b"\xff\x5c")], tb[1][2])
+    mixed = decode_jpx(_assemble_codestream(ma, ta))
+    assert np.array_equal(mixed[:32, 32:], out_b[:32, 32:])  # tile 1: B
+    mixed[:32, 32:] = out_a[:32, 32:]
+    assert np.array_equal(mixed, out_a)                      # rest: A
+    # tile COD override (deeper decomposition + styled blocks) — the
+    # tile needs B's QCD too (more bands than the main exponent
+    # list); both streams are lossless so the spliced decode must
+    # reproduce the source bit-exactly, which requires honouring the
+    # tile's own levels/style for its body
+    A = encode_jpx(g, 1, tile_size=32)
+    B = encode_jpx(g, 3, tile_size=32, cblk_style=0x01)
+    ma, ta = _split_codestream(A)
+    mb, tb = _split_codestream(B)
+    ta[0] = (ta[0][0], [
+        _main_seg(mb, b"\xff\x52"), _main_seg(mb, b"\xff\x5c"),
+    ], tb[0][2])
+    assert np.array_equal(decode_jpx(_assemble_codestream(ma, ta)), g)
+    # tile COC override on top of the main COD (COC(tile) > COD(main))
+    rgb = RNG.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    A = encode_jpx(rgb, 2)
+    B = encode_jpx(rgb, 2, coc_cb={1: 4})
+    ma, ta = _split_codestream(A)
+    mb, tb = _split_codestream(B)
+    ta[0] = (ta[0][0], [_main_seg(mb, b"\xff\x53")], tb[0][2])
+    assert np.array_equal(decode_jpx(_assemble_codestream(ma, ta)), rgb)
+    # tile RGN (lossy, so the upshift is visible): body coded WITH
+    # ROI decodes correctly only when the tile header carries the RGN
+    A = encode_jpx(g[:32, :32], 2, irreversible=True, qstep=1.0 / 16)
+    B = encode_jpx(
+        g[:32, :32], 2, irreversible=True, qstep=1.0 / 16, roi=True,
+    )
+    out_b = decode_jpx(B)
+    ma, _ = _split_codestream(A)
+    mb, tb = _split_codestream(B)
+    rgn = _main_seg(mb, b"\xff\x5e")
+    spliced = _assemble_codestream(ma, [(0, [rgn], tb[0][2])])
+    assert np.array_equal(decode_jpx(spliced), out_b)
+    # without the RGN anywhere the ROI-upshifted coefficients decode
+    # to the WRONG pixels — proof the tile-header RGN is honoured
+    bare = _assemble_codestream(ma, [(0, [], tb[0][2])])
+    try:
+        assert not np.array_equal(decode_jpx(bare), out_b)
+    except UserError:
+        pass
+    # tile POC: relocating the main-header POC into the tile header
+    # decodes identically
+    A = encode_jpx(
+        g, 2, layers=3,
+        poc=[(0, 0, 2, 3, 1, "rlcp"), (0, 0, 3, 3, 1, "lrcp")],
+    )
+    out_a = decode_jpx(A)
+    ma, ta = _split_codestream(A)
+    poc = _main_seg(ma, b"\xff\x5f")
+    ma = [e for e in ma if e[0] != b"\xff\x5f"]
+    ta[0] = (ta[0][0], [poc] + ta[0][1], ta[0][2])
+    assert np.array_equal(decode_jpx(_assemble_codestream(ma, ta)), out_a)
+
+
+def test_tile_part_override_fail_closed():
+    """Coding overrides are legal only in the FIRST tile-part
+    (TPsot=0); a later tile-part carrying one fails closed, as do
+    duplicate tile-part COD/QCD segments."""
+
+    g = RNG.integers(0, 256, (32, 32), dtype=np.uint8)
+    A = encode_jpx(g, 2, irreversible=True, qstep=1.0 / 16)
+    ma, ta = _split_codestream(A)
+    qcd = _main_seg(ma, b"\xff\x5c")
+    with_ovr = [(0, [qcd], ta[0][2])]
+    assert decode_jpx(_assemble_codestream(ma, with_ovr)) is not None
+    with pytest.raises(UserError, match="non-first tile-part"):
+        decode_jpx(_assemble_codestream(ma, with_ovr, tpsot=1))
+    with pytest.raises(UserError, match="duplicate"):
+        decode_jpx(_assemble_codestream(ma, [(0, [qcd, qcd], ta[0][2])]))
 
 
 def test_jpxcoc_writer_codec_extracts_end_to_end():
