@@ -134,6 +134,7 @@ def main() -> None:
         "text_classifier_filter",
         "sketch_kmv_set_ops",
         "curate_mixture_weights",
+        "curate_weighted_sample",
         "mm_avi_frame_sample",
     ]
     for name in headliners:

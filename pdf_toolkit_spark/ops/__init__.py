@@ -42,6 +42,7 @@ _STALEST_COHORT = (
     # new in round 6: never driver-checked
     "text_perplexity_tier_thresholds", "text_classifier_filter",
     "sketch_kmv_set_ops", "curate_mixture_weights",
+    "curate_weighted_sample",
     "mm_avi_frame_sample",
     "rel_session_range_join", "rel_funnel", "rel_retention_cohorts",
     "rel_order_count_distribution", "rel_large_orders",

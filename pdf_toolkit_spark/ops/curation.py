@@ -24,7 +24,16 @@ from pyspark.sql import functions as F
 
 from . import dedup as _dedup
 from . import text as _text
-from .common import SQL_HASH32, SQL_NORM, hash32, norm_text, register_persist, table
+from .common import (
+    SQL_HASH32,
+    SQL_HASH60,
+    SQL_NORM,
+    hash32,
+    hash60,
+    norm_text,
+    register_persist,
+    table,
+)
 
 
 def curate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,10 +209,63 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: weighted-sample size; sf0.001 has >> 50 docs so the cut is real
+WS_K = 50
+
+#: weight cap: docs weigh 1-4 by normalized length (one weight unit
+#: per 400 chars) — integer weights keep the sample hash-exact
+WS_MAX_W = 4
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement by hash replication (the
+    weighted-MinHash trick, Chum et al.: replicate each doc w times
+    with independent hashes and keep the docs with the smallest
+    minimum) — the mixture-construction step that draws a fixed-size
+    sample favoring longer documents. Weight = 1 + min(3,
+    floor(len/400)) over the normalized text; priority = min over w
+    md5-derived 60-bit hashes, so P(selected) rises with w, the draw
+    is seedless/deterministic, and BOTH engines compute the identical
+    integers (no float RNG to drift). Output: the WS_K sampled
+    (doc_id, source, w, priority), priority ascending.
+
+    Scale shape: the explode multiplies only (doc_id, source, w, i)
+    rows — never text — by <= WS_MAX_W; the min collapses with a
+    map-side combine; the final cut is TakeOrdered (per-partition
+    top-K then a K-row driver merge), so no global sort and no keyed
+    window touch the full corpus."""
+
+    docs = table(spark, sf_dir, "documents")
+    norm = norm_text(F.col("text"))
+    w = (
+        F.lit(1) + F.least(F.lit(WS_MAX_W - 1), F.floor(F.length(norm) / 400))
+    ).cast("int")
+    reps = (
+        docs.select("doc_id", "source", w.alias("w"))
+        .select(
+            "doc_id", "source", "w",
+            F.explode(F.expr("sequence(0, w - 1)")).alias("i"),
+        )
+    )
+    pr = hash60(
+        F.concat(
+            F.lit("wsamp:"), F.col("doc_id"), F.lit(":"),
+            F.col("i").cast("string"),
+        )
+    )
+    agg = (
+        reps.select("doc_id", "source", "w", pr.alias("p"))
+        .groupBy("doc_id", "source", "w")
+        .agg(F.min("p").alias("priority"))
+    )
+    return agg.orderBy("priority", "doc_id").limit(WS_K)
+
+
 QUERIES = {
     "curate_survivors": curate_survivors,
     "curate_domain_quota": domain_quota,
     "curate_mixture_weights": mixture_weights,
+    "curate_weighted_sample": weighted_sample,
 }
 
 ORACLES = {
@@ -243,6 +305,28 @@ ORACLES = {
 
 _CUR_N = SQL_NORM.format(e="text")
 _CUR_NT = f"CASE WHEN {_CUR_N} = '' THEN 0 ELSE len(string_split({_CUR_N}, ' ')) END"
+
+ORACLES["curate_weighted_sample"] = f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               CAST(1 + least({WS_MAX_W - 1},
+                              floor(len({SQL_NORM.format(e="text")}) / 400))
+                    AS INT) AS w
+        FROM documents
+    ),
+    reps AS (
+        SELECT doc_id, source, w,
+               {SQL_HASH60.format(e="'wsamp:' || doc_id || ':' || g.i")} AS p
+        FROM base, generate_series(0, {WS_MAX_W - 1}) AS g(i)
+        WHERE g.i < w
+    ),
+    agg AS (
+        SELECT doc_id, source, w, min(p) AS priority
+        FROM reps GROUP BY doc_id, source, w
+    )
+    SELECT doc_id, source, w, priority
+    FROM agg ORDER BY priority, doc_id LIMIT {WS_K}
+"""
 
 ORACLES["curate_mixture_weights"] = f"""
     WITH per AS (

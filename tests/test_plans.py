@@ -352,6 +352,21 @@ def test_domain_quota_is_group_limited_single_exchange(spark):
     assert "rangepartitioning" not in plan  # keyed, never a global sort
 
 
+def test_weighted_sample_is_take_ordered_single_exchange(spark):
+    """Weighted sampling by hash replication: the explode feeds a
+    map-side-combined aggregate (ONE exchange), and the fixed-size
+    cut is TakeOrdered (per-partition top-K + K-row driver merge) —
+    never a Window or a global Sort over the corpus."""
+
+    plan = explain_str(QUERIES["curate_weighted_sample"](spark, SF_DIR))
+    detail = plan.split("\n\n(1)")[0]  # tree section only
+    assert "TakeOrderedAndProject" in detail
+    assert "Window" not in detail
+    assert detail.count("Exchange") == 1
+    assert detail.count("HashAggregate") == 2  # partial + final (combine)
+    assert "rangepartitioning" not in plan
+
+
 def test_domain_quota_mega_domain_is_bounded_and_exact(spark):
     """Mega-domain pre-pass: with one domain holding >50% of the
     corpus, the candidate relation entering the keyed window stays
