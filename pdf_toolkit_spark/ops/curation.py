@@ -217,6 +217,36 @@ WS_K = 50
 WS_MAX_W = 4
 
 
+def ws_candidates(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, w, priority) weighted-sample candidates for
+    any (doc_id, text, source) relation — the shared engine of the
+    batch operator and its streaming twin (identical hash arithmetic
+    on both sides keeps stream state merge-equal to the batch cut)."""
+
+    norm = norm_text(F.col("text"))
+    w = (
+        F.lit(1) + F.least(F.lit(WS_MAX_W - 1), F.floor(F.length(norm) / 400))
+    ).cast("int")
+    reps = (
+        docs.select("doc_id", "source", w.alias("w"))
+        .select(
+            "doc_id", "source", "w",
+            F.explode(F.expr("sequence(0, w - 1)")).alias("i"),
+        )
+    )
+    pr = hash60(
+        F.concat(
+            F.lit("wsamp:"), F.col("doc_id"), F.lit(":"),
+            F.col("i").cast("string"),
+        )
+    )
+    return (
+        reps.select("doc_id", "source", "w", pr.alias("p"))
+        .groupBy("doc_id", "source", "w")
+        .agg(F.min("p").alias("priority"))
+    )
+
+
 def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement by hash replication (the
     weighted-MinHash trick, Chum et al.: replicate each doc w times
@@ -235,29 +265,7 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-K then a K-row driver merge), so no global sort and no keyed
     window touch the full corpus."""
 
-    docs = table(spark, sf_dir, "documents")
-    norm = norm_text(F.col("text"))
-    w = (
-        F.lit(1) + F.least(F.lit(WS_MAX_W - 1), F.floor(F.length(norm) / 400))
-    ).cast("int")
-    reps = (
-        docs.select("doc_id", "source", w.alias("w"))
-        .select(
-            "doc_id", "source", "w",
-            F.explode(F.expr("sequence(0, w - 1)")).alias("i"),
-        )
-    )
-    pr = hash60(
-        F.concat(
-            F.lit("wsamp:"), F.col("doc_id"), F.lit(":"),
-            F.col("i").cast("string"),
-        )
-    )
-    agg = (
-        reps.select("doc_id", "source", "w", pr.alias("p"))
-        .groupBy("doc_id", "source", "w")
-        .agg(F.min("p").alias("priority"))
-    )
+    agg = ws_candidates(table(spark, sf_dir, "documents"))
     return agg.orderBy("priority", "doc_id").limit(WS_K)
 
 

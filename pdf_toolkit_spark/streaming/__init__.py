@@ -22,6 +22,7 @@ from .stream import (
     read_packed_sequences,
     read_quota_admitted,
     read_tier_assignments,
+    read_weighted_sample,
     sessionize_stream,
     stream_dedup_documents,
     stream_domain_quota,
@@ -30,7 +31,9 @@ from .stream import (
     stream_neardup_documents,
     stream_pack_sequences,
     stream_perplexity_tiers,
+    stream_weighted_sample,
     tier_process_batch,
+    weighted_sample_process_batch,
     windowed_event_counts,
 )
 
@@ -49,6 +52,7 @@ __all__ = [
     "read_packed_sequences",
     "read_quota_admitted",
     "read_tier_assignments",
+    "read_weighted_sample",
     "sessionize_stream",
     "stream_dedup_documents",
     "stream_domain_quota",
@@ -57,6 +61,8 @@ __all__ = [
     "stream_neardup_documents",
     "stream_pack_sequences",
     "stream_perplexity_tiers",
+    "stream_weighted_sample",
     "tier_process_batch",
+    "weighted_sample_process_batch",
     "windowed_event_counts",
 ]

@@ -19,6 +19,7 @@ from typing import Any, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..errors import UserError
 from ..spark.job import run_extraction
 from ..spark.schema import DOCUMENTS_RAW_SCHEMA
 
@@ -722,6 +723,102 @@ def read_quota_admitted(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.option("basePath", f"{out_dir}/docs").parquet(
         f"{out_dir}/docs/epoch=*"
     ).drop("epoch")
+
+
+# ---------------------------------------------------------------------------
+# Streaming weighted sample (online bottom-K sketch of hash priorities)
+# ---------------------------------------------------------------------------
+
+def weighted_sample_process_batch(spark: SparkSession, out_dir: str, k: int):
+    """foreachBatch body of ``stream_weighted_sample`` (exposed for
+    replay testing). Per epoch: compute the batch docs' weighted
+    priorities with the SAME hash arithmetic as the batch operator
+    (ops.curation.ws_candidates), merge with the latest earlier
+    epoch's state, and write the K smallest (priority, doc_id) rows
+    as this epoch's state (mode=overwrite, replay-idempotent).
+
+    Scale + exactness shape: the state is a bottom-K sketch — K rows
+    of integers, never corpus bytes — and min-merge is associative
+    AND commutative, so the final state equals the batch operator's
+    TakeOrdered cut for ANY feed order and any micro-batch split
+    (stronger than the in-order guarantee quota admission needs)."""
+
+    import glob as _glob
+
+    from ..ops.curation import ws_candidates
+
+    state_root = f"{out_dir}/state"
+
+    def _state_before(epoch_id: int):
+        dirs = [
+            e for e in _glob.glob(f"{state_root}/epoch=*")
+            if int(e.rsplit("=", 1)[1]) < epoch_id
+        ]
+        if not dirs:
+            return None
+        latest = max(dirs, key=lambda e: int(e.rsplit("=", 1)[1]))
+        return spark.read.parquet(latest)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        cand = ws_candidates(batch_df)
+        prior = _state_before(epoch_id)
+        if prior is not None:
+            cand = cand.unionByName(prior)
+        top = cand.orderBy("priority", "doc_id").limit(k)
+        top.write.mode("overwrite").parquet(
+            f"{state_root}/epoch={epoch_id:012d}"
+        )
+
+    return process
+
+
+def stream_weighted_sample(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 50,
+    available_now: bool = True,
+):
+    """Online weighted sampling without replacement over a documents
+    feed: maintain the K lowest weighted hash priorities across
+    micro-batches, restarts, and replays — the streaming twin of
+    ``curate_weighted_sample``. Returns the StreamingQuery."""
+
+    from pyspark.sql import types as T
+
+    in_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ])
+    stream = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    writer = (
+        stream.writeStream
+        .foreachBatch(weighted_sample_process_batch(spark, out_dir, k))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_weighted_sample(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The current sample: the LATEST epoch's bottom-K state."""
+
+    import glob as _glob
+
+    dirs = _glob.glob(f"{out_dir}/state/epoch=*")
+    if not dirs:
+        raise UserError("stream_weighted_sample: no state epochs yet.")
+    latest = max(dirs, key=lambda e: int(e.rsplit("=", 1)[1]))
+    return spark.read.parquet(latest)
 
 
 # ---------------------------------------------------------------------------

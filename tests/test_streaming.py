@@ -773,3 +773,77 @@ def test_stream_domain_quota_replay_is_idempotent(spark, tmp_path):
         r["doc_id"] for r in read_quota_admitted(spark, out).collect()
     )
     assert again == once
+
+
+def test_stream_weighted_sample_matches_batch_any_order(spark, tmp_path):
+    """Online weighted sampling: the bottom-K priority state equals
+    the batch curate_weighted_sample cut EXACTLY — and because
+    min-merge is associative and commutative, it does so for a
+    SHUFFLED feed too (no delivery-order requirement)."""
+
+    from pdf_toolkit_spark.ops.curation import WS_K, weighted_sample
+    from pdf_toolkit_spark.streaming import (
+        read_weighted_sample, stream_weighted_sample,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = sorted(
+        (r["priority"], r["doc_id"], r["source"], r["w"])
+        for r in weighted_sample(spark, sf_dir).collect()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    # adversarial delivery order: descending doc_id, split into 3
+    # micro-batches
+    docs = docs.sort_values("doc_id", ascending=False).reset_index(drop=True)
+    landing = str(tmp_path / "landing")
+    n = len(docs)
+    for lo, hi in [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]:
+        spark.createDataFrame(docs.iloc[lo:hi]).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    q = stream_weighted_sample(
+        spark, landing, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        k=WS_K,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    got = sorted(
+        (r["priority"], r["doc_id"], r["source"], r["w"])
+        for r in read_weighted_sample(spark, str(tmp_path / "out")).collect()
+    )
+    assert got == batch
+
+
+def test_stream_weighted_sample_replay_is_idempotent(spark, tmp_path):
+    """Replaying an epoch (foreachBatch crash recovery) rewrites the
+    identical bottom-K state; a later epoch only improves priorities."""
+
+    from pdf_toolkit_spark.streaming.stream import (
+        read_weighted_sample, weighted_sample_process_batch,
+    )
+
+    out = str(tmp_path / "out")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    b1 = spark.createDataFrame(
+        [(i, "word " * 30, "en", "s1", 150) for i in range(8)], cols
+    )
+    b2 = spark.createDataFrame(
+        [(100 + i, "word " * 500, "en", "s2", 2500) for i in range(8)], cols
+    )
+    process = weighted_sample_process_batch(spark, out, k=4)
+    process(b1, 0)
+    process(b2, 1)
+    once = sorted(
+        (r["priority"], r["doc_id"])
+        for r in read_weighted_sample(spark, out).collect()
+    )
+    assert len(once) == 4
+    process(b2, 1)  # replay
+    again = sorted(
+        (r["priority"], r["doc_id"])
+        for r in read_weighted_sample(spark, out).collect()
+    )
+    assert again == once
+    # state rows carry only integers (hash priorities), never text
+    df = read_weighted_sample(spark, out)
+    assert set(df.columns) == {"doc_id", "source", "w", "priority"}
