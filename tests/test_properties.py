@@ -237,3 +237,46 @@ def test_png_predictor_unfilter_inverts_all_filters(rows, cols, colors, rnd):
     got = _unpredict(bytes(filtered), {"Predictor": 15, "Colors": colors,
                                        "BitsPerComponent": 8, "Columns": cols})
     assert got == raw.astype(np.uint8).tobytes()
+
+
+@given(st.data())
+@settings(max_examples=15, deadline=None)
+def test_jpx_coc_override_combinations_roundtrip(data):
+    """Any legal combination of per-component COC overrides (depth /
+    code-block geometry / style / precincts) with any progression,
+    global precinct setting and segsym must round-trip bit-exactly on
+    the reversible path — gray and RGB."""
+
+    from pdf_toolkit_spark.pdfio.jpx import decode_jpx, encode_jpx
+
+    h = data.draw(st.integers(9, 40))
+    w = data.draw(st.integers(9, 40))
+    ncomp = data.draw(st.sampled_from([1, 3]))
+    seed = data.draw(st.integers(0, 2**31))
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ncomp == 1 else (h, w, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    levels = data.draw(st.integers(0, 3))
+    coc = {}
+    for ci in range(ncomp):
+        if not data.draw(st.booleans()):
+            continue
+        ov = {}
+        if data.draw(st.booleans()):
+            ov["levels"] = data.draw(st.integers(0, 3))
+        if data.draw(st.booleans()):
+            ov["cb"] = data.draw(st.sampled_from([3, 4, 5, (3, 5)]))
+        if data.draw(st.booleans()):
+            ov["style"] = data.draw(st.sampled_from([0x01, 0x08, 0x09, 0x0F]))
+        if data.draw(st.booleans()):
+            ov["precincts"] = data.draw(st.sampled_from([4, 5, 6]))
+        if ov:
+            coc[ci] = ov
+    prog = data.draw(st.sampled_from(["lrcp", "rlcp", "rpcl", "pcrl", "cprl"]))
+    prec = data.draw(st.sampled_from([None, 5, 6]))
+    segsym = data.draw(st.booleans())
+    enc = encode_jpx(
+        img, levels, coc=coc or None, prog=prog, precincts=prec,
+        segsym=segsym,
+    )
+    assert np.array_equal(decode_jpx(enc), img)
