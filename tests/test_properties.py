@@ -280,3 +280,44 @@ def test_jpx_coc_override_combinations_roundtrip(data):
         segsym=segsym,
     )
     assert np.array_equal(decode_jpx(enc), img)
+
+
+@given(st.data())
+@settings(max_examples=12, deadline=None)
+def test_jbig2_huffman_aggregate_random_layouts_roundtrip(data):
+    """Random ligature layouts (2-4 instances of random base glyphs at
+    random offsets, any strip structure) aggregate-code under SDHUFF
+    and decode back bit-exactly, with user and predefined tables."""
+
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        decode_code_table, decode_symbol_dict, encode_symbol_dict_huffman,
+    )
+
+    seed = data.draw(st.integers(0, 2**31))
+    rng = np.random.default_rng(seed)
+    a = (rng.random((data.draw(st.integers(3, 9)),
+                     data.draw(st.integers(3, 9)))) < 0.5).astype(np.uint8)
+    b = (rng.random((data.draw(st.integers(3, 9)),
+                     data.draw(st.integers(3, 9)))) < 0.5).astype(np.uint8)
+    bases = [a, b]
+    n_inst = data.draw(st.integers(2, 4))
+    inst = []
+    for _ in range(n_inst):
+        sid = data.draw(st.integers(0, 1))
+        y = data.draw(st.integers(0, 12))
+        x = data.draw(st.integers(0, 12))
+        inst.append((y, x, sid))
+    h = max(y + bases[s].shape[0] for y, _x, s in inst)
+    w = max(x + bases[s].shape[1] for _y, x, s in inst)
+    target = np.zeros((h, w), np.uint8)
+    for y, x, sid in inst:
+        bm = bases[sid]
+        target[y : y + bm.shape[0], x : x + bm.shape[1]] |= bm
+    std = data.draw(st.sampled_from([False, True, "alt"]))
+    tbls, sd = encode_symbol_dict_huffman(
+        [target], refs=[inst], input_syms=bases, std_tables=std,
+    )
+    out = decode_symbol_dict(
+        sd, bases, tables=[decode_code_table(t) for t in tbls]
+    )
+    assert len(out) == 1 and np.array_equal(out[0], target)
