@@ -279,9 +279,14 @@ def make_document(
             # per-component COC override profile (depth/geometry/style
             # re-specified per component — still lossless)
             codec = "jpxcoc"
+        if codec == "jpx97" and (doc_id // (jpeg_every * 7)) % 2:
+            # successive visits to the lossy-JPX slot alternate the
+            # per-tile rate-allocation profile (tile-part-header QCD
+            # overrides on the odd tiles)
+            codec = "jpxtile"
         if (
-            codec in ("jpx", "jpxcoc", "jpx97", "jbig2s", "jbig2hufstd",
-                      "jbig2hufalt")
+            codec in ("jpx", "jpxcoc", "jpx97", "jpxtile", "jbig2s",
+                      "jbig2hufstd", "jbig2hufalt")
             and doc_class == "mega_pdf"
         ):
             codec = "jpeg"

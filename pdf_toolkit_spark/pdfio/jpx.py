@@ -2030,6 +2030,7 @@ def encode_jpx(
     cblk_style: int = 0,
     coc: "dict[int, dict] | None" = None,
     no_mct: bool = False,
+    tile_overrides: "dict[int, dict] | None" = None,
 ) -> bytes:
     """8-bit gray (H, W) or RGB (H, W, 3) -> JPEG 2000 codestream.
     Defaults: one layer, 64x64 code-blocks (``cb_exp`` sets other
@@ -2237,36 +2238,67 @@ def encode_jpx(
     #: quantized (9/7) components: rb = Rb + gain. The signalled step
     #: is the QUANTIZER's step too, so encoder and decoder
     #: divide/multiply the identical double.
-    quant_of = {}
-    for ci in range(ncomp):
-        if rev_of[ci]:
-            continue
-        band_keys = [
-            k for bands in _resolution_bands(lev_of[ci]) for k in bands
-        ]
-        if qcd_style == "derived":
-            # style 1 (E-5): one signalled pair for the LL band;
-            # every band at level nb derives eps0 - levels + nb
-            eps0, mu0 = _step_to_eps_mu(step_c[ci], eps_base_of[ci])
-            if eps0 - lev_of[ci] < 1:
-                raise UserError(
-                    "JPX encoder: derived QCD step too coarse for levels."
-                )
-            for orient, nb in band_keys:
-                rb = eps_base_of[ci] + _GAIN[orient]
-                eps = eps0 - lev_of[ci] + nb if lev_of[ci] else eps0
-                quant_of[(ci, orient, nb)] = (
-                    eps, mu0, _eps_mu_to_step(eps, mu0, rb)
-                )
-        else:
-            for orient, nb in band_keys:
-                rb = eps_base_of[ci] + _GAIN[orient]
-                eps, mu = _step_to_eps_mu(step_c[ci], rb)
-                quant_of[(ci, orient, nb)] = (
-                    eps, mu, _eps_mu_to_step(eps, mu, rb)
-                )
+    def _build_quant(steps: list) -> dict:
+        q: dict = {}
+        for ci in range(ncomp):
+            if rev_of[ci]:
+                continue
+            band_keys = [
+                k for bands in _resolution_bands(lev_of[ci]) for k in bands
+            ]
+            if qcd_style == "derived":
+                # style 1 (E-5): one signalled pair for the LL band;
+                # every band at level nb derives eps0 - levels + nb
+                eps0, mu0 = _step_to_eps_mu(steps[ci], eps_base_of[ci])
+                if eps0 - lev_of[ci] < 1:
+                    raise UserError(
+                        "JPX encoder: derived QCD step too coarse for levels."
+                    )
+                for orient, nb in band_keys:
+                    rb = eps_base_of[ci] + _GAIN[orient]
+                    eps = eps0 - lev_of[ci] + nb if lev_of[ci] else eps0
+                    q[(ci, orient, nb)] = (
+                        eps, mu0, _eps_mu_to_step(eps, mu0, rb)
+                    )
+            else:
+                for orient, nb in band_keys:
+                    rb = eps_base_of[ci] + _GAIN[orient]
+                    eps, mu = _step_to_eps_mu(steps[ci], rb)
+                    q[(ci, orient, nb)] = (
+                        eps, mu, _eps_mu_to_step(eps, mu, rb)
+                    )
+        return q
 
-    def _tile_stream(tile_img: np.ndarray) -> bytes:
+    quant_of = _build_quant(step_c)
+    # per-tile quantization overrides ({ti: {"qstep": s}}): the tile
+    # codes against its own quant table and signals it with a QCD in
+    # its first-tile-part header (the decoder's A.6 precedence gives
+    # the tile QCD priority; a tile QCD displaces main QCCs, so the
+    # knob excludes the per-component quant modes)
+    tile_quant: dict[int, dict] = {}
+    if tile_overrides:
+        if not irreversible or tile_size is None:
+            raise UserError(
+                "JPX encoder: tile_overrides need the irreversible "
+                "multi-tile path."
+            )
+        if emit_qcc:
+            raise UserError(
+                "JPX encoder: tile_overrides exclude QCC signalling."
+            )
+        n_tiles = (-(-w // xt)) * (-(-h // yt))
+        for ti, ov in tile_overrides.items():
+            if not (0 <= ti < n_tiles):
+                raise UserError(
+                    "JPX encoder: tile_overrides tile index out of range."
+                )
+            if set(ov) != {"qstep"}:
+                raise UserError(
+                    "JPX encoder: tile_overrides support qstep only."
+                )
+            tile_quant[ti] = _build_quant([ov["qstep"]] * ncomp)
+
+    def _tile_stream(tile_img: np.ndarray, quant_of: dict = quant_of) -> bytes:
         """One tile's concatenated packet bytes (LRCP with 1 layer and
         whole-band precincts: resolution-major, one packet per
         component within each resolution)."""
@@ -2636,9 +2668,10 @@ def encode_jpx(
             bo += [(_HL, nb), (_LH, nb), (_HH, nb)]
         return bo
 
-    def _quant_body(ci: int) -> bytearray:
+    def _quant_body(ci: int, quant_of: dict = quant_of) -> bytearray:
         """Sqcd/Sqcc + SPqcd/SPqcc for one component (shared layout,
-        T.800 A.6.4/A.6.5), over that component's own band list."""
+        T.800 A.6.4/A.6.5), over that component's own band list —
+        against the given quant table (a tile's for tile QCDs)."""
 
         order = _band_keys_enc(lev_of[ci])
         if not rev_of[ci] and qcd_style == "derived":
@@ -2684,7 +2717,8 @@ def encode_jpx(
         ty0 = (ti // ntx) * yt
         tx0 = (ti % ntx) * xt
         tiles.append(_tile_stream(
-            img[ty0 : min(ty0 + yt, h), tx0 : min(tx0 + xt, w)]
+            img[ty0 : min(ty0 + yt, h), tx0 : min(tx0 + xt, w)],
+            quant_of=tile_quant.get(ti, quant_of),
         ))
     if roi:
         # RGN per component (Srgn=0 maxshift), in the main header
@@ -2722,9 +2756,15 @@ def encode_jpx(
             out += ppt_seg
             out += b"\xff\x93" + bodies
         else:
-            psot = 12 + 2 + len(ts)  # SOT seg + SOD marker + data
+            # tile quant override: a QCD in the first-tile-part
+            # header signals this tile's table (A.6 precedence)
+            hdr = b""
+            if ti in tile_quant:
+                tb = _quant_body(0, quant_of=tile_quant[ti])
+                hdr = b"\xff\x5c" + struct.pack(">H", 2 + len(tb)) + bytes(tb)
+            psot = 12 + len(hdr) + 2 + len(ts)  # SOT seg + hdr + SOD + data
             out += b"\xff\x90" + struct.pack(">HHIBB", 10, ti, psot, 0, 1)
-            out += b"\xff\x93" + ts
+            out += hdr + b"\xff\x93" + ts
     out += b"\xff\xd9"  # EOC
     return bytes(out)
 

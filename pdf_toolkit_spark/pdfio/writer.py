@@ -60,7 +60,8 @@ class PageSpec:
     #: JPEG 2000 via pdfio/jpx.py), "jpx97" (lossy 9/7 JPEG 2000,
     #: derived QCD), "jpxq" (lossy with per-component QCC
     #: signalling), "jpxcoc" (lossless with per-component COC
-    #: depth/geometry/style overrides), or "jpxbyp" (lossy 9/7 with the selective-bypass
+    #: depth/geometry/style overrides), "jpxtile" (lossy multi-tile
+    #: with tile-part-header QCD rate overrides), or "jpxbyp" (lossy 9/7 with the selective-bypass
     #: + vertically-causal code-block styles — production encoders'
     #: speed knobs); the 1-bit codecs threshold gray rasters at >127
     codec: str = "flate"
@@ -389,10 +390,33 @@ def _image_xobject(
             f"/Length {len(data)} >>\nstream\n"
         ).encode()
         return head + data + b"\nendstream"
-    if codec in ("jpx", "jpx97", "jpxq", "jpxbyp", "jpxcoc"):
+    if codec in ("jpx", "jpx97", "jpxq", "jpxbyp", "jpxcoc", "jpxtile"):
         from .jpx import encode_jpx
 
-        if codec == "jpxcoc":
+        if codec == "jpxtile":
+            # per-tile rate allocation (the archival scanner shape:
+            # a finer quantizer where the page content is): lossy 9/7
+            # multi-tile with tile-part-header QCD overrides on the
+            # odd tiles; rasters too small for a 2x2 grid degrade to
+            # the plain lossy profile
+            if min(h, w) > 64:
+                ntx = -(-w // 64)
+                nty = -(-h // 64)
+                ovr = {
+                    ti: {"qstep": 1.0 / 64}
+                    for ti in range(1, ntx * nty, 2)
+                }
+                data = encode_jpx(
+                    np.ascontiguousarray(arr, dtype=np.uint8), levels=2,
+                    tile_size=64, irreversible=True, qstep=1.0 / 16,
+                    tile_overrides=ovr or None,
+                )
+            else:
+                data = encode_jpx(
+                    np.ascontiguousarray(arr, dtype=np.uint8), levels=2,
+                    irreversible=True, qstep=1.0 / 16,
+                )
+        elif codec == "jpxcoc":
             # per-component COC override profile (T.800 A.6.2): the
             # COD signals a shallow default; COC segments re-specify
             # depth, code-block geometry and the bypass style per

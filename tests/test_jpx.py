@@ -1465,6 +1465,54 @@ def test_tile_part_override_fail_closed():
         decode_jpx(_assemble_codestream(ma, [(0, [qcd, qcd], ta[0][2])]))
 
 
+def test_encoder_tile_overrides_roundtrip():
+    """encode_jpx(tile_overrides=...): per-tile QCD rate allocation —
+    overridden tiles quantize finer and signal their own QCD in the
+    first-tile-part header; other tiles are bit-identical to the
+    non-overridden encode."""
+
+    g = RNG.integers(0, 256, (96, 128), dtype=np.uint8)
+    base = decode_jpx(encode_jpx(
+        g, 2, tile_size=64, irreversible=True, qstep=1.0,
+    ))
+    enc = encode_jpx(
+        g, 2, tile_size=64, irreversible=True, qstep=1.0,
+        tile_overrides={1: {"qstep": 1.0 / 64}, 2: {"qstep": 1.0 / 64}},
+    )
+    assert enc.count(b"\xff\x5c") == 3  # main QCD + two tile QCDs
+    out = decode_jpx(enc)
+    assert np.array_equal(out[:64, :64], base[:64, :64])    # tile 0
+    assert np.array_equal(out[64:, 64:128], base[64:, 64:128])  # tile 3
+    err_b = np.abs(base[:64, 64:].astype(int) - g[:64, 64:].astype(int)).max()
+    err_o = np.abs(out[:64, 64:].astype(int) - g[:64, 64:].astype(int)).max()
+    assert err_o < err_b  # the overridden tile reconstructs finer
+    for bad in (
+        dict(tile_size=64, tile_overrides={0: {"qstep": 0.5}}),  # 5/3
+        dict(irreversible=True, tile_overrides={0: {"qstep": 0.5}}),
+        dict(tile_size=64, irreversible=True,
+             tile_overrides={99: {"qstep": 0.5}}),
+        dict(tile_size=64, irreversible=True,
+             tile_overrides={0: {"nope": 1}}),
+    ):
+        with pytest.raises(UserError):
+            encode_jpx(g, 2, qstep=1.0, **bad)
+
+
+def test_jpxtile_writer_codec_extracts_end_to_end():
+    """The per-tile rate-allocation profile (tile-part-header QCD
+    overrides) through the writer, parser, and serial pipeline."""
+
+    from pdf_toolkit_spark.extract import extract_document
+    from pdf_toolkit_spark.pdfio.writer import PageSpec, write_pdf
+
+    raster = _cases()["text_page"]
+    pdf_bytes = write_pdf([PageSpec(raster=raster, codec="jpxtile")])
+    assert b"JPXDecode" in pdf_bytes
+    parsed = PdfDocument(pdf_bytes).load_page(0)
+    assert np.abs(parsed.scan.astype(int) - raster.astype(int)).max() <= 8
+    assert len(extract_document(pdf_bytes)["spans"]) > 0
+
+
 def test_jpxcoc_writer_codec_extracts_end_to_end():
     """The per-component COC override profile (depth/geometry/style
     re-specified per component, lossless) through the writer, parser,
