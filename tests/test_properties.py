@@ -321,3 +321,40 @@ def test_jbig2_huffman_aggregate_random_layouts_roundtrip(data):
         sd, bases, tables=[decode_code_table(t) for t in tbls]
     )
     assert len(out) == 1 and np.array_equal(out[0], target)
+
+
+@given(st.data())
+@settings(max_examples=10, deadline=None)
+def test_jpx_tile_quant_overrides_roundtrip(data):
+    """Random per-tile QCD overrides: every overridden tile decodes
+    under its own quantizer (error bounded by ITS step), tiles
+    without overrides decode bit-identically to the plain encode."""
+
+    from pdf_toolkit_spark.pdfio.jpx import decode_jpx, encode_jpx
+
+    seed = data.draw(st.integers(0, 2**31))
+    rng = np.random.default_rng(seed)
+    ntx = data.draw(st.integers(2, 3))
+    nty = data.draw(st.integers(2, 3))
+    img = rng.integers(0, 256, (32 * nty, 32 * ntx), dtype=np.uint8)
+    n_tiles = ntx * nty
+    ovr = {
+        ti: {"qstep": data.draw(st.sampled_from([1.0 / 64, 1.0 / 128]))}
+        for ti in range(n_tiles) if data.draw(st.booleans())
+    }
+    base = decode_jpx(encode_jpx(
+        img, 2, tile_size=32, irreversible=True, qstep=1.0,
+    ))
+    enc = encode_jpx(
+        img, 2, tile_size=32, irreversible=True, qstep=1.0,
+        tile_overrides=ovr or None,
+    )
+    out = decode_jpx(enc)
+    for ti in range(n_tiles):
+        ys, xs = (ti // ntx) * 32, (ti % ntx) * 32
+        got = out[ys : ys + 32, xs : xs + 32]
+        if ti in ovr:
+            src = img[ys : ys + 32, xs : xs + 32].astype(int)
+            assert np.abs(got.astype(int) - src).max() <= 2
+        else:
+            assert np.array_equal(got, base[ys : ys + 32, xs : xs + 32])
