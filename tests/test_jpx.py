@@ -1479,7 +1479,15 @@ def test_encoder_tile_overrides_roundtrip():
         g, 2, tile_size=64, irreversible=True, qstep=1.0,
         tile_overrides={1: {"qstep": 1.0 / 64}, 2: {"qstep": 1.0 / 64}},
     )
-    assert enc.count(b"\xff\x5c") == 3  # main QCD + two tile QCDs
+    # exactly the overridden tiles carry a QCD in their tile-part
+    # header (parse the structure — raw byte counting would also hit
+    # 0xFF5C bigrams inside the entropy-coded payload)
+    _m, tiles = _split_codestream(enc)
+    qcd_tiles = {
+        isot for isot, hdr, _body in tiles
+        if any(seg[:2] == b"\xff\x5c" for seg in hdr)
+    }
+    assert qcd_tiles == {1, 2}
     out = decode_jpx(enc)
     assert np.array_equal(out[:64, :64], base[:64, :64])    # tile 0
     assert np.array_equal(out[64:, 64:128], base[64:, 64:128])  # tile 3
