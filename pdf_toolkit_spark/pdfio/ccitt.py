@@ -181,6 +181,12 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None) -> np.ndarray:
     1 = black. `rows` bounds the output; with rows=None decoding stops
     at EOFB or stream end."""
 
+    # Fail-closed cap for corrupted headers: a flipped byte can declare
+    # a multi-gigabyte row or page; no real fax/scan comes close.
+    if columns <= 0 or columns > 1 << 24 or (
+        rows is not None and rows * columns > 1 << 28
+    ):
+        raise UserError(f"CCITT: implausible image size {columns}x{rows}.")
     bits = _Bits(data)
     out: list[np.ndarray] = []
     # reference line: changing positions (transitions), starts all-white

@@ -78,6 +78,18 @@ import numpy as np
 
 from ..errors import UserError
 
+# Fail-closed cap for corrupted streams: T.88 imposes no limit on
+# header-declared bitmap dimensions, so a flipped byte can ask for a
+# terabyte allocation. 2^28 px (256 MB of uint8) exceeds every real
+# scanned page by two orders of magnitude.
+_MAX_REGION_PIXELS = 1 << 28
+
+
+def _sane_dims(w: int, h: int, what: str) -> None:
+    if w * h > _MAX_REGION_PIXELS:
+        raise UserError(f"JBIG2: implausible {what} size {w}x{h}.")
+
+
 # T.88 Table E.1: (Qe, NMPS, NLPS, SWITCH)
 _QE = [
     (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
@@ -478,6 +490,7 @@ def decode_generic(
 
     if tpgdon and skip is not None:
         raise UserError("JBIG2: TPGDON with a skip bitmap unsupported.")
+    _sane_dims(w, h, "generic region")
     if mq is None:
         mq = MQDecoder(data)
     a2, b2, a1, b1, c = _TEMPLATE_SPAN[template]
@@ -762,6 +775,7 @@ def decode_refinement(
     refinements with the Annex A integer procedures on one decoder,
     GR contexts persisting across symbols — §6.5.8.2.2/§6.4.11)."""
 
+    _sane_dims(w, h, "refinement region")
     coding, reference = _GR_TEMPLATES[template]
     if mq is None:
         mq = MQDecoder(data)
@@ -874,6 +888,7 @@ def decode_pattern_dict(payload: bytes) -> "list[np.ndarray]":
     if not hdpw or not hdph:
         raise UserError("JBIG2: zero pattern dimensions.")
     n = graymax + 1
+    _sane_dims(n * hdpw, hdph, "pattern collective")
     if mmr:
         # §6.7.5 HDMMR: the collective bitmap is one T.6-coded image
         from .ccitt import decode_g4
@@ -940,6 +955,7 @@ def decode_halftone_region(
     composition)."""
 
     rw, rh, rx, ry = struct.unpack(">IIII", payload[:16])
+    _sane_dims(rw, rh, "halftone region")
     flags = payload[17]
     mmr = flags & 0x01
     template = (flags >> 1) & 0x03
@@ -951,6 +967,7 @@ def decode_halftone_region(
         raise UserError("JBIG2: only OR halftone composition is supported.")
     defpix = (flags >> 7) & 1
     hgw, hgh, hgx, hgy = struct.unpack(">IIii", payload[18:34])
+    _sane_dims(hgw, hgh, "halftone grid")
     hrx, hry = struct.unpack(">HH", payload[34:38])
     if not patterns:
         raise UserError("JBIG2: halftone region with no pattern dictionary.")
@@ -2059,6 +2076,7 @@ def decode_text_region(
     if len(payload) < 23:
         raise UserError("JBIG2: truncated text region.")
     w, h, x, y = struct.unpack(">IIII", payload[:16])
+    _sane_dims(w, h, "text region")
     tflags = int.from_bytes(payload[17:19], "big")
     if tflags & 0x01:
         return _decode_text_region_huffman(
@@ -3009,6 +3027,7 @@ def _walk_segments(
             w, h = struct.unpack(">II", payload[:8])
             if h == 0xFFFFFFFF:
                 raise UserError("JBIG2: unknown page height unsupported.")
+            _sane_dims(w, h, "page")
             default = (payload[16] >> 2) & 1 if len(payload) > 16 else 0
             page = np.full((h, w), default, np.uint8)
         elif seg_type == 0:  # symbol dictionary
@@ -3146,8 +3165,26 @@ def decode_jbig2_embedded(
     Supports generic / text / halftone / refinement regions (immediate
     AND intermediate organizations) and symbol dictionaries;
     ``globals_data`` is the /JBIG2Globals stream whose segments are
-    walked first and shared. Huffman variants raise UserError (missing
-    raster upstream, never wrong pixels)."""
+    walked first and shared.
+
+    Fail-closed boundary: ANY structural surprise in a corrupted
+    stream — not just the validated paths — surfaces as UserError
+    (missing raster upstream), never a raw slice/unpack exception."""
+
+    try:
+        return _decode_jbig2_embedded_impl(data, globals_data)
+    except UserError:
+        raise
+    except (IndexError, ValueError, KeyError, OverflowError,
+            ZeroDivisionError, struct.error) as ex:
+        raise UserError(
+            f"JBIG2: malformed stream ({type(ex).__name__})."
+        ) from ex
+
+
+def _decode_jbig2_embedded_impl(
+    data: bytes, globals_data: bytes = b""
+) -> np.ndarray:
 
     sym_dicts: dict[int, list[np.ndarray]] = {}
     pat_dicts: dict[int, list[np.ndarray]] = {}

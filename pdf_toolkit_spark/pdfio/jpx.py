@@ -2854,8 +2854,24 @@ def decode_jpx(data: bytes) -> np.ndarray:
     grids at the origin; tile dimensions must be multiples of
     2^levels (true of production encoders' 256/512/1024 tiles), so
     every tile's band extents reduce to the origin-0 formula and the
-    tiles decode independently."""
+    tiles decode independently.
 
+    Fail-closed boundary: ANY structural surprise in a corrupted
+    stream — not just the validated paths — surfaces as UserError
+    (missing raster upstream), never a raw slice/unpack exception."""
+
+    try:
+        return _decode_jpx_impl(data)
+    except UserError:
+        raise
+    except (IndexError, ValueError, KeyError, OverflowError,
+            ZeroDivisionError, struct.error) as ex:
+        raise UserError(
+            f"JPX: malformed codestream ({type(ex).__name__})."
+        ) from ex
+
+
+def _decode_jpx_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\x4f":
         raise UserError("JPX: missing SOC marker.")
     pos = 2
@@ -2914,6 +2930,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 raise UserError("JPX: image/tile grids must sit at the origin.")
             if not xt or not yt:
                 raise UserError("JPX: zero tile dimension.")
+            if xs * ys > 1 << 28:
+                raise UserError("JPX: implausible image size.")
             w, h = xs, ys
             pos += ln
         elif marker == b"\xff\x52":  # COD

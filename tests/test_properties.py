@@ -358,3 +358,57 @@ def test_jpx_tile_quant_overrides_roundtrip(data):
             assert np.abs(got.astype(int) - src).max() <= 2
         else:
             assert np.array_equal(got, base[ys : ys + 32, xs : xs + 32])
+
+
+@given(st.data())
+@settings(max_examples=120, deadline=None)
+def test_jpx_corrupted_streams_fail_closed(data):
+    """Random byte corruption of a valid JPEG 2000 codestream either
+    still decodes to an array or raises UserError — never a raw
+    slice/unpack exception, never a hang (bit readers raise at
+    exhaustion, so every data-driven loop is stream-bounded)."""
+
+    from pdf_toolkit_spark.errors import UserError
+    from pdf_toolkit_spark.pdfio.jpx import decode_jpx, encode_jpx
+
+    seed = data.draw(st.integers(0, 2**31))
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (24, 28), dtype=np.uint8)
+    enc = bytearray(encode_jpx(img, 2, precincts=5, layers=2))
+    for _ in range(data.draw(st.integers(1, 4))):
+        at = data.draw(st.integers(0, len(enc) - 1))
+        enc[at] = data.draw(st.integers(0, 255))
+    try:
+        out = decode_jpx(bytes(enc))
+        assert isinstance(out, np.ndarray)
+    except UserError:
+        pass
+
+
+@given(st.data())
+@settings(max_examples=120, deadline=None)
+def test_jbig2_corrupted_streams_fail_closed(data):
+    """Random byte corruption of a valid embedded JBIG2 stream either
+    still decodes to a bitmap or raises UserError — never a raw
+    slice/unpack exception."""
+
+    from pdf_toolkit_spark.errors import UserError
+    from pdf_toolkit_spark.pdfio.jbig2 import (
+        decode_jbig2_embedded, encode_jbig2_symbol_text,
+    )
+
+    seed = data.draw(st.integers(0, 2**31))
+    rng = np.random.default_rng(seed)
+    img = np.zeros((30, 40), np.uint8)
+    img[4:12, 3:12] = (rng.random((8, 9)) < 0.5).astype(np.uint8)
+    img[15:23, 20:30] = (rng.random((8, 10)) < 0.5).astype(np.uint8)
+    huff = data.draw(st.booleans())
+    enc = bytearray(encode_jbig2_symbol_text(img, huffman=huff))
+    for _ in range(data.draw(st.integers(1, 4))):
+        at = data.draw(st.integers(0, len(enc) - 1))
+        enc[at] = data.draw(st.integers(0, 255))
+    try:
+        out = decode_jbig2_embedded(bytes(enc))
+        assert isinstance(out, np.ndarray)
+    except UserError:
+        pass
