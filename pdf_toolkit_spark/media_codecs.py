@@ -23,6 +23,30 @@ import numpy as np
 from .errors import UserError
 
 
+def _fail_closed(fmt: str):
+    """Decoder boundary for corrupted streams: structural surprises
+    (bad ints in headers, short slices, crafted LIST recursion,
+    zero-channel division) surface as UserError — missing media
+    upstream, never a raw exception out of an Arrow batch."""
+
+    def wrap(fn):
+        def inner(payload: bytes):
+            try:
+                return fn(payload)
+            except UserError:
+                raise
+            except (IndexError, ValueError, KeyError, OverflowError,
+                    ZeroDivisionError, struct.error, RecursionError) as ex:
+                raise UserError(
+                    f"{fmt}: malformed stream ({type(ex).__name__})."
+                ) from ex
+        inner.__name__ = fn.__name__
+        inner.__doc__ = fn.__doc__
+        return inner
+
+    return wrap
+
+
 # ---------------------------------------------------------------------------
 # PCM WAV (RIFF)
 # ---------------------------------------------------------------------------
@@ -45,6 +69,7 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_fail_closed("WAV")
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """RIFF/WAVE PCM bytes -> (rate, (n, channels) int16 array)."""
 
@@ -88,6 +113,7 @@ def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
     return bytes(out)
 
 
+@_fail_closed("y4m")
 def decode_y4m(payload: bytes) -> tuple[int, np.ndarray]:
     """y4m bytes -> (fps, (n_frames, h, w) uint8 Y planes). C420 frames
     decode their Y plane (chroma skipped); other colorspaces raise."""
@@ -210,6 +236,7 @@ def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_fail_closed("avi")
 def decode_avi(payload: bytes) -> "tuple[int, np.ndarray]":
     """AVI bytes -> (fps, (n_frames, h, w) uint8 frames). Scope: one
     uncompressed 8-bit DIB 'vids' stream (BI_RGB); compressed

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..errors import UserError
 from .common import table
 
 MEDIA_META_SCHEMA = T.StructType([
@@ -55,11 +56,31 @@ def fake_decode_header(payload: bytes) -> dict:
 
 def decode_header(payload: bytes) -> dict:
     """Media header dispatch: REAL decodes for the formats the engine
-    owns codecs for (PNG/JPEG via pdfio, PCM WAV / YUV4MPEG2 via
+    owns codecs for (PNG/JPEG via pdfio, PCM WAV / YUV4MPEG2 / AVI via
     media_codecs), the deterministic stub for unrecognizable payloads,
     NotImplementedError for recognized-but-unsupported containers
-    (non-WAVE RIFF, i.e. AVI)."""
+    (non-WAVE/AVI RIFF forms).
 
+    A payload with a recognized magic but a corrupt body degrades to a
+    deterministic ``format="corrupt"`` row — at corpus scale a flipped
+    byte in one image must become a countable row, never a dead Spark
+    task (the codecs' own fail-closed boundaries guarantee the only
+    error type here is UserError/ValueError)."""
+
+    try:
+        return _decode_header_impl(payload)
+    except NotImplementedError:
+        raise
+    except (UserError, ValueError):
+        return {
+            "format": "corrupt",
+            "width": 0,
+            "height": 0,
+            "thumb_ref": "sha256:" + hashlib.sha256(payload).hexdigest()[:16],
+        }
+
+
+def _decode_header_impl(payload: bytes) -> dict:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from ..pdfio.png import decode_png
 

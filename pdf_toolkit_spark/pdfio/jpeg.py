@@ -30,6 +30,8 @@ JPEG bytes decode to the same pixels on every executor.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
 from ..errors import UserError
@@ -496,7 +498,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     try:
         return _decode_jpeg(data)
-    except (IndexError, ValueError) as exc:  # truncated/corrupt segments
+    except UserError:
+        raise
+    except (IndexError, ValueError, KeyError, OverflowError,
+            ZeroDivisionError, struct.error) as exc:
+        # truncated/corrupt segments — fail closed, never a raw exception
         raise UserError(f"Corrupt JPEG stream: {type(exc).__name__}.") from exc
 
 
@@ -558,6 +564,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 raise UserError(f"Unsupported JPEG precision {precision}.")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
+            if h * w > 1 << 28 or h == 0 or w == 0:
+                raise UserError(f"Implausible JPEG size {w}x{h}.")
             ncomp = body[5]
             comps = []
             for c in range(ncomp):

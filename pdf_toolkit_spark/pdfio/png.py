@@ -132,8 +132,25 @@ def decode_png(data: bytes) -> np.ndarray:
     1/2/4/8/16 (16-bit takes the high byte), palette via PLTE, any
     standard scanline filter, and Adam7 interlace. Alpha channels are
     dropped (the scan pipeline consumes opaque rasters — same as
-    PIL's ``convert("L"/"RGB")`` the reference relies on)."""
+    PIL's ``convert("L"/"RGB")`` the reference relies on).
 
+    Fail-closed boundary: corrupted streams raise ValueError, never a
+    raw slice/unpack/zlib exception; header-declared sizes are capped
+    before allocation and the inflate is bounded by the raw scanline
+    size the header implies (zip-bomb proof)."""
+
+    try:
+        return _decode_png_impl(data)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, OverflowError, struct.error,
+            zlib.error) as ex:
+        raise ValueError(
+            f"corrupt PNG stream ({type(ex).__name__})"
+        ) from ex
+
+
+def _decode_png_impl(data: bytes) -> np.ndarray:
     if not data.startswith(_SIG):
         raise ValueError("not a PNG: bad signature")
     pos = len(_SIG)
@@ -169,7 +186,22 @@ def decode_png(data: bytes) -> np.ndarray:
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
     channels = _CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
+    if width * height * channels > 1 << 28:
+        raise ValueError(f"implausible PNG size {width}x{height}")
+
+    # Bound the inflate by the raw byte count the header implies (each
+    # scanline is one filter byte + packed samples; Adam7 sums its
+    # seven sub-images) so a corrupted/hostile IDAT can't balloon.
+    if interlace == 0:
+        expect = height * ((width * channels * depth + 7) // 8 + 1)
+    else:
+        expect = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            if pw and ph:
+                expect += ph * ((pw * channels * depth + 7) // 8 + 1)
+    raw = zlib.decompressobj().decompress(bytes(idat), expect)
 
     if interlace == 0:
         samples = _unfilter_samples(raw, width, height, channels, depth)

@@ -412,3 +412,90 @@ def test_jbig2_corrupted_streams_fail_closed(data):
         assert isinstance(out, np.ndarray)
     except UserError:
         pass
+
+
+@given(st.data())
+@settings(max_examples=120, deadline=None)
+def test_image_codecs_corrupted_streams_fail_closed(data):
+    """Random byte corruption of valid PNG/JPEG bytes either still
+    decodes or raises the codec's documented error type (ValueError
+    for PNG, UserError for JPEG) — never a raw slice/unpack/zlib
+    exception, never a giant allocation from a flipped dimension."""
+
+    from pdf_toolkit_spark.pdfio.jpeg import decode_jpeg, encode_jpeg
+    from pdf_toolkit_spark.pdfio.png import decode_png, encode_png
+
+    seed = data.draw(st.integers(0, 2**31))
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (24, 28), dtype=np.uint8)
+    codec = data.draw(st.sampled_from(["png", "jpeg"]))
+    enc = bytearray(
+        encode_png(img) if codec == "png" else encode_jpeg(img, quality=60)
+    )
+    for _ in range(data.draw(st.integers(1, 4))):
+        at = data.draw(st.integers(0, len(enc) - 1))
+        enc[at] = data.draw(st.integers(0, 255))
+    try:
+        out = (decode_png if codec == "png" else decode_jpeg)(bytes(enc))
+        assert isinstance(out, np.ndarray)
+    except (UserError, ValueError):
+        pass
+
+
+@given(st.data())
+@settings(max_examples=120, deadline=None)
+def test_media_codecs_corrupted_streams_fail_closed(data):
+    """Random byte corruption of valid WAV/y4m/AVI containers either
+    still decodes or raises UserError — never a raw exception."""
+
+    from pdf_toolkit_spark.media_codecs import (
+        decode_avi, decode_wav, decode_y4m,
+        encode_avi, encode_wav, encode_y4m,
+    )
+
+    seed = data.draw(st.integers(0, 2**31))
+    rng = np.random.default_rng(seed)
+    kind = data.draw(st.sampled_from(["wav", "y4m", "avi"]))
+    if kind == "wav":
+        enc = bytearray(encode_wav(
+            rng.integers(-500, 500, (64, 2)).astype(np.int16), 8000))
+        dec = decode_wav
+    else:
+        frames = rng.integers(0, 256, (3, 10, 14), dtype=np.uint8)
+        enc = bytearray(
+            encode_y4m(frames) if kind == "y4m" else encode_avi(frames))
+        dec = decode_y4m if kind == "y4m" else decode_avi
+    for _ in range(data.draw(st.integers(1, 4))):
+        at = data.draw(st.integers(0, len(enc) - 1))
+        enc[at] = data.draw(st.integers(0, 255))
+    try:
+        out = dec(bytes(enc))
+        assert isinstance(out, tuple)
+    except UserError:
+        pass
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_decode_header_corrupt_degrades_to_stub(data):
+    """The multimodal dispatch NEVER raises on a corrupt recognized
+    payload: it degrades to the deterministic format="corrupt" row
+    (a flipped byte in one image at corpus scale must become a
+    countable row, not a dead task). Unrecognizable payloads keep
+    taking the sha256 stub path."""
+
+    from pdf_toolkit_spark.ops.multimodal import decode_header
+    from pdf_toolkit_spark.pdfio.png import encode_png
+
+    seed = data.draw(st.integers(0, 2**31))
+    rng = np.random.default_rng(seed)
+    enc = bytearray(encode_png(rng.integers(0, 256, (16, 20), dtype=np.uint8)))
+    # corrupt AFTER the magic so the PNG branch is the one exercised
+    for _ in range(data.draw(st.integers(1, 4))):
+        at = data.draw(st.integers(8, len(enc) - 1))
+        enc[at] = data.draw(st.integers(0, 255))
+    meta = decode_header(bytes(enc))
+    assert meta["format"] in ("png-gray", "png-rgb", "corrupt")
+    if meta["format"] == "corrupt":
+        assert meta["width"] == 0 and meta["height"] == 0
+        assert meta["thumb_ref"].startswith("sha256:")
