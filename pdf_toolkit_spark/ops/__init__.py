@@ -40,6 +40,7 @@ _MODULES = (
 _STALEST_COHORT = (
     "text_perplexity_buckets",  # rewritten in round 6
     # new in round 6: never driver-checked
+    "dedup_semantic",
     "text_perplexity_tier_thresholds", "text_classifier_filter",
     "sketch_kmv_set_ops", "curate_mixture_weights",
     "curate_weighted_sample",

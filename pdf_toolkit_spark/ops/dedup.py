@@ -1189,3 +1189,73 @@ ORACLES["dedup_embedding_neardup_lsh"] = f"""
       AND round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)
           >= {NEARDUP_COS}
 """
+
+
+#: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) within-cluster
+#: cosine threshold. On real sentence embeddings this sits near 0.95;
+#: the synthetic corpus' vectors are near-orthogonal (within-cell p99
+#: cosine ~0.36), so the fixture threshold is set where the operator
+#: is non-trivially exercised (~14% of vectors dropped).
+SEMDEDUP_COS = 0.35
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-cluster the embeddings, then drop every
+    vector that has a smaller-id neighbor in the SAME cluster with
+    cosine >= SEMDEDUP_COS (keep-lowest-id per semantic duplicate
+    group). Output: (vec_id, cell, keep) for every vector.
+
+    Scale shape — this is the published algorithm's whole point: the
+    candidate join is keyed by the k-means cell (reusing the IVF
+    coarse quantizer from ops/similarity: broadcast centroids, one
+    hash-agg assignment pass), so the pair space is
+    sum_c(occupancy_c^2), never corpus-quadratic. Cell count derives
+    from corpus size (cells_for); at 100 TB the knob is cells ∝
+    n/target_occupancy, which bounds the per-cell work at a constant
+    while every stage stays an equi-join/aggregate. The drop rule is
+    a cell-keyed anti-join, not a global sort."""
+
+    from .similarity import _cosine, _emb, _ivf_cells
+
+    cells = _ivf_cells(spark, sf_dir)  # (vec_id, cell) — persisted
+    e = _emb(spark, sf_dir)
+    withv = cells.join(e, "vec_id")
+    a = withv.select(
+        F.col("vec_id").alias("vec_a"), "cell", F.col("v").alias("va")
+    )
+    b = withv.select(
+        F.col("vec_id").alias("vec_b"), "cell", F.col("v").alias("vb")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            F.round(_cosine(F.col("va"), F.col("vb")), 6) >= SEMDEDUP_COS
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return cells.join(dropped, "vec_id", "left").select(
+        "vec_id", "cell", F.col("dropped").isNull().alias("keep")
+    )
+
+
+QUERIES["dedup_semantic"] = dedup_semantic
+
+from .similarity import _SQL_IVF_CELLS as _SIM_SQL_CELLS  # noqa: E402
+
+ORACLES["dedup_semantic"] = f"""
+    WITH {_SIM_SQL_CELLS},
+    wv AS (
+        SELECT c.vec_id, c.cell, e.embedding::DOUBLE[] AS v
+        FROM cells c JOIN embeddings e USING (vec_id)
+    ),
+    drops AS (
+        SELECT DISTINCT b.vec_id
+        FROM wv a JOIN wv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {SEMDEDUP_COS}
+    )
+    SELECT w.vec_id, w.cell, (d.vec_id IS NULL) AS keep
+    FROM wv w LEFT JOIN drops d ON d.vec_id = w.vec_id
+"""

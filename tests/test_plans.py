@@ -450,3 +450,19 @@ def test_perplexity_buckets_has_no_per_doc_window(spark):
     assert "CartesianProduct" not in plan
     # per-language bounds re-enter via broadcast, never a shuffle join
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_is_cell_keyed(spark):
+    """SemDeDup's candidate join must be keyed by the k-means cell
+    (sum-of-occupancy² work, never corpus-quadratic): no cartesian
+    product anywhere, the pair join an equi-join on `cell`, and every
+    nested-loop join a broadcast of the bounded centroid relation
+    (BuildRight Cross — the k-means scoring shape the IVF plans pin),
+    never two corpus-sized sides."""
+
+    plan = explain_str(QUERIES["dedup_semantic"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin [cell" in plan or "BroadcastHashJoin [cell" in plan
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "BuildRight, Cross" in ln.strip()
