@@ -136,6 +136,7 @@ def main() -> None:
         "curate_mixture_weights",
         "curate_weighted_sample",
         "mm_avi_frame_sample",
+        "dedup_semantic",
     ]
     for name in headliners:
         t0 = time.monotonic()

@@ -21,8 +21,10 @@ from .stream import (
     read_neardup_survivors,
     read_packed_sequences,
     read_quota_admitted,
+    read_semantic_keep,
     read_tier_assignments,
     read_weighted_sample,
+    semantic_dedup_process_batch,
     sessionize_stream,
     stream_dedup_documents,
     stream_domain_quota,
@@ -31,6 +33,7 @@ from .stream import (
     stream_neardup_documents,
     stream_pack_sequences,
     stream_perplexity_tiers,
+    stream_semantic_dedup,
     stream_weighted_sample,
     tier_process_batch,
     weighted_sample_process_batch,
@@ -51,8 +54,10 @@ __all__ = [
     "read_neardup_survivors",
     "read_packed_sequences",
     "read_quota_admitted",
+    "read_semantic_keep",
     "read_tier_assignments",
     "read_weighted_sample",
+    "semantic_dedup_process_batch",
     "sessionize_stream",
     "stream_dedup_documents",
     "stream_domain_quota",
@@ -61,6 +66,7 @@ __all__ = [
     "stream_neardup_documents",
     "stream_pack_sequences",
     "stream_perplexity_tiers",
+    "stream_semantic_dedup",
     "stream_weighted_sample",
     "tier_process_batch",
     "weighted_sample_process_batch",

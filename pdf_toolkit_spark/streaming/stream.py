@@ -605,6 +605,131 @@ def read_ivf_assignments(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming semantic dedup (SemDeDup against a frozen coarse quantizer)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_process_batch(
+    spark: SparkSession, centroids: DataFrame, out_dir: str
+):
+    """The foreachBatch body of ``stream_semantic_dedup``: assign the
+    micro-batch's vectors to their nearest frozen-centroid cell (the
+    exact batch relation, ops/similarity.py cell_assign_relation), then
+    mark dropped every vector with a smaller-vec_id SAME-CELL neighbor
+    at cosine >= SEMDEDUP_COS — committed by an earlier epoch or
+    sharing THIS batch — which reproduces the batch twin (ops/dedup.py
+    dedup_semantic) exactly when the feed arrives in vec_id order: a
+    vector's smaller-id neighbors all land no later than it does, so
+    its keep bit is final at arrival and never revisited.
+
+    Scale shape: cross-batch state is the per-cell vector log on disk
+    (cell, vec_id, v) — epoch-keyed parquet riding an equi-join on
+    ``cell``, never executor-memory streaming state; each epoch's
+    candidate work is batch_occupancy_c × history_occupancy_c per
+    cell, the same sum-of-occupancy² bound as the batch operator (the
+    cell count is the knob that caps occupancy). Replays rewrite their
+    epoch directories byte-identically (mode=overwrite, history read
+    strictly below the replayed epoch). Dropped vectors commit to the
+    log too: the batch rule suppresses on ANY smaller-id neighbor,
+    kept or not."""
+
+    import glob as _glob
+
+    from ..ops.dedup import SEMDEDUP_COS
+    from ..ops.similarity import _cosine, cell_assign_relation
+
+    sem_root = f"{out_dir}/sem"
+    log_root = f"{out_dir}/vectors"
+
+    def _history(epoch_id: int):
+        dirs = [
+            d for d in _glob.glob(f"{log_root}/epoch=*")
+            if int(d.rsplit("=", 1)[1]) < epoch_id
+        ]
+        return spark.read.parquet(*dirs) if dirs else None
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        e = batch_df.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        withv = cell_assign_relation(e, centroids).join(e, "vec_id").persist()
+        try:
+            b = withv.select(
+                F.col("vec_id").alias("vec_b"), "cell", F.col("v").alias("vb")
+            )
+            a_all = withv.select(
+                F.col("vec_id").alias("vec_a"), "cell", F.col("v").alias("va")
+            )
+            hist = _history(epoch_id)
+            if hist is not None:
+                a_all = a_all.unionByName(hist.select(
+                    F.col("vec_id").alias("vec_a"), "cell", F.col("v").alias("va")
+                ))
+            dropped = (
+                a_all.join(b, "cell")
+                .filter(F.col("vec_a") < F.col("vec_b"))
+                .filter(
+                    F.round(_cosine(F.col("va"), F.col("vb")), 6) >= SEMDEDUP_COS
+                )
+                .select(F.col("vec_b").alias("vec_id"))
+                .distinct()
+                .withColumn("dropped", F.lit(True))
+            )
+            withv.join(dropped, "vec_id", "left").select(
+                "vec_id", "cell", F.col("dropped").isNull().alias("keep")
+            ).write.mode("overwrite").parquet(f"{sem_root}/epoch={epoch_id:012d}")
+            withv.select("cell", "vec_id", "v").write.mode("overwrite").parquet(
+                f"{log_root}/epoch={epoch_id:012d}"
+            )
+        finally:
+            withv.unpersist()
+
+    return process
+
+
+def stream_semantic_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    centroids: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming SemDeDup of an embeddings feed against a frozen
+    centroid relation (the expensive k-means build runs once in batch;
+    new vectors dedup against the committed per-cell history without
+    re-scoring it). Returns the StreamingQuery."""
+
+    from pyspark.sql import types as T
+
+    in_schema = T.StructType([
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        T.StructField("label", T.IntegerType(), True),
+    ])
+    stream = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(input_dir)
+    )
+    writer = (
+        stream.writeStream
+        .foreachBatch(semantic_dedup_process_batch(spark, centroids, out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_semantic_keep(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(vec_id, cell, keep) across all committed epochs."""
+
+    return spark.read.option("basePath", f"{out_dir}/sem").parquet(
+        f"{out_dir}/sem/epoch=*"
+    ).drop("epoch")
+
+
+# ---------------------------------------------------------------------------
 # Streaming per-domain quota (online crawl-curation cap)
 # ---------------------------------------------------------------------------
 

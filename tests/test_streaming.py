@@ -847,3 +847,76 @@ def test_stream_weighted_sample_replay_is_idempotent(spark, tmp_path):
     # state rows carry only integers (hash priorities), never text
     df = read_weighted_sample(spark, out)
     assert set(df.columns) == {"doc_id", "source", "w", "priority"}
+
+
+def test_stream_semantic_dedup_matches_batch(spark, tmp_path):
+    """Streaming SemDeDup against a frozen centroid set must reproduce
+    the batch keep/drop bits exactly when the feed arrives in vec_id
+    order: same cell assignment (shared cell_assign_relation), in-batch
+    pairs from the self-join, cross-epoch pairs from the committed
+    per-cell vector log."""
+
+    from pdf_toolkit_spark.ops.dedup import dedup_semantic
+    from pdf_toolkit_spark.ops.similarity import _centroids
+    from pdf_toolkit_spark.streaming import (
+        read_semantic_keep,
+        stream_semantic_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    mid = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    cents = _centroids(spark, sf)
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    emb.filter(F.col("vec_id") <= mid).coalesce(1).write.mode("append").parquet(landing)
+    _await(stream_semantic_dedup(spark, landing, cents, out, ckpt))
+    emb.filter(F.col("vec_id") > mid).coalesce(1).write.mode("append").parquet(landing)
+    _await(stream_semantic_dedup(spark, landing, cents, out, ckpt))
+
+    got = {
+        (r["vec_id"], r["cell"], r["keep"])
+        for r in read_semantic_keep(spark, out).collect()
+    }
+    expected = {
+        (r["vec_id"], r["cell"], r["keep"])
+        for r in dedup_semantic(spark, sf).collect()
+    }
+    assert got == expected
+    assert any(not k for _, _, k in got)  # suppression actually happened
+    # and some of it crossed the epoch boundary: a second-epoch vector
+    # dropped against first-epoch history only (no in-batch neighbor)
+    assert any(not k and v > mid for v, _, k in got)
+
+
+def test_stream_semantic_dedup_replay_is_idempotent(spark, tmp_path):
+    """Replaying a committed epoch must not resurrect dropped vectors
+    or flip keep bits; a later epoch must suppress against the
+    committed vector log (dropped vectors suppress too — the batch rule
+    is ANY smaller-id neighbor, kept or not)."""
+
+    from pdf_toolkit_spark.streaming import (
+        read_semantic_keep,
+        semantic_dedup_process_batch,
+    )
+
+    cents = spark.createDataFrame([(0, [1.0, 0.0])], "cell int, cv array<double>")
+    out = str(tmp_path / "out")
+    process = semantic_dedup_process_batch(spark, cents, out)
+    schema = "vec_id long, embedding array<float>"
+    b0 = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.001]), (2, [0.0, 1.0])], schema)
+    process(b0, 0)
+    process(b0, 0)  # replay of epoch 0
+    b1 = spark.createDataFrame(
+        [(3, [0.99, 0.01]),   # cross-epoch dup of 0
+         (4, [0.3, 1.0]),     # dup of DROPPED-epoch-0 vec... no: cos(4,2)=0.958 -> dropped vs kept 2
+         (5, [-1.0, 0.2])],   # below threshold vs everything
+        schema)
+    process(b1, 1)
+    process(b1, 1)  # replay of epoch 1
+
+    got = {r["vec_id"]: r["keep"] for r in read_semantic_keep(spark, out).collect()}
+    assert got == {0: True, 1: False, 2: True, 3: False, 4: False, 5: True}
