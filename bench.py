@@ -137,6 +137,9 @@ def main() -> None:
         "curate_weighted_sample",
         "mm_avi_frame_sample",
         "dedup_semantic",
+        "sim_hard_negatives",
+        "sim_ivf_pq_topk",
+        "curate_cluster_best",
     ]
     for name in headliners:
         t0 = time.monotonic()

@@ -68,6 +68,46 @@ def curate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-max canonical pick over the MinHash near-dup clusters:
+    for every connected component of the LSH pair graph
+    (ops/dedup.py dedup_components), keep the member with the HIGHEST
+    quality score (ops/text.py quality_score), not the smallest
+    doc_id — what a production dedup pass actually retains, so the
+    surviving corpus loses duplicates without losing its best copies.
+    Tie-break: quality desc, doc_id asc. Output: (cluster,
+    kept_doc_id, best_quality, n_members) — one row per cluster,
+    singletons keep themselves with n_members = 1.
+
+    Scale shape: the component labels and quality scalars join on
+    doc_id (8 B + one double per doc — text never moves), and the
+    per-cluster argmax is max_by over struct(quality, -doc_id) in ONE
+    hash aggregate with map-side partial combine: no per-cluster
+    window sort, so a mega-cluster (boilerplate that snowballs into
+    millions of members) costs its reduce-side row count, not a
+    single-reducer sort."""
+
+    cc = _dedup.dedup_components(spark, sf_dir)
+    q = _text.quality_score(spark, sf_dir).select("doc_id", "quality")
+    return (
+        cc.join(q, "doc_id")
+        .groupBy(F.col("canonical_id").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max_by(
+                F.struct("doc_id", "quality"),
+                F.struct(F.col("quality"), -F.col("doc_id")),
+            ).alias("best"),
+        )
+        .select(
+            "cluster",
+            F.col("best.doc_id").alias("kept_doc_id"),
+            F.col("best.quality").alias("best_quality"),
+            "n_members",
+        )
+    )
+
+
 #: per-domain document cap (the crawl-curation quota): sf0.01 has 25
 #: docs per source, so 18 keeps some and drops some in every domain
 QUOTA_PER_DOMAIN = 18
@@ -271,6 +311,7 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "curate_survivors": curate_survivors,
+    "curate_cluster_best": cluster_best,
     "curate_domain_quota": domain_quota,
     "curate_mixture_weights": mixture_weights,
     "curate_weighted_sample": weighted_sample,
@@ -297,6 +338,20 @@ ORACLES = {
         JOIN dq USING (doc_id)
         JOIN dd USING (doc_id)
         JOIN tok USING (doc_id)
+    """,
+    "curate_cluster_best": f"""
+        WITH ranked AS (
+            SELECT cc.canonical_id AS cluster,
+                   q.doc_id, q.quality,
+                   count(*) OVER (PARTITION BY cc.canonical_id) AS n_members,
+                   row_number() OVER (PARTITION BY cc.canonical_id
+                       ORDER BY q.quality DESC, q.doc_id ASC) AS rk
+            FROM ({_dedup.ORACLES["dedup_components"]}) cc
+            JOIN ({_text.ORACLES["text_quality_score"]}) q USING (doc_id)
+        )
+        SELECT cluster, doc_id AS kept_doc_id, quality AS best_quality,
+               n_members
+        FROM ranked WHERE rk = 1
     """,
     "curate_domain_quota": f"""
         SELECT doc_id, source, rk FROM (

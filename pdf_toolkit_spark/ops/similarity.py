@@ -376,6 +376,230 @@ def ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (the batch a contrastive /
+    metric-learning trainer consumes: for each anchor, the nearest
+    vectors that do NOT share its label): IVF-pruned top-k per anchor
+    restricted to candidates whose ``label`` differs from the
+    anchor's. Output: (qid, vec_id, cos_sim) — TOP_K rows per anchor,
+    cos desc / vec_id asc.
+
+    Scale shape is :func:`ivf_topk_batch` with a label predicate
+    pushed into the candidate join: the anchor set broadcasts, probe
+    lists come from the tiny (anchors x cells) relation, candidate
+    generation touches only probed cells' vectors (the embeddings
+    table is never fully shuffled), and the label filter runs BEFORE
+    the per-anchor top-k window so same-label near-dups never occupy
+    candidate slots. One extra narrow column (label, 4 B) rides the
+    candidate relation — document/vector payloads still never move."""
+
+    from pyspark.sql import Window
+
+    el = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = _centroids(spark, sf_dir)
+    anchors = el.filter(F.col("vec_id") % BATCH_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = anchors.crossJoin(F.broadcast(cents)).select(
+        "qid", "cell", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("sim")
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cell"))
+    probe = (
+        scored.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= N_PROBE)
+        .select("qid", "cell")
+    )
+    probed = _ivf_cells(spark, sf_dir).join(F.broadcast(probe), "cell").select(
+        "vec_id", "qid"
+    )
+    cand = (
+        el.join(probed, "vec_id")
+        .join(F.broadcast(anchors), "qid")
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid", "vec_id",
+            F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "vec_id", "cos_sim")
+    )
+
+
+#: Product-quantization geometry: PQ_M subspaces over the embedding
+#: dimension (64 -> 16-dim subvectors); per-subspace codebook size
+#: reuses cells_for(n) (~sqrt n, corpus-derived like every other
+#: capacity knob here), so code storage is PQ_M bytes-ish per vector
+#: at any scale.
+PQ_M = 4
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subparts(e: DataFrame) -> DataFrame:
+    """(vec_id, sub, sv): the PQ_M contiguous subvectors of each
+    vector — slice bounds derive from size(v) so the split tracks the
+    embedding dimension."""
+
+    return e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub"),
+        "v",
+    ).select(
+        "vec_id", "sub",
+        F.expr(
+            f"slice(v, sub * (size(v) div {PQ_M}) + 1, size(v) div {PQ_M})"
+        ).alias("sv"),
+    )
+
+
+def _pq_books(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sub, code, cv): per-subspace L2 k-means codebooks, trained on
+    the same deterministic 1-in-KM_SAMPLE_MOD sample as the IVF
+    centroids with the same KM_ITERS Lloyd steps and quantized-exact
+    means. Persisted: the index build (encoding) and every query's
+    LUT both read it."""
+
+    return _cached(("pq_books", sf_dir), lambda: _pq_books_build(spark, sf_dir))
+
+
+def _pq_books_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_codes = cells_for(_n_vecs(spark, sf_dir))
+    sample = _subparts(
+        _emb(spark, sf_dir).filter(F.col("vec_id") % KM_SAMPLE_MOD == 0)
+    )
+    books = sample.filter(F.col("vec_id") < KM_SAMPLE_MOD * n_codes).select(
+        "sub",
+        (F.col("vec_id") / KM_SAMPLE_MOD).cast("int").alias("code"),
+        F.col("sv").alias("cv"),
+    )
+    for _ in range(KM_ITERS):
+        scored = sample.join(F.broadcast(books), "sub").select(
+            "vec_id", "sub", "sv", "code",
+            F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d2"),
+        )
+        # argmin-as-aggregate (d2 asc, code asc): map-side combine, no
+        # window sort of the sample x codebook relation — the same
+        # shape as the IVF assignment.
+        assigned = (
+            scored.groupBy("vec_id", "sub")
+            .agg(
+                F.min_by(
+                    F.struct("code", "sv"), F.struct(F.col("d2"), F.col("code"))
+                ).alias("best")
+            )
+            .select("sub", F.col("best.code").alias("code"), F.col("best.sv").alias("sv"))
+        )
+        dims = assigned.select("sub", "code", F.posexplode("sv").alias("i", "x"))
+        q = F.signum("x") * F.floor(F.abs(F.col("x")) * _KM_SCALE + F.lit(0.5))
+        means = dims.groupBy("sub", "code", "i").agg(
+            F.round(F.sum(q) / F.count("*") / _KM_SCALE, 6).alias("m")
+        )
+        books = means.groupBy("sub", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+    return books
+
+
+def _pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, vec_id, sub, code): the IVFADC inverted file — every
+    vector encoded as its per-subspace nearest codeword and keyed by
+    its coarse cell (the posting-list layout; on a real cluster this
+    relation is written bucketed/partitioned by cell). This is what a
+    100-TB ANN store actually persists and scans: PQ_M small ints per
+    vector instead of the raw floats (~32x smaller at production
+    settings), pre-grouped so a query's probe list prunes it with a
+    broadcast equi-join on cell — query time never shuffles the index
+    and never touches the embeddings table. The one vec_id-keyed
+    shuffle (codes |><| cell assignment) is paid ONCE at (offline)
+    index-build time."""
+
+    return _cached(("pq_index", sf_dir), lambda: _pq_index_build(spark, sf_dir))
+
+
+def _pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = _subparts(_emb(spark, sf_dir))
+    books = _pq_books(spark, sf_dir)
+    scored = parts.join(F.broadcast(books), "sub").select(
+        "vec_id", "sub", "code",
+        F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d2"),
+    )
+    codes = scored.groupBy("vec_id", "sub").agg(
+        F.min_by("code", F.struct(F.col("d2"), F.col("code"))).alias("code")
+    )
+    return codes.join(_ivf_cells(spark, sf_dir), "vec_id").select(
+        "cell", "vec_id", "sub", "code"
+    )
+
+
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ asymmetric-distance top-k (the Jegou et al. PQ paper's
+    IVFADC, the standard billion-scale ANN layout): candidates come
+    from the query's N_PROBE IVF cells, and their distances are
+    looked up from a (PQ_M x n_codes)-entry table of exact
+    query-subvector-to-codeword squared distances — the scan reads
+    ONLY the compact code index, never the raw embeddings. Output:
+    (vec_id, adc_dist) — TOP_K by ADC distance asc, vec_id asc.
+
+    Determinism: per-subspace d2 rounds to 6 dp and integerizes to
+    micro-units, so the cross-subspace ADC sum is exact integer
+    arithmetic in any order and both engines. Scale shape: the LUT is
+    PQ_M x n_codes rows -> broadcast; the probe list (N_PROBE rows)
+    broadcasts into the cell-keyed inverted file, so query time is a
+    map-side prune + LUT lookup + one keyed sum with NO shuffle of
+    the index; the final cut is TakeOrdered. The raw embeddings table
+    appears nowhere in the query-time plan (only inside the cached
+    offline index build)."""
+
+    e = _emb(spark, sf_dir)
+    cents = _centroids(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("vec_id", "v")
+    qparts = _subparts(q).select("sub", F.col("sv").alias("qv"))
+    lut = _pq_books(spark, sf_dir).join(F.broadcast(qparts), "sub").select(
+        "sub", "code",
+        F.round(F.round(_l2sq(F.col("qv"), F.col("cv")), 6) * 1e6)
+        .cast("bigint")
+        .alias("d2q"),
+    )
+    probe = (
+        q.select(F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .select("cell", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("cell"))
+        .limit(N_PROBE)
+        .select("cell")
+    )
+    cand = (
+        _pq_index(spark, sf_dir)
+        .join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(lut), ["sub", "code"])
+    )
+    return (
+        cand.groupBy("vec_id")
+        .agg(F.sum("d2q").alias("s"))
+        .select("vec_id", F.round(F.col("s") / 1e6, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids + cohesion (the label-quality QA a
     classification corpus gets before training): per label, the
@@ -444,6 +668,8 @@ QUERIES = {
     "sim_ivf_cell_sizes": ivf_cell_sizes,
     "sim_ivf_topk": ivf_topk,
     "sim_ivf_topk_batch": ivf_topk_batch,
+    "sim_hard_negatives": hard_negatives,
+    "sim_ivf_pq_topk": ivf_pq_topk,
 }
 
 _W = SQL_HASH32.format(e="p::VARCHAR || ':' || i::VARCHAR") + " / 2147483648.0 - 1.0"
@@ -508,6 +734,64 @@ def _sql_kmeans_cells() -> str:
 
 
 _SQL_IVF_CELLS = _sql_kmeans_cells()
+
+#: DuckDB twin of _l2sq: element-wise squared diffs via list_zip
+#: (numeric struct indices — DuckDB's zip structs are unnamed), summed
+#: in list order like Spark's left fold.
+_SQL_L2 = (
+    "list_aggregate(list_transform(list_zip({a}, {b}),"
+    " x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum')"
+)
+
+
+def _sql_pq_books() -> str:
+    """Unrolled per-subspace L2 k-means + full-corpus encoding — the
+    DuckDB twin of _pq_books/_pq_codes (expects emb64/eparams from
+    _SQL_IVF_CELLS in scope)."""
+
+    l2 = _SQL_L2.format(a="p.sv", b="b.cv")
+    parts = [f"""
+    parts AS (
+        SELECT vec_id,
+               s.sub,
+               v[(s.sub * (len(v) // {PQ_M}) + 1):((s.sub + 1) * (len(v) // {PQ_M}))] AS sv
+        FROM emb64,
+             (SELECT unnest(generate_series(0, {PQ_M - 1})) AS sub) s
+    ),
+    sparts AS (SELECT * FROM parts WHERE vec_id % {KM_SAMPLE_MOD} = 0),
+    books0 AS (
+        SELECT sub, CAST(vec_id // {KM_SAMPLE_MOD} AS INT) AS code, sv AS cv
+        FROM sparts
+        WHERE vec_id < {KM_SAMPLE_MOD} * (SELECT nc FROM eparams)
+    )"""]
+    for k in range(1, KM_ITERS + 1):
+        parts.append(f"""
+    scored_pq{k} AS (
+        SELECT p.vec_id, p.sub, p.sv, b.code,
+               row_number() OVER (PARTITION BY p.vec_id, p.sub ORDER BY
+                   round({l2}, 6) ASC, b.code ASC) AS rk
+        FROM sparts p JOIN books{k - 1} b USING (sub)),
+    asgp{k} AS (SELECT sub, code, sv FROM scored_pq{k} WHERE rk = 1),
+    dimsp{k} AS (SELECT sub, code, generate_subscripts(sv, 1) - 1 AS i, unnest(sv) AS x
+                 FROM asgp{k}),
+    meansp{k} AS (SELECT sub, code, i,
+                         round(sum(sign(x) * floor(abs(x) * {int(_KM_SCALE)} + 0.5))
+                               / count(*) / {int(_KM_SCALE)}, 6) AS m
+                  FROM dimsp{k} GROUP BY sub, code, i),
+    books{k} AS (SELECT sub, code, list(m ORDER BY i) AS cv FROM meansp{k}
+                 GROUP BY sub, code)""")
+    parts.append(f"""
+    books AS (SELECT sub, code, cv FROM books{KM_ITERS}),
+    scored_enc AS (
+        SELECT p.vec_id, p.sub, b.code,
+               row_number() OVER (PARTITION BY p.vec_id, p.sub ORDER BY
+                   round({l2}, 6) ASC, b.code ASC) AS rk
+        FROM parts p JOIN books b USING (sub)),
+    codes AS (SELECT vec_id, sub, code FROM scored_enc WHERE rk = 1)""")
+    return ",".join(parts)
+
+
+_SQL_PQ = _sql_pq_books()
 
 ORACLES = {
     "sim_label_centroids": f"""
@@ -593,6 +877,62 @@ ORACLES = {
                        cos_sim DESC, vec_id ASC) AS rk
             FROM cand)
         WHERE rk <= {TOP_K}
+    """,
+    "sim_hard_negatives": f"""
+        WITH {_SQL_IVF_CELLS},
+        qset AS (SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id % {BATCH_QUERY_MOD} = 0),
+        probe AS (
+            SELECT qid, cell FROM (
+                SELECT q.qid, c.cell,
+                       row_number() OVER (PARTITION BY q.qid ORDER BY
+                           round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                           c.cell ASC) AS rk
+                FROM qset q, cents c)
+            WHERE rk <= {N_PROBE}),
+        cand AS (
+            SELECT q.qid, e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                       AS cos_sim
+            FROM embeddings e
+            JOIN cells ON cells.vec_id = e.vec_id
+            JOIN probe ON probe.cell = cells.cell
+            JOIN qset q ON q.qid = probe.qid
+            WHERE e.label != q.qlabel)
+        SELECT qid, vec_id, cos_sim FROM (
+            SELECT qid, vec_id, cos_sim,
+                   row_number() OVER (PARTITION BY qid ORDER BY
+                       cos_sim DESC, vec_id ASC) AS rk
+            FROM cand)
+        WHERE rk <= {TOP_K}
+    """,
+    "sim_ivf_pq_topk": f"""
+        WITH {_SQL_IVF_CELLS},
+        {_SQL_PQ},
+        qparts AS (SELECT sub, sv AS qv FROM parts WHERE vec_id = {QUERY_VEC_ID}),
+        lut AS (
+            SELECT b.sub, b.code,
+                   CAST(round(round({_SQL_L2.format(a="q.qv", b="b.cv")}, 6)
+                              * 1000000.0) AS BIGINT) AS d2q
+            FROM books b JOIN qparts q USING (sub)),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = {QUERY_VEC_ID}),
+        probe AS (
+            SELECT c.cell FROM cents c, q
+            ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cell ASC
+            LIMIT {N_PROBE}
+        ),
+        pcand AS (
+            SELECT co.vec_id, l.d2q
+            FROM codes co
+            JOIN cells ce ON ce.vec_id = co.vec_id
+            JOIN probe ON probe.cell = ce.cell
+            JOIN lut l ON l.sub = co.sub AND l.code = co.code
+            WHERE co.vec_id != {QUERY_VEC_ID})
+        SELECT vec_id, round(sum(d2q) / 1000000.0, 6) AS adc_dist
+        FROM pcand GROUP BY vec_id
+        ORDER BY adc_dist ASC, vec_id ASC
+        LIMIT {TOP_K}
     """,
     "sim_knn_brute_force": f"""
         SELECT e.vec_id,

@@ -466,3 +466,47 @@ def test_semantic_dedup_is_cell_keyed(spark):
     for ln in plan.splitlines():
         if "BroadcastNestedLoopJoin" in ln:
             assert "BuildRight, Cross" in ln.strip()
+
+
+def test_hard_negatives_no_full_table_shuffle(spark):
+    """Hard-negative mining is ivf_topk_batch + a label predicate: the
+    probe relation broadcasts into the assignment join, anchors
+    broadcast into the candidate join, and the label filter rides the
+    candidate relation — no sort-merge join (no full embeddings
+    shuffle) anywhere."""
+
+    plan = explain_str(QUERIES["sim_hard_negatives"](spark, SF_DIR), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_pq_query_plan_reads_codes_not_embeddings(spark):
+    """IVF-PQ query-time shape: the probe list broadcasts into the
+    cell-keyed inverted file and the ADC LUT broadcasts into the
+    candidate relation — the section of the plan ABOVE the cached
+    index relations (the part that runs per query) has no shuffle
+    join, no Window, no cartesian, and ends in TakeOrdered. The
+    vec_id-keyed shuffle and the per-subspace min_by argmin live
+    inside the InMemoryRelation builds: offline index construction,
+    paid once."""
+
+    plan = explain_str(QUERIES["sim_ivf_pq_topk"](spark, SF_DIR), "simple")
+    query_branch = plan.split("InMemoryRelation")[0]
+    assert "SortMergeJoin" not in query_branch
+    assert "CartesianProduct" not in query_branch
+    assert "Window" not in query_branch
+    assert "TakeOrderedAndProject" in query_branch
+    # probe prune is the cell-keyed broadcast equi-join
+    assert "BroadcastHashJoin [cell" in plan
+    # the argmin encodes as an aggregate somewhere in the build
+    assert "min_by" in plan
+
+
+def test_cluster_best_argmax_is_aggregate_not_window(spark):
+    """The per-cluster quality argmax must be a max_by hash aggregate
+    with map-side partial combine — a row_number window would sort a
+    mega-cluster's full member list through one reducer."""
+
+    plan = explain_str(QUERIES["curate_cluster_best"](spark, SF_DIR), "simple")
+    assert "Window" not in plan
+    assert "max_by" in plan
