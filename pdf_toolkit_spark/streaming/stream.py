@@ -605,6 +605,84 @@ def read_ivf_assignments(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming IVF-PQ ingest (incremental compressed-index maintenance)
+# ---------------------------------------------------------------------------
+
+def pq_ingest_process_batch(centroids: DataFrame, books: DataFrame, out_dir: str):
+    """The foreachBatch body of ``stream_pq_ingest``: encode each
+    micro-batch of embeddings against FROZEN per-subspace PQ codebooks
+    (ops/similarity.py geometry: broadcast books, per-(vec, sub)
+    min_by argmin — no window sort) and key it by its frozen-centroid
+    cell, appending epoch-keyed partitions of the IVFADC inverted
+    file. Incremental compressed-index maintenance: the k-means and
+    codebook training run once in batch; new vectors stream into
+    their posting lists carrying PQ_M small ints each, committed
+    partitions are never touched, and a query probes the union.
+    Replays rewrite their epoch directory idempotently."""
+
+    from ..ops.similarity import _l2sq, _subparts, cell_assign_relation
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        e = batch_df.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        scored = _subparts(e).join(F.broadcast(books), "sub").select(
+            "vec_id", "sub", "code",
+            F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d2"),
+        )
+        codes = scored.groupBy("vec_id", "sub").agg(
+            F.min_by("code", F.struct(F.col("d2"), F.col("code"))).alias("code")
+        )
+        codes.join(cell_assign_relation(e, centroids), "vec_id").select(
+            "cell", "vec_id", "sub", "code"
+        ).write.mode("overwrite").parquet(f"{out_dir}/pq/epoch={epoch_id:012d}")
+
+    return process
+
+
+def stream_pq_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    centroids: DataFrame,
+    books: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming IVF-PQ encoding of an embeddings feed against frozen
+    centroids + codebooks. Returns the StreamingQuery."""
+
+    from pyspark.sql import types as T
+
+    in_schema = T.StructType([
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        T.StructField("label", T.IntegerType(), True),
+    ])
+    stream = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(input_dir)
+    )
+    writer = (
+        stream.writeStream
+        .foreachBatch(pq_ingest_process_batch(centroids, books, out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_pq_index(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(cell, vec_id, sub, code) across all committed epochs."""
+
+    return spark.read.option("basePath", f"{out_dir}/pq").parquet(
+        f"{out_dir}/pq/epoch=*"
+    ).drop("epoch")
+
+
+# ---------------------------------------------------------------------------
 # Streaming semantic dedup (SemDeDup against a frozen coarse quantizer)
 # ---------------------------------------------------------------------------
 

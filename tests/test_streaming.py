@@ -920,3 +920,72 @@ def test_stream_semantic_dedup_replay_is_idempotent(spark, tmp_path):
 
     got = {r["vec_id"]: r["keep"] for r in read_semantic_keep(spark, out).collect()}
     assert got == {0: True, 1: False, 2: True, 3: False, 4: False, 5: True}
+
+
+def test_stream_pq_ingest_matches_batch_index(spark, tmp_path):
+    """Streaming IVF-PQ encoding against frozen centroids + codebooks
+    must reproduce the batch inverted file (ops/similarity._pq_index)
+    row-for-row: same cell keys (shared cell_assign_relation), same
+    codes (shared subvector split + argmin), across an epoch split."""
+
+    from pdf_toolkit_spark.ops.similarity import _centroids, _pq_books, _pq_index
+    from pdf_toolkit_spark.streaming import read_pq_index, stream_pq_ingest
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    mid = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    cents = _centroids(spark, sf)
+    books = _pq_books(spark, sf)
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    emb.filter(F.col("vec_id") <= mid).coalesce(1).write.mode("append").parquet(landing)
+    _await(stream_pq_ingest(spark, landing, cents, books, out, ckpt))
+    emb.filter(F.col("vec_id") > mid).coalesce(1).write.mode("append").parquet(landing)
+    _await(stream_pq_ingest(spark, landing, cents, books, out, ckpt))
+
+    got = {
+        (r["cell"], r["vec_id"], r["sub"], r["code"])
+        for r in read_pq_index(spark, out).collect()
+    }
+    expected = {
+        (r["cell"], r["vec_id"], r["sub"], r["code"])
+        for r in _pq_index(spark, sf).collect()
+    }
+    assert got == expected
+    assert len(got) == emb.count() * 4  # PQ_M rows per vector, all vectors
+
+
+def test_stream_pq_ingest_replay_is_idempotent(spark, tmp_path):
+    """Replaying a committed epoch rewrites it byte-identically: the
+    union after a double-processed epoch has no duplicate rows and the
+    same codes."""
+
+    from pdf_toolkit_spark.streaming import pq_ingest_process_batch, read_pq_index
+
+    cents = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 7)], "cell int, cv array<double>"
+    )
+    # PQ_M = 4 subspaces over 8-dim vectors -> 2-dim subvectors; per
+    # subspace, code 0 = [0,0] and code 1 = [1,1]
+    books = spark.createDataFrame(
+        [(s, c, [float(c), float(c)]) for s in range(4) for c in (0, 1)],
+        "sub int, code int, cv array<double>",
+    )
+    out = str(tmp_path / "out")
+    process = pq_ingest_process_batch(cents, books, out)
+    b0 = spark.createDataFrame(
+        [(0, [0.1, 0.2, 0.9, 1.1, 0.0, 0.1, 1.0, 0.9]),
+         (1, [1.2, 0.8, 0.1, -0.2, 0.8, 1.2, 0.2, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    process(b0, 0)
+    process(b0, 0)  # replay
+    rows = sorted(
+        (r["vec_id"], r["sub"], r["code"]) for r in read_pq_index(spark, out).collect()
+    )
+    assert rows == [
+        (0, 0, 0), (0, 1, 1), (0, 2, 0), (0, 3, 1),
+        (1, 0, 1), (1, 1, 0), (1, 2, 1), (1, 3, 0),
+    ]
