@@ -139,7 +139,9 @@ def main() -> None:
         "dedup_semantic",
         "sim_hard_negatives",
         "sim_ivf_pq_topk",
+        "sim_ivf_pq_rerank",
         "curate_cluster_best",
+        "text_bpe_merge_candidates",
     ]
     for name in headliners:
         t0 = time.monotonic()

@@ -40,7 +40,8 @@ _MODULES = (
 _STALEST_COHORT = (
     "text_perplexity_buckets",  # rewritten in round 6
     # new in round 6: never driver-checked
-    "sim_hard_negatives", "sim_ivf_pq_topk", "curate_cluster_best",
+    "sim_hard_negatives", "sim_ivf_pq_topk", "sim_ivf_pq_rerank",
+    "curate_cluster_best", "text_bpe_merge_candidates",
     "dedup_semantic",
     "text_perplexity_tier_thresholds", "text_classifier_filter",
     "sketch_kmv_set_ops", "curate_mixture_weights",

@@ -567,6 +567,18 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     appears nowhere in the query-time plan (only inside the cached
     offline index build)."""
 
+    return (
+        _pq_adc_candidates(spark, sf_dir)
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _pq_adc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, adc_dist) for every vector in the query's probed
+    cells — the compressed-domain candidate relation shared by the
+    pure-ADC top-k and the re-ranked variant."""
+
     e = _emb(spark, sf_dir)
     cents = _centroids(spark, sf_dir)
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("vec_id", "v")
@@ -595,7 +607,43 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.groupBy("vec_id")
         .agg(F.sum("d2q").alias("s"))
         .select("vec_id", F.round(F.col("s") / 1e6, 6).alias("adc_dist"))
+    )
+
+
+#: ADC shortlist size for the re-ranked variant: the exact pass reads
+#: this many full vectors (by id), everything upstream stays in the
+#: compressed domain
+PQ_RERANK = 5 * TOP_K
+
+
+def ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact re-ranking (the full IVFADC+R pipeline of
+    Jegou et al.: ADC shortlist from the compressed index, then exact
+    distances for the shortlist only): take the PQ_RERANK best
+    candidates by ADC distance, fetch THOSE raw vectors by id, and
+    return the exact-cosine TOP_K. Output: (vec_id, cos_sim) —
+    directly comparable to sim_ivf_topk; quantization error now only
+    costs recall when a true neighbor falls outside the R-deep
+    shortlist, not whenever codeword distances reorder the top-k.
+
+    Scale shape: candidate generation is the compressed-domain plan of
+    :func:`ivf_pq_topk` unchanged; the exact pass is an equi-join of
+    an R-row broadcast shortlist against the embeddings table (R full
+    vectors fetched, a point-lookup-shaped read) + one TakeOrdered."""
+
+    shortlist = (
+        _pq_adc_candidates(spark, sf_dir)
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(PQ_RERANK)
+        .select("vec_id")
+    )
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    return (
+        e.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(TOP_K)
     )
 
@@ -670,6 +718,7 @@ QUERIES = {
     "sim_ivf_topk_batch": ivf_topk_batch,
     "sim_hard_negatives": hard_negatives,
     "sim_ivf_pq_topk": ivf_pq_topk,
+    "sim_ivf_pq_rerank": ivf_pq_rerank,
 }
 
 _W = SQL_HASH32.format(e="p::VARCHAR || ':' || i::VARCHAR") + " / 2147483648.0 - 1.0"
@@ -932,6 +981,42 @@ ORACLES = {
         SELECT vec_id, round(sum(d2q) / 1000000.0, 6) AS adc_dist
         FROM pcand GROUP BY vec_id
         ORDER BY adc_dist ASC, vec_id ASC
+        LIMIT {TOP_K}
+    """,
+    "sim_ivf_pq_rerank": f"""
+        WITH {_SQL_IVF_CELLS},
+        {_SQL_PQ},
+        qparts AS (SELECT sub, sv AS qv FROM parts WHERE vec_id = {QUERY_VEC_ID}),
+        lut AS (
+            SELECT b.sub, b.code,
+                   CAST(round(round({_SQL_L2.format(a="q.qv", b="b.cv")}, 6)
+                              * 1000000.0) AS BIGINT) AS d2q
+            FROM books b JOIN qparts q USING (sub)),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = {QUERY_VEC_ID}),
+        probe AS (
+            SELECT c.cell FROM cents c, q
+            ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cell ASC
+            LIMIT {N_PROBE}
+        ),
+        adc AS (
+            SELECT co.vec_id, round(sum(l.d2q) / 1000000.0, 6) AS adc_dist
+            FROM codes co
+            JOIN cells ce ON ce.vec_id = co.vec_id
+            JOIN probe ON probe.cell = ce.cell
+            JOIN lut l ON l.sub = co.sub AND l.code = co.code
+            WHERE co.vec_id != {QUERY_VEC_ID}
+            GROUP BY co.vec_id),
+        shortlist AS (
+            SELECT vec_id FROM adc
+            ORDER BY adc_dist ASC, vec_id ASC LIMIT {PQ_RERANK})
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                   AS cos_sim
+        FROM embeddings e
+        JOIN shortlist s ON s.vec_id = e.vec_id
+        CROSS JOIN q
+        ORDER BY cos_sim DESC, e.vec_id ASC
         LIMIT {TOP_K}
     """,
     "sim_knn_brute_force": f"""

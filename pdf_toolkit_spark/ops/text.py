@@ -116,6 +116,47 @@ BPE_RE = f"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9{_WS_CLS}']+|[{_WS_
 WINNOW_W = 4  # winnowing window: min token-hash per W consecutive positions
 
 
+#: merge-candidate cut: the trainer would merge the single best pair,
+#: but surfacing the top 30 makes the op a useful diagnostic too
+BPE_MERGE_TOP_K = 30
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed step of BPE tokenizer TRAINING: the most
+    frequent adjacent pretoken pairs over the whole corpus — the pair
+    a byte-pair-encoding trainer merges next (Sennrich et al.'s count
+    step, which at corpus scale is exactly a distributed bigram
+    count). Pretokens come from the shared GPT-2-style regex
+    (``BPE_RE``); adjacency is WITHIN a document's pretoken sequence.
+    Output: (tok_a, tok_b, n_pairs) — top BPE_MERGE_TOP_K by count
+    desc, then (tok_a, tok_b) asc.
+
+    Scale shape: the pair relation is two offset slices of the same
+    extracted-token array zipped and exploded (no self-join, no
+    window), one (tok_a, tok_b) hash aggregate with map-side combine,
+    and a TakeOrdered cut — the canonical word-count shape, shuffling
+    only distinct-pair partials."""
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), F.lit(0)).alias("t")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, greatest(size(t) - 1, 0))").alias("tok_a"),
+                F.expr("slice(t, 2, greatest(size(t) - 1, 0))").alias("tok_b"),
+            )
+        ).alias("p")
+    ).select(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
+    return (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(BPE_MERGE_TOP_K)
+    )
+
+
 def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token count: matches of the GPT-2-style pretokenizer
     regex over the lowercased text (the unit an LLM tokenizer would
@@ -977,6 +1018,7 @@ QUERIES = {
     "text_token_count": token_count,
     "text_tfidf_top_terms": tfidf_top_terms,
     "text_bpe_token_count": bpe_token_count,
+    "text_bpe_merge_candidates": bpe_merge_candidates,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
     "text_lang_distribution": lang_id_distribution,
@@ -1236,6 +1278,22 @@ ORACLES = {
                len(regexp_extract_all(lower(text), '{BPE_RE.replace("'", "''")}'))
                    AS n_bpe_tokens
         FROM documents
+    """,
+    "text_bpe_merge_candidates": f"""
+        WITH toks AS (
+            SELECT regexp_extract_all(lower(text),
+                                      '{BPE_RE.replace("'", "''")}') AS t
+            FROM documents
+        ),
+        pairs AS (
+            SELECT t[i] AS tok_a, t[i + 1] AS tok_b
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+        )
+        SELECT tok_a, tok_b, count(*) AS n_pairs
+        FROM pairs GROUP BY tok_a, tok_b
+        ORDER BY n_pairs DESC, tok_a ASC, tok_b ASC
+        LIMIT {BPE_MERGE_TOP_K}
     """,
     "text_rolling_fingerprint": f"""
         WITH toks AS (

@@ -510,3 +510,28 @@ def test_cluster_best_argmax_is_aggregate_not_window(spark):
     plan = explain_str(QUERIES["curate_cluster_best"](spark, SF_DIR), "simple")
     assert "Window" not in plan
     assert "max_by" in plan
+
+
+def test_ivf_pq_rerank_recovers_exact_in_probe_topk(spark):
+    """ADC quantization fidelity: with the PQ_RERANK-deep shortlist,
+    the re-ranked IVF-PQ result must equal sim_ivf_topk (the exact
+    rerank over the same probed cells) whenever R covers the probe
+    set — quantization then costs nothing. At sf0.001 the probe set is
+    < R, so equality is exact."""
+
+    ivf = {r["vec_id"] for r in QUERIES["sim_ivf_topk"](spark, SF_DIR).collect()}
+    rr = {r["vec_id"] for r in QUERIES["sim_ivf_pq_rerank"](spark, SF_DIR).collect()}
+    assert rr == ivf
+
+
+def test_ivf_pq_rerank_shortlist_fidelity_at_sf01(spark):
+    """At sf0.1 the probed cells hold more candidates than PQ_RERANK,
+    so the ADC shortlist genuinely prunes; the re-ranked top-10 must
+    still retain >= 8 of the exact-in-probe top-10 (observed: 9 on
+    this deterministic corpus — pinned as a floor so codebook-quality
+    regressions surface)."""
+
+    sf = "/root/testdata/sf0.1"
+    ivf = {r["vec_id"] for r in QUERIES["sim_ivf_topk"](spark, sf).collect()}
+    rr = {r["vec_id"] for r in QUERIES["sim_ivf_pq_rerank"](spark, sf).collect()}
+    assert len(rr & ivf) >= 8
