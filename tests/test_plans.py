@@ -535,3 +535,83 @@ def test_ivf_pq_rerank_shortlist_fidelity_at_sf01(spark):
     ivf = {r["vec_id"] for r in QUERIES["sim_ivf_topk"](spark, sf).collect()}
     rr = {r["vec_id"] for r in QUERIES["sim_ivf_pq_rerank"](spark, sf).collect()}
     assert len(rr & ivf) >= 8
+
+
+def test_pq_index_matches_pure_python_reference(spark):
+    """Third-engine agreement for the PQ pipeline: a pure-Python
+    replication of the codebook training + encoding (seeded sample,
+    KM_ITERS Lloyd steps with quantized-exact means, left-fold d2
+    sums, HALF_UP 6-dp rounding via decimal — the exact arithmetic the
+    Spark expressions perform) must produce the identical
+    (vec_id, sub) -> code map. Guards the Spark formulation against
+    the DuckDB twin and this reference agreeing on a shared
+    misreading."""
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    from pdf_toolkit_spark.ops.similarity import (
+        KM_ITERS,
+        KM_SAMPLE_MOD,
+        PQ_M,
+        _KM_SCALE,
+        _pq_index,
+        cells_for,
+    )
+
+    def r6(x):  # Spark round(col, 6): BigDecimal HALF_UP on the shortest repr
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    def d2(a, b):  # F.aggregate left fold over zip_with squares
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return r6(acc)
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {
+        int(i): [float(x) for x in e]
+        for i, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+    }
+    n = len(vecs)
+    nc = cells_for(n)
+    sd = len(next(iter(vecs.values()))) // PQ_M
+    sub = lambda v, m: v[m * sd:(m + 1) * sd]
+    sample = {i: v for i, v in vecs.items() if i % KM_SAMPLE_MOD == 0}
+    books = {
+        m: {c: sub(sample[KM_SAMPLE_MOD * c], m) for c in range(nc)
+            if KM_SAMPLE_MOD * c in sample}
+        for m in range(PQ_M)
+    }
+    for _ in range(KM_ITERS):
+        members = {m: {} for m in range(PQ_M)}
+        for i, v in sample.items():
+            for m in range(PQ_M):
+                best = min(books[m], key=lambda c: (d2(sub(v, m), books[m][c]), c))
+                members[m].setdefault(best, []).append(sub(v, m))
+        new_books = {m: {} for m in range(PQ_M)}
+        for m in range(PQ_M):
+            for c, svs in members[m].items():
+                cv = []
+                for dim in range(sd):
+                    s = 0.0
+                    for svv in svs:
+                        x = svv[dim]
+                        q = (1.0 if x >= 0 else -1.0) * float(
+                            int(abs(x) * _KM_SCALE + 0.5)
+                        )
+                        s += q
+                    cv.append(r6(s / len(svs) / _KM_SCALE))
+                new_books[m][c] = cv
+        books = new_books
+    expected = {
+        (i, m): min(books[m], key=lambda c: (d2(sub(v, m), books[m][c]), c))
+        for i, v in vecs.items()
+        for m in range(PQ_M)
+    }
+    got = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in _pq_index(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == expected
