@@ -48,11 +48,12 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length / punctuation / stopword heuristics -> one quality scalar
-    (rounded for cross-engine float stability)."""
+def quality_relation(docs: DataFrame) -> DataFrame:
+    """Quality heuristics over any (doc_id, text) relation — the
+    shared engine of :func:`quality_score` and the streaming canonical
+    pick (identical arithmetic keeps stream state merge-equal to the
+    batch scalar)."""
 
-    docs = table(spark, sf_dir, "documents")
     norm = norm_text(F.col("text"))
     n_tokens = F.when(norm == "", 0).otherwise(F.size(F.split(norm, " ")))
     n_chars = F.length(F.col("text"))
@@ -68,6 +69,13 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("quality"),
     )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword heuristics -> one quality scalar
+    (rounded for cross-engine float stability)."""
+
+    return quality_relation(table(spark, sf_dir, "documents"))
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

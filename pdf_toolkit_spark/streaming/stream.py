@@ -605,6 +605,128 @@ def read_ivf_assignments(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming canonical pick (online quality-max per near-dup cluster)
+# ---------------------------------------------------------------------------
+
+def cluster_best_process_batch(spark: SparkSession, clusters: DataFrame, out_dir: str):
+    """foreachBatch body of ``stream_cluster_best``: score the batch's
+    documents with the SAME quality arithmetic as the batch operator
+    (ops.text.quality_relation), key them by their FROZEN cluster
+    label, and merge the per-cluster (count, argmax) into the latest
+    earlier epoch's state. State rows are (cluster, kept_doc_id,
+    best_quality, n_members) — one double + three longs per cluster,
+    never document bytes. Count-sum and struct-max are both
+    associative AND commutative, so the final state equals the batch
+    canonical pick (ops.curation.cluster_best) for ANY feed order and
+    any micro-batch split. Replays rewrite their epoch directory
+    idempotently (history read is strictly-earlier)."""
+
+    import glob as _glob
+
+    from ..ops.text import quality_relation
+
+    state_root = f"{out_dir}/state"
+
+    def _state_before(epoch_id: int):
+        dirs = [
+            e for e in _glob.glob(f"{state_root}/epoch=*")
+            if int(e.rsplit("=", 1)[1]) < epoch_id
+        ]
+        if not dirs:
+            return None
+        latest = max(dirs, key=lambda e: int(e.rsplit("=", 1)[1]))
+        return spark.read.parquet(latest)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        scored = (
+            quality_relation(batch_df)
+            .select("doc_id", "quality")
+            .join(clusters, "doc_id")
+            .select(
+                F.col("canonical_id").alias("cluster"),
+                F.col("doc_id").alias("kept_doc_id"),
+                F.col("quality").alias("best_quality"),
+                F.lit(1).cast("bigint").alias("n_members"),
+            )
+        )
+        prior = _state_before(epoch_id)
+        if prior is not None:
+            scored = scored.unionByName(prior)
+        merged = (
+            scored.groupBy("cluster")
+            .agg(
+                F.sum("n_members").alias("n_members"),
+                F.max_by(
+                    F.struct("kept_doc_id", "best_quality"),
+                    F.struct(F.col("best_quality"), -F.col("kept_doc_id")),
+                ).alias("best"),
+            )
+            .select(
+                "cluster",
+                F.col("best.kept_doc_id").alias("kept_doc_id"),
+                F.col("best.best_quality").alias("best_quality"),
+                "n_members",
+            )
+        )
+        merged.write.mode("overwrite").parquet(
+            f"{state_root}/epoch={epoch_id:012d}"
+        )
+
+    return process
+
+
+def stream_cluster_best(
+    spark: SparkSession,
+    input_dir: str,
+    clusters: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Online canonical pick over a documents feed: maintain the
+    highest-quality member (and member count) of every near-dup
+    cluster across micro-batches, restarts, and replays, against a
+    frozen cluster assignment (the expensive connected-components run
+    happens in batch, like the frozen centroids of stream_ivf_assign).
+    The streaming twin of ``curate_cluster_best``. Returns the
+    StreamingQuery."""
+
+    from pyspark.sql import types as T
+
+    in_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ])
+    stream = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    writer = (
+        stream.writeStream
+        .foreachBatch(cluster_best_process_batch(spark, clusters, out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cluster_best(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(cluster, kept_doc_id, best_quality, n_members): the latest
+    committed state."""
+
+    import glob as _glob
+
+    dirs = _glob.glob(f"{out_dir}/state/epoch=*")
+    latest = max(dirs, key=lambda e: int(e.rsplit("=", 1)[1]))
+    return spark.read.parquet(latest)
+
+
+# ---------------------------------------------------------------------------
 # Streaming IVF-PQ ingest (incremental compressed-index maintenance)
 # ---------------------------------------------------------------------------
 

@@ -989,3 +989,65 @@ def test_stream_pq_ingest_replay_is_idempotent(spark, tmp_path):
         (0, 0, 0), (0, 1, 1), (0, 2, 0), (0, 3, 1),
         (1, 0, 1), (1, 1, 0), (1, 2, 1), (1, 3, 0),
     ]
+
+
+def test_stream_cluster_best_matches_batch(spark, tmp_path):
+    """Online canonical pick against a frozen cluster assignment must
+    reproduce the batch quality-max pick exactly — count-sum and
+    struct-argmax merge commutatively, so the equality holds for any
+    epoch split (here: two epochs split by doc_id parity, deliberately
+    NOT id-ordered)."""
+
+    from pdf_toolkit_spark.ops.curation import cluster_best
+    from pdf_toolkit_spark.ops.dedup import dedup_components
+    from pdf_toolkit_spark.streaming import read_cluster_best, stream_cluster_best
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    clusters = dedup_components(spark, sf)
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(landing)
+    _await(stream_cluster_best(spark, landing, clusters, out, ckpt))
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(landing)
+    _await(stream_cluster_best(spark, landing, clusters, out, ckpt))
+
+    got = {
+        (r["cluster"], r["kept_doc_id"], r["best_quality"], r["n_members"])
+        for r in read_cluster_best(spark, out).collect()
+    }
+    expected = {
+        (r["cluster"], r["kept_doc_id"], r["best_quality"], r["n_members"])
+        for r in cluster_best(spark, sf).collect()
+    }
+    assert got == expected
+    assert any(n > 1 for _, _, _, n in got)  # real clusters crossed epochs
+
+
+def test_stream_cluster_best_replay_is_idempotent(spark, tmp_path):
+    """Replaying a committed epoch must not double-count members or
+    flip the argmax."""
+
+    from pdf_toolkit_spark.streaming import cluster_best_process_batch, read_cluster_best
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 30)], "doc_id long, canonical_id long"
+    )
+    out = str(tmp_path / "out")
+    process = cluster_best_process_batch(spark, clusters, out)
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame(
+        [(1, "the of and solid alpha text here"), (3, "zz")], schema)
+    process(b0, 0)
+    process(b0, 0)  # replay
+    b1 = spark.createDataFrame([(2, "x")], schema)  # low quality, same cluster as 1
+    process(b1, 1)
+    process(b1, 1)  # replay
+    got = {
+        r["cluster"]: (r["kept_doc_id"], r["n_members"])
+        for r in read_cluster_best(spark, out).collect()
+    }
+    assert got[10] == (1, 2)  # doc 1 stays best; member count exact
+    assert got[30] == (3, 1)
