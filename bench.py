@@ -142,6 +142,7 @@ def main() -> None:
         "sim_ivf_pq_rerank",
         "curate_cluster_best",
         "text_bpe_merge_candidates",
+        "mm_phash_pairs",
     ]
     for name in headliners:
         t0 = time.monotonic()

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..errors import UserError
-from .common import table
+from .common import register_persist, table
 
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
@@ -476,6 +476,125 @@ def avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(sample, schema=VIDEO_SCHEMA)
 
 
+#: aHash geometry: 8x8 thumbnail, 60 bits kept (cells 8*i+j < 60) so
+#: the fingerprint packs into a signed BIGINT both engines agree on —
+#: the same packing trick as the SimHash fingerprint (ops/dedup.py)
+PHASH_BITS = 60
+PHASH_BAND_BITS = 15
+PHASH_HAM_MAX = 6
+
+PHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("phash", T.LongType(), False),
+])
+
+
+def _phash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash): average-hash perceptual fingerprints over the
+    REAL-codec image path — per doc, a deterministic low-cardinality
+    gradient PNG (16 structure classes: slopes b, c in 1..4, offset and
+    dims varying) is encoded and decoded with the engine's PNG codec,
+    reduced to the 8x8 pixel-center thumbnail, and hashed as
+    bit = (pixel * 64 > sum of thumbnail) — pure integer arithmetic,
+    so the DuckDB oracle recomputes the identical 60-bit fingerprint
+    while the Spark side must round-trip real pixels to produce it.
+    Deliberately collision-rich: same-slope images differ only in
+    offset (cancelled by the mean test) and in dims (a small sampling
+    perturbation) — the image near-dups the pair query must find."""
+
+    import numpy as np
+
+    from ..pdfio.png import decode_png, encode_png
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": [], "phash": []}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                d = hashlib.sha256(bytes(payload)).digest()
+                a, b, c = d[14] % 4, 1 + d[15] % 8, 1 + d[16] % 8
+                w, h = 10 + d[17] % 6, 10 + d[18] % 6
+                sx, sy = d[19] % 2, (d[19] // 2) % 2
+                # 256 structure classes (slopes x orientations); max
+                # pixel 3 + 8*14 + 8*14 = 227: no % 256 wrap, so the
+                # SQL twin's plain integer expression is exact
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                grad = (
+                    a
+                    + b * ((w - 1 - xs) if sx else xs)
+                    + c * ((h - 1 - ys) if sy else ys)
+                ).astype(np.uint8)
+                arr = decode_png(encode_png(grad))      # the REAL decode
+                rows = np.clip(
+                    ((np.arange(THUMB) + 0.5) * h / THUMB).astype(np.int64), 0, h - 1
+                )
+                cols = np.clip(
+                    ((np.arange(THUMB) + 0.5) * w / THUMB).astype(np.int64), 0, w - 1
+                )
+                tiny = arr[rows][:, cols].astype(np.int64)
+                s = int(tiny.sum())
+                fp64 = 0
+                for i in range(THUMB):
+                    for j in range(THUMB):
+                        bit = THUMB * i + j
+                        if bit < PHASH_BITS and int(tiny[i, j]) * 64 > s:
+                            fp64 |= 1 << bit
+                out["doc_id"].append(int(doc_id))
+                out["phash"].append(fp64)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(fp, schema=PHASH_SCHEMA)
+
+
+def phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perceptual fingerprints themselves (doc_id, phash)."""
+
+    return _phash_fps(spark, sf_dir)
+
+
+def phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup candidates over the real-codec media path: docs
+    whose perceptual hashes share any exact 15-bit band, verified by
+    Hamming distance <= PHASH_HAM_MAX. Output: (doc_a, doc_b,
+    hamming). Same LSH-banding shape as SimHash text near-dup —
+    bucket equi-join on (band, band_val), never an all-pairs compare,
+    one packed bigint per doc on every plan edge; the decode cost
+    rides one mapInPandas scan."""
+
+    fps = register_persist(_phash_fps(spark, sf_dir))
+    n_bands = PHASH_BITS // PHASH_BAND_BITS
+    mask = (1 << PHASH_BAND_BITS) - 1
+    band_exprs = ", ".join(
+        f"{b}, CAST((phash >> {b * PHASH_BAND_BITS}) & {mask} AS BIGINT)"
+        for b in range(n_bands)
+    )
+    bands = fps.selectExpr(
+        "doc_id", f"stack({n_bands}, {band_exprs}) AS (band, band_val)"
+    )
+    pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("fp_a"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("fp_b"))
+    return (
+        pairs.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.expr("CAST(bit_count(fp_a ^ fp_b) AS BIGINT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+    )
+
+
 QUERIES = {
     "mm_media_metadata": media_metadata,
     "mm_media_format_histogram": media_format_histogram,
@@ -485,6 +604,8 @@ QUERIES = {
     "mm_audio_stats": audio_stats,
     "mm_video_frame_sample": video_frame_sample,
     "mm_avi_frame_sample": avi_frame_sample,
+    "mm_phash": phash,
+    "mm_phash_pairs": phash_pairs,
 }
 
 #: Exact DuckDB oracles: the stub decoder is sha256-derived, and DuckDB
@@ -502,7 +623,74 @@ _META_SQL = """
     FROM documents
 """
 
+#: Shared fingerprint CTE for the perceptual-hash oracles: gradient
+#: thumbnail cells + the integer mean test recomputed in pure
+#: arithmetic (the gradient never wraps mod 256 by construction, so
+#: no modular term appears).
+_PHASH_SQL = f"""
+    pp AS (
+        SELECT doc_id,
+               ('0x' || substr(sha256(text), 29, 2))::INT % 4 AS a,
+               1 + ('0x' || substr(sha256(text), 31, 2))::INT % 8 AS b,
+               1 + ('0x' || substr(sha256(text), 33, 2))::INT % 8 AS c,
+               10 + ('0x' || substr(sha256(text), 35, 2))::INT % 6 AS w,
+               10 + ('0x' || substr(sha256(text), 37, 2))::INT % 6 AS h,
+               ('0x' || substr(sha256(text), 39, 2))::INT % 2 AS sx,
+               (('0x' || substr(sha256(text), 39, 2))::INT // 2) % 2 AS sy
+        FROM documents
+    ),
+    pidx AS (
+        SELECT doc_id, i, j, a, b, c, w, h, sx, sy,
+               least(CAST(floor((j + 0.5) * w / {THUMB}) AS INT), w - 1) AS cx,
+               least(CAST(floor((i + 0.5) * h / {THUMB}) AS INT), h - 1) AS cy
+        FROM pp,
+             LATERAL (SELECT unnest(generate_series(0, {THUMB - 1})) AS i),
+             LATERAL (SELECT unnest(generate_series(0, {THUMB - 1})) AS j)
+    ),
+    pcells AS (
+        SELECT doc_id, i, j,
+               a + b * (CASE WHEN sx = 1 THEN w - 1 - cx ELSE cx END)
+                 + c * (CASE WHEN sy = 1 THEN h - 1 - cy ELSE cy END) AS px
+        FROM pidx
+    ),
+    psums AS (SELECT doc_id, sum(px) AS s FROM pcells GROUP BY doc_id),
+    pfps AS (
+        SELECT c.doc_id,
+               CAST(sum(CASE WHEN {THUMB} * c.i + c.j < {PHASH_BITS}
+                              AND c.px * 64 > m.s
+                             THEN (1::BIGINT << CAST({THUMB} * c.i + c.j AS INT))
+                             ELSE 0 END) AS BIGINT) AS phash
+        FROM pcells c JOIN psums m USING (doc_id)
+        GROUP BY c.doc_id
+    )
+"""
+
 ORACLES: dict[str, str] = {
+    "mm_phash": f"""
+        WITH {_PHASH_SQL}
+        SELECT doc_id, phash FROM pfps
+    """,
+    "mm_phash_pairs": f"""
+        WITH {_PHASH_SQL},
+        pbands AS (
+            SELECT doc_id, b AS band,
+                   (phash >> CAST(b * {PHASH_BAND_BITS} AS INT))
+                       & {(1 << PHASH_BAND_BITS) - 1} AS band_val
+            FROM pfps,
+                 (SELECT unnest(generate_series(0, {PHASH_BITS // PHASH_BAND_BITS - 1})) AS b)
+        ),
+        ppairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM pbands a JOIN pbands b USING (band, band_val)
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               CAST(bit_count(xor(fa.phash, fb.phash)) AS BIGINT) AS hamming
+        FROM ppairs p
+        JOIN pfps fa ON fa.doc_id = p.doc_a
+        JOIN pfps fb ON fb.doc_id = p.doc_b
+        WHERE bit_count(xor(fa.phash, fb.phash)) <= {PHASH_HAM_MAX}
+    """,
     "mm_media_metadata": _META_SQL,
     "mm_media_format_histogram": f"""
         SELECT format, count(*) AS n_docs,

@@ -615,3 +615,15 @@ def test_pq_index_matches_pure_python_reference(spark):
         for r in _pq_index(spark, "/root/testdata/sf0.001").collect()
     }
     assert got == expected
+
+
+def test_phash_pairs_is_banded_equi_join(spark):
+    """The perceptual-hash near-dup candidate join must be the
+    (band, band_val) bucket equi-join — never cartesian / broadcast
+    nested loop — with the Hamming verify on the packed bigint (one
+    row per doc on every edge), mirroring the SimHash plan shape."""
+
+    plan = explain_str(QUERIES["mm_phash_pairs"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bit_count" in plan
