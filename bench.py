@@ -143,6 +143,7 @@ def main() -> None:
         "curate_cluster_best",
         "text_bpe_merge_candidates",
         "mm_phash_pairs",
+        "curate_shard_layout",
     ]
     for name in headliners:
         t0 = time.monotonic()

@@ -309,12 +309,47 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy("priority", "doc_id").limit(WS_K)
 
 
+#: export shard size (bytes of normalized text per shard at this sf;
+#: a production run uses ~1 GiB — the layout math is scale-free)
+SHARD_BYTES = 4096
+
+
+def shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic export sharding (the training-data WRITE stage:
+    lay the curated corpus out as fixed-byte-budget shards in a stable
+    global order so any worker can compute any shard independently):
+    each doc gets the exclusive prefix sum of n_chars under doc_id
+    order, and its shard is ``floor(prefix / SHARD_BYTES)`` with
+    ``offset`` the position inside that shard (docs may straddle a
+    boundary; the reader contract is offset-based, WebDataset-style).
+    Output: (doc_id, n_chars, shard_id, offset).
+
+    Scale shape: the global cumulative sum is common.prefix_scan —
+    range-repartition + per-partition local scans + a
+    one-row-per-partition driver merge — NEVER a single-reducer
+    ``Window.orderBy`` over the corpus; everything after it is a
+    projection. The DuckDB oracle computes the same exclusive prefix
+    with a window, so the layout is value-exact."""
+
+    from .common import prefix_scan
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scanned = prefix_scan(docs, ["doc_id"], "n_chars", "prefix")
+    return scanned.select(
+        "doc_id",
+        "n_chars",
+        F.floor(F.col("prefix") / SHARD_BYTES).cast("bigint").alias("shard_id"),
+        (F.col("prefix") % SHARD_BYTES).cast("bigint").alias("offset"),
+    )
+
+
 QUERIES = {
     "curate_survivors": curate_survivors,
     "curate_cluster_best": cluster_best,
     "curate_domain_quota": domain_quota,
     "curate_mixture_weights": mixture_weights,
     "curate_weighted_sample": weighted_sample,
+    "curate_shard_layout": shard_layout,
 }
 
 ORACLES = {
@@ -389,6 +424,18 @@ ORACLES["curate_weighted_sample"] = f"""
     )
     SELECT doc_id, source, w, priority
     FROM agg ORDER BY priority, doc_id LIMIT {WS_K}
+"""
+
+ORACLES["curate_shard_layout"] = f"""
+    SELECT doc_id, n_chars,
+           CAST(floor(prefix / {SHARD_BYTES}) AS BIGINT) AS shard_id,
+           CAST(prefix % {SHARD_BYTES} AS BIGINT) AS offset
+    FROM (
+        SELECT doc_id, n_chars,
+               COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prefix
+        FROM documents)
 """
 
 ORACLES["curate_mixture_weights"] = f"""

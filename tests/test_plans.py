@@ -267,7 +267,7 @@ def test_prefix_scan_queries_have_no_single_partition_exchange(spark):
     Exchange SinglePartition — the one-task funnel this formulation
     exists to avoid at 100 TB."""
 
-    for name in ("text_pack_sequences", "rel_skew_salted_join"):
+    for name in ("text_pack_sequences", "rel_skew_salted_join", "curate_shard_layout"):
         plan = explain_str(QUERIES[name](spark, SF_DIR), "formatted")
         assert "SinglePartition" not in plan, (name, plan)
         assert "rangepartitioning" in plan, name
