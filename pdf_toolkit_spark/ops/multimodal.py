@@ -273,6 +273,23 @@ THUMB_SCHEMA = T.StructType([
 ])
 
 
+def _pixel_center_thumb(arr, w: int, h: int):
+    """THUMB x THUMB reduction of a decoded (h, w) raster at the render
+    kernel's pixel-center sample points (kernels.resample_nearest
+    applied per axis) — the one thumbnail kernel shared by the
+    feature-extract op and the perceptual hash."""
+
+    import numpy as np
+
+    rows = np.clip(
+        ((np.arange(THUMB) + 0.5) * h / THUMB).astype(np.int64), 0, h - 1
+    )
+    cols = np.clip(
+        ((np.arange(THUMB) + 0.5) * w / THUMB).astype(np.int64), 0, w - 1
+    )
+    return arr[rows][:, cols]
+
+
 def image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extract stage over the real-codec media path: a
     deterministic GRADIENT PNG per doc (structure, not flat fill — the
@@ -306,13 +323,7 @@ def image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ) % 256
                 png = encode_png(grad.astype(np.uint8))
                 arr = decode_png(png)  # the REAL decode
-                rows = np.clip(
-                    ((np.arange(THUMB) + 0.5) * h / THUMB).astype(np.int64), 0, h - 1
-                )
-                cols = np.clip(
-                    ((np.arange(THUMB) + 0.5) * w / THUMB).astype(np.int64), 0, w - 1
-                )
-                tiny = arr[rows][:, cols]
+                tiny = _pixel_center_thumb(arr, w, h)
                 out["doc_id"].append(int(doc_id))
                 out["width"].append(int(w))
                 out["height"].append(int(h))
@@ -492,8 +503,8 @@ PHASH_SCHEMA = T.StructType([
 def _phash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, phash): average-hash perceptual fingerprints over the
     REAL-codec image path — per doc, a deterministic low-cardinality
-    gradient PNG (16 structure classes: slopes b, c in 1..4, offset and
-    dims varying) is encoded and decoded with the engine's PNG codec,
+    gradient PNG (256 structure classes: slopes b, c in 1..8, four
+    axis orientations, offset and dims varying) is encoded and decoded with the engine's PNG codec,
     reduced to the 8x8 pixel-center thumbnail, and hashed as
     bit = (pixel * 64 > sum of thumbnail) — pure integer arithmetic,
     so the DuckDB oracle recomputes the identical 60-bit fingerprint
@@ -529,13 +540,7 @@ def _phash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + c * ((h - 1 - ys) if sy else ys)
                 ).astype(np.uint8)
                 arr = decode_png(encode_png(grad))      # the REAL decode
-                rows = np.clip(
-                    ((np.arange(THUMB) + 0.5) * h / THUMB).astype(np.int64), 0, h - 1
-                )
-                cols = np.clip(
-                    ((np.arange(THUMB) + 0.5) * w / THUMB).astype(np.int64), 0, w - 1
-                )
-                tiny = arr[rows][:, cols].astype(np.int64)
+                tiny = _pixel_center_thumb(arr, w, h).astype(np.int64)
                 s = int(tiny.sum())
                 fp64 = 0
                 for i in range(THUMB):

@@ -327,84 +327,20 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 BATCH_QUERY_MOD = 101
 
 
-def ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch-query IVF ANN: top-k for EVERY query in the set, one pass.
-
-    Production ANN answers query SETS, not single vectors. Shape: the
-    query relation is small -> broadcast everywhere; per-query probe
-    lists come from a window over the TINY (queries x cells) score
-    relation; the probe relation broadcasts into the cell-assignment
-    join, so candidate generation touches only probed cells' vectors
-    and the embeddings table is never fully shuffled. The final
-    per-query top-k is a window partitioned by qid over the candidate
-    relation only (bounded by N_PROBE/N_CELLS of the corpus per
-    query) — the standard distributed top-k-per-key."""
+def _batch_ivf_joined(spark: SparkSession, sf_dir: str, anchors: DataFrame, e: DataFrame) -> DataFrame:
+    """The shared batched-IVF probe pipeline: for an ``anchors``
+    relation carrying (qid, qv, ...extras), return each anchor joined
+    to every vector of its N_PROBE nearest cells — all of ``e``'s and
+    ``anchors``'s columns ride along for the caller's filter. Shape:
+    anchors broadcast everywhere; per-anchor probe lists come from a
+    window over the TINY (anchors x cells) score relation; the probe
+    relation broadcasts into the cell-assignment join, so candidate
+    generation touches only probed cells' vectors and the embeddings
+    table is never fully shuffled."""
 
     from pyspark.sql import Window
 
-    e = _emb(spark, sf_dir)
     cents = _centroids(spark, sf_dir)
-    queries = e.filter(F.col("vec_id") % BATCH_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    scored = queries.crossJoin(F.broadcast(cents)).select(
-        "qid", "cell", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("sim")
-    )
-    wp = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cell"))
-    probe = (
-        scored.withColumn("rk", F.row_number().over(wp))
-        .filter(F.col("rk") <= N_PROBE)
-        .select("qid", "cell")
-    )
-    probed = _ivf_cells(spark, sf_dir).join(F.broadcast(probe), "cell").select(
-        "vec_id", "qid"
-    )
-    cand = (
-        e.join(probed, "vec_id")
-        .join(F.broadcast(queries), "qid")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid", "vec_id",
-            F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
-        )
-    )
-    wk = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        cand.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= TOP_K)
-        .select("qid", "vec_id", "cos_sim")
-    )
-
-
-def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contrastive hard-negative mining (the batch a contrastive /
-    metric-learning trainer consumes: for each anchor, the nearest
-    vectors that do NOT share its label): IVF-pruned top-k per anchor
-    restricted to candidates whose ``label`` differs from the
-    anchor's. Output: (qid, vec_id, cos_sim) — TOP_K rows per anchor,
-    cos desc / vec_id asc.
-
-    Scale shape is :func:`ivf_topk_batch` with a label predicate
-    pushed into the candidate join: the anchor set broadcasts, probe
-    lists come from the tiny (anchors x cells) relation, candidate
-    generation touches only probed cells' vectors (the embeddings
-    table is never fully shuffled), and the label filter runs BEFORE
-    the per-anchor top-k window so same-label near-dups never occupy
-    candidate slots. One extra narrow column (label, 4 B) rides the
-    candidate relation — document/vector payloads still never move."""
-
-    from pyspark.sql import Window
-
-    el = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    cents = _centroids(spark, sf_dir)
-    anchors = el.filter(F.col("vec_id") % BATCH_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("qlabel"),
-        F.col("v").alias("qv"),
-    )
     scored = anchors.crossJoin(F.broadcast(cents)).select(
         "qid", "cell", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("sim")
     )
@@ -417,21 +353,78 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = _ivf_cells(spark, sf_dir).join(F.broadcast(probe), "cell").select(
         "vec_id", "qid"
     )
-    cand = (
-        el.join(probed, "vec_id")
-        .join(F.broadcast(anchors), "qid")
-        .filter(F.col("label") != F.col("qlabel"))
-        .select(
-            "qid", "vec_id",
-            F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
-        )
-    )
+    return e.join(probed, "vec_id").join(F.broadcast(anchors), "qid")
+
+
+def _topk_per_qid(cand: DataFrame) -> DataFrame:
+    """The standard distributed top-k-per-key cut over a (qid, vec_id,
+    cos_sim) candidate relation (bounded by N_PROBE/N_CELLS of the
+    corpus per anchor, so the keyed window never sees the corpus)."""
+
+    from pyspark.sql import Window
+
     wk = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
         cand.withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= TOP_K)
         .select("qid", "vec_id", "cos_sim")
     )
+
+
+def ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-query IVF ANN: top-k for EVERY query in the set, one pass
+    (production ANN answers query SETS, not single vectors). The probe
+    / candidate pipeline is :func:`_batch_ivf_joined`; the final cut
+    is :func:`_topk_per_qid`."""
+
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") % BATCH_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cand = (
+        _batch_ivf_joined(spark, sf_dir, queries, e)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    return _topk_per_qid(cand)
+
+
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (the batch a contrastive /
+    metric-learning trainer consumes: for each anchor, the nearest
+    vectors that do NOT share its label): IVF-pruned top-k per anchor
+    restricted to candidates whose ``label`` differs from the
+    anchor's. Output: (qid, vec_id, cos_sim) — TOP_K rows per anchor,
+    cos desc / vec_id asc.
+
+    Scale shape is :func:`ivf_topk_batch`'s shared pipeline
+    (:func:`_batch_ivf_joined`) with a label predicate pushed into
+    the candidate join: the label filter runs BEFORE the per-anchor
+    top-k window so same-label near-dups never occupy candidate
+    slots. One extra narrow column (label, 4 B) rides the candidate
+    relation — document/vector payloads still never move."""
+
+    el = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    anchors = el.filter(F.col("vec_id") % BATCH_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    cand = (
+        _batch_ivf_joined(spark, sf_dir, anchors, el)
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid", "vec_id",
+            F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    return _topk_per_qid(cand)
 
 
 #: Product-quantization geometry: PQ_M subspaces over the embedding

@@ -619,7 +619,13 @@ def cluster_best_process_batch(spark: SparkSession, clusters: DataFrame, out_dir
     associative AND commutative, so the final state equals the batch
     canonical pick (ops.curation.cluster_best) for ANY feed order and
     any micro-batch split. Replays rewrite their epoch directory
-    idempotently (history read is strictly-earlier)."""
+    idempotently (history read is strictly-earlier).
+
+    The frozen ``clusters`` relation is re-referenced every
+    micro-batch — pass a persisted/cached relation (dedup_components
+    returns its converged labels persisted; the same contract as the
+    frozen centroids of stream_ivf_assign), or each epoch re-runs the
+    full connected-components build."""
 
     import glob as _glob
 
@@ -722,6 +728,8 @@ def read_cluster_best(spark: SparkSession, out_dir: str) -> DataFrame:
     import glob as _glob
 
     dirs = _glob.glob(f"{out_dir}/state/epoch=*")
+    if not dirs:
+        raise UserError("stream_cluster_best: no state epochs yet.")
     latest = max(dirs, key=lambda e: int(e.rsplit("=", 1)[1]))
     return spark.read.parquet(latest)
 
@@ -745,19 +753,24 @@ def pq_ingest_process_batch(centroids: DataFrame, books: DataFrame, out_dir: str
     from ..ops.similarity import _l2sq, _subparts, cell_assign_relation
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        # persisted: two consumers (subvector encoding + cell
+        # assignment) would otherwise re-scan the batch's source files
         e = batch_df.select(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-        )
-        scored = _subparts(e).join(F.broadcast(books), "sub").select(
-            "vec_id", "sub", "code",
-            F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d2"),
-        )
-        codes = scored.groupBy("vec_id", "sub").agg(
-            F.min_by("code", F.struct(F.col("d2"), F.col("code"))).alias("code")
-        )
-        codes.join(cell_assign_relation(e, centroids), "vec_id").select(
-            "cell", "vec_id", "sub", "code"
-        ).write.mode("overwrite").parquet(f"{out_dir}/pq/epoch={epoch_id:012d}")
+        ).persist()
+        try:
+            scored = _subparts(e).join(F.broadcast(books), "sub").select(
+                "vec_id", "sub", "code",
+                F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d2"),
+            )
+            codes = scored.groupBy("vec_id", "sub").agg(
+                F.min_by("code", F.struct(F.col("d2"), F.col("code"))).alias("code")
+            )
+            codes.join(cell_assign_relation(e, centroids), "vec_id").select(
+                "cell", "vec_id", "sub", "code"
+            ).write.mode("overwrite").parquet(f"{out_dir}/pq/epoch={epoch_id:012d}")
+        finally:
+            e.unpersist()
 
     return process
 
@@ -851,6 +864,27 @@ def semantic_dedup_process_batch(
         e = batch_df.select(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
         )
+        hist = _history(epoch_id)
+        if hist is not None:
+            # Fail-fast guard for the documented id-order precondition:
+            # a committed keep bit is final, so a smaller-id vector
+            # arriving AFTER a larger-id one could never suppress it
+            # and the stream would silently diverge from the batch
+            # twin. (Replays pass: history reads strictly below the
+            # replayed epoch, so the replayed ids stay above it.)
+            committed_max = hist.agg(F.max("vec_id")).collect()[0][0]
+            batch_min = e.agg(F.min("vec_id")).collect()[0][0]
+            if (
+                committed_max is not None
+                and batch_min is not None
+                and batch_min <= committed_max
+            ):
+                raise UserError(
+                    "stream_semantic_dedup: out-of-order feed (batch min "
+                    f"vec_id {batch_min} <= committed max {committed_max}); "
+                    "keep bits are final at arrival, so the feed must be "
+                    "vec_id-ordered to match the batch operator."
+                )
         withv = cell_assign_relation(e, centroids).join(e, "vec_id").persist()
         try:
             b = withv.select(
@@ -859,7 +893,6 @@ def semantic_dedup_process_batch(
             a_all = withv.select(
                 F.col("vec_id").alias("vec_a"), "cell", F.col("v").alias("va")
             )
-            hist = _history(epoch_id)
             if hist is not None:
                 a_all = a_all.unionByName(hist.select(
                     F.col("vec_id").alias("vec_a"), "cell", F.col("v").alias("va")

@@ -1051,3 +1051,25 @@ def test_stream_cluster_best_replay_is_idempotent(spark, tmp_path):
     }
     assert got[10] == (1, 2)  # doc 1 stays best; member count exact
     assert got[30] == (3, 1)
+
+
+def test_stream_semantic_dedup_rejects_out_of_order_feed(spark, tmp_path):
+    """The id-order precondition is enforced, not assumed: a batch
+    whose min vec_id is <= the committed max must fail fast (a
+    committed keep bit is final, so a late smaller-id vector would
+    silently diverge the stream from the batch twin)."""
+
+    import pytest as _pytest
+
+    from pdf_toolkit_spark.errors import UserError
+    from pdf_toolkit_spark.streaming import semantic_dedup_process_batch
+
+    cents = spark.createDataFrame([(0, [1.0, 0.0])], "cell int, cv array<double>")
+    out = str(tmp_path / "out")
+    process = semantic_dedup_process_batch(spark, cents, out)
+    schema = "vec_id long, embedding array<float>"
+    process(spark.createDataFrame([(10, [1.0, 0.0])], schema), 0)
+    # replay of the same epoch is fine (history reads strictly below)
+    process(spark.createDataFrame([(10, [1.0, 0.0])], schema), 0)
+    with _pytest.raises(UserError, match="out-of-order"):
+        process(spark.createDataFrame([(5, [0.0, 1.0])], schema), 1)
