@@ -144,6 +144,7 @@ def main() -> None:
         "text_bpe_merge_candidates",
         "mm_phash_pairs",
         "curate_shard_layout",
+        "text_char_entropy",
     ]
     for name in headliners:
         t0 = time.monotonic()

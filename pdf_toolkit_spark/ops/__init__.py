@@ -42,7 +42,7 @@ _STALEST_COHORT = (
     # new in round 6: never driver-checked
     "sim_hard_negatives", "sim_ivf_pq_topk", "sim_ivf_pq_rerank",
     "curate_cluster_best", "text_bpe_merge_candidates",
-    "mm_phash", "mm_phash_pairs", "curate_shard_layout",
+    "mm_phash", "mm_phash_pairs", "curate_shard_layout", "text_char_entropy",
     "dedup_semantic",
     "text_perplexity_tier_thresholds", "text_classifier_filter",
     "sketch_kmv_set_ops", "curate_mixture_weights",

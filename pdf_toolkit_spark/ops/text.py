@@ -112,6 +112,56 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.md5(collapsed).alias("fp"))
 
 
+#: per-term quantization grid for the entropy sum (integer-valued
+#: doubles sum exactly in any partition order — the centroid-mean
+#: trick) and the final entropy quantizer
+_ENT_TERM_SCALE = 1 << 20
+_ENT_Q = 4096
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (the
+    Gopher-class junk gate: binary blobs / repeated-char spam score
+    low, natural text high). Output: (doc_id, n_chars, n_distinct,
+    qent) where qent = floor(H * 4096 + 0.5) of
+    H = log2(n) - (sum_c count_c*log2(count_c)) / n.
+
+    Determinism: the per-character terms count*log2(count) are
+    quantized to the 2^-20 grid BEFORE summation, so the
+    cross-character sum is exact integer arithmetic in any aggregation
+    order and both engines; the only cross-engine float risk is the
+    usual 1-ulp log2-at-a-quantization-boundary class (same as
+    trigram_lm_score/dsir, tolerated knowingly). Scale shape: one
+    index explode + two hash aggregates with map-side combine — the
+    word-count shape over characters; no windows, no joins."""
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.length("text") > 0
+    )
+    # explode + immediate substring projection pipelines inside one
+    # codegen stage — no join, no shuffle of the text column
+    chars = docs.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+    ).select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    term = F.floor(
+        F.col("c") * F.log2("c") * _ENT_TERM_SCALE + F.lit(0.5)
+    ).cast("bigint")
+    per = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count("*").alias("n_distinct"),
+        F.sum(term).alias("ts"),
+    )
+    h = F.log2("n_chars") - (F.col("ts") / _ENT_TERM_SCALE) / F.col("n_chars")
+    return per.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.floor(h * _ENT_Q + F.lit(0.5)).cast("bigint").alias("qent"),
+    )
+
+
 #: GPT-2-style pretokenizer shape, restricted to constructs both Java
 #: regex (Spark) and RE2 (DuckDB) evaluate identically: contraction
 #: suffixes, space-prefixed letter runs, digit runs, punctuation runs,
@@ -1027,6 +1077,7 @@ QUERIES = {
     "text_tfidf_top_terms": tfidf_top_terms,
     "text_bpe_token_count": bpe_token_count,
     "text_bpe_merge_candidates": bpe_merge_candidates,
+    "text_char_entropy": char_entropy,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
     "text_lang_distribution": lang_id_distribution,
@@ -1286,6 +1337,31 @@ ORACLES = {
                len(regexp_extract_all(lower(text), '{BPE_RE.replace("'", "''")}'))
                    AS n_bpe_tokens
         FROM documents
+    """,
+    "text_char_entropy": f"""
+        WITH chars AS (
+            SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(1, len(text))) AS i)
+            WHERE len(text) > 0
+        ),
+        counts AS (
+            SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+        ),
+        per AS (
+            SELECT doc_id,
+                   sum(c) AS n_chars,
+                   count(*) AS n_distinct,
+                   sum(CAST(floor(c * log2(c) * {_ENT_TERM_SCALE} + 0.5)
+                            AS BIGINT)) AS ts
+            FROM counts GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               CAST(floor((log2(n_chars) - (ts / {_ENT_TERM_SCALE}) / n_chars)
+                          * {_ENT_Q} + 0.5) AS BIGINT) AS qent
+        FROM per
     """,
     "text_bpe_merge_candidates": f"""
         WITH toks AS (
