@@ -62,8 +62,14 @@ _PERSISTED: list[DataFrame] = []
 
 def register_persist(df: DataFrame) -> DataFrame:
     """Persist ``df`` and track it for :func:`release_caches`.
-    Unpersisting later is always safe — downstream plans that still
-    reference the relation just recompute it."""
+
+    Release timing caveat: for most relations a late unpersist only
+    costs a recompute, but :func:`prefix_scan`'s intermediate is
+    NON-recomputable (the range partitioner re-samples boundaries),
+    so callers that must release mid-session pass prefix_scan an
+    explicit ``pins`` list and unpersist exactly their own pins —
+    never the process-global :func:`release_caches`, which would
+    yank every other in-flight query's pins too."""
 
     _PERSISTED.append(df.persist())
     return df
@@ -84,6 +90,7 @@ def prefix_scan(
     value_col: str,
     out_col: str,
     num_parts: int = 32,
+    pins: list | None = None,
 ) -> DataFrame:
     """Global EXCLUSIVE prefix sum of ``value_col`` under the total
     order ``order_cols`` — the fleet-scale replacement for a
@@ -117,12 +124,18 @@ def prefix_scan(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = register_persist(
-        parts.withColumn(
-            "__local",
-            F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("bigint"),
-        )
+    pinned = parts.withColumn(
+        "__local",
+        F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("bigint"),
     )
+    if pins is None:
+        local = register_persist(pinned)
+    else:
+        # caller-scoped pin: the caller unpersists exactly this
+        # relation when ITS consumers are done (see register_persist's
+        # release-timing caveat)
+        local = pinned.persist()
+        pins.append(local)
     totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__tot")).collect()
     acc, rows = 0, []
     for r in sorted(totals, key=lambda r: r["__pid"]):

@@ -228,7 +228,12 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nt").cast("bigint").alias("n_tokens"),
     )
     q = F.floor(F.sqrt(F.col("n_tokens")) * MIX_SCALE).cast("bigint")
-    quant = per.select("source", "n_docs", "n_tokens", q.alias("qs"))
+    # persisted: the relation feeds both the totals aggregate and the
+    # final projection (no cross-branch subplan sharing in Spark — the
+    # scan+tokenize+agg subtree would otherwise run twice)
+    quant = register_persist(
+        per.select("source", "n_docs", "n_tokens", q.alias("qs"))
+    )
     total = quant.agg(
         F.sum("qs").alias("tq"), F.sum("n_tokens").alias("tt")
     )
@@ -241,9 +246,13 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             F.round(w, 6).alias("weight"),
             # repetitions of this domain when a corpus-sized token
-            # budget is drawn at weight w: w * total_tokens / n_tokens
-            F.round(
-                w * F.col("tt") / F.col("n_tokens"), 6
+            # budget is drawn at weight w: w * total_tokens / n_tokens.
+            # NULL for a zero-token domain in BOTH engines (Spark's
+            # non-ANSI divide nulls, DuckDB's would NaN — make the
+            # degenerate case explicit instead of engine-divergent).
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(w * F.col("tt") / F.col("n_tokens"), 6),
             ).alias("epochs_at_weight"),
         )
     )
@@ -452,6 +461,8 @@ ORACLES["curate_mixture_weights"] = f"""
     tot AS (SELECT sum(qs) AS tq, sum(n_tokens) AS tt FROM quant)
     SELECT source, n_docs, n_tokens,
            round(qs / tq, 6) AS weight,
-           round(qs / tq * tt / n_tokens, 6) AS epochs_at_weight
+           CASE WHEN n_tokens > 0
+                THEN round(qs / tq * tt / n_tokens, 6)
+           END AS epochs_at_weight
     FROM quant, tot
 """

@@ -1217,9 +1217,14 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .similarity import _cosine, _emb, _ivf_cells
 
+    from .common import register_persist
+
     cells = _ivf_cells(spark, sf_dir)  # (vec_id, cell) — persisted
     e = _emb(spark, sf_dir)
-    withv = cells.join(e, "vec_id")
+    # persisted: withv feeds BOTH sides of the cell self-join (no
+    # cross-branch subplan sharing in Spark — the embeddings join
+    # would otherwise execute twice)
+    withv = register_persist(cells.join(e, "vec_id"))
     a = withv.select(
         F.col("vec_id").alias("vec_a"), "cell", F.col("v").alias("va")
     )

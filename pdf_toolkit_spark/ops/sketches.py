@@ -591,7 +591,10 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     check — it is the full distinct shuffle the sketch avoids at
     100 TB."""
 
-    pairs = (
+    # persisted: the distinct'd hash relation feeds both the sketch
+    # build and the exact-count branch — without the pin the scan and
+    # the distinct shuffle would execute twice
+    pairs = register_persist(
         table(spark, sf_dir, "orders")
         .select(
             hash32(F.col("o_custkey").cast("string")).alias("h"),

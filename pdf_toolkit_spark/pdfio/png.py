@@ -186,7 +186,10 @@ def _decode_png_impl(data: bytes) -> np.ndarray:
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
     channels = _CHANNELS[color]
-    if width * height * channels > 1 << 28:
+    # width/height 0 would zero the size product AND the inflate
+    # bound below (zlib treats max_length=0 as unlimited) — the
+    # zip-bomb guard must reject them, not pass them through
+    if width == 0 or height == 0 or width * height * channels > 1 << 28:
         raise ValueError(f"implausible PNG size {width}x{height}")
 
     # Bound the inflate by the raw byte count the header implies (each

@@ -1199,7 +1199,7 @@ def pack_process_batch(spark: SparkSession, out_dir: str):
 
     import glob as _glob
 
-    from ..ops.common import prefix_scan, release_caches
+    from ..ops.common import prefix_scan
     from ..ops.text import PACK_BUDGET
 
     state_root = f"{out_dir}/state"
@@ -1223,7 +1223,12 @@ def pack_process_batch(spark: SparkSession, out_dir: str):
         )
         toks = batch_df.select("doc_id", n_tokens.alias("n_tokens"))
         carry = _carry(epoch_id)
-        packed = prefix_scan(toks, ["doc_id"], "n_tokens", "local")
+        # scope the prefix scan's pin to THIS batch: unpersisting via
+        # the process-global release_caches() would also yank any
+        # concurrent query's pins (whose pid->base maps are
+        # non-recomputable — see prefix_scan)
+        pins: list = []
+        packed = prefix_scan(toks, ["doc_id"], "n_tokens", "local", pins=pins)
         out = packed.select(
             "doc_id",
             "n_tokens",
@@ -1248,7 +1253,8 @@ def pack_process_batch(spark: SparkSession, out_dir: str):
             )
         finally:
             out.unpersist()
-            release_caches()  # the prefix scan's per-batch pin
+            for df in pins:  # exactly this batch's prefix-scan pin
+                df.unpersist()
 
     return process
 

@@ -218,3 +218,36 @@ def test_jdk_png_variants_decode_exactly(png_tool, tmp_path):
     ihdr_at = data.find(b"IHDR")
     assert data[ihdr_at + 16] == 1  # really interlaced
     assert np.array_equal(decode_png(data), g8)
+
+
+def test_zero_dimension_png_is_rejected_before_inflate():
+    """A zero width or height must fail closed BEFORE the IDAT
+    inflate: the size product AND the inflate bound both compute to 0,
+    and zlib treats max_length=0 as unlimited — a crafted zero-height
+    header in front of a deflate bomb would otherwise balloon executor
+    memory."""
+
+    import struct
+    import zlib
+
+    import pytest
+
+    from pdf_toolkit_spark.pdfio.png import decode_png
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    bomb = zlib.compress(b"\x00" * (1 << 20))
+    for w, h in ((0, 8), (8, 0)):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", bomb)
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="implausible"):
+            decode_png(png)
