@@ -59,6 +59,26 @@ SQL_NORM = "trim(regexp_replace(lower({e}), '[^a-z0-9]+', ' ', 'g'))"
 #: never reused across calls, so a flat list suffices.
 _PERSISTED: list[DataFrame] = []
 
+#: Keyed cross-QUERY persists (mirrors dedup.py's registry): relations
+#: several queries() entries rebuild from scratch — e.g. the trigram
+#: count relation shared by trigram_lm_score / the perplexity tiering
+#: pair / dsir_weight — keyed by (kind, sf_dir) so one bench session
+#: computes the explode+aggregate once. Released with everything else
+#: by :func:`release_caches`.
+_KEYED: dict[tuple, DataFrame] = {}
+
+
+def cached(key: tuple, build) -> DataFrame:
+    """Persist-once registry for relations shared ACROSS queries (the
+    dedup/similarity module-cache pattern, hosted here for ops that
+    live in modules without their own registry)."""
+
+    df = _KEYED.get(key)
+    if df is None:
+        df = build().persist()
+        _KEYED[key] = df
+    return df
+
 
 def register_persist(df: DataFrame) -> DataFrame:
     """Persist ``df`` and track it for :func:`release_caches`.
@@ -82,6 +102,9 @@ def release_caches() -> None:
     for df in _PERSISTED:
         df.unpersist()
     _PERSISTED.clear()
+    for df in _KEYED.values():
+        df.unpersist()
+    _KEYED.clear()
 
 
 def prefix_scan(

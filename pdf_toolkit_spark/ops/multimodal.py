@@ -577,26 +577,40 @@ def phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{b}, CAST((phash >> {b * PHASH_BAND_BITS}) & {mask} AS BIGINT)"
         for b in range(n_bands)
     )
+    # Each band row carries the packed fingerprint, so the Hamming
+    # verify computes INSIDE the band equi-join (no rerank joins), and
+    # a pair colliding in several bands is emitted exactly once — at
+    # its FIRST matching band, decided from the two fingerprints
+    # already on the row — so no distinct() shuffle of the candidate
+    # relation exists at all. The whole query is: one banded equi-join
+    # (linear shuffle of n_bands rows/doc) streaming through a codegen
+    # filter.
     bands = fps.selectExpr(
-        "doc_id", f"stack({n_bands}, {band_exprs}) AS (band, band_val)"
+        "doc_id", "phash", f"stack({n_bands}, {band_exprs}) AS (band, band_val)"
     )
-    pairs = (
+    first_match = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN ((fp_a >> {b * PHASH_BAND_BITS}) & {mask})"
+            f" = ((fp_b >> {b * PHASH_BAND_BITS}) & {mask}) THEN {b}"
+            for b in range(n_bands)
+        )
+        + " END"
+    )
+    return (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("fp_a"))
-    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("fp_b"))
-    return (
-        pairs.join(fa, "doc_a")
-        .join(fb, "doc_b")
         .select(
-            "doc_a", "doc_b",
-            F.expr("CAST(bit_count(fp_a ^ fp_b) AS BIGINT)").alias("hamming"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("band").alias("band"),
+            F.col("a.phash").alias("fp_a"),
+            F.col("b.phash").alias("fp_b"),
         )
-        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+        .withColumn("hamming", F.expr("CAST(bit_count(fp_a ^ fp_b) AS BIGINT)"))
+        .filter((F.col("hamming") <= PHASH_HAM_MAX) & (F.col("band") == first_match))
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

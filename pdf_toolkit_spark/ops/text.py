@@ -430,8 +430,25 @@ def trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-term log2 values are quantized to the 2^-12 grid so the
     per-doc sums are order-independent and engine-exact."""
 
-    doc_tri = _lm_doc_tri(_lm_norm(table(spark, sf_dir, "documents")))
+    doc_tri = _doc_tri_cached(spark, sf_dir)
     return lm_score_relation(doc_tri, trigram_model_relation(doc_tri))
+
+
+def _doc_tri_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, tri, c_d) trigram-count relation, persisted once
+    per corpus: it feeds THREE branches of trigram_lm_score alone
+    (scoring, model counts, model total) plus the perplexity tiering
+    pair and dsir_weight — Spark has no cross-branch subplan sharing,
+    so without the persist the trigram explode + hash aggregate (the
+    single most expensive text scan) re-executes once per branch per
+    query."""
+
+    from .common import cached
+
+    return cached(
+        ("lm_doc_tri", sf_dir),
+        lambda: _lm_doc_tri(_lm_norm(table(spark, sf_dir, "documents"))),
+    )
 
 
 def _lm_norm(docs: DataFrame) -> DataFrame:
@@ -866,22 +883,27 @@ def dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram_lm_score trick) so per-doc sums are order-independent and
     engine-exact."""
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", norm_text(F.col("text")).alias("norm")
-    ).filter(F.length("norm") >= 3)
-    tri = docs.select(
-        "doc_id", "lang",
-        F.explode(
-            F.expr("transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))")
-        ).alias("tri"),
-    )
+    # Bucket counts fold out of the SHARED trigram-count relation
+    # (_doc_tri_cached): c(doc, b) = sum of c_d over the bucket's
+    # trigrams. Same values as the direct explode (hash32 is a pure
+    # function of tri; integer counts sum exactly in any order), but
+    # the corpus-wide explode is the cached one and hash32's md5 runs
+    # once per DISTINCT (doc, tri) instead of once per occurrence.
+    # Only the target model needs lang, so the en-doc filter joins
+    # into that branch alone (doc_id-keyed, narrow rows).
     feats = register_persist(
-        tri.select("doc_id", "lang", (hash32(F.col("tri")) % DSIR_D).alias("b"))
-        .groupBy("doc_id", "lang", "b")
-        .agg(F.count("*").alias("c"))
+        _doc_tri_cached(spark, sf_dir)
+        .select("doc_id", (hash32(F.col("tri")) % DSIR_D).alias("b"), "c_d")
+        .groupBy("doc_id", "b")
+        .agg(F.sum("c_d").alias("c"))
+    )
+    en_docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id")
     )
     t_model = (
-        feats.filter(F.col("lang") == "en")
+        feats.join(en_docs, "doc_id")
         .groupBy("b").agg(F.sum("c").alias("ct"))
     )
     s_model = feats.groupBy("b").agg(F.sum("c").alias("cs"))
