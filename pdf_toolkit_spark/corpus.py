@@ -40,9 +40,22 @@ DOC_CLASSES = (
 
 def corpus_config() -> dict[str, Any]:
     """Extraction config used for the fixture corpus: auto outer-clamp
-    so the bar-strip path is exercised end-to-end."""
+    so the bar-strip path is exercised end-to-end.
 
-    return effective_config(overrides={"outer_margin_mode": "auto", "pages_per_chunk": 64})
+    chunk_spread="input": the fixture corpus is bytes-mode (inline
+    pdf_bytes, no locators), so the chunk-spread repartition would move
+    every PDF byte through one full shuffle write+read purely for load
+    balance — the single largest avoidable byte pass in the job (guide
+    §2.4; spans are pinned equal across both modes by
+    test_chunk_spread_input_matches_shuffle). The source partitioning
+    (documents_as_pdfs repartitions to 4 waves/core before the wrap
+    UDF) already provides the balance the shuffle bought."""
+
+    return effective_config(overrides={
+        "outer_margin_mode": "auto",
+        "pages_per_chunk": 64,
+        "chunk_spread": "input",
+    })
 
 
 def _sentence(rng: np.random.Generator, n_words: int) -> str:

@@ -31,37 +31,35 @@ _MODULES = (
     curation, dedup, relational, text,
 )
 
-#: Explicit front of the visit order, rotated per round: r05 checked
-#: the 50 entries that had no r01-r04 row; these 35 (the whole
-#: relational/text families) were last checked in r04, plus the
-#: round-6 perplexity rewrite (new plan => re-verify first). A
-#: budget-truncated r06 harness hits them before re-checking r05
-#: greens.
+#: Explicit front of the visit order, rotated per round (r07): the two
+#: entries whose freshest driver row is still r04 (they sat at cohort
+#: positions 51-52, just past r06's 50-entry budget) lead, followed by
+#: the round-7-optimized queries (rewritten plans => re-verify first),
+#: then the cohort last driver-checked in r05. Union r06 ∪ r07 should
+#: re-cover all 100 oracle-backed entries.
 _STALEST_COHORT = (
-    "text_perplexity_buckets",  # rewritten in round 6
-    # new in round 6: never driver-checked
-    "sim_hard_negatives", "sim_ivf_pq_topk", "sim_ivf_pq_rerank",
-    "curate_cluster_best", "text_bpe_merge_candidates",
-    "mm_phash", "mm_phash_pairs", "curate_shard_layout", "text_char_entropy",
-    "dedup_semantic",
-    "text_perplexity_tier_thresholds", "text_classifier_filter",
-    "sketch_kmv_set_ops", "curate_mixture_weights",
-    "curate_weighted_sample",
-    "mm_avi_frame_sample",
-    "rel_session_range_join", "rel_funnel", "rel_retention_cohorts",
-    "rel_order_count_distribution", "rel_large_orders",
-    "rel_sessionization", "rel_stratified_sample",
-    "rel_top_customers_per_region", "rel_shipping_priority",
-    "rel_rollup_sales", "rel_pricing_summary", "rel_status_histogram",
-    "rel_resume_anti_join", "rel_positional_enum", "rel_chunk_explode",
-    "rel_zero_padded_names", "rel_ratio_filter_agg",
-    "rel_broadcast_join_agg", "rel_part_supplier_profit",
-    "text_feature_hashing", "text_decontaminate", "text_vocab_oov",
-    "text_domain_mix", "text_repetition_filter", "text_trigram_lm_score",
-    "text_quality_filter", "text_pack_sequences", "text_token_count",
-    "text_tfidf_top_terms", "text_bpe_token_count", "text_quality_score",
-    "text_lang_id", "text_lang_distribution", "text_fingerprint",
-    "text_rolling_fingerprint",
+    # freshest row is r04 — missed r06's budget by two slots
+    "text_fingerprint", "text_rolling_fingerprint",
+    # plans rewritten in the round-7 optimization pass
+    "mm_phash_pairs", "dedup_simhash_pairs", "dedup_embedding_neardup_lsh",
+    "text_trigram_lm_score", "text_dsir_weight", "text_perplexity_buckets",
+    "text_perplexity_tier_thresholds", "sim_ivf_topk", "sim_ivf_pq_topk",
+    "sim_ivf_pq_rerank", "sim_ivf_cell_sizes", "sim_ivf_topk_batch",
+    "sim_hard_negatives", "sim_ann_lsh_buckets", "sim_ann_lsh_topk",
+    "dedup_semantic", "sketch_cms_heavy_hitters", "mm_phash",
+    "mm_media_metadata", "mm_media_format_histogram", "mm_avi_frame_sample",
+    "dedup_minhash_lsh_pairs", "dedup_simhash_bits",
+    # last driver-checked in r05
+    "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_survivors",
+    "dedup_ngram_jaccard_pairs", "dedup_embedding_neardup",
+    "dedup_snapshot_diff", "dedup_components", "dedup_pagerank",
+    "dedup_paragraphs", "sim_label_centroids", "sim_knn_brute_force",
+    "sketch_kmv_distinct", "sketch_hll_distinct", "sketch_sample_quantiles",
+    "sketch_bloom_semijoin", "curate_domain_quota",
+    "mm_png_decode", "mm_jpeg_decode", "mm_image_thumbnail",
+    "mm_audio_stats", "mm_video_frame_sample",
+    "html_extract_spans", "html_boilerplate_keys",
+    "text_pii_redact", "text_dup_substring_rate",
 )
 
 

@@ -108,7 +108,15 @@ def shingle_relation(docs: DataFrame) -> DataFrame:
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
-        return shingle_relation(table(spark, sf_dir, "documents"))
+        # Repartition ahead of the shingle explode: the testdata table
+        # is a single-row-group parquet file, so the whole
+        # explode + hash pipeline would otherwise run as ONE task (the
+        # documents_as_pdfs CPU-bound-stage guard; a few bytes per doc
+        # shuffle vs. a serialized tokenize pass).
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        return shingle_relation(docs)
 
     return _cached(("shingles", sf_dir), build)
 
@@ -390,7 +398,9 @@ def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived hash."""
 
     def build() -> DataFrame:
-        docs = table(spark, sf_dir, "documents")
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+            spark.sparkContext.defaultParallelism
+        )
         norm = norm_text(F.col("text"))
         toks = docs.select(
             "doc_id", F.explode(F.array_distinct(F.split(norm, " "))).alias("tok")
@@ -432,6 +442,8 @@ def simhash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIM_HAMMING_MAX = 8
 SIM_BAND_SMALL, SIM_BAND_LARGE = 20, 30  # divisors of SIM_BITS
 SIM_BAND_CUTOVER = 100_000
+#: pair-block salt width for the banded join (see simhash_pairs)
+SIM_SALT_G = 8
 
 _DOC_COUNTS: dict[str, int] = {}
 
@@ -475,26 +487,53 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{b}, CAST((fp >> {b * band_bits}) & {mask} AS BIGINT)"
         for b in range(n_bands)
     )
+    # Same single-pass shape as mm_phash_pairs: every band row carries
+    # the packed fingerprint, the Hamming verify computes INSIDE the
+    # band equi-join, and a pair colliding in several bands is emitted
+    # exactly once — at its FIRST matching band, decided from the two
+    # fingerprints on the row (the identical criterion the join keys
+    # encode) — so the distinct() shuffle of the candidate relation and
+    # both rerank joins are gone. The join is block-salted (G-fold band
+    # row replication, G^2-fold split of a hot bucket's n^2 fan-out)
+    # because near-dup-rich corpora concentrate fingerprints into few
+    # band values and AQE cannot split join-OUTPUT skew.
+    G = SIM_SALT_G
     bands = fps.selectExpr(
-        "doc_id", f"stack({n_bands}, {band_exprs}) AS (band, band_val)"
+        "doc_id", "fp", f"stack({n_bands}, {band_exprs}) AS (band, band_val)"
     )
-    pairs = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "band_val"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    salt = F.pmod(F.col("doc_id"), F.lit(G)).cast("int")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(G - 1)))
+    left = bands.select(
+        "doc_id", "fp", "band", "band_val", salt.alias("gi"), rep.alias("gj")
     )
-    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
-    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
-    return (
-        pairs.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            F.expr("CAST(bit_count(fp_a ^ fp_b) AS BIGINT)").alias("hamming"),
+    right = bands.select(
+        "doc_id", "fp", "band", "band_val", rep.alias("gi"), salt.alias("gj")
+    )
+    first_match = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN ((fp_a >> {b * band_bits}) & {mask})"
+            f" = ((fp_b >> {b * band_bits}) & {mask}) THEN {b}"
+            for b in range(n_bands)
         )
-        .filter(F.col("hamming") <= SIM_HAMMING_MAX)
+        + " END"
+    )
+    return (
+        left.alias("a")
+        .join(right.alias("b"), ["band", "band_val", "gi", "gj"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("band").alias("band"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .withColumn("hamming", F.expr("CAST(bit_count(fp_a ^ fp_b) AS BIGINT)"))
+        .filter(
+            (F.col("hamming") <= SIM_HAMMING_MAX) & (F.col("band") == first_match)
+        )
+        .select("doc_a", "doc_b", "hamming")
     )
 
 
@@ -648,7 +687,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bucket recall < 1), but fully deterministic: the oracle reproduces
     the identical md5-derived buckets, so the check is still exact."""
 
-    from .similarity import _buckets, _cosine, _emb
+    from .similarity import _buckets, _dim, _dot_expr, _emb, _norm_expr
 
     b = _buckets(spark, sf_dir)
     pairs = (
@@ -658,15 +697,19 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
     )
     e = _emb(spark, sf_dir)
+    dim = _dim(spark, sf_dir)
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    # Unrolled dot/norms (bit-identical to the _cosine fold — see
+    # similarity._dot_expr) keep the candidate rerank in flat codegen
+    # arithmetic instead of interpreted higher-order lambdas.
+    cos = _dot_expr(F.col("va"), F.col("vb"), dim) / (
+        _norm_expr(F.col("va"), dim) * _norm_expr(F.col("vb"), dim)
+    )
     return (
         pairs.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .select(
-            "vec_a", "vec_b",
-            F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-        )
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= NEARDUP_COS)
     )
 
@@ -790,7 +833,9 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a plain MIN in both engines (pos < 4096 by construction: chunking
     caps paragraphs per doc at n_words / PARA_WORDS)."""
 
-    docs = table(spark, sf_dir, "documents").select(
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "doc_id", F.split(norm_text(F.col("text")), " ").alias("words")
     )
     nch = F.least(

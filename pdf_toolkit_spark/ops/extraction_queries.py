@@ -37,7 +37,11 @@ def documents_as_pdfs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+    # 4 waves per core: the wrap UDF (and, under chunk_spread="input",
+    # the downstream extraction UDF that inherits this partitioning) is
+    # CPU-bound per doc, so multiple waves absorb stragglers without a
+    # second byte-moving exchange.
+    return docs.repartition(spark.sparkContext.defaultParallelism * 4).mapInPandas(
         wrap, schema=DOCUMENTS_RAW_SCHEMA
     )
 

@@ -140,13 +140,27 @@ def _decode_header_impl(payload: bytes) -> dict:
     return fake_decode_header(payload)
 
 
+def _doc_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) for every decode-shaped op, repartitioned to
+    the session parallelism BEFORE the mapInPandas stage: the testdata
+    tables are single-row-group parquet files, so without the explicit
+    repartition the whole decode pipeline runs as ONE task (the same
+    CPU-bound-stage gotcha documents_as_pdfs already guards against;
+    at fleet scale the shuffle is a few bytes per doc and the decode
+    stage it feeds dominates by orders of magnitude)."""
+
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Treat each document's text bytes as an opaque media payload and
     extract typed metadata via one mapInPandas stage."""
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    docs = _doc_payloads(spark, sf_dir)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -198,9 +212,7 @@ def png_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..pdfio.png import encode_png
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    docs = _doc_payloads(spark, sf_dir)
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -236,9 +248,7 @@ def jpeg_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..pdfio.jpeg import encode_jpeg
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    docs = _doc_payloads(spark, sf_dir)
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..pdfio.jpeg import decode_jpeg
@@ -307,9 +317,7 @@ def image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..pdfio.png import decode_png, encode_png
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    docs = _doc_payloads(spark, sf_dir)
 
     def thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -359,9 +367,7 @@ def audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..media_codecs import decode_wav, encode_wav
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    docs = _doc_payloads(spark, sf_dir)
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -410,9 +416,7 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..media_codecs import decode_y4m, encode_y4m
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    docs = _doc_payloads(spark, sf_dir)
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -455,9 +459,7 @@ def avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..media_codecs import decode_avi, encode_avi
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    docs = _doc_payloads(spark, sf_dir)
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -493,6 +495,10 @@ def avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHASH_BITS = 60
 PHASH_BAND_BITS = 15
 PHASH_HAM_MAX = 6
+#: pair-block salt width for the banded join (largest within-bucket
+#: fan-out divides by PHASH_SALT_G^2 at PHASH_SALT_G-fold band-row
+#: replication; raise with cluster size, not corpus size)
+PHASH_SALT_G = 8
 
 PHASH_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
@@ -517,9 +523,7 @@ def _phash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..pdfio.png import decode_png, encode_png
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    docs = _doc_payloads(spark, sf_dir)
 
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -588,6 +592,29 @@ def phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = fps.selectExpr(
         "doc_id", "phash", f"stack({n_bands}, {band_exprs}) AS (band, band_val)"
     )
+    # Block-salt the bucket join: the corpus is deliberately
+    # collision-rich (256 structure classes), so a single hot
+    # (band, band_val) bucket holds thousands of docs and its n^2
+    # match fan-out would otherwise run inside ONE join task (AQE's
+    # skew split can't help: the skew is in join OUTPUT, not shuffle
+    # bytes). Each side replicates G ways on a doc_id-derived salt and
+    # the join keys on (band, band_val, gi, gj), cutting the largest
+    # per-task fan-out by G^2 at a G-fold row replication — the
+    # block-pair shape of embedding_neardup_pairs. Every unordered
+    # pair still meets exactly once: as (left=a, right=b) at
+    # (gi, gj) = (salt_a, salt_b), and the transposed encounter is
+    # killed by the doc_a < doc_b filter.
+    G = PHASH_SALT_G
+    salt = F.pmod(F.col("doc_id"), F.lit(G)).cast("int")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(G - 1)))
+    left = bands.select(
+        "doc_id", "phash", "band", "band_val",
+        salt.alias("gi"), rep.alias("gj"),
+    )
+    right = bands.select(
+        "doc_id", "phash", "band", "band_val",
+        rep.alias("gi"), salt.alias("gj"),
+    )
     first_match = F.expr(
         "CASE "
         + " ".join(
@@ -598,8 +625,8 @@ def phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         + " END"
     )
     return (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "band_val"])
+        left.alias("a")
+        .join(right.alias("b"), ["band", "band_val", "gi", "gj"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),

@@ -62,6 +62,7 @@ SQL_EPARAMS = f"""
 """
 
 _COUNTS: dict[str, int] = {}
+_DIMS: dict[str, int] = {}
 
 
 def _n_vecs(spark: SparkSession, sf_dir: str) -> int:
@@ -73,6 +74,156 @@ def _n_vecs(spark: SparkSession, sf_dir: str) -> int:
         n = table(spark, sf_dir, "embeddings").count()
         _COUNTS[sf_dir] = n
     return n
+
+
+def _dim(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding dimensionality (one-row probe, cached per sf_dir).
+    Knowing the width at plan time lets the hot dot/L2 expressions
+    unroll into flat codegen arithmetic instead of interpreted
+    higher-order folds (same additions in the same order)."""
+
+    d = _DIMS.get(sf_dir)
+    if d is None:
+        d = table(spark, sf_dir, "embeddings").select(
+            F.size("embedding").alias("d")
+        ).first()["d"]
+        _DIMS[sf_dir] = d
+    return d
+
+
+def _dot_expr(va, vb, dim: int):
+    """Unrolled dot product, bit-identical to the ``aggregate(zip_with)``
+    left fold (((0.0 + p_0) + p_1) + ... with per-step IEEE rounding):
+    plain codegen arithmetic, no per-row array allocation, no
+    interpreted lambda evaluation."""
+
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + va.getItem(i) * vb.getItem(i)
+    return acc
+
+
+def _norm_expr(v, dim: int):
+    """Unrolled L2 norm — the same left fold as ``_cosine``'s
+    ``sqrt(aggregate(transform(v, x -> x*x), 0.0, +))``."""
+
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + v.getItem(i) * v.getItem(i)
+    return F.sqrt(acc)
+
+
+def _l2sq_expr(a, b, dim: int):
+    """Unrolled squared L2 distance — bit-identical to ``_l2sq``'s
+    zip_with fold ((a_i - b_i) * (a_i - b_i) accumulated in index
+    order)."""
+
+    acc = F.lit(0.0)
+    for i in range(dim):
+        d = a.getItem(i) - b.getItem(i)
+        acc = acc + d * d
+    return acc
+
+
+def _cosine_scores_np(e: DataFrame, cents_rows: list) -> DataFrame:
+    """(vec_id, cell, sim_raw): UNROUNDED cosine of every vector in
+    ``e`` against every collected centroid, computed with vectorized
+    numpy inside one mapInPandas stage (guide-§4.2 shape: Spark moves
+    the rows, BLAS-class native code does the arithmetic).
+
+    Bit-exactness contract: accumulation loops run over dimensions in
+    index order with a 0.0 start, so every partial sum performs the
+    IDENTICAL sequence of IEEE-754 double operations as the
+    ``aggregate(zip_with(...))`` fold in :func:`_cosine` — numpy
+    element-wise ops and np.sqrt are correctly rounded per element,
+    so dot, norms, and their quotient are bit-identical to the JVM
+    values. Rounding and the argmax tie-break stay in Spark, so no
+    new float semantics enter the plan. The centroid relation is
+    bounded by MAX_CELLS (4096), so collecting it to the driver is
+    O(cells x dim) at any corpus size."""
+
+    import numpy as np
+    import pandas as pd
+
+    cells = np.array([r["cell"] for r in cents_rows], dtype=np.int32)
+    C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in cents_rows])
+    dim = C.shape[1]
+    ncv = np.zeros(len(cells))
+    for d in range(dim):
+        ncv += C[:, d] * C[:, d]
+    ncv = np.sqrt(ncv)
+
+    def score(batches):
+        for b in batches:
+            n = len(b)
+            if n == 0:
+                continue
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in b["v"]])
+            acc = np.zeros((n, len(cells)))
+            nv = np.zeros(n)
+            for d in range(dim):
+                acc += V[:, d : d + 1] * C[None, :, d]
+                nv += V[:, d] * V[:, d]
+            nv = np.sqrt(nv)
+            sim = acc / (nv[:, None] * ncv[None, :])
+            ids = b["vec_id"].to_numpy()
+            yield pd.DataFrame({
+                "vec_id": np.repeat(ids, len(cells)),
+                "cell": np.tile(cells, n),
+                "sim_raw": sim.ravel(),
+            })
+
+    return e.select("vec_id", "v").mapInPandas(
+        score, "vec_id long, cell int, sim_raw double"
+    )
+
+
+def _l2_scores_np(parts: DataFrame, book_rows: list) -> DataFrame:
+    """(vec_id, sub, code, d2_raw): UNROUNDED squared L2 of every
+    subvector in ``parts`` against its subspace's collected codebook —
+    the PQ twin of :func:`_cosine_scores_np`, with the same
+    bit-exactness contract: the (a_i - b_i)^2 terms accumulate in
+    index order from 0.0, reproducing :func:`_l2sq`'s fold exactly;
+    rounding and the argmin stay in Spark."""
+
+    import numpy as np
+    import pandas as pd
+
+    books: dict[int, tuple] = {}
+    for r in book_rows:
+        books.setdefault(int(r["sub"]), []).append(r)
+    packed = {
+        sub: (
+            np.array([r["code"] for r in rows], dtype=np.int32),
+            np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows]),
+        )
+        for sub, rows in books.items()
+    }
+
+    def score(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            subs = b["sub"].to_numpy()
+            ids = b["vec_id"].to_numpy()
+            for sub in np.unique(subs):
+                codes, CB = packed[int(sub)]
+                m = subs == sub
+                SV = np.stack([np.asarray(x, dtype=np.float64) for x in b["sv"][m]])
+                acc = np.zeros((SV.shape[0], len(codes)))
+                for d in range(SV.shape[1]):
+                    t = SV[:, d : d + 1] - CB[None, :, d]
+                    acc += t * t
+                yield pd.DataFrame({
+                    "vec_id": np.repeat(ids[m], len(codes)),
+                    "sub": np.full(int(m.sum()) * len(codes), sub, dtype=np.int32),
+                    "code": np.tile(codes, int(m.sum())),
+                    "d2_raw": acc.ravel(),
+                })
+
+    return parts.select("vec_id", "sub", "sv").mapInPandas(
+        score, "vec_id long, sub int, code int, d2_raw double"
+    )
 
 #: Relations feeding several plan branches (buckets: candidate join +
 #: query bucket; centroids: probe list + cell assignment). Spark has no
@@ -100,8 +251,17 @@ def _cached(key: tuple[str, str], build) -> "DataFrame":
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    # Repartition at the source: the single-row-group testdata parquet
+    # would otherwise pin every downstream vector-math stage (k-means
+    # scoring, cell assignment, PQ encode) to ONE task; the shuffle is
+    # n_vecs narrow rows, orders of magnitude below the compute it
+    # unblocks.
+    return (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 
@@ -136,31 +296,52 @@ def _buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _buckets_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One vectorized-numpy mapInPandas stage: the n_planes x dim
+    hyperplane weights are md5-derived CONSTANTS (the same integers the
+    oracle recomputes), computed once on the driver instead of being
+    re-hashed once per (vector, dim, plane) row — the previous explode
+    shape evaluated ~n_vecs * dim * n_planes md5s and shuffled twice;
+    this one evaluates zero md5s at run time and never shuffles at all.
+    Per-plane dot products accumulate in dimension order (0.0 start),
+    exactly the order the old (vec_id, p) hash aggregate summed its
+    exploded rows, and numpy's element-wise IEEE-754 ops match the
+    JVM's, so every dot — and therefore every bucket id (a >= 0 sign
+    test either side of a +-0.0 boundary agrees too) — is
+    bit-identical."""
+
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
     n_planes = planes_for(_n_vecs(spark, sf_dir))
+    dim = _dim(spark, sf_dir)
     e = _emb(spark, sf_dir)
-    long = e.select(
-        "vec_id",
-        F.posexplode("v").alias("i", "x"),
-    ).select(
-        "vec_id", "i", "x",
-        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("p"),
+    W = np.array(
+        [
+            [
+                int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16)
+                / 2147483648.0
+                - 1.0
+                for i in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
     )
-    w = (
-        hash32(F.concat_ws(":", F.col("p").cast("string"), F.col("i").cast("string")))
-        / F.lit(2147483648.0)
-        - F.lit(1.0)
-    )
-    return (
-        long.select("vec_id", "p", (F.col("x") * w).alias("contrib"))
-        .groupBy("vec_id", "p")
-        .agg(F.sum("contrib").alias("dot"))
-        .groupBy("vec_id")
-        .agg(
-            F.sum(
-                F.when(F.col("dot") >= 0, F.expr("shiftleft(1, CAST(p AS INT))")).otherwise(0)
-            ).cast("int").alias("bucket")
-        )
-    )
+    powers = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    def assign(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in b["v"]])
+            acc = np.zeros((V.shape[0], n_planes))
+            for d in range(dim):
+                acc += V[:, d : d + 1] * W[None, :, d]
+            bucket = ((acc >= 0) @ powers).astype(np.int32)
+            yield pd.DataFrame({"vec_id": b["vec_id"].to_numpy(), "bucket": bucket})
+
+    return e.select("vec_id", "v").mapInPandas(assign, "vec_id long, bucket int")
 
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,9 +397,14 @@ def _centroids_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("cv"),
     )
     for _ in range(KM_ITERS):
-        scored = sample.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "v", "cell",
-            F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+        # Scoring runs as vectorized numpy against the COLLECTED
+        # previous-round centroids (bounded by MAX_CELLS; bit-identical
+        # doubles — see _cosine_scores_np); collecting also truncates
+        # the per-iteration lineage, so round k's plan never re-executes
+        # round k-1. Rounding stays in Spark.
+        cents_rows = cents.select("cell", "cv").collect()
+        scored = _cosine_scores_np(sample, cents_rows).select(
+            "vec_id", "cell", F.round(F.col("sim_raw"), 6).alias("sim")
         )
         # argmax by (sim desc, cell asc) as a hash AGGREGATE, not a
         # row_number window: max_by gets map-side partial aggregation
@@ -226,15 +412,17 @@ def _centroids_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sort of n_vecs x n_cells scored rows is the bottleneck.
         # max(struct) compares fields left-to-right, so (sim, -cell)
         # reproduces the (sim DESC, cell ASC) tie-break exactly.
-        assigned = (
+        # The winning vector re-attaches by vec_id (shuffled-hash: both
+        # sides are sample-sized, so neither may broadcast at scale).
+        best = (
             scored.groupBy("vec_id")
             .agg(
                 F.max_by(
-                    F.struct("cell", "v"), F.struct(F.col("sim"), -F.col("cell"))
-                ).alias("best")
+                    "cell", F.struct(F.col("sim"), -F.col("cell"))
+                ).alias("cell")
             )
-            .select(F.col("best.cell").alias("cell"), F.col("best.v").alias("v"))
         )
+        assigned = best.join(sample.hint("shuffle_hash"), "vec_id").select("cell", "v")
         dims = assigned.select("cell", F.posexplode("v").alias("i", "x"))
         # Deterministic mean: avg(double) sums in partition order, so a
         # value near a 6-dp rounding boundary could flip between runs
@@ -273,9 +461,22 @@ def cell_assign_relation(e: DataFrame, cents: DataFrame) -> DataFrame:
     batch IVF build and the streaming ingest twin (identical
     assignment by construction)."""
 
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cell", F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("sim")
-    )
+    cents_rows = cents.select("cell", "cv").collect()
+    if cents_rows:
+        # The full-corpus assignment is the single most expensive IVF
+        # step; its dot products run as vectorized numpy in one
+        # mapInPandas stage (bit-identical doubles — see
+        # _cosine_scores_np) while the 6-dp rounding and the
+        # (sim desc, cell asc) argmax tie-break stay in Spark exactly
+        # as before. Collecting the centroid relation is bounded by
+        # MAX_CELLS at any corpus size.
+        scored = _cosine_scores_np(e, cents_rows).select(
+            "vec_id", "cell", F.round(F.col("sim_raw"), 6).alias("sim")
+        )
+    else:  # degenerate empty-centroid relation: result is empty anyway
+        scored = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cell", F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("sim")
+        )
     return scored.groupBy("vec_id").agg(
         F.max_by("cell", F.struct(F.col("sim"), -F.col("cell"))).alias("cell")
     )
@@ -481,21 +682,27 @@ def _pq_books_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sv").alias("cv"),
     )
     for _ in range(KM_ITERS):
-        scored = sample.join(F.broadcast(books), "sub").select(
-            "vec_id", "sub", "sv", "code",
-            F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d2"),
+        # Vectorized numpy scoring against the collected previous-round
+        # codebooks (PQ_M x n_codes rows; bit-identical doubles — see
+        # _l2_scores_np); rounding stays in Spark.
+        book_rows = books.select("sub", "code", "cv").collect()
+        scored = _l2_scores_np(sample, book_rows).select(
+            "vec_id", "sub", "code", F.round(F.col("d2_raw"), 6).alias("d2")
         )
         # argmin-as-aggregate (d2 asc, code asc): map-side combine, no
         # window sort of the sample x codebook relation — the same
-        # shape as the IVF assignment.
-        assigned = (
+        # shape as the IVF assignment. The winning subvector re-attaches
+        # by (vec_id, sub) (shuffled-hash: both sides sample-sized).
+        best = (
             scored.groupBy("vec_id", "sub")
             .agg(
                 F.min_by(
-                    F.struct("code", "sv"), F.struct(F.col("d2"), F.col("code"))
-                ).alias("best")
+                    "code", F.struct(F.col("d2"), F.col("code"))
+                ).alias("code")
             )
-            .select("sub", F.col("best.code").alias("code"), F.col("best.sv").alias("sv"))
+        )
+        assigned = best.join(sample.hint("shuffle_hash"), ["vec_id", "sub"]).select(
+            "sub", "code", "sv"
         )
         dims = assigned.select("sub", "code", F.posexplode("sv").alias("i", "x"))
         q = F.signum("x") * F.floor(F.abs(F.col("x")) * _KM_SCALE + F.lit(0.5))
@@ -528,10 +735,13 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = _subparts(_emb(spark, sf_dir))
-    books = _pq_books(spark, sf_dir)
-    scored = parts.join(F.broadcast(books), "sub").select(
-        "vec_id", "sub", "code",
-        F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d2"),
+    # The full-corpus encode is the expensive IVFADC build step: numpy
+    # scoring against the collected codebooks (PQ_M x n_codes rows;
+    # bit-identical doubles — _l2_scores_np), argmin and rounding in
+    # Spark exactly as before.
+    book_rows = _pq_books(spark, sf_dir).select("sub", "code", "cv").collect()
+    scored = _l2_scores_np(parts, book_rows).select(
+        "vec_id", "sub", "code", F.round(F.col("d2_raw"), 6).alias("d2")
     )
     codes = scored.groupBy("vec_id", "sub").agg(
         F.min_by("code", F.struct(F.col("d2"), F.col("code"))).alias("code")

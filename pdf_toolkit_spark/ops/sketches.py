@@ -450,7 +450,12 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     state). Probe = top rows x D joined against the tiny cell
     relation, broadcast both ways."""
 
-    ev = table(spark, sf_dir, "events").select("user_id")
+    # Repartition ahead of the explode x D md5 pass: the testdata
+    # events parquet is a single row group, so the whole sketch build
+    # would otherwise hash n_events * CMS_D rows on ONE task.
+    ev = table(spark, sf_dir, "events").select("user_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     js = F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j")
     cell = hash32(F.expr("concat('cms', j, ':', user_id)")) % CMS_W
     cells = (

@@ -487,10 +487,13 @@ def _image_xobject(
         filt = "DCTDecode"
     else:
         raw = np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
-        # Adaptive level (same probe as pdfio/png.py encode_png): the
-        # corpus's noise rasters are incompressible, and deflate-6 on
-        # them dominated fixture generation for nothing.
-        lvl = 6
+        # Adaptive level (same probe as pdfio/png.py encode_png), with
+        # deflate-1 as the compressible default: on the corpus's noise
+        # rasters level 1 reaches 98% of level 6's ratio at ~3x the
+        # speed (measured 4.5 ms vs 13.5 ms per 448 KB page, ratio
+        # 1.68 vs 1.72), and zlib.compress dominated fixture
+        # generation (~87% of document_from_text).
+        lvl = 1
         if len(raw) >= 65536 and len(zlib.compress(raw[:16384], 1)) > 16384 - 1024:
             lvl = 0
         data = zlib.compress(raw, level=lvl)

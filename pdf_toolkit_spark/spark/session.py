@@ -47,7 +47,14 @@ def get_spark(
         .config("spark.sql.parquet.columnarReaderBatchSize", "32")
         .config("spark.sql.inMemoryColumnarStorage.batchSize", "32")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Local mode: the driver JVM IS the executor, so size its heap
+        # to the box (guide §9 / §5): the sf1.0 fixture corpus persists
+        # ~32 GiB of PDF rows, which overflows a 48g heap's storage
+        # pool (0.6 x heap) and silently spills the cache to disk —
+        # the extraction arm then re-reads the corpus from spill files.
+        # 80g keeps the cache resident on this 128 GiB sandbox; on a
+        # real cluster this knob is per-executor memory instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "80g"))
         .config("spark.ui.enabled", "false")
     )
     # Local-mode shuffle dir on tmpfs (stand-in for cluster NVMe): the

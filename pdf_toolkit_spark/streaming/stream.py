@@ -644,12 +644,18 @@ def cluster_best_process_batch(spark: SparkSession, clusters: DataFrame, out_dir
         return spark.read.parquet(latest)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        # Left join against the frozen assignment: a doc_id absent from
+        # the freeze (the natural streaming case — documents arriving
+        # after the batch connected-components run) coalesces into a
+        # SINGLETON cluster keyed by its own doc_id, exactly how the
+        # batch labeling constructs singletons — never silently
+        # dropped from state.
         scored = (
             quality_relation(batch_df)
             .select("doc_id", "quality")
-            .join(clusters, "doc_id")
+            .join(clusters, "doc_id", "left")
             .select(
-                F.col("canonical_id").alias("cluster"),
+                F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias("cluster"),
                 F.col("doc_id").alias("kept_doc_id"),
                 F.col("quality").alias("best_quality"),
                 F.lit(1).cast("bigint").alias("n_members"),
@@ -812,6 +818,10 @@ def stream_pq_ingest(
 def read_pq_index(spark: SparkSession, out_dir: str) -> DataFrame:
     """(cell, vec_id, sub, code) across all committed epochs."""
 
+    import glob as _glob
+
+    if not _glob.glob(f"{out_dir}/pq/epoch=*"):
+        raise UserError("stream_pq_ingest: no state epochs yet.")
     return spark.read.option("basePath", f"{out_dir}/pq").parquet(
         f"{out_dir}/pq/epoch=*"
     ).drop("epoch")
@@ -872,7 +882,20 @@ def semantic_dedup_process_batch(
             # and the stream would silently diverge from the batch
             # twin. (Replays pass: history reads strictly below the
             # replayed epoch, so the replayed ids stay above it.)
-            committed_max = hist.agg(F.max("vec_id")).collect()[0][0]
+            # The high-watermark reads ONLY the newest committed epoch:
+            # this guard has enforced id order on every prior commit,
+            # so the global max vec_id lives there — no O(total-history)
+            # aggregate per micro-batch.
+            newest = max(
+                (
+                    d for d in _glob.glob(f"{log_root}/epoch=*")
+                    if int(d.rsplit("=", 1)[1]) < epoch_id
+                ),
+                key=lambda d: int(d.rsplit("=", 1)[1]),
+            )
+            committed_max = (
+                spark.read.parquet(newest).agg(F.max("vec_id")).collect()[0][0]
+            )
             batch_min = e.agg(F.min("vec_id")).collect()[0][0]
             if (
                 committed_max is not None
@@ -957,6 +980,10 @@ def stream_semantic_dedup(
 def read_semantic_keep(spark: SparkSession, out_dir: str) -> DataFrame:
     """(vec_id, cell, keep) across all committed epochs."""
 
+    import glob as _glob
+
+    if not _glob.glob(f"{out_dir}/sem/epoch=*"):
+        raise UserError("stream_semantic_dedup: no state epochs yet.")
     return spark.read.option("basePath", f"{out_dir}/sem").parquet(
         f"{out_dir}/sem/epoch=*"
     ).drop("epoch")

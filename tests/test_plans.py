@@ -167,8 +167,12 @@ def test_span_branch_has_single_doc_id_exchange(spark):
     """The span branch (strip window + ordering window + assembly agg)
     must ride ONE doc_id exchange after the extraction UDF: hash
     partitioning on doc_id satisfies the strip window's 3-key
-    clustering via the subset rule. Two exchanges total: the explicit
-    UDF repartition and the doc_id shuffle."""
+    clustering via the subset rule. Under the fixture default
+    (chunk_spread="input", round 7: the corpus is bytes-mode, so the
+    chunk-spread repartition would move every PDF byte once for
+    nothing) that single doc_id shuffle is the ONLY exchange in the
+    whole plan; chunk_spread="shuffle" adds exactly one more — the
+    explicit (doc_id, chunk_start) UDF spread."""
 
     import re
 
@@ -177,13 +181,23 @@ def test_span_branch_has_single_doc_id_exchange(spark):
     from pdf_toolkit_spark.spark.job import build_pipeline
 
     docs = corpus_dataframe(spark, 4, seed=42, mega_every=0)
+
     spans, _ = build_pipeline(spark, docs, corpus_config())
     plan = explain_str(spans, "formatted")
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
-    assert any("chunk_start" in k for k in keys)          # UDF spread
     assert any("norm_text" not in k and "doc_id" in k and "chunk_start" not in k
                for k in keys)                             # the fused doc_id shuffle
+
+    spans_sh, _ = build_pipeline(
+        spark, docs, dict(corpus_config(), chunk_spread="shuffle")
+    )
+    plan_sh = explain_str(spans_sh, "formatted")
+    assert len(re.findall(r"\(\d+\) Exchange", plan_sh)) == 2
+    keys_sh = re.findall(r"hashpartitioning\(([^)]*)\)", plan_sh)
+    assert any("chunk_start" in k for k in keys_sh)       # UDF spread
+    assert any("norm_text" not in k and "doc_id" in k and "chunk_start" not in k
+               for k in keys_sh)
 
 
 def test_ivf_topk_batch_no_full_table_shuffle(spark):
