@@ -47,6 +47,20 @@ def get_spark(
         .config("spark.sql.parquet.columnarReaderBatchSize", "32")
         .config("spark.sql.inMemoryColumnarStorage.batchSize", "32")
         .config("spark.sql.session.timeZone", "UTC")
+        # Python workers are NOT reused across tasks: Spark 4.1's
+        # single-threaded PythonRunner re-registers a reused worker's
+        # socket with a fresh selector on every reacquisition
+        # (PythonWorker.refresh), and under many short Python stages we
+        # reproduced a permanent wedge — task thread parked in
+        # selector.select() while the worker sat blocked in write()
+        # with both kernel socket queues full (33 MB recv / 4 MB send),
+        # i.e. the select was waiting on a selector that no longer saw
+        # the socket's readiness. Fresh workers register exactly once,
+        # eliminating the race; the per-task fork from pyspark.daemon
+        # costs ~10 ms. The idle watchdog below turns any residual
+        # stall into a log line instead of a silent hang.
+        .config("spark.python.worker.reuse", "false")
+        .config("spark.python.worker.idleTimeoutSeconds", "600")
         # Local mode: the driver JVM IS the executor, so size its heap
         # to the box (guide §9 / §5): the sf1.0 fixture corpus persists
         # ~32 GiB of PDF rows, which overflows a 48g heap's storage
