@@ -17,7 +17,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import SQL_HASH32, hash32, table
+from .common import SQL_HASH32, table
 
 TOP_K = 10
 QUERY_VEC_ID = 0
@@ -111,18 +111,6 @@ def _norm_expr(v, dim: int):
     for i in range(dim):
         acc = acc + v.getItem(i) * v.getItem(i)
     return F.sqrt(acc)
-
-
-def _l2sq_expr(a, b, dim: int):
-    """Unrolled squared L2 distance — bit-identical to ``_l2sq``'s
-    zip_with fold ((a_i - b_i) * (a_i - b_i) accumulated in index
-    order)."""
-
-    acc = F.lit(0.0)
-    for i in range(dim):
-        d = a.getItem(i) - b.getItem(i)
-        acc = acc + d * d
-    return acc
 
 
 def _cosine_scores_np(e: DataFrame, cents_rows: list) -> DataFrame:
