@@ -259,7 +259,16 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from .common import hash32
 
-    docs = table(spark, sf_dir, "documents")
+    # doc_id-keyed repartition BEFORE the explode: the single-row-group
+    # testdata parquet otherwise runs tokenize + one md5 per token on
+    # ONE task, and hash-partitioning on doc_id here satisfies the
+    # window's and the final aggregate's clustering requirement, so the
+    # larger exploded/hashed relation is never shuffled at all.
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     norm = norm_text(F.col("text"))
     toks = (
         docs.select("doc_id", norm.alias("norm"))
